@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.RelationalQueries
+import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,11 @@ object SparkEntry {
 
   private val modules: Seq[Map[String, ((SparkSession, String) => DataFrame, Option[String])]] =
     Seq(
-      RelationalQueries.all
+      RelationalQueries.all,
+      JoinQueries.all,
+      WindowQueries.all,
+      SortSetQueries.all,
+      FunctionQueries.all
     )
 
   private val merged: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = {

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import Exact._
+
+/** Scalar / JSON / array / higher-order function surface
+  * (SURVEY.md §2.9 R12–R13). All functions are codegen'd built-ins — no
+  * UDFs anywhere, so every query stays inside WholeStageCodegen.
+  */
+object FunctionQueries {
+
+  /** String + date + math built-ins over customer/orders. Each expression is
+    * chosen to have identical semantics in DuckDB (verified): upper/substr/
+    * concat/length, year/month/dayofweek via date_part, sqrt/pow rounded r6.
+    */
+  def qScalarFns(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 3, 10)).as("prio_word"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority").substr(1, 1)).as("status_code"),
+        length(col("o_orderpriority")).as("prio_len"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        r6(sqrt(col("o_totalprice"))).as("sqrt_price"),
+        r6(log(col("o_totalprice") + 1)).as("log_price"),
+        round(col("o_totalprice"), 1).as("rounded_price"),
+        abs(col("o_totalprice") - 1000).as("abs_diff"),
+        (col("o_orderkey") % 7).as("key_mod7"),
+        greatest(col("o_totalprice"), lit(500.0)).as("floor500"))
+  }
+
+  val qScalarFnsSql: String =
+    """SELECT o_orderkey,
+      |  UPPER(SUBSTRING(o_orderpriority, 3, 10)) AS prio_word,
+      |  CONCAT_WS('-', o_orderstatus, SUBSTRING(o_orderpriority, 1, 1)) AS status_code,
+      |  LENGTH(o_orderpriority) AS prio_len,
+      |  CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+      |  CAST(date_part('month', o_orderdate) AS INT) AS o_month,
+      |  CAST(date_part('day', o_orderdate) AS INT) AS o_day,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  ROUND(SQRT(o_totalprice), 6) AS sqrt_price,
+      |  ROUND(LN(o_totalprice + 1), 6) AS log_price,
+      |  ROUND(o_totalprice, 1) AS rounded_price,
+      |  ABS(o_totalprice - 1000) AS abs_diff,
+      |  o_orderkey % 7 AS key_mod7,
+      |  GREATEST(o_totalprice, 500.0) AS floor500
+      |FROM orders WHERE o_orderkey < 500""".stripMargin
+
+  /** JSON functions over events.props ('{"k": <int>}'): extraction via
+    * get_json_object and typed from_json, aggregated. The reference's codec
+    * layer (bert/encoders/base.py:58-153) is JSON-shaped; this is the query
+    * face of the same machinery.
+    */
+  def qJsonFns(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_mod10"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+  }
+
+  val qJsonFnsSql: String =
+    """SELECT event_type, CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod10,
+      |  COUNT(*) AS n, SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      |  MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+      |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Array functions: tokenize documents (split) then explode → top-20 token
+    * frequencies with deterministic tie-break. Scale: explode is a narrow
+    * generate (no shuffle); the aggregate shuffles #distinct-tokens rows
+    * after partial aggregation; top-k is TakeOrderedAndProject.
+    */
+  def qArrayExplode(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20)
+  }
+
+  val qArrayExplodeSql: String =
+    """SELECT token, COUNT(*) AS freq
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |WHERE token <> ''
+      |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin
+
+  /** Higher-order functions on embeddings: per-vector L2 norm² and sum via
+    * aggregate(transform(...)) with exact decimal accumulation. float→double
+    * is exact and double*double of float-width values is exact, so the
+    * decimal cast of each product is identical on both engines.
+    * Scale: pure per-row computation — narrow, codegen'd, no shuffle.
+    */
+  def qHigherOrder(s: SparkSession, dir: String): DataFrame = {
+    val DD = DecimalType(28, 14)
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 100)
+      .select(
+        col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        // decimal accumulation makes the fold order-independent; the final
+        // r6 absorbs the engines' differing double→decimal rounding modes.
+        r6(expr("CAST(aggregate(embedding, CAST(0 AS DECIMAL(28,14)), (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)) AS DECIMAL(28,14))) AS DOUBLE)")).as("norm_sq"),
+        r6(expr("CAST(aggregate(embedding, CAST(0 AS DECIMAL(28,14)), (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) AS DECIMAL(28,14)) AS DECIMAL(28,14))) AS DOUBLE)")).as("sum_elems"),
+        expr("size(filter(embedding, x -> x > 0))").as("n_positive"))
+  }
+
+  val qHigherOrderSql: String =
+    """SELECT vec_id, label, len(embedding) AS dim,
+      |  ROUND(CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE), 6) AS norm_sq,
+      |  ROUND(CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE), 6) AS sum_elems,
+      |  len(list_filter(embedding, x -> x > 0)) AS n_positive
+      |FROM embeddings WHERE vec_id < 100""".stripMargin
+
+  /** CASE/null-handling/conditional surface: coalesce, nullif, null-safe
+    * predicates over left-joined data (customers with/without F orders).
+    */
+  def qConditionalFns(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
+      .groupBy(col("o_custkey")).agg(dsum(col("o_totalprice")).as("p_total"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        coalesce(col("p_total"), lit(0.0)).as("p_total_or_zero"),
+        when(col("p_total").isNull, "none")
+          .when(col("p_total") > 100000, "big").otherwise("small").as("bucket"),
+        col("p_total").isNotNull.as("has_p"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"))
+  }
+
+  val qConditionalFnsSql: String =
+    """WITH o AS (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS p_total
+      |           FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey)
+      |SELECT c_custkey,
+      |  COALESCE(p_total, 0.0) AS p_total_or_zero,
+      |  CASE WHEN p_total IS NULL THEN 'none'
+      |       WHEN p_total > 100000 THEN 'big' ELSE 'small' END AS bucket,
+      |  p_total IS NOT NULL AS has_p,
+      |  NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null
+      |FROM customer LEFT JOIN o ON c_custkey = o_custkey""".stripMargin
+
+  def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_scalar_fns" -> ((qScalarFns _, Some(qScalarFnsSql))),
+    "q_json_fns" -> ((qJsonFns _, Some(qJsonFnsSql))),
+    "q_array_explode" -> ((qArrayExplode _, Some(qArrayExplodeSql))),
+    "q_higher_order" -> ((qHigherOrder _, Some(qHigherOrderSql))),
+    "q_conditional_fns" -> ((qConditionalFns _, Some(qConditionalFnsSql)))
+  )
+}

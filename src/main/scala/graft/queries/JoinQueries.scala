@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Exact._
+
+/** Join surface (SURVEY.md §2.9 R4–R6): equi inner/outer, broadcast star
+  * joins, semi/anti, and non-equi range joins.
+  *
+  * The reference delegates all joins to user Python (verified absence,
+  * SURVEY §2.9); here they are first-class declarative plans so Catalyst
+  * picks the physical join. 100 TB posture notes per query below; dimension
+  * tables (region 5 / nation 25 / part 2k·sf / supplier 100·sf) are
+  * broadcast explicitly so the big fact tables never shuffle for them.
+  */
+object JoinQueries {
+
+  /** TPC-H Q3 shape: customer⋈orders⋈lineitem, filter early, top-10 revenue.
+    * Scale: filters pushed below the joins (Catalyst), the two fact-fact
+    * joins shuffle on their keys; top-k plans as TakeOrderedAndProject —
+    * each partition keeps 10 rows, driver merges 10×P rows, never a global
+    * sort. Tie-break on l_orderkey keeps the LIMIT deterministic.
+    */
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: 6-table star join, revenue per nation.
+    * Scale: region/nation/supplier/customer are dimensions — broadcast them
+    * (explicit hint) so lineitem⋈orders is the only shuffle join; the agg is
+    * 25 groups with map-side partial aggregation, so the final shuffle is
+    * tiny. At 100 TB the plan is one fact-fact shuffle + broadcast hash
+    * joins, which is the plan a human would hand-pick.
+    */
+  def q5MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    // customer is NOT hinted: it's a semi-fact (150k rows/sf) — small enough
+    // for AQE to broadcast at low sf, correctly shuffle-joined at 100 TB.
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+    val sup = broadcast(Tables.supplier(s, dir))
+    val n = broadcast(Tables.nation(s, dir))
+    val r = broadcast(Tables.region(s, dir).filter(col("r_name").isin("ASIA", "EUROPE")))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  val q5MultiJoinSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name IN ('ASIA', 'EUROPE')
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** Left-semi join: customers with at least one urgent open order.
+    * Semantics match the reference's C1 "have I seen this" check inverted
+    * (ref: bert/etl/__init__.py:71-80). Scale: semi-join shuffles only the
+    * distinct keys of the probe side; no row multiplication ever.
+    */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "O")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS sum_acctbal
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |              AND o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O')
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Left-anti join: customers with no 'P'-status order — the dedup/state
+    * primitive (ref ETLState.contains, bert/etl/__init__.py:71-80) as a
+    * relational plan. Scale: anti-join is a shuffle on the key with early
+    * termination per match; never materializes the complement.
+    */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin
+
+  /** Left-outer join preserving zero-order customers, rolled up per nation.
+    * Scale: count aggregation pushed after the join; the outer join shuffles
+    * on custkey; nation is broadcast.
+    */
+  def qLeftJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+    val n = broadcast(Tables.nation(s, dir))
+    val perCust = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_nationkey"))
+      .agg(count(col("o_orderkey")).as("n_f_orders"))
+    perCust.join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("n_f_orders")).as("total_f_orders"),
+        sum(when(col("n_f_orders") === 0, 1).otherwise(0)).as("zero_order_customers"))
+  }
+
+  val qLeftJoinAggSql: String =
+    """WITH per_cust AS (
+      |  SELECT c_custkey, c_nationkey, COUNT(o_orderkey) AS n_f_orders
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderstatus = 'F'
+      |  GROUP BY c_custkey, c_nationkey)
+      |SELECT n_name, COUNT(*) AS n_customers,
+      |  SUM(n_f_orders) AS total_f_orders,
+      |  SUM(CASE WHEN n_f_orders = 0 THEN 1 ELSE 0 END) AS zero_order_customers
+      |FROM per_cust JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** Full-outer join of two aggregates: customer count vs supplier count per
+    * nation (nations may lack either side). Scale: both inputs are already
+    * aggregated to ≤#nations rows before the join — the join is trivially
+    * small no matter the fact-table size.
+    */
+  def qFullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val sup = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(sup, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+  }
+
+  val qFullOuterJoinSql: String =
+    """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+      |  COALESCE(n_customers, 0) AS n_customers,
+      |  COALESCE(n_suppliers, 0) AS n_suppliers
+      |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      |      FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      |      FROM supplier GROUP BY 1) s ON c.nationkey = s.nationkey""".stripMargin
+
+  /** Non-equi range join: parts bucketed into size bands via BETWEEN against
+    * an inline band table. Scale: the band table is tiny and broadcast, so
+    * the non-equi condition runs as BroadcastNestedLoopJoin — each part row
+    * tests 5 bands locally, no shuffle. This is the pattern for any
+    * dimension-range lookup (rate tables, SLA tiers) at 100 TB.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = broadcast(Seq(
+      ("XS", 1, 10), ("S", 11, 20), ("M", 21, 30), ("L", 31, 40), ("XL", 41, 50)
+    ).toDF("band", "lo", "hi"))
+    Tables.part(s, dir)
+      .join(bands, col("p_size").between(col("lo"), col("hi")))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_parts"),
+        dsum(col("p_retailprice")).as("sum_price"),
+        min(col("p_size")).as("min_size"), max(col("p_size")).as("max_size"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT band, COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price,
+      |  MIN(p_size) AS min_size, MAX(p_size) AS max_size
+      |FROM part JOIN (VALUES ('XS',1,10),('S',11,20),('M',21,30),('L',31,40),('XL',41,50))
+      |  AS bands(band, lo, hi) ON p_size BETWEEN lo AND hi
+      |GROUP BY band""".stripMargin
+
+  def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q3_join" -> ((q3Join _, Some(q3JoinSql))),
+    "q5_multi_join" -> ((q5MultiJoin _, Some(q5MultiJoinSql))),
+    "q_semi_join" -> ((qSemiJoin _, Some(qSemiJoinSql))),
+    "q_anti_join" -> ((qAntiJoin _, Some(qAntiJoinSql))),
+    "q_left_join_agg" -> ((qLeftJoinAgg _, Some(qLeftJoinAggSql))),
+    "q_full_outer_join" -> ((qFullOuterJoin _, Some(qFullOuterJoinSql))),
+    "q_range_join" -> ((qRangeJoin _, Some(qRangeJoinSql)))
+  )
+}

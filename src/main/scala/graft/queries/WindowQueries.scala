@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Exact._
+
+/** Window-function surface (SURVEY.md §2.9 R9) over the `events` table.
+  *
+  * The reference has no event-time machinery at all (SURVEY §2.7 —
+  * wall-clock batching only, bert/utils.py:192-194); these are the
+  * north-star additions. All windows partition by user_id: at 100 TB the
+  * sort for a window is per-partition after a hash shuffle on the partition
+  * key — no global sort, and skew is bounded by the hottest single user.
+  */
+object WindowQueries {
+
+  /** Ranking trio per user ordered by time: first 3 events of each user.
+    * Deterministic: ts has microsecond resolution and event_id breaks any
+    * remaining tie. Scale: shuffle on user_id, per-group sort, early filter
+    * rn<=3 (Spark pushes a window-group-limit since 3.5 — only the top rows
+    * per group survive the sort buffer).
+    */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(Window.partitionBy(col("user_id")).orderBy(col("event_type"))))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"), col("event_type"), col("rnk"))
+  }
+
+  val qWindowRankSql: String =
+    """SELECT user_id, rn, event_id, event_type, rnk FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk
+      |  FROM events) t WHERE rn <= 3""".stripMargin
+
+  /** Running sum + lag/lead per user ordered by time. The running sum is a
+    * decimal cast so every prefix is exact on both engines. Restricted to
+    * users 0-9 to keep the dump small; the plan shape is sf-independent.
+    */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("user_id") < 10)
+      .withColumn("running_value", sum(dec(col("value"))).over(w).cast("double"))
+      .withColumn("prev_event", lag(col("event_type"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("running_value"), col("prev_event"), col("next_value"))
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT user_id, event_id, event_type, value,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER w AS DOUBLE) AS running_value,
+      |  LAG(event_type, 1) OVER w AS prev_event,
+      |  LEAD(value, 1) OVER w AS next_value
+      |FROM events WHERE user_id < 10
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** RANGE frame: per event, sum of the same user's values in the preceding
+    * hour (inclusive). Event-time sliding aggregate as a batch window —
+    * the streaming analogue is a sliding window with watermark (SURVEY
+    * §2.7). Range frames need a numeric order key: epoch seconds.
+    */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch"))
+      .rangeBetween(-3600, Window.currentRow)
+    Tables.events(s, dir)
+      .filter(col("user_id") < 10)
+      .withColumn("epoch", unix_timestamp(col("ts")))
+      .withColumn("hour_sum", sum(dec(col("value"))).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("epoch"), col("hour_sum"))
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT user_id, event_id, epoch,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+      |FROM (SELECT user_id, event_id, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch
+      |      FROM events WHERE user_id < 10) t""".stripMargin
+
+  /** Tumbling 1-hour event-time windows: the batch twin of the Structured
+    * Streaming windowed aggregation (graft.streaming). Scale: window(ts) is
+    * a projection then an ordinary hash aggregate — shuffle carries
+    * #windows × #event_types rows after partial agg.
+    */
+  def qWindowTumbling(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  val qWindowTumblingSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** ntile + percent_rank + cume_dist: distribution windows over order value
+    * per priority class. first_value/last_value with explicit frames.
+    */
+  def qWindowDistribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 50)
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", r6(percent_rank().over(w)))
+      .withColumn("cume", r6(cume_dist().over(w)))
+      .withColumn("cheapest", first_value(col("o_orderkey")).over(w))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("quartile"), col("pct_rank"), col("cume"), col("cheapest"))
+  }
+
+  val qWindowDistributionSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  NTILE(4) OVER w AS quartile,
+      |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      |  ROUND(CUME_DIST() OVER w, 6) AS cume,
+      |  FIRST_VALUE(o_orderkey) OVER w AS cheapest
+      |FROM orders WHERE o_custkey < 50
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin
+
+  def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_window_rank" -> ((qWindowRank _, Some(qWindowRankSql))),
+    "q_window_running" -> ((qWindowRunning _, Some(qWindowRunningSql))),
+    "q_window_range" -> ((qWindowRange _, Some(qWindowRangeSql))),
+    "q_window_tumbling" -> ((qWindowTumbling _, Some(qWindowTumblingSql))),
+    "q_window_distribution" -> ((qWindowDistribution _, Some(qWindowDistributionSql)))
+  )
+}
