@@ -19,7 +19,10 @@ object SparkEntry {
       JoinQueries.all,
       WindowQueries.all,
       SortSetQueries.all,
-      FunctionQueries.all
+      FunctionQueries.all,
+      DedupQueries.all,
+      TextQueries.all,
+      SimilarityQueries.all
     )
 
   private val merged: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = {

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Exact._
+
+/** Dedup and identity surface — the reference's only stateful machinery
+  * re-expressed relationally (SURVEY.md §2.4 C1/C5, §1.3 identity).
+  *
+  * Reference semantics being mirrored:
+  *  - QueueItem identity = sha256 of the canonicalized payload
+  *    (bert/queues.py:29-35) — here `sha2(concat_ws(...), 256)` over the
+  *    row's columns (deliberately WITHOUT the reference's appended uuid4,
+  *    which made identities unique and dedup vacuous — see SURVEY §1.3).
+  *  - ETLState.contains/contain — "have I seen this value" set membership
+  *    (bert/etl/__init__.py:24-84) — here an anti-join against a state
+  *    table. The reference kept the whole set in ONE S3 JSON doc (does not
+  *    scale); an anti-join shuffles only matching keys and is the 100 TB
+  *    shape.
+  *  - bert-debug.py dedup diagnostics: hash each entry, count dups
+  *    (bert/debug/factory.py:41-59).
+  */
+object DedupQueries {
+
+  /** Exact dedup, keep-first: one event per (user_id, event_type), earliest
+    * event_id wins. dropDuplicates() is nondeterministic about the survivor,
+    * so the deterministic form is a window rn=1 — same plan shape (shuffle
+    * on the key, per-group sort over 2 columns), deterministic output.
+    * Scale: Spark 3.5+ rewrites rn=1 to a window-group-limit, so only one
+    * row per group survives each sort buffer.
+    */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+  }
+
+  val qDedupExactSql: String =
+    """SELECT user_id, event_type, event_id, value FROM (
+      |  SELECT user_id, event_type, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+      |  FROM events) t WHERE rn = 1""".stripMargin
+
+  /** Identity column: content hash of every document row. The canonical
+    * string is an explicit '|'-joined column list (field order fixed by the
+    * query, not by JSON serialization quirks). Narrow projection, codegen'd
+    * sha2 — no shuffle at all.
+    */
+  def qIdentityHash(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        sha2(concat_ws("|",
+          col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text")), 256)
+          .as("identity"))
+  }
+
+  val qIdentityHashSql: String =
+    """SELECT doc_id,
+      |  sha256(concat_ws('|', doc_id, lang, source, n_chars, text)) AS identity
+      |FROM documents""".stripMargin
+
+  /** ETLState as a table: rows already "seen" (here: documents with
+    * doc_id < 250, keyed by text hash) filter out re-submissions via
+    * left-anti join. Exactly ETLState.contains → skip (C1), but distributed:
+    * the state is a keyed table, the membership test a hash anti-join.
+    */
+  def qDedupState(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val state = docs.filter(col("doc_id") < 250)
+      .select(sha2(col("text"), 256).as("seen_hash"))
+    docs.withColumn("h", sha2(col("text"), 256))
+      .join(state, col("h") === col("seen_hash"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_new_docs"), sum(col("n_chars")).as("new_chars"))
+  }
+
+  val qDedupStateSql: String =
+    """SELECT lang, COUNT(*) AS n_new_docs, SUM(n_chars) AS new_chars
+      |FROM documents d
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM documents s WHERE s.doc_id < 250
+      |    AND sha256(s.text) = sha256(d.text))
+      |GROUP BY lang""".stripMargin
+
+  /** Dedup diagnostics (C5): hash-group rows, report groups seen more than
+    * once. Key = (user_id, event_type) over events. The reference did this
+    * with a Python set over a full queue scan; here it is one hash aggregate
+    * with map-side partials.
+    */
+  def qDedupDiag(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("dup_groups"),
+        sum(col("n_copies") - 1).as("redundant_rows"),
+        max(col("n_copies")).as("worst_group"))
+  }
+
+  val qDedupDiagSql: String =
+    """SELECT event_type, COUNT(*) AS dup_groups,
+      |  SUM(n_copies - 1) AS redundant_rows, MAX(n_copies) AS worst_group
+      |FROM (SELECT user_id, event_type, COUNT(*) AS n_copies
+      |      FROM events GROUP BY 1, 2) g
+      |WHERE n_copies > 1 GROUP BY event_type""".stripMargin
+
+  def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_dedup_exact" -> ((qDedupExact _, Some(qDedupExactSql))),
+    "q_identity_hash" -> ((qIdentityHash _, Some(qIdentityHashSql))),
+    "q_dedup_state" -> ((qDedupState _, Some(qDedupStateSql))),
+    "q_dedup_diag" -> ((qDedupDiag _, Some(qDedupDiagSql)))
+  )
+}

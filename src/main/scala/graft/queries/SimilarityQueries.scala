@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Exact._
+
+/** Near-duplicate detection and similarity search — the north-star
+  * training-data operators (SURVEY.md §2.9 R14, §4.2(c)).
+  *
+  * Everything here is built from codegen'd expressions + joins; no UDFs, no
+  * all-pairs products. The LSH parameters are deterministic (md5-derived),
+  * so the DuckDB oracle replicates candidate generation EXACTLY — the gate
+  * checks the whole pipeline (shingle → signature → banding → verify), not
+  * just the final filter.
+  *
+  * 100 TB posture: every pair-producer is an equi-join on a bucket key
+  * (band key, simhash chunk, shared shingle), never a cross join. Hot
+  * buckets are the known risk (degenerate shingles); production would salt
+  * or cap bucket width — at the verify scale the data has no hot buckets.
+  */
+object SimilarityQueries {
+
+  /** tokens of documents.text (single-space corpus). */
+  private def toks = split(col("text"), " ")
+
+  /** Distinct word-3-shingles per doc: (doc_id, shingle). Shared by the
+    * MinHash and n-gram queries. Docs with <3 tokens drop out (none at any
+    * sf, but the guard keeps sequence() from reversing).
+    */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(0, size(split(text,' '))-3), i -> " +
+          "concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2]))")))
+        .as("shingle"))
+
+  /** MinHash + LSH near-dup pairs with exact Jaccard verification.
+    *
+    * Signature: 12 hashes = min(md5('<i>:' || shingle)) for i in 0..11 —
+    * md5 hex is lexicographically ordered, so `min` over strings is a valid
+    * permutation-min. Banding: 4 bands × 3 rows; band key = concat of the
+    * band's 3 minhashes. Candidates = docs sharing any band key (equi-join
+    * on the band bucket — never all-pairs). Verification = exact Jaccard on
+    * the shingle sets, threshold 0.8.
+    *
+    * Scale: one shuffle to build signatures (12 min-aggs in one groupBy),
+    * one equi-join on band keys, one broadcast-candidates semi-join to count
+    * intersections. At 1000 executors each stage is embarrassingly
+    * key-parallel; the planted near-dup pairs at jaccard≥0.98 are caught by
+    * 3-row bands with P(miss) = (1-0.98³)⁴ ≈ 1e-5 per pair — and the oracle
+    * replicates the same banding, so even a miss would match bit-for-bit.
+    */
+  def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val numHashes = 12
+    val rowsPerBand = 3
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val ks = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      sig.select(col("doc_id"), lit(b).as("band"), concat(ks: _*).as("bkey"))
+    }.reduce(_ union _)
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = broadcast(cand)
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("za.n_sh") + col("zb.n_sh") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  val qMinhashLshSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+      |       FROM t, UNNEST(range(1, len(tk)-1)) AS u(i)),
+      |sig AS (SELECT doc_id,
+      |  min(md5('0:' || shingle)) AS h0,  min(md5('1:' || shingle)) AS h1,
+      |  min(md5('2:' || shingle)) AS h2,  min(md5('3:' || shingle)) AS h3,
+      |  min(md5('4:' || shingle)) AS h4,  min(md5('5:' || shingle)) AS h5,
+      |  min(md5('6:' || shingle)) AS h6,  min(md5('7:' || shingle)) AS h7,
+      |  min(md5('8:' || shingle)) AS h8,  min(md5('9:' || shingle)) AS h9,
+      |  min(md5('10:' || shingle)) AS h10, min(md5('11:' || shingle)) AS h11
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, h0||h1||h2 AS bkey FROM sig UNION ALL
+      |  SELECT doc_id, 1, h3||h4||h5 FROM sig UNION ALL
+      |  SELECT doc_id, 2, h6||h7||h8 FROM sig UNION ALL
+      |  SELECT doc_id, 3, h9||h10||h11 FROM sig),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+      |         WHERE x.doc_id < y.doc_id),
+      |inter AS (SELECT doc_a, doc_b, count(*) AS inter
+      |          FROM cand JOIN sh sa ON doc_a = sa.doc_id
+      |          JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+      |          GROUP BY doc_a, doc_b),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(inter AS DOUBLE) / (za.n_sh + zb.n_sh - inter) AS jaccard
+      |FROM inter JOIN sizes za ON doc_a = za.doc_id
+      |JOIN sizes zb ON doc_b = zb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (za.n_sh + zb.n_sh - inter) >= 0.8""".stripMargin
+
+  /** Character-4-gram Jaccard near-dup: candidates from the word-shingle
+    * inverted index (pairs sharing ≥5 distinct word-3-shingles — an
+    * equi-join + count, not all-pairs), verified with char-4-gram Jaccard
+    * ≥ 0.6. The two-granularity split (coarse candidates, fine verify) is
+    * the standard cheap/accurate trade at corpus scale.
+    */
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val cand = sh.as("sa")
+      .join(sh.as("sb"),
+        col("sa.shingle") === col("sb.shingle") && col("sa.doc_id") < col("sb.doc_id"))
+      .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= 5)
+      .select(col("doc_a"), col("doc_b"))
+    val grams = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 4)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(1, length(text)-3), i -> substring(text, i, 4))")))
+        .as("gram"))
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_g"))
+    val inter = broadcast(cand)
+      .join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(grams.as("gb"),
+        col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("za.n_g") + col("zb.n_g") - col("inter"))).as("char_jaccard"))
+      .filter(col("char_jaccard") >= 0.6)
+  }
+
+  val qNgramJaccardSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+      |       FROM t, UNNEST(range(1, len(tk)-1)) AS u(i)),
+      |cand AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+      |         FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      |         GROUP BY 1, 2 HAVING count(*) >= 5),
+      |grams AS (SELECT DISTINCT doc_id, substr(text, i, 4) AS gram
+      |          FROM documents, UNNEST(range(1, length(text)-2)) AS u(i)
+      |          WHERE length(text) >= 4),
+      |sizes AS (SELECT doc_id, count(*) AS n_g FROM grams GROUP BY doc_id),
+      |inter AS (SELECT doc_a, doc_b, count(*) AS inter
+      |          FROM cand JOIN grams ga ON doc_a = ga.doc_id
+      |          JOIN grams gb ON doc_b = gb.doc_id AND ga.gram = gb.gram
+      |          GROUP BY doc_a, doc_b)
+      |SELECT doc_a, doc_b,
+      |  CAST(inter AS DOUBLE) / (za.n_g + zb.n_g - inter) AS char_jaccard
+      |FROM inter JOIN sizes za ON doc_a = za.doc_id
+      |JOIN sizes zb ON doc_b = zb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (za.n_g + zb.n_g - inter) >= 0.6""".stripMargin
+
+  /** SimHash near-dup pairs. 64-bit fingerprint per doc: bit p is the sign
+    * of Σ_tokens (2·bit_p(md5(token)) − 1) over the doc's DISTINCT tokens,
+    * where bit_p reads the p-th bit of the first 16 hex digits of md5.
+    * Pairs: 8 chunks of 8 bits — by pigeonhole any pair with hamming ≤ 7
+    * shares at least one exact chunk, so banded candidates ⊇ every pair at
+    * the final threshold (≤1 — this shared-vocabulary corpus makes simhash
+    * weakly discriminative, 451 pairs collide exactly at sf0.01) and the
+    * final hamming filter makes Spark ≡ the all-pairs oracle.
+    * Scale: fingerprints are one explode + hash agg; the pair join is an
+    * equi-join on (chunk_idx, chunk_bits).
+    */
+  def qSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // (doc_id, p, vote-sign contribution) for p in 0..63
+    val votes = docs
+      .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+      .select(col("doc_id"), expr(
+        """explode(transform(sequence(0, 63), p -> named_struct(
+          |  'p', p,
+          |  'v', CAST(2 * ((CAST(conv(substring(md5(tok), CAST(p DIV 4 AS INT) + 1, 1), 16, 10) AS INT) >> (p % 4)) & 1) - 1 AS INT))))""".stripMargin)
+        .as("pv"))
+      .select(col("doc_id"), col("pv.p").as("p"), col("pv.v").as("v"))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(sum(col("v")).as("vote"))
+    val fp = votes
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        """array_join(transform(array_sort(collect_list(named_struct('p', p, 'b',
+          |  CASE WHEN vote > 0 THEN '1' ELSE '0' END))), x -> x.b), '')""".stripMargin)
+        .as("fp"))
+    val chunks = (0 until 8).map { c =>
+      fp.select(col("doc_id"), lit(c).as("chunk"),
+        substring(col("fp"), c * 8 + 1, 8).as("cbits"), col("fp"))
+    }.reduce(_ union _)
+    chunks.as("x").join(chunks.as("y"), Seq("chunk", "cbits"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.fp").as("fa"), col("y.fp").as("fb"))
+      .distinct()
+      .withColumn("hamming",
+        expr("size(filter(sequence(1, 64), i -> substring(fa, i, 1) != substring(fb, i, 1)))"))
+      .filter(col("hamming") <= 1)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  val qSimhashSql: String =
+    """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents),
+      |votes AS (
+      |  SELECT doc_id, p,
+      |    SUM(2 * ((CAST(strpos('0123456789abcdef',
+      |            substr(md5(tok), CAST(p // 4 AS INT) + 1, 1)) - 1 AS INT)
+      |          // CAST(pow(2, p % 4) AS INT)) % 2) - 1) AS vote
+      |  FROM tk, UNNEST(range(0, 64)) AS u(p)
+      |  GROUP BY doc_id, p),
+      |fp AS (SELECT doc_id,
+      |         string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS fp
+      |       FROM votes GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  len(list_filter(range(1, 65), i -> substr(a.fp, CAST(i AS INT), 1) <> substr(b.fp, CAST(i AS INT), 1))) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE len(list_filter(range(1, 65), i -> substr(a.fp, CAST(i AS INT), 1) <> substr(b.fp, CAST(i AS INT), 1))) <= 1""".stripMargin
+
+  /** Exact cosine top-5 neighbors for the first 20 query vectors.
+    * Dot products and norms accumulate in DECIMAL (order-independent,
+    * float→double→decimal is engine-identical up to the final r6); ranking
+    * uses the ROUNDED similarity with vec_id tie-break so both engines rank
+    * identical values identically.
+    * Scale: queries are broadcast (tiny side), the corpus streams through —
+    * a linear scan per batch of queries, the exact baseline every ANN
+    * variant is measured against. See graft.ops.Ann for the bucketed path.
+    */
+  def qCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val dot =
+      """CAST(aggregate(zip_with(q_emb, embedding, (a, b) ->
+        |  CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,14))),
+        |  CAST(0 AS DECIMAL(28,14)), (acc, x) -> CAST(acc + x AS DECIMAL(28,14))) AS DOUBLE)""".stripMargin
+    def normSq(c: String) =
+      s"""CAST(aggregate($c, CAST(0 AS DECIMAL(28,14)), (acc, x) ->
+         |  CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)) AS DECIMAL(28,14))) AS DOUBLE)""".stripMargin
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = broadcast(queries).crossJoin(emb)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        r6(expr(dot) / (sqrt(expr(normSq("q_emb"))) * sqrt(expr(normSq("embedding")))))
+          .as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor"), col("cosine"))
+  }
+
+  val qCosineTopkSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT q_id, vec_id,
+      |    ROUND(
+      |      CAST(list_sum(list_transform(range(1, len(q_emb) + 1), i ->
+      |        CAST(CAST(q_emb[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE)
+      |      / (SQRT(CAST(list_sum(list_transform(q_emb, x ->
+      |            CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE))
+      |       * SQRT(CAST(list_sum(list_transform(embedding, x ->
+      |            CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE))), 6) AS cosine
+      |  FROM q CROSS JOIN embeddings WHERE q_id <> vec_id),
+      |ranked AS (SELECT q_id, vec_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, rnk, vec_id AS neighbor, cosine FROM ranked WHERE rnk <= 5""".stripMargin
+
+  def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_minhash_lsh" -> ((qMinhashLsh _, Some(qMinhashLshSql))),
+    "q_ngram_jaccard" -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
+    "q_simhash" -> ((qSimhash _, Some(qSimhashSql))),
+    "q_cosine_topk" -> ((qCosineTopk _, Some(qCosineTopkSql)))
+  )
+}

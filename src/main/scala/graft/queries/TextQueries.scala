@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Exact._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (north star; SURVEY.md §2.9 R14).
+  *
+  * The reference has no text ops (its README tutorial merely loads audio
+  * into numpy, README.md:25-34); these are the operators a 100 TB corpus
+  * pipeline needs: token statistics, quality scoring, language-ID, document
+  * fingerprinting. All are per-row narrow transforms plus small hash
+  * aggregates — the only shuffles carry #groups rows.
+  */
+object TextQueries {
+
+  private def toks = split(col("text"), " ")
+
+  /** Corpus statistics per language: docs, chars, exact token totals, and
+    * distinct sources. Tokenization = single-space split (the corpus is
+    * space-normalized; a production pipeline would regex-normalize first —
+    * see q_token_count for the regex path).
+    */
+  def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"), col("n_chars"), size(toks).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
+  val qTextStatsSql: String =
+    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      |  SUM(len(string_split(text, ' '))) AS total_tokens,
+      |  MIN(len(string_split(text, ' '))) AS min_tokens,
+      |  MAX(len(string_split(text, ' '))) AS max_tokens,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang""".stripMargin
+
+  /** Token counting two ways per document: whitespace split vs a BPE-ish
+    * regex pass ([a-z]+ runs, digit runs, or single non-space symbols) —
+    * the standard cheap token estimator when no real tokenizer is on the
+    * cluster. chars_per_token is the usual compression-ratio quality
+    * signal.
+    */
+  def qTokenCount(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        size(toks).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("re_tokens"),
+        col("n_chars"),
+        r6(col("n_chars").cast("double") / size(toks)).as("chars_per_token"))
+  }
+
+  val qTokenCountSql: String =
+    """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+      |  n_chars,
+      |  ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
+  /** Quality scoring: stopword ratio, mean token length, and a length factor
+    * combined into one score; top-20 with deterministic tie-break. The
+    * ratios are exact rationals (int/int in double, identical operands on
+    * both engines); only the blended score is rounded.
+    */
+  def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val stop = "'the','a','of','and','to','in','is','on','for','with'"
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(toks).as("n_tokens"),
+        expr(s"size(filter(split(text, ' '), x -> x IN ($stop)))").as("n_stop"),
+        col("n_chars"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("n_chars").cast("double") / col("n_tokens")).as("mean_token_len"),
+        least(lit(1.0), col("n_tokens").cast("double") / 50).as("length_factor"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        r6(col("stop_ratio")).as("stop_ratio"),
+        r6((col("stop_ratio") * 2 + col("length_factor")) / 3 * col("mean_token_len") / 10)
+          .as("quality"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val qQualityScoreSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stop,
+      |    n_chars
+      |  FROM documents),
+      |feat AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |    CAST(n_chars AS DOUBLE) / n_tokens AS mean_token_len,
+      |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50) AS length_factor
+      |  FROM base)
+      |SELECT doc_id, lang, n_tokens, ROUND(stop_ratio, 6) AS stop_ratio,
+      |  ROUND((stop_ratio * 2 + length_factor) / 3 * mean_token_len / 10, 6) AS quality
+      |FROM feat ORDER BY quality DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Language × source distribution with exact shares of each language's
+    * total (windowed sum over the aggregate — no second scan).
+    */
+  def qLangDist(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+    Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_share",
+        r6(col("n_docs").cast("double") / sum(col("n_docs")).over(w)))
+  }
+
+  val qLangDistSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) /
+      |        SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS lang_share
+      |FROM documents GROUP BY lang, source""".stripMargin
+
+  /** Document fingerprint: sha256 over the sorted distinct token set — the
+    * canonical bag-of-words fingerprint (order- and multiplicity-
+    * insensitive, so re-shuffled near-identical docs collide). Per-row
+    * narrow compute; fingerprint equality is then an exact-dedup key.
+    */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        sha2(concat_ws(" ", array_sort(array_distinct(toks))), 256).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 1)
+      .orderBy(col("first_doc"))
+      .limit(50)
+  }
+
+  val qFingerprintSql: String =
+    """SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+      |FROM (SELECT doc_id,
+      |        sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+      |      FROM documents) t
+      |GROUP BY fingerprint ORDER BY first_doc LIMIT 50""".stripMargin
+
+  /** Language-ID by marker-token voting: count hits against tiny per-language
+    * marker sets, argmax with a fixed precedence for ties. On this synthetic
+    * corpus every language shares one vocabulary, so the predictions mostly
+    * collapse to the tie-break — the point is the deterministic, shippable
+    * operator shape (per-row filter counts + CASE argmax), not NLP accuracy.
+    */
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val en = "'the','and','of','is'"
+    val de = "'der','die','und','ist'"
+    val fr = "'le','la','et','est'"
+    val es = "'el','la','y','es'"
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(s"size(filter(split(text,' '), x -> x IN ($en)))").as("s_en"),
+        expr(s"size(filter(split(text,' '), x -> x IN ($de)))").as("s_de"),
+        expr(s"size(filter(split(text,' '), x -> x IN ($fr)))").as("s_fr"),
+        expr(s"size(filter(split(text,' '), x -> x IN ($es)))").as("s_es"))
+      .withColumn("predicted",
+        when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+          .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val qLangIdSql: String =
+    """WITH scored AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('the','and','of','is'))) AS s_en,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('der','die','und','ist'))) AS s_de,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','est'))) AS s_fr,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('el','la','y','es'))) AS s_es
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN s_en >= GREATEST(s_de, s_fr, s_es) THEN 'en'
+      |       WHEN s_de >= GREATEST(s_fr, s_es) THEN 'de'
+      |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted,
+      |  COUNT(*) AS n_docs
+      |FROM scored GROUP BY 1, 2""".stripMargin
+
+  def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_text_stats" -> ((qTextStats _, Some(qTextStatsSql))),
+    "q_token_count" -> ((qTokenCount _, Some(qTokenCountSql))),
+    "q_quality_score" -> ((qQualityScore _, Some(qQualityScoreSql))),
+    "q_lang_dist" -> ((qLangDist _, Some(qLangDistSql))),
+    "q_fingerprint" -> ((qFingerprint _, Some(qFingerprintSql))),
+    "q_lang_id" -> ((qLangId _, Some(qLangIdSql)))
+  )
+}
