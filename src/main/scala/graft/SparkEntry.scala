@@ -22,7 +22,8 @@ object SparkEntry {
       FunctionQueries.all,
       DedupQueries.all,
       TextQueries.all,
-      SimilarityQueries.all
+      SimilarityQueries.all,
+      PipelineQueries.all
     )
 
   private val merged: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = {

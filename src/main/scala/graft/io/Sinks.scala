@@ -1,0 +1,59 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Dataset sinks — the reference's ETLDataset add/update (K2).
+  *
+  * ETLDataset appends a batch as the next `<n>.json` part under a prefix,
+  * or `update` replaces everything with part 0 after clearing the prefix
+  * (/root/reference/bert/etl/__init__.py:133-164, 86-117). Spark-native:
+  * a parquet table directory; `append` adds part files, `overwrite`
+  * replaces the directory atomically (commit-protocol rename, not
+  * clear-then-write, so readers never see a half-cleared prefix — an
+  * upgrade over the reference's delete-then-put window).
+  *
+  * `appendDedup` is add+state in one: the reference pairs every dataset
+  * append with an ETLState update so re-submitted values are dropped
+  * (bert/etl/__init__.py:133-147). Here the "state" IS the sink table —
+  * an anti-join against current contents keyed by `keyCols` — so there is
+  * no second store to drift out of sync.
+  */
+object Sinks {
+
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  def overwrite(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Append only rows whose key is not already present in the sink.
+    * Returns the number of rows actually appended.
+    * Scale: the anti-join shuffles on the key; with a partitioned sink the
+    * read side prunes to touched partitions. Not transactional across
+    * concurrent writers (the reference's S3 state object wasn't either) —
+    * single-writer per table, like every hive-style parquet sink.
+    */
+  def appendDedup(spark: SparkSession, df: DataFrame, path: String, keyCols: Seq[String]): Long = {
+    val fresh =
+      if (exists(spark, path)) {
+        val existing = spark.read.parquet(path)
+          .select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+        df.join(existing, keyCols, "left_anti")
+      } else df
+    val toWrite = fresh.cache()
+    val n = toWrite.count()
+    if (n > 0) toWrite.write.mode(SaveMode.Append).parquet(path)
+    toWrite.unpersist()
+    n
+  }
+
+  /** Partitioned append for scale: hive-style partition columns give
+    * partition pruning to every downstream reader. */
+  def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

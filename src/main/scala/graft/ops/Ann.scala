@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search over an embedding column — the
+  * scale path beside the exact scan (queries.SimilarityQueries.qCosineTopk).
+  *
+  * IVF (inverted-file) structure:
+  *  1. coarse-quantize the corpus into cells (here: k-means-style centroids
+  *     computed as per-`label` means — the testdata ships cluster labels;
+  *     a production build would Lloyd-iterate the same aggregates)
+  *  2. a query probes only the `nprobe` nearest cells, then scores
+  *     exact cosine within them.
+  *
+  * Scale: the corpus is partitioned by cell; a query touches
+  * nprobe/#cells of the data. Centroids are tiny (#cells × dim) and
+  * broadcast. All arithmetic is codegen'd higher-order functions — no UDFs.
+  * Recall is tunable via nprobe (nprobe = #cells degenerates to the exact
+  * scan); AnnSpec asserts recall against the brute-force oracle.
+  */
+object Ann {
+
+  private def cosineExpr(a: String, b: String) = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+       | / (sqrt(aggregate($a, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |  * sqrt(aggregate($b, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin)
+
+  /** Per-cell centroids: mean embedding per `cellCol` (elementwise —
+    * aggregate each dimension). Returns (cell, centroid: array<double>).
+    */
+  def centroids(corpus: DataFrame, cellCol: String, embCol: String): DataFrame = {
+    corpus
+      .select(col(cellCol).as("cell"), posexplode(col(embCol)).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(avg(col("v")).as("mean_v"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(named_struct('d', dim, 'v', mean_v))), s -> s.v)")
+        .as("centroid"))
+  }
+
+  /** Top-k cosine neighbors per query, probing `nprobe` cells.
+    * queries: (qIdCol, embCol); corpus: (idCol, embCol, cellCol).
+    */
+  def ivfTopK(
+      spark: SparkSession,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 2,
+      qIdCol: String = "q_id",
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      cellCol: String = "label"): DataFrame = {
+    val cents = broadcast(centroids(corpus, cellCol, embCol))
+    // assign each query its nprobe nearest cells
+    val wCell = Window.partitionBy(col(qIdCol)).orderBy(col("cell_sim").desc, col("cell"))
+    val probes = broadcast(
+      queries.crossJoin(cents)
+        .withColumn("cell_sim", cosineExpr("q_emb", "centroid"))
+        .withColumn("cell_rank", row_number().over(wCell))
+        .filter(col("cell_rank") <= nprobe)
+        .select(col(qIdCol), col("q_emb"), col("cell")))
+    // score only within probed cells
+    val wTop = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))
+    probes
+      .join(corpus, probes("cell") === corpus(cellCol))
+      .filter(col(qIdCol) =!= col(idCol))
+      .withColumn("cosine", cosineExpr("q_emb", embCol))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col(qIdCol), col("rnk"), col(idCol).as("neighbor"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Exact brute-force top-k (the recall oracle and the small-corpus path). */
+  def bruteTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 5,
+      qIdCol: String = "q_id",
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))
+    broadcast(queries).crossJoin(corpus)
+      .filter(col(qIdCol) =!= col(idCol))
+      .withColumn("cosine", cosineExpr("q_emb", embCol))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qIdCol), col("rnk"), col(idCol).as("neighbor"), round(col("cosine"), 6).as("cosine"))
+  }
+}

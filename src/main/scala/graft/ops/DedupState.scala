@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental exactly-once-seen state — the reference's ETLState (C1).
+  *
+  * ETLState keeps sha256 hashes of seen values in ONE S3 JSON document and
+  * checks membership in-process (/root/reference/bert/etl/__init__.py:24-84)
+  * — O(state) download per run, impossible at 100 TB. Here the state is a
+  * parquet table of hashes and membership is a distributed anti-join:
+  * the only data moved is the shuffled key columns.
+  *
+  * Batch flow (mirrors contains → contain → synchronize):
+  * {{{
+  *   val fresh = DedupState.filterNew(spark, batch, statePath, Seq("text"))
+  *   // ... process fresh ...
+  *   DedupState.commit(spark, fresh, statePath, Seq("text"))
+  * }}}
+  * `RESET_ETL_STATE` (bert/etl/__init__.py:44-47) → just delete the path.
+  *
+  * Streaming twin: `dropDuplicatesWithinWatermark` (see graft.streaming),
+  * which bounds state by event time instead of growing forever.
+  */
+object DedupState {
+
+  private def hashCol(cols: Seq[String]) =
+    sha2(to_json(struct(cols.map(col): _*)), 256)
+
+  /** Rows of `df` whose key-hash is NOT in the state table. Also drops
+    * in-batch duplicates (keep-any via dropDuplicates on the hash — the
+    * reference's in-run `contains` check as items stream by).
+    */
+  def filterNew(spark: SparkSession, df: DataFrame, statePath: String, keyCols: Seq[String]): DataFrame = {
+    val withHash = df.withColumn("__state_hash", hashCol(keyCols))
+      .dropDuplicates("__state_hash")
+    val out =
+      if (exists(spark, statePath)) {
+        val state = spark.read.parquet(statePath)
+        withHash.join(state, withHash("__state_hash") === state("seen_hash"), "left_anti")
+      } else withHash
+    out.drop("__state_hash")
+  }
+
+  /** Record these rows' hashes as seen (the reference's synchronize —
+    * bert/etl/__init__.py:49-63 — but append-only parquet, no
+    * read-modify-write of a single object).
+    */
+  def commit(spark: SparkSession, df: DataFrame, statePath: String, keyCols: Seq[String]): Unit =
+    df.select(hashCol(keyCols).as("seen_hash")).distinct()
+      .write.mode(SaveMode.Append).parquet(statePath)
+
+  def stateSize(spark: SparkSession, statePath: String): Long =
+    if (exists(spark, statePath)) spark.read.parquet(statePath).count() else 0L
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

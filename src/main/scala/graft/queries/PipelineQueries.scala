@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.core.Pipeline
+import graft.io.Seeds
+
+/** The Pipeline API exercised end-to-end as registry queries. */
+object PipelineQueries {
+
+  /** The reference's docs tutorial chain (docs/index.rst "Stream
+    * Processing"): seed 100 items → compute idx² → keep even results → one
+    * summary row. Same chain, declared as Pipeline stages; Catalyst fuses
+    * all three stages into a single whole-stage-codegen'd plan over the
+    * range source — the queue materialization between reference jobs simply
+    * disappears.
+    */
+  def qPipelineChain(s: SparkSession, dir: String): DataFrame = {
+    Pipeline(Seeds.fromRange(s, 100))
+      .stage("calc")(df => df.withColumn("calculated_result", col("idx") * col("idx")))
+      .stage("filter_even")(df => df.filter(col("calculated_result") % 2 === 0))
+      .stage("summarize")(df => df.agg(
+        count(lit(1)).as("n"),
+        sum(col("calculated_result")).as("total"),
+        min(col("idx")).as("min_idx"),
+        max(col("idx")).as("max_idx")))
+      .plan
+  }
+
+  val qPipelineChainSql: String =
+    """SELECT COUNT(*) AS n, SUM(calculated_result) AS total,
+      |  MIN(idx) AS min_idx, MAX(idx) AS max_idx
+      |FROM (SELECT idx, idx * idx AS calculated_result
+      |      FROM (SELECT unnest(range(0, 100)) AS idx) seeds) calc
+      |WHERE calculated_result % 2 = 0""".stripMargin
+
+  /** A pipeline over real tables: stage 1 filters lineitem, stage 2 joins
+    * orders, stage 3 aggregates — the reference's typical
+    * sync→transform→report chain shape, over testdata with an oracle.
+    */
+  def qPipelineRelational(s: SparkSession, dir: String): DataFrame = {
+    Pipeline(Tables.lineitem(s, dir))
+      .stage("recent")(df => df.filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp")))
+      .stage("join_orders")(df =>
+        df.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey")))
+      .stage("by_status")(df => df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          Exact.dsum(col("l_extendedprice")).as("sum_price")))
+      .plan
+  }
+
+  val qPipelineRelationalSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |GROUP BY o_orderstatus""".stripMargin
+
+  def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_pipeline_chain" -> ((qPipelineChain _, Some(qPipelineChainSql))),
+    "q_pipeline_relational" -> ((qPipelineRelational _, Some(qPipelineRelationalSql)))
+  )
+}

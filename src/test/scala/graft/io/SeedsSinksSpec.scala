@@ -1,0 +1,54 @@
+package graft.io
+
+import graft.SparkSpec
+
+/** Seed sources (S1) and dataset sinks (K2). */
+class SeedsSinksSpec extends SparkSpec {
+
+  test("fromMaps infers a union schema across heterogeneous seeds") {
+    val df = Seeds.fromMaps(spark, Seq(
+      Map("a" -> 1, "b" -> "x"),
+      Map("a" -> 2, "c" -> 3.5),
+      Map("a" -> 3, "d" -> List(1, 2), "e" -> Map("k" -> "v"))))
+    assert(df.count() == 3)
+    assert(df.columns.toSet == Set("a", "b", "c", "d", "e"))
+    assert(df.filter(df("b").isNull).count() == 2) // missing keys → null
+  }
+
+  test("fromJsonFile reads both NDJSON and a multiLine array") {
+    val dir = tmpDir("seeds")
+    val nd = s"$dir/x.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(nd),
+      "{\"i\": 1}\n{\"i\": 2}\n")
+    assert(Seeds.fromJsonFile(spark, nd).count() == 2)
+    val arr = s"$dir/y.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(arr),
+      "[{\"i\": 1}, {\"i\": 2}, {\"i\": 3}]")
+    assert(Seeds.fromJsonFile(spark, arr, multiLine = true).count() == 3)
+  }
+
+  test("append accumulates parts; overwrite replaces (ETLDataset add/update)") {
+    val path = tmpDir("sink") + "/ds"
+    Sinks.append(Seeds.fromRange(spark, 10), path)
+    Sinks.append(Seeds.fromRange(spark, 5), path)
+    assert(spark.read.parquet(path).count() == 15)
+    Sinks.overwrite(Seeds.fromRange(spark, 3), path)
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
+  test("appendDedup writes only unseen keys and reports the count") {
+    val path = tmpDir("sink2") + "/ds"
+    assert(Sinks.appendDedup(spark, Seeds.fromRange(spark, 10), path, Seq("idx")) == 10)
+    assert(Sinks.appendDedup(spark, Seeds.fromRange(spark, 15), path, Seq("idx")) == 5)
+    assert(spark.read.parquet(path).count() == 15)
+  }
+
+  test("partitioned append lays out hive-style partitions") {
+    val path = tmpDir("sink3") + "/ds"
+    val df = Seeds.fromMaps(spark, Seq(
+      Map("k" -> "a", "v" -> 1), Map("k" -> "b", "v" -> 2)))
+    Sinks.appendPartitioned(df, path, Seq("k"))
+    assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("k=")))
+    assert(spark.read.parquet(path).count() == 2)
+  }
+}

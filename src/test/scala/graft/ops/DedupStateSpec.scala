@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.io.Seeds
+
+/** ETLState semantics (C1): unseen passes, committed is filtered, state
+  * accumulates across batches, in-batch dups collapse.
+  */
+class DedupStateSpec extends SparkSpec {
+
+  test("filterNew → commit → filterNew drops previously seen keys") {
+    val state = tmpDir("state") + "/s1"
+    val batch1 = Seeds.fromMaps(spark, Seq(
+      Map("k" -> "a", "v" -> 1), Map("k" -> "b", "v" -> 2)))
+    val fresh1 = DedupState.filterNew(spark, batch1, state, Seq("k"))
+    assert(fresh1.count() == 2)
+    DedupState.commit(spark, fresh1, state, Seq("k"))
+    assert(DedupState.stateSize(spark, state) == 2)
+
+    val batch2 = Seeds.fromMaps(spark, Seq(
+      Map("k" -> "a", "v" -> 99), // same key, different payload field order-independent
+      Map("k" -> "c", "v" -> 3)))
+    val fresh2 = DedupState.filterNew(spark, batch2, state, Seq("k"))
+    assert(fresh2.select("k").collect().map(_.getString(0)).toSet == Set("c"))
+  }
+
+  test("in-batch duplicates collapse to one row") {
+    val state = tmpDir("state") + "/s2"
+    val batch = Seeds.fromMaps(spark, Seq(
+      Map("k" -> "x"), Map("k" -> "x"), Map("k" -> "y")))
+    assert(DedupState.filterNew(spark, batch, state, Seq("k")).count() == 2)
+  }
+
+  test("memoize computes once and serves from cache after") {
+    val memo = tmpDir("memo")
+    var computes = 0
+    def producer = {
+      computes += 1
+      Seeds.fromRange(spark, 10)
+    }
+    val a = Memoize.cached(spark, memo, "range", Seq(10))(producer)
+    val b = Memoize.cached(spark, memo, "range", Seq(10))(producer)
+    assert(a.count() == 10 && b.count() == 10)
+    assert(computes == 1)
+    assert(Memoize.isCached(spark, memo, "range", Seq(10)))
+    assert(!Memoize.isCached(spark, memo, "range", Seq(11)))
+  }
+}

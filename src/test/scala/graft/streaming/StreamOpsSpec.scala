@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Structured Streaming semantics via MemoryStream (the in-process analog
+  * of the reference's SNS/DynamoDB-stream sources, SURVEY §2.1 S3/S4):
+  * drain-and-stop (AvailableNow ≙ the local runner's queue-empty exit),
+  * windowed aggregation with watermark, and bounded-state dedup.
+  */
+// top-level so Spark's codegen can instantiate the encoder (inner case
+// classes capture the suite instance and break janino compilation)
+case class Ev(ts: Timestamp, user: Long, kind: String)
+
+class StreamOpsSpec extends SparkSpec {
+
+  private def ts(min: Int, sec: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  test("drain-and-stop: batch stage transforms apply to a stream unchanged") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Long]
+    in.addData(1L to 100L: _*)
+    // the docs-chain stages, applied to a streaming frame
+    val out = in.toDF().withColumnRenamed("value", "idx")
+      .withColumn("calculated_result", col("idx") * col("idx"))
+      .filter(col("calculated_result") % 2 === 0)
+    val ckpt = tmpDir("stream-ckpt")
+    val q = StreamOps.runAvailableNow(
+      out.writeStream.format("memory").queryName("drained"), ckpt)
+    val rows = spark.table("drained").collect()
+    assert(rows.length == 50)
+    assert(q.lastProgress != null)
+  }
+
+  test("tumbling window counts with watermark match the batch equivalent") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(ts(0, 10), 1, "click"), Ev(ts(0, 40), 1, "click"),
+      Ev(ts(1, 5), 1, "view"), Ev(ts(1, 30), 2, "click"),
+      Ev(ts(3, 0), 2, "click"))
+    val windowed = StreamOps.tumblingCounts(
+      in.toDF(), "ts", "1 minute", "10 minutes", Seq("kind"))
+    val ckpt = tmpDir("stream-win")
+    // complete mode: assert window contents; append-mode emission timing is
+    // watermark-driven and a single AvailableNow batch never closes the
+    // final windows (the watermark trails the max event time by 10 min).
+    StreamOps.runAvailableNow(
+      windowed.writeStream.outputMode("complete").format("memory").queryName("windowed"), ckpt)
+    val got = spark.table("windowed")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (ts(0), "click", 2L), (ts(1), "view", 1L),
+      (ts(1), "click", 1L), (ts(3), "click", 1L)))
+  }
+
+  test("dedupWithinWatermark drops repeated keys inside the horizon") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(ts(0), 1, "signup"), Ev(ts(1), 1, "signup"), // dup user+kind
+      Ev(ts(2), 2, "signup"))
+    val deduped = StreamOps.dedupWithinWatermark(
+      in.toDF(), "ts", "30 minutes", Seq("user", "kind"))
+    val ckpt = tmpDir("stream-dedup")
+    StreamOps.runAvailableNow(
+      deduped.writeStream.outputMode("append").format("memory").queryName("deduped"), ckpt)
+    assert(spark.table("deduped").count() == 2)
+  }
+}
