@@ -48,6 +48,10 @@ def main():
         p = Path(sf_dir, f"{t}.parquet")
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"FAIL: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     n_pass = n_fail = 0
     for name in sorted(oracle):
         if only and name not in only:
@@ -87,8 +91,25 @@ def main():
             print(f"FAIL {name}: {len(diffs)}/{len(s_rows)} rows differ; cols={names}")
             for i, a, b in diffs[:3]:
                 print(f"  row {i}\n   spark={a}\n   duck ={b}")
+            # near-miss report: max abs/rel delta per float-parseable column
+            worst = {}
+            for _, a, b in diffs:
+                for col, (x, y) in zip(names, zip(a, b)):
+                    try:
+                        fx, fy = float(x), float(y)
+                    except ValueError:
+                        continue
+                    ad = abs(fx - fy)
+                    rd = ad / max(abs(fx), abs(fy), 1e-300)
+                    if ad > 0 and ad >= worst.get(col, (0, 0))[0]:
+                        worst[col] = (ad, rd)
+            for col, (ad, rd) in sorted(worst.items()):
+                print(f"  near-miss {col}: max_abs={ad:.3e} max_rel={rd:.3e}")
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if n_pass == 0:
+        print("FAIL: zero queries passed (empty selection is a failure)")
+        sys.exit(1)
     sys.exit(1 if n_fail else 0)
 
 

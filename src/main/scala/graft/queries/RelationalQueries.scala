@@ -25,7 +25,12 @@ import graft.Tables
   */
 object RelationalQueries {
 
-  private val D = DecimalType(12, 4) // fits max money values (~1e8) at scale 4
+  // Max |value| 99,999,999.9999 — covers per-row money (~1e5 here) with 3
+  // spare integer digits. Do NOT widen casually: DuckDB binds the 3-factor
+  // sum_charge product at DECIMAL(18,12), leaving only 6 integer digits
+  // (~9× headroom over the ~1.1e5 max per-row charge) — a wider-price
+  // dataset needs a joint re-pick of precision/scale on BOTH engines.
+  private val D = DecimalType(12, 4)
 
   /** sum over a decimal cast, emitted as an exact double. */
   private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.{Seeds, Sources}
+
+/** RunLog, RateLimit, Sources (multi-format), Multimodal plumbing. */
+class OpsSpec extends SparkSpec {
+
+  test("run log records started/succeeded with timing") {
+    val path = tmpDir("runlog") + "/log"
+    val out = RunLog.tracked(spark, path, "run1", "stage_a") { 42 }
+    assert(out == 42)
+    val rows = spark.read.parquet(path).orderBy("logged_at", "status").collect()
+    assert(rows.map(_.getAs[String]("status")).toSet == Set("started", "succeeded"))
+  }
+
+  test("run log records failure detail and rethrows") {
+    val path = tmpDir("runlog2") + "/log"
+    intercept[RuntimeException] {
+      RunLog.tracked(spark, path, "run1", "boom")(throw new RuntimeException("nope"))
+    }
+    val failed = spark.read.parquet(path).filter(col("status") === "failed").collect()
+    assert(failed.length == 1 && failed.head.getAs[String]("detail") == "nope")
+  }
+
+  test("throttledMap preserves values and enforces the per-partition rate") {
+    import spark.implicits._
+    val ds = spark.range(10).map(_.toLong).repartition(1)
+    val t0 = System.nanoTime()
+    val out = RateLimit.throttledMap(ds, maxPerSecond = 100.0)(_ * 2).collect().sorted
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(out.toSeq == (0L until 10L).map(_ * 2))
+    // 10 rows at 100/s ⇒ ≥ ~90ms of pacing
+    assert(elapsedMs >= 80, s"ran too fast for the rate limit: $elapsedMs ms")
+  }
+
+  test("csv/json/orc round-trip through Sources") {
+    val dir = tmpDir("formats")
+    val df = Seeds.fromMaps(spark, Seq(
+      Map("k" -> "a", "n" -> 1), Map("k" -> "b", "n" -> 2)))
+    df.write.option("header", true).csv(s"$dir/c")
+    df.write.orc(s"$dir/o")
+    df.write.json(s"$dir/j")
+    assert(Sources.csv(spark, s"$dir/c", schemaDdl = Some("k string, n bigint")).count() == 2)
+    assert(Sources.orc(spark, s"$dir/o").count() == 2)
+    assert(Sources.json(spark, s"$dir/j").count() == 2)
+    val typed = Sources.csv(spark, s"$dir/c", schemaDdl = Some("k string, n bigint"))
+    assert(typed.schema("n").dataType.typeName == "long")
+  }
+
+  test("multimodal: stub decode is deterministic, frame sampling shapes output") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.Media(1L, "image", "fake-jpeg-bytes".getBytes, 640, 480, 0, 1),
+      Multimodal.Media(2L, "video", "fake-mp4-bytes".getBytes, 320, 240, 0, 10)
+    ).toDS()
+    val feats = Multimodal.extractFeatures(spark, media, dim = 16, frameStride = 3)
+    val rows = feats.collect()
+    // image → frame 0; video frames 0,3,6,9
+    assert(rows.count(_.media_id == 1L) == 1)
+    assert(rows.filter(_.media_id == 2L).map(_.frame).sorted.toSeq == Seq(0, 3, 6, 9))
+    assert(rows.forall(_.features.length == 16))
+    // determinism
+    val again = Multimodal.extractFeatures(spark, media, dim = 16, frameStride = 3)
+      .collect().sortBy(r => (r.media_id, r.frame))
+    val first = rows.sortBy(r => (r.media_id, r.frame))
+    assert(first.zip(again).forall { case (a, b) => a.features.sameElements(b.features) })
+    // features feed the ANN surface
+    val embedded = Multimodal.withFeatureColumn(feats)
+    assert(embedded.columns.toSeq == Seq("media_id", "frame", "embedding"))
+  }
+
+  test("resize updates metadata dims") {
+    import spark.implicits._
+    val media = Seq(Multimodal.Media(1L, "image", Array[Byte](1, 2), 640, 480, 0, 1)).toDS()
+    val r = Multimodal.resize(spark, media, 64, 64).collect().head
+    assert(r.width == 64 && r.height == 64)
+  }
+}
