@@ -23,7 +23,8 @@ object SparkEntry {
       DedupQueries.all,
       TextQueries.all,
       SimilarityQueries.all,
-      PipelineQueries.all
+      PipelineQueries.all,
+      AdvancedQueries.all
     )
 
   private val merged: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = {

@@ -37,6 +37,20 @@ final case class Stage(
   }
 }
 
+object Stage {
+
+  /** Typed stage (SURVEY §2.8 U1): the job body as `Dataset[A] => Dataset[B]`
+    * with case-class Encoders — the JVM-native flatMap/map surface that
+    * replaces the reference's arbitrary-Python job bodies without the
+    * Python-UDF serialization tax. Prefer Column expressions when the logic
+    * is relational; reach for this when it genuinely is imperative.
+    */
+  def typed[A: org.apache.spark.sql.Encoder, B](
+      name: String, barrier: Boolean = false, retries: Int = 0)(
+      f: org.apache.spark.sql.Dataset[A] => org.apache.spark.sql.Dataset[B]): Stage =
+    Stage(name, df => f(df.as[A]).toDF(), barrier, retries)
+}
+
 /** A linear chain of stages rooted at a source DataFrame.
   *
   * The reference enforces exactly one child per parent ("One child to

@@ -52,6 +52,16 @@ object Sinks {
   def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Queue flush (C4): the reference's `flushdb` / destroy-and-recreate
+    * flags (bert/utils.py:344-358) — here, dropping a checkpoint or sink
+    * directory. Returns true if anything was deleted.
+    */
+  def clear(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.AsofJoin
+import Exact._
+
+/** Advanced analytic operators: as-of join, sessionization, pivot,
+  * multi-distinct aggregation, regex functions, exact percentiles.
+  * These are the shapes real event/training pipelines hit weekly and the
+  * reference has no machinery for at all.
+  */
+object AdvancedQueries {
+
+  /** As-of join: for every purchase event, the user's most recent click at
+    * or before it (graft.ops.AsofJoin — union + single shuffle + per-key
+    * carry-forward; no range join, no row multiplication). The DuckDB
+    * oracle uses its native ASOF LEFT JOIN, so two INDEPENDENT
+    * implementations must agree bit-for-bit.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    AsofJoin.asof(purchases, clicks,
+      key = "user_id", leftTime = "ts", rightTime = "click_ts",
+      rightCols = Map("click_id" -> "last_click_id", "click_ts" -> "last_click_ts"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        col("last_click_id"), col("last_click_ts"))
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT p.user_id, p.event_id, p.ts, p.value,
+      |  c.event_id AS last_click_id, c.ts AS last_click_ts
+      |FROM (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity gap) — the batch twin
+    * of streaming session windows. One shuffle on user_id, one per-user
+    * sort; session ids are running sums of gap indicators. Session stats
+    * are exact integers.
+    */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("epoch", unix_timestamp(col("ts")))
+      .withColumn("gap",
+        when(col("epoch") - lag(col("epoch"), 1).over(w) > 1800, 1)
+          .when(lag(col("epoch"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_id", sum(col("gap")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("epoch")).as("session_start"),
+        max(col("epoch")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (max(col("epoch")) - min(col("epoch"))).as("duration_sec"))
+  }
+
+  val qSessionizeSql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch
+      |           FROM events),
+      |g AS (SELECT user_id, event_id, epoch,
+      |        CASE WHEN epoch - LAG(epoch, 1) OVER w > 1800 THEN 1
+      |             WHEN LAG(epoch, 1) OVER w IS NULL THEN 1 ELSE 0 END AS gap
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch, event_id)),
+      |sess AS (SELECT user_id, epoch,
+      |           SUM(gap) OVER (PARTITION BY user_id ORDER BY epoch, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |         FROM g)
+      |SELECT user_id, session_id, MIN(epoch) AS session_start,
+      |  MAX(epoch) AS session_end, COUNT(*) AS n_events,
+      |  MAX(epoch) - MIN(epoch) AS duration_sec
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
+  /** Pivot: event-type counts as columns per user decile. Spark plans one
+    * hash aggregate over (bucket, type) then a pivot projection — the
+    * shuffle carries #buckets × #types rows. Missing cells null→0 to match
+    * SQL conditional aggregation.
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .groupBy((col("user_id") % 10).as("user_decile"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+
+  val qPivotSql: String =
+    """SELECT user_id % 10 AS user_decile,
+      |  COUNT(*) FILTER (event_type = 'click') AS click,
+      |  COUNT(*) FILTER (event_type = 'error') AS error,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Multiple DISTINCT aggregates in one pass (Spark plans an Expand —
+    * each distinct column gets its own stream) + a plain count: the
+    * dedup-diagnostics shape at reporting granularity.
+    */
+  def qCountDistinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("k")).as("n_props"),
+        countDistinct(col("user_id"), col("k")).as("n_user_props"))
+  }
+
+  val qCountDistinctSql: String =
+    """SELECT event_type, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_props,
+      |  COUNT(DISTINCT (user_id, CAST(props->>'$.k' AS BIGINT))) AS n_user_props
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Regex surface: extract/replace/match over order priorities. */
+  def qRegexFns(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 300)
+      .select(col("o_orderkey"),
+        regexp_extract(col("o_orderpriority"), "^(\\d)-(\\w+)", 1).as("prio_num"),
+        regexp_extract(col("o_orderpriority"), "^(\\d)-(\\w+)", 2).as("prio_name"),
+        regexp_replace(col("o_orderpriority"), "[AEIOU]", "_").as("devoweled"),
+        col("o_orderpriority").like("%URGENT%").as("is_urgent_like"),
+        col("o_orderpriority").rlike("^[12]-").as("is_high_rlike"))
+  }
+
+  val qRegexFnsSql: String =
+    """SELECT o_orderkey,
+      |  regexp_extract(o_orderpriority, '^(\d)-(\w+)', 1) AS prio_num,
+      |  regexp_extract(o_orderpriority, '^(\d)-(\w+)', 2) AS prio_name,
+      |  regexp_replace(o_orderpriority, '[AEIOU]', '_', 'g') AS devoweled,
+      |  o_orderpriority LIKE '%URGENT%' AS is_urgent_like,
+      |  regexp_matches(o_orderpriority, '^[12]-') AS is_high_rlike
+      |FROM orders WHERE o_orderkey < 300""".stripMargin
+
+  /** Exact interpolated percentiles (median/p90) per priority class —
+    * both engines interpolate linearly over the sorted values on identical
+    * doubles; r6 absorbs any last-ulp interpolation difference.
+    */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        r6(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        r6(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+        r6(expr("percentile(o_totalprice, 0.99)")).as("p99"))
+  }
+
+  val qPercentilesSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+      |  ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
+    "q_sessionize" -> ((qSessionize _, Some(qSessionizeSql))),
+    "q_pivot" -> ((qPivot _, Some(qPivotSql))),
+    "q_count_distinct" -> ((qCountDistinct _, Some(qCountDistinctSql))),
+    "q_regex_fns" -> ((qRegexFns _, Some(qRegexFnsSql))),
+    "q_percentiles" -> ((qPercentiles _, Some(qPercentilesSql)))
+  )
+}

@@ -86,6 +86,24 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("after 3 attempts"))
   }
 
+  test("typed stage maps Dataset[A] => Dataset[B] inside a pipeline") {
+    import spark.implicits._
+    val p = Pipeline(Seeds.fromRange(spark, 10))
+      .follow(Stage.typed[Long, (Long, Long)]("square_typed") { ds =>
+        ds.map(i => (i, i * i))
+      })
+    val rows = p.plan.collect()
+    assert(rows.length == 10)
+    assert(rows.map(r => r.getLong(1)).sorted.last == 81)
+  }
+
+  test("sink clear removes a checkpoint directory (queue flush)") {
+    val dir = tmpDir("flush")
+    graft.io.Sinks.overwrite(Seeds.fromRange(spark, 3), s"$dir/q")
+    assert(graft.io.Sinks.clear(spark, s"$dir/q"))
+    assert(!graft.io.Sinks.clear(spark, s"$dir/q")) // already gone
+  }
+
   test("barrier stage coalesces to one partition (BOTTLE)") {
     val p = Pipeline(Seeds.fromRange(spark, 100).repartition(8))
       .stage("bottle", barrier = true)(df => df.withColumn("parts", spark_partition_id()))

@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.io.Seeds
+
+/** AsofJoin edge semantics: <= inclusivity, no-prior-match nulls, key
+  * isolation. (The scale query q_asof_join is gated against DuckDB's
+  * native ASOF JOIN — this covers the corners cheaply.)
+  */
+class AsofJoinSpec extends SparkSpec {
+
+  private def df(rows: Seq[Map[String, Any]]) = Seeds.fromMaps(spark, rows)
+
+  test("picks the latest right row at or before left time, per key") {
+    val left = df(Seq(
+      Map("k" -> "a", "t" -> 10, "l" -> "L1"),
+      Map("k" -> "a", "t" -> 20, "l" -> "L2"),
+      Map("k" -> "b", "t" -> 15, "l" -> "L3")))
+    val right = df(Seq(
+      Map("k" -> "a", "rt" -> 5, "rv" -> "R5"),
+      Map("k" -> "a", "rt" -> 10, "rv" -> "R10"), // ties with L1: inclusive
+      Map("k" -> "a", "rt" -> 18, "rv" -> "R18"),
+      Map("k" -> "b", "rt" -> 99, "rv" -> "R99"))) // after L3: no match
+    val out = AsofJoin.asof(left, right, "k", "t", "rt", Map("rv" -> "last_rv"))
+      .collect().map(r => (r.getAs[String]("l"), r.getAs[String]("last_rv"))).toMap
+    assert(out("L1") == "R10") // inclusive <=
+    assert(out("L2") == "R18") // latest preceding
+    assert(out("L3") == null)  // nothing at or before, other key invisible
+  }
+
+  test("left rows keep all their columns") {
+    val left = df(Seq(Map("k" -> "a", "t" -> 10, "x" -> 1, "y" -> "z")))
+    val right = df(Seq(Map("k" -> "a", "rt" -> 1, "rv" -> 7)))
+    val row = AsofJoin.asof(left, right, "k", "t", "rt", Map("rv" -> "rv")).collect().head
+    assert(row.getAs[Long]("x") == 1L && row.getAs[String]("y") == "z"
+      && row.getAs[Long]("rv") == 7L)
+  }
+}
