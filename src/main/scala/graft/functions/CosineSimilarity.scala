@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd cosine similarity over two float-array columns.
+  *
+  * WHY a custom Catalyst Expression (the one place built-ins genuinely
+  * fall short, per the §7.3 decision table): the composable formulation —
+  * `aggregate(zip_with(a, b, …))` — routes through higher-order-function
+  * lambdas, which are CodegenFallback: every element allocates lambda
+  * variables and evaluates interpreted. For ANN scans the dot product IS
+  * the workload (corpus × dim element ops), so the kernel belongs in
+  * whole-stage codegen: one fused loop, primitive float math, no
+  * allocation. Interpreted `nullSafeEval` mirrors the generated code for
+  * non-codegen paths.
+  *
+  * Identical arithmetic order to the HOF formulation (sequential fold,
+  * double accumulators), so swapping it in changes nothing numerically —
+  * FunctionsSpec asserts bit-equality against the HOF version.
+  *
+  * Registered as SQL function `cosine_similarity` via [[GraftExtensions]]
+  * (SparkSessionExtensions) or [[GraftFunctions.register]] on a live
+  * session.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // ExpectsInputTypes is off-limits outside org.apache.spark.sql
+  // (AbstractDataType is private[sql]); validate at construction instead.
+  require(
+    Seq(left, right).forall(e => !e.resolved || e.dataType == ArrayType(FloatType) ||
+      e.dataType == ArrayType(FloatType, containsNull = false)),
+    s"cosine_similarity expects array<float> inputs")
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x(i).toDouble; val yv = y(i).toDouble
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      s"""
+         |float[] $x = $a.toFloatArray();
+         |float[] $y = $b.toFloatArray();
+         |int $n = Math.min($x.length, $y.length);
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xv = (double) $x[$i]; double yv = (double) $y[$i];
+         |  $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
+         |}
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0)
+         |  ? 0.0 : $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  private val info = new ExpressionInfo(
+    classOf[CosineSimilarity].getName, null, "cosine_similarity",
+    "_FUNC_(a, b) - cosine similarity of two float arrays (codegen'd fused loop).",
+    "")
+
+  private def build(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "cosine_similarity takes exactly 2 arguments")
+    CosineSimilarity(children(0), children(1))
+  }
+
+  /** Idempotent runtime registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_similarity"), info, build _)
+}
+
+/** spark.sql.extensions entry point: ships the function with the session
+  * from first plan, the deployment-grade path
+  * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+}

@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  /** HOF cosine for mixed/double arrays (centroid comparisons — tiny
+    * inputs, codegen irrelevant). The hot float×float corpus scan uses the
+    * native codegen'd graft.functions.CosineSimilarity instead — same
+    * arithmetic order, bit-identical results (FunctionsSpec).
+    */
   private def cosineExpr(a: String, b: String) = expr(
     s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)
@@ -63,12 +68,13 @@ object Ann {
         .withColumn("cell_rank", row_number().over(wCell))
         .filter(col("cell_rank") <= nprobe)
         .select(col(qIdCol), col("q_emb"), col("cell")))
-    // score only within probed cells
+    // score only within probed cells — native codegen'd kernel
+    graft.functions.GraftFunctions.register(spark)
     val wTop = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))
     probes
       .join(corpus, probes("cell") === corpus(cellCol))
       .filter(col(qIdCol) =!= col(idCol))
-      .withColumn("cosine", cosineExpr("q_emb", embCol))
+      .withColumn("cosine", expr(s"cosine_similarity(q_emb, $embCol)"))
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= k)
       .select(col(qIdCol), col("rnk"), col(idCol).as("neighbor"), round(col("cosine"), 6).as("cosine"))
@@ -82,10 +88,11 @@ object Ann {
       qIdCol: String = "q_id",
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))
     broadcast(queries).crossJoin(corpus)
       .filter(col(qIdCol) =!= col(idCol))
-      .withColumn("cosine", cosineExpr("q_emb", embCol))
+      .withColumn("cosine", expr(s"cosine_similarity(q_emb, $embCol)"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col(qIdCol), col("rnk"), col(idCol).as("neighbor"), round(col("cosine"), 6).as("cosine"))

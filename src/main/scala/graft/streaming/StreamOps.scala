@@ -74,4 +74,25 @@ object StreamOps {
     w.option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(interval))
       .start()
+
+  /** Custom keyed state via flatMapGroupsWithState — the general form of
+    * the reference's ETLState when membership isn't enough (counters,
+    * per-key models, cross-batch joins). Emits (key, runningCount) per
+    * batch update; state lives in the state store, bounded by the key
+    * cardinality, checkpointed exactly-once.
+    */
+  def runningCountByKey[K: org.apache.spark.sql.Encoder, V](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V])(
+      implicit e: org.apache.spark.sql.Encoder[(K, Long)]): org.apache.spark.sql.Dataset[(K, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    grouped.flatMapGroupsWithState[Long, (K, Long)](
+      OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      (key: K, values: Iterator[V], state: GroupState[Long]) =>
+        val next = state.getOption.getOrElse(0L) + values.size
+        state.update(next)
+        Iterator((key, next))
+    }
+  }
 }

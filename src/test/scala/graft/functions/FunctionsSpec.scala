@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The custom Catalyst expression: numeric equivalence with the
+  * higher-order-function formulation, null/edge handling, SQL registration.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  private val hof =
+    """aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+      |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+      | / (sqrt(aggregate(a, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+      |  * sqrt(aggregate(b, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
+
+  test("bit-identical to the HOF formulation on real embeddings") {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("b")))
+      .filter(col("ia") < 20 && col("ib") < 20)
+    val diff = pairs
+      .withColumn("native", expr("cosine_similarity(a, b)"))
+      .withColumn("composed", expr(hof))
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(diff == 0, "native expression diverged from HOF formulation")
+  }
+
+  test("null inputs yield null; zero vector yields 0.0; self-similarity ~1") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(1.0f, 2.0f))),
+      (None, Some(Array(1.0f, 2.0f))),
+      (Some(Array(0.0f, 0.0f)), Some(Array(1.0f, 2.0f)))
+    ).toDF("a", "b")
+    val out = df.selectExpr("cosine_similarity(a, b) AS c").collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
+    assert(out(1).isNullAt(0))
+    assert(out(2).getDouble(0) == 0.0)
+  }
+
+  test("registers through SparkSessionExtensions-style injection too") {
+    // runtime registry path is what GraftExtensions wires at session build;
+    // verify the builder function itself rejects bad arity
+    intercept[IllegalArgumentException] {
+      graft.functions.GraftFunctions.register(spark)
+      spark.sql("SELECT cosine_similarity(array(1.0F))").collect()
+    }
+  }
+}

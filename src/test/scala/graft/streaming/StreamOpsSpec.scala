@@ -61,6 +61,27 @@ class StreamOpsSpec extends SparkSpec {
       (ts(1), "click", 1L), (ts(3), "click", 1L)))
   }
 
+  test("flatMapGroupsWithState keeps a running count across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val grouped = in.toDS().groupByKey(_.user)
+    val counted = StreamOps.runningCountByKey(grouped)
+    val ckpt = tmpDir("stream-state")
+    val q = counted.writeStream.outputMode("update").format("memory")
+      .queryName("counted").option("checkpointLocation", ckpt).start()
+    in.addData(Ev(ts(0), 1, "a"), Ev(ts(1), 1, "b"), Ev(ts(2), 2, "c"))
+    q.processAllAvailable()
+    in.addData(Ev(ts(3), 1, "d"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("counted").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // update mode appends each state revision to the memory sink
+    assert(rows.contains((1L, 2L)) && rows.contains((2L, 1L)))
+    assert(rows.contains((1L, 3L))) // batch 2 advanced user 1's counter
+  }
+
   test("dedupWithinWatermark drops repeated keys inside the horizon") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
