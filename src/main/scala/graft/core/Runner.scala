@@ -41,7 +41,8 @@ object Runner {
       spark: SparkSession,
       p: Pipeline,
       checkpointDir: String,
-      replayFrom: Option[String] = None): DataFrame = {
+      replayFrom: Option[String] = None,
+      runLogPath: Option[String] = None): DataFrame = {
     val names = p.stages.map(_.name)
     replayFrom.foreach { r =>
       require(names.contains(r), s"replayFrom stage '$r' not in pipeline $names")
@@ -55,10 +56,16 @@ object Runner {
         require(exists(spark, path), s"replay checkpoint missing: $path")
         spark.read.parquet(path)
       }
+    val runId = java.util.UUID.randomUUID().toString
     p.stages.drop(startIdx).foreach { st =>
       val out = s"$checkpointDir/${st.name}"
-      withRetries(st.retries, st.name) {
+      def materialize(): Unit = withRetries(st.retries, st.name) {
         st(current).write.mode("overwrite").parquet(out)
+      }
+      // heartbeat/audit rows per stage (K4) when a run-log table is given
+      runLogPath match {
+        case Some(path) => graft.ops.RunLog.tracked(spark, path, runId, st.name)(materialize())
+        case None => materialize()
       }
       current = spark.read.parquet(out)
     }

@@ -33,9 +33,12 @@ object SimilarityQueries {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .filter(size(toks) >= 3)
+      // tokenize ONCE into tk; referencing split() inside the transform
+      // lambda would re-split the whole text per element (3 × n_tokens
+      // full splits per doc)
+      .withColumn("tk", toks)
       .select(col("doc_id"), explode(array_distinct(
-        expr("transform(sequence(0, size(split(text,' '))-3), i -> " +
-          "concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2]))")))
+        expr("transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
         .as("shingle"))
 
   /** MinHash + LSH near-dup pairs with exact Jaccard verification.

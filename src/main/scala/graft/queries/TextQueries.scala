@@ -192,7 +192,47 @@ object TextQueries {
       |  COUNT(*) AS n_docs
       |FROM scored GROUP BY 1, 2""".stripMargin
 
+  /** Document-length histogram: 100-char buckets with bounds — the
+    * distribution profile every corpus intake runs first. */
+  def qLengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .groupBy((floor(col("n_chars") / 100) * 100).as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+  }
+
+  val qLengthHistogramSql: String =
+    """SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
+      |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Top word bigrams across the corpus — n-gram frequency extraction
+    * (tokenize once, pair adjacent, explode, count). */
+  def qBigramFreq(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .filter(size(toks) >= 2)
+      .withColumn("tk", toks)
+      .select(explode(
+        expr("transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1]))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val qBigramFreqSql: String =
+    """SELECT bigram, COUNT(*) AS freq
+      |FROM (SELECT tk[i] || ' ' || tk[i+1] AS bigram
+      |      FROM (SELECT string_split(text, ' ') AS tk FROM documents
+      |            WHERE len(string_split(text, ' ')) >= 2) t,
+      |      UNNEST(range(1, len(tk))) AS u(i)) b
+      |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_length_histogram" -> ((qLengthHistogram _, Some(qLengthHistogramSql))),
+    "q_bigram_freq" -> ((qBigramFreq _, Some(qBigramFreqSql))),
     "q_text_stats" -> ((qTextStats _, Some(qTextStatsSql))),
     "q_token_count" -> ((qTokenCount _, Some(qTokenCountSql))),
     "q_quality_score" -> ((qQualityScore _, Some(qQualityScoreSql))),

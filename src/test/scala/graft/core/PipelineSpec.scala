@@ -104,6 +104,16 @@ class PipelineSpec extends SparkSpec {
     assert(!graft.io.Sinks.clear(spark, s"$dir/q")) // already gone
   }
 
+  test("checkpointed run writes run-log entries per stage when asked") {
+    val dir = tmpDir("ckpt-log")
+    val logPath = s"$dir/runlog"
+    Runner.runCheckpointed(spark, docsChain, s"$dir/ck", runLogPath = Some(logPath))
+    val statuses = spark.read.parquet(logPath)
+      .collect().map(r => (r.getAs[String]("stage"), r.getAs[String]("status")))
+    assert(statuses.count(_._2 == "succeeded") == 2)
+    assert(statuses.map(_._1).toSet == Set("calc", "filter_even"))
+  }
+
   test("barrier stage coalesces to one partition (BOTTLE)") {
     val p = Pipeline(Seeds.fromRange(spark, 100).repartition(8))
       .stage("bottle", barrier = true)(df => df.withColumn("parts", spark_partition_id()))
