@@ -163,7 +163,44 @@ object AdvancedQueries {
       |  ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** Correlated scalar subquery: orders beating their customer's average —
+    * Catalyst decorrelates into an aggregate + join (check the plan: no
+    * per-row re-execution, unlike the reference's per-item Python loops).
+    */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_sq")
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders_sq o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*)
+        |  FROM orders_sq i WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
+  val qScalarSubquerySql: String =
+    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 1.5 * (
+      |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*)
+      |  FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin
+
+  /** HAVING over a grouped aggregate (TPC-H Q18 shape): heavy customers. */
+  def qHaving(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
+      .filter(col("n_orders") >= 15)
+  }
+
+  val qHavingSql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_spend
+      |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_scalar_subquery" -> ((qScalarSubquery _, Some(qScalarSubquerySql))),
+    "q_having" -> ((qHaving _, Some(qHavingSql))),
     "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_sessionize" -> ((qSessionize _, Some(qSessionizeSql))),
     "q_pivot" -> ((qPivot _, Some(qPivotSql))),

@@ -82,6 +82,23 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.contains((1L, 3L))) // batch 2 advanced user 1's counter
   }
 
+  test("file stream: pipeline stages run over readStream and land in a parquet sink") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("filestream")
+    val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    // two "arriving" files — the reference's S3-parts dataset as a stream
+    graft.io.Sinks.append(graft.io.Seeds.fromRange(spark, 50), in)
+    graft.io.Sinks.append(graft.io.Seeds.fromRange(spark, 50), in)
+    val schema = StructType(Seq(StructField("idx", LongType)))
+    val stream = spark.readStream.schema(schema).parquet(in)
+      // same stage logic as the batch docs-chain — transforms are reusable
+      .withColumn("calculated_result", org.apache.spark.sql.functions.expr("idx * idx"))
+      .filter(org.apache.spark.sql.functions.col("calculated_result") % 2 === 0)
+    StreamOps.runAvailableNow(
+      stream.writeStream.format("parquet").option("path", out), ckpt)
+    assert(spark.read.parquet(out).count() == 50) // 25 evens × 2 files
+  }
+
   test("dedupWithinWatermark drops repeated keys inside the horizon") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
