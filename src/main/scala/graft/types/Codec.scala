@@ -125,6 +125,44 @@ object Codec {
     Tensor(shape, dtype, data)
   }
 
+  // -------------------------------------------------------- column surface
+
+  /** Column-level tagged-scalar decode: classify and extract into a typed
+    * struct (kind, s, i, d, b) — mixed-type queue payloads can't widen to
+    * one Spark type, so the struct carries each typed slot with the others
+    * null. Pure built-ins (codegen'd); the ingest-edge twin of
+    * [[decodeScalar]].
+    */
+  def decodeScalarColumn(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val kind = when(c === "null:", "null")
+      .when(c.isin("bool:True", "bool:False"), "bool")
+      .when(c.startsWith("int:"), "int")
+      .when(c.startsWith("float:"), "float")
+      .otherwise("string")
+    struct(
+      kind.as("kind"),
+      when(kind === "string", c).as("s"),
+      when(kind === "int", c.substr(lit(5), length(c)).cast("long")).as("i"),
+      when(kind === "float", c.substr(lit(7), length(c)).cast("double")).as("d"),
+      when(kind === "bool", c === "bool:True").as("b"))
+  }
+
+  /** Column-level encode of a typed column into the tag grammar. */
+  def encodeScalarColumn(c: org.apache.spark.sql.Column,
+      dataType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val tagged = dataType match {
+      case BooleanType => concat(lit("bool:"), when(c, "True").otherwise("False"))
+      case ByteType | ShortType | IntegerType | LongType => concat(lit("int:"), c.cast("string"))
+      case FloatType | DoubleType => concat(lit("float:"), c.cast("string"))
+      case StringType => c
+      case other => throw new IllegalArgumentException(s"not a tagged scalar type: $other")
+    }
+    when(c.isNull, "null:").otherwise(tagged)
+  }
+
   /** Row-major → column-major element order for a given shape (what
     * asfortranarray does before the reference encodes). */
   def toFortranOrder(shape: Seq[Int], rowMajor: Seq[Double]): Seq[Double] = {

@@ -79,6 +79,27 @@ class CodecSpec extends AnyFunSuite {
     })
   }
 
+  test("column-level codec round-trips through a DataFrame") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val tagged = Seq("int:42", "float:2.5", "bool:True", "null:", "plain words").toDF("t")
+    val decoded = tagged.select(Codec.decodeScalarColumn(col("t")).as("v")).select("v.*")
+    val rows = decoded.collect().map(r =>
+      (r.getAs[String]("kind"), Option(r.get(r.fieldIndex("i"))),
+       Option(r.get(r.fieldIndex("d"))), Option(r.get(r.fieldIndex("b"))))).toList
+    assert(rows.map(_._1) == List("int", "float", "bool", "null", "string"))
+    assert(rows(0)._2.contains(42L) && rows(1)._3.contains(2.5) && rows(2)._4.contains(true))
+    // encode side
+    val enc = Seq((5L, 2.5, true)).toDF("i", "d", "b").select(
+      Codec.encodeScalarColumn(col("i"), LongType).as("ei"),
+      Codec.encodeScalarColumn(col("d"), DoubleType).as("ed"),
+      Codec.encodeScalarColumn(col("b"), BooleanType).as("eb")).collect().head
+    assert(enc.getString(0) == "int:5" && enc.getString(1) == "float:2.5"
+      && enc.getString(2) == "bool:True")
+  }
+
   test("shape/data mismatch is rejected") {
     intercept[IllegalArgumentException] { Tensor(Seq(2, 2), "float64", Seq(1.0)) }
     intercept[IllegalArgumentException] { decodeTensor("np.int64:AAAA") }
