@@ -114,6 +114,17 @@ class PipelineSpec extends SparkSpec {
     assert(statuses.map(_._1).toSet == Set("calc", "filter_even"))
   }
 
+  test("lazy plan and checkpointed run produce identical results") {
+    val dir = tmpDir("diff")
+    val lazyRows = docsChain.plan.collect()
+      .map(r => (r.getLong(r.fieldIndex("idx")), r.getLong(r.fieldIndex("calculated_result"))))
+      .toSet
+    val ckptRows = Runner.runCheckpointed(spark, docsChain, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("idx")), r.getLong(r.fieldIndex("calculated_result"))))
+      .toSet
+    assert(lazyRows == ckptRows)
+  }
+
   test("barrier stage coalesces to one partition (BOTTLE)") {
     val p = Pipeline(Seeds.fromRange(spark, 100).repartition(8))
       .stage("bottle", barrier = true)(df => df.withColumn("parts", spark_partition_id()))
