@@ -43,30 +43,33 @@ object SimilarityQueries {
 
   /** MinHash + LSH near-dup pairs with exact Jaccard verification.
     *
-    * Signature: 12 hashes = min(md5('<i>:' || shingle)) for i in 0..11 —
+    * Signature: 8 hashes = min(md5('<i>:' || shingle)) for i in 0..7 —
     * md5 hex is lexicographically ordered, so `min` over strings is a valid
-    * permutation-min. Banding: 4 bands × 3 rows; band key = concat of the
-    * band's 3 minhashes. Candidates = docs sharing any band key (equi-join
+    * permutation-min. Banding: 4 bands × 2 rows; band key = concat of the
+    * band's 2 minhashes. Candidates = docs sharing any band key (equi-join
     * on the band bucket — never all-pairs). Verification = exact Jaccard on
     * the shingle sets, threshold 0.8.
     *
-    * Scale: one shuffle to build signatures (12 min-aggs in one groupBy),
+    * Scale: one shuffle to build signatures (8 min-aggs in one groupBy),
     * one equi-join on band keys, one broadcast-candidates semi-join to count
     * intersections. At 1000 executors each stage is embarrassingly
     * key-parallel; the planted near-dup pairs at jaccard≥0.98 are caught by
-    * 3-row bands with P(miss) = (1-0.98³)⁴ ≈ 1e-5 per pair — and the oracle
-    * replicates the same banding, so even a miss would match bit-for-bit.
+    * 2-row bands with P(miss) = (1-0.98²)⁴ ≈ 2.5e-6 per pair (shorter bands
+    * = higher recall AND a third less hashing than 12/4×3; the mid-jaccard
+    * false-positive cost those shorter bands invite is nil on this corpus's
+    * 0.07↔0.98 gap) — and the oracle replicates the same banding, so even a
+    * miss would match bit-for-bit.
     */
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     // cache: shingles feed three consumers (signatures, intersection
     // counts ×2, sizes ×2) — materialize once instead of re-exploding the
     // corpus per consumer. At corpus scale this is the shingle TABLE.
     val sh = shingles(s, dir).cache()
-    val numHashes = 12
-    val rowsPerBand = 3
+    val numHashes = 8
+    val rowsPerBand = 2
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
-    // cache: the band self-join reads signatures 8× (4 bands × 2 sides).
+    // cache: the band self-join reads signatures from both join sides.
     val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).cache()
     val bandKeys = (0 until numHashes / rowsPerBand).map { b =>
       concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
@@ -101,15 +104,13 @@ object SimilarityQueries {
       |  min(md5('0:' || shingle)) AS h0,  min(md5('1:' || shingle)) AS h1,
       |  min(md5('2:' || shingle)) AS h2,  min(md5('3:' || shingle)) AS h3,
       |  min(md5('4:' || shingle)) AS h4,  min(md5('5:' || shingle)) AS h5,
-      |  min(md5('6:' || shingle)) AS h6,  min(md5('7:' || shingle)) AS h7,
-      |  min(md5('8:' || shingle)) AS h8,  min(md5('9:' || shingle)) AS h9,
-      |  min(md5('10:' || shingle)) AS h10, min(md5('11:' || shingle)) AS h11
+      |  min(md5('6:' || shingle)) AS h6,  min(md5('7:' || shingle)) AS h7
       |  FROM sh GROUP BY doc_id),
       |bands AS (
-      |  SELECT doc_id, 0 AS band, h0||h1||h2 AS bkey FROM sig UNION ALL
-      |  SELECT doc_id, 1, h3||h4||h5 FROM sig UNION ALL
-      |  SELECT doc_id, 2, h6||h7||h8 FROM sig UNION ALL
-      |  SELECT doc_id, 3, h9||h10||h11 FROM sig),
+      |  SELECT doc_id, 0 AS band, h0||h1 AS bkey FROM sig UNION ALL
+      |  SELECT doc_id, 1, h2||h3 FROM sig UNION ALL
+      |  SELECT doc_id, 2, h4||h5 FROM sig UNION ALL
+      |  SELECT doc_id, 3, h6||h7 FROM sig),
       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
       |         WHERE x.doc_id < y.doc_id),

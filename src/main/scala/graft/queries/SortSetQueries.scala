@@ -111,7 +111,73 @@ object SortSetQueries {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
 
+  /** unionByName with missing columns (schema evolution union): customers
+    * and suppliers unified into one parties frame, absent fields null —
+    * the schemaless-queue merge case (heterogeneous dict payloads in one
+    * queue) done relationally.
+    */
+  def qUnionByName(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("party_id"), lit("customer").as("kind"),
+        col("c_nationkey").as("nationkey"), col("c_acctbal").as("acctbal"),
+        col("c_mktsegment").as("mktsegment"))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("party_id"), lit("supplier").as("kind"),
+        col("s_nationkey").as("nationkey"), col("s_acctbal").as("acctbal"))
+    c.unionByName(sup, allowMissingColumns = true)
+      .groupBy(col("kind"), col("mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("acctbal")).as("sum_bal"))
+  }
+
+  val qUnionByNameSql: String =
+    """SELECT kind, mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(acctbal AS DECIMAL(12,4))) AS DOUBLE) AS sum_bal
+      |FROM (
+      |  SELECT c_custkey AS party_id, 'customer' AS kind, c_nationkey AS nationkey,
+      |         c_acctbal AS acctbal, c_mktsegment AS mktsegment FROM customer
+      |  UNION ALL BY NAME
+      |  SELECT s_suppkey AS party_id, 'supplier' AS kind, s_nationkey AS nationkey,
+      |         s_acctbal AS acctbal FROM supplier) parties
+      |GROUP BY kind, mktsegment""".stripMargin
+
+  /** max_by/min_by (argmax aggregates): richest/poorest customer per
+    * nation. DuckDB 1.0's arg_max can't order by a struct, so both engines
+    * rank on a padded fixed-width sort key (balance offset positive, then
+    * custkey) — deterministic under balance ties.
+    */
+  def qArgmax(s: SparkSession, dir: String): DataFrame = {
+    val ord = format_string("%012.2f|%010d", col("c_acctbal") + 10000, col("c_custkey"))
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        max_by(col("c_name"), ord).as("richest"),
+        min_by(col("c_name"), ord).as("poorest"),
+        max(col("c_acctbal")).as("max_bal"))
+  }
+
+  val qArgmaxSql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_customers,
+      |  arg_max(c_name, printf('%012.2f|%010d', c_acctbal + 10000, c_custkey)) AS richest,
+      |  arg_min(c_name, printf('%012.2f|%010d', c_acctbal + 10000, c_custkey)) AS poorest,
+      |  MAX(c_acctbal) AS max_bal
+      |FROM customer GROUP BY c_nationkey""".stripMargin
+
+  /** HyperLogLog distinct estimate — the 100 TB path where exact distinct
+    * is a full shuffle of the key space. NO oracle: sketch implementations
+    * differ by engine, so the driver records a rows-only check; the
+    * accuracy bound vs exact is asserted in RegistrySpec instead.
+    */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+  }
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_union_by_name" -> ((qUnionByName _, Some(qUnionByNameSql))),
+    "q_argmax" -> ((qArgmax _, Some(qArgmaxSql))),
+    "q_approx_distinct" -> ((qApproxDistinct _, None)),
     "q_topk" -> ((qTopK _, Some(qTopKSql))),
     "q_set_ops" -> ((qSetOps _, Some(qSetOpsSql))),
     "q_rollup" -> ((qRollup _, Some(qRollupSql))),

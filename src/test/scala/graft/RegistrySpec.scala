@@ -14,6 +14,15 @@ class RegistrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle entries without a query: $missing")
   }
 
+  test("approx_count_distinct lands within 10% of exact at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val approx = ev.agg(approx_count_distinct(col("user_id"))).collect().head.getLong(0)
+    val exact = ev.agg(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.10,
+      s"approx=$approx exact=$exact")
+  }
+
   test("entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
