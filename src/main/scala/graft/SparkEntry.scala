@@ -24,7 +24,8 @@ object SparkEntry {
       TextQueries.all,
       SimilarityQueries.all,
       PipelineQueries.all,
-      AdvancedQueries.all
+      AdvancedQueries.all,
+      StreamingQueries.all
     )
 
   private val merged: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = {
