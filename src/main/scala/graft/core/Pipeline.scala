@@ -30,9 +30,17 @@ final case class Stage(
     name: String,
     transform: DataFrame => DataFrame,
     barrier: Boolean = false,
-    retries: Int = 0) {
+    retries: Int = 0,
+    parallelism: Option[Int] = None) {
+  require(parallelism.forall(_ > 0), "parallelism must be positive")
   def apply(df: DataFrame): DataFrame = {
-    val in = if (barrier) df.coalesce(1) else df
+    // `workers = N` parity (D6, bert/binding.py:37): an explicit fan-out/in
+    // for stages whose input partitioning is wrong for their work (e.g. an
+    // external-API stage wanting exactly N concurrent streams). Barrier
+    // (BOTTLE) wins over parallelism, matching the reference's 1-worker rule.
+    val in =
+      if (barrier) df.coalesce(1)
+      else parallelism.fold(df)(df.repartition)
     transform(in)
   }
 }

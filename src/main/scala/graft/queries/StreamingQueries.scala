@@ -59,7 +59,43 @@ object StreamingQueries {
       |FROM events WHERE event_type IN ('purchase', 'click')
       |GROUP BY 1, 2""".stripMargin
 
+  /** Streaming exact-dedup gated by the batch DISTINCT oracle: the
+    * watermark horizon exceeds the data's time span, so
+    * dropDuplicatesWithinWatermark must emit each (user_id, event_type)
+    * exactly once — projecting only the key columns makes the output
+    * deterministic regardless of which physical row survived.
+    */
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events =
+      if (schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    val deduped = events
+      .withWatermark("ts", "365 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_dedup_ckpt").toString
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_stream_dedup")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_dedup")
+  }
+
+  val qStreamDedupSql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
-    "q_stream_tumbling" -> ((qStreamTumbling _, Some(qStreamTumblingSql)))
+    "q_stream_tumbling" -> ((qStreamTumbling _, Some(qStreamTumblingSql))),
+    "q_stream_dedup" -> ((qStreamDedup _, Some(qStreamDedupSql)))
   )
 }

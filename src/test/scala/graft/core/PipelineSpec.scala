@@ -125,6 +125,13 @@ class PipelineSpec extends SparkSpec {
     assert(lazyRows == ckptRows)
   }
 
+  test("stage parallelism repartitions its input (workers=N parity)") {
+    val p = Pipeline(Seeds.fromRange(spark, 100).repartition(2))
+      .follow(Stage("fan", df => df.withColumn("parts", spark_partition_id()),
+        parallelism = Some(7)))
+    assert(p.plan.select("parts").distinct().count() == 7)
+  }
+
   test("barrier stage coalesces to one partition (BOTTLE)") {
     val p = Pipeline(Seeds.fromRange(spark, 100).repartition(8))
       .stage("bottle", barrier = true)(df => df.withColumn("parts", spark_partition_id()))
