@@ -91,9 +91,12 @@ object GraftFunctions {
   }
 
   /** Idempotent runtime registration on a live session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_similarity"), info, build _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("hamming_distance"), HammingDistance.info, HammingDistance.build _)
+  }
 }
 
 /** spark.sql.extensions entry point: ships the function with the session
@@ -101,8 +104,12 @@ object GraftFunctions {
   * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("hamming_distance"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
+      (children: Seq[Expression]) => HammingDistance(children(0), children(1))))
+  }
 }

@@ -210,8 +210,44 @@ object JoinQueries {
       |  AS bands(band, lo, hi) ON p_size BETWEEN lo AND hi
       |GROUP BY band""".stripMargin
 
+  /** TPC-H Q10 shape: revenue lost to returned items per customer, top 20.
+    * Scale: the returnflag filter lands on the lineitem scan; the
+    * orders⋈lineitem shuffle join dominates; customer joins post-aggregate
+    * via broadcast-sized key set; top-k is TakeOrderedAndProject.
+    */
+  def q10Returns(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val n = broadcast(Tables.nation(s, dir))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_mktsegment"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+        .cast("double").as("lost_revenue"))
+      .orderBy(col("lost_revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnsSql: String =
+    """SELECT c_custkey, c_name, n_name, c_mktsegment,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS lost_revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name, c_mktsegment
+      |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q3_join" -> ((q3Join _, Some(q3JoinSql))),
+    "q10_returns" -> ((q10Returns _, Some(q10ReturnsSql))),
     "q5_multi_join" -> ((q5MultiJoin _, Some(q5MultiJoinSql))),
     "q_semi_join" -> ((qSemiJoin _, Some(qSemiJoinSql))),
     "q_anti_join" -> ((qAntiJoin _, Some(qAntiJoinSql))),

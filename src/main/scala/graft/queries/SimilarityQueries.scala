@@ -206,6 +206,7 @@ object SimilarityQueries {
     * equi-join on (chunk_idx, chunk_bits).
     */
   def qSimhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, dir)
     // Per-token ±1 bit-vectors are computed ONCE on the distinct-token
     // VOCABULARY (tiny — corpora repeat words) and broadcast-joined back,
@@ -247,8 +248,10 @@ object SimilarityQueries {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.fp").as("fa"), col("y.fp").as("fb"))
       .distinct()
-      .withColumn("hamming",
-        expr("size(filter(sequence(1, 64), i -> substring(fa, i, 1) != substring(fb, i, 1)))"))
+      // codegen'd byte loop (graft.functions.HammingDistance) instead of a
+      // 64-element sequence + interpreted lambda per candidate pair; same
+      // value (equal-length ASCII fingerprints), so the oracle is unchanged
+      .withColumn("hamming", expr("hamming_distance(fa, fb)"))
       .filter(col("hamming") <= 1)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }

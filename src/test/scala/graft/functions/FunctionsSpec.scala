@@ -43,6 +43,24 @@ class FunctionsSpec extends SparkSpec {
     assert(out(2).getDouble(0) == 0.0)
   }
 
+  test("hamming_distance equals the composable formulation and handles edges") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("0101", "0101"), ("0101", "1101"), ("0000", "1111"), ("01", "0111")
+    ).toDF("a", "b")
+    val got = df.selectExpr("hamming_distance(a, b) AS h").collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 1, 4, 2)) // surplus bytes count as differences
+    // equivalence with the HOF form on equal-length strings
+    val diff = df.filter(org.apache.spark.sql.functions.length($"a") ===
+        org.apache.spark.sql.functions.length($"b"))
+      .selectExpr(
+        "hamming_distance(a, b) AS h",
+        "size(filter(sequence(1, length(a)), i -> substring(a, i, 1) != substring(b, i, 1))) AS h2")
+      .filter($"h" =!= $"h2").count()
+    assert(diff == 0)
+  }
+
   test("registers through SparkSessionExtensions-style injection too") {
     // runtime registry path is what GraftExtensions wires at session build;
     // verify the builder function itself rejects bad arity
