@@ -25,7 +25,8 @@ object SparkEntry {
       SimilarityQueries.all,
       PipelineQueries.all,
       AdvancedQueries.all,
-      StreamingQueries.all
+      StreamingQueries.all,
+      NorthStarQueries.all
     )
 
   private val merged: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = {

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Ann, Identity, Multimodal}
+
+/** North-star operators registered as queries where no SQL oracle exists:
+  * the driver records rows-only checks; the value-level guarantees live in
+  * ScalaTest (AnnSpec recall/equivalence, OpsSpec determinism).
+  */
+object NorthStarQueries {
+
+  /** IVF approximate nearest neighbors (the 100 TB path beside the exact
+    * q_cosine_topk): probe the 2 nearest of the label cells per query.
+    * No oracle — DuckDB has no IVF; AnnSpec proves ≡ exact at full probe.
+    */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Ann.ivfTopK(s, queries, emb, k = 5, nprobe = 2)
+  }
+
+  /** Multimodal feature pipeline: documents' bytes as stand-in media →
+    * per-partition batched (stubbed) decode → feature stats per kind.
+    * No oracle — the decode kernel is engine-side by design; determinism
+    * and batch shape are OpsSpec-tested.
+    */
+  def qMultimodal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .map { r =>
+        Multimodal.Media(
+          media_id = r.getLong(0),
+          kind = if (r.getLong(2) % 2 == 0) "image" else "video",
+          bytes = r.getString(1).getBytes("UTF-8"),
+          width = 64, height = 64, sample_rate = 0,
+          n_frames = if (r.getLong(2) % 2 == 0) 1 else 4)
+      }
+    val feats = Multimodal.extractFeatures(s, media, dim = 16, frameStride = 2)
+    feats.toDF()
+      .groupBy(col("frame"))
+      .agg(count(lit(1)).as("n_media"),
+        round(sum(expr("aggregate(features, CAST(0 AS DOUBLE), (a, x) -> a + x)")), 6)
+          .as("sum_feature_mass"))
+  }
+
+  /** Content-identity audit over every table row of documents using the
+    * library Identity op (sha2 of canonical JSON): distinct identities must
+    * equal row count when there are no exact dups. No oracle — to_json
+    * field formatting differs between engines; the INVARIANT is the check.
+    */
+  def qIdentityAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Identity.withIdentity(docs, "identity")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("identity")).as("n_identities"))
+      .withColumn("all_unique", col("n_rows") === col("n_identities"))
+  }
+
+  def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_ann_ivf" -> ((qAnnIvf _, None)),
+    "q_multimodal" -> ((qMultimodal _, None)),
+    "q_identity_audit" -> ((qIdentityAudit _, None))
+  )
+}
