@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the "is this the plan you'd want at 100×"
+  * audit, frozen as tests so a regression (lost pushdown, surprise
+  * cartesian, broken top-k) fails CI instead of a bench read.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  // The ONLY queries allowed a nested-loop/cartesian shape, by design:
+  // band-table BETWEEN join, the broadcast-queries exact cosine scan, and
+  // IVF's query×centroid assignment (both sides tiny; the corpus join is equi).
+  private val bnljAllowed = Set("q_range_join", "q_cosine_topk", "q_ann_ivf")
+  // Streaming queries execute on fn() (AvailableNow drain) — their final
+  // frame is a memory-table read; plan checks don't apply.
+  private val skipped = Set("q_stream_tumbling", "q_stream_dedup")
+
+  test("no query plans a CartesianProduct; BNLJ only where designed") {
+    for ((name, _) <- SparkEntry.queries if !skipped(name)) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!bnljAllowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected nested-loop join")
+    }
+  }
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val plan = planOf("q1_agg")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      "filter not pushed to scan")
+    // partial + final hash aggregation
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial aggregation")
+  }
+
+  test("q1_agg prunes columns to the ones used") {
+    val plan = planOf("q1_agg")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"unused column read: $readSchema")
+    assert(readSchema.contains("l_quantity"))
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, not a global sort") {
+    for (q <- Seq("q_topk", "q3_join", "q10_returns"))
+      assert(planOf(q).contains("TakeOrderedAndProject"), s"$q does a global sort")
+  }
+
+  test("q5_multi_join broadcasts the dimension tables") {
+    val plan = planOf("q5_multi_join")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      "star-schema dims not broadcast")
+  }
+
+  test("decimal sums are partition-count invariant (order independence)") {
+    import graft.queries.Exact
+    val li = Tables.lineitem(spark, sfDir)
+    def total(parts: Int): Double =
+      li.repartition(parts).agg(Exact.dsum(col("l_extendedprice"))).collect().head.getDouble(0)
+    assert(total(1) == total(7) && total(7) == total(32))
+  }
+}
