@@ -230,7 +230,112 @@ object TextQueries {
       |      UNNEST(range(1, len(tk))) AS u(i)) b
       |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""".stripMargin
 
+  /** Normalization-based dedup stats: how many documents collapse when
+    * compared after lowercasing, punctuation-stripping, and whitespace
+    * normalization — the cheap canonical-form pass that runs before any
+    * MinHash at corpus intake. Exact integer output.
+    */
+  def qNormalizedDedup(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")
+    Tables.documents(s, dir)
+      .select(col("lang"), col("text"), sha2(norm, 256).as("norm_hash"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("distinct_raw"),
+        countDistinct(col("norm_hash")).as("distinct_normalized"))
+  }
+
+  val qNormalizedDedupSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT text) AS distinct_raw,
+      |  COUNT(DISTINCT sha256(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS distinct_normalized
+      |FROM documents GROUP BY lang""".stripMargin
+
+  /** Train/eval contamination detection — THE decontamination operator of
+    * training pipelines: eval documents sharing ≥3 distinct word-5-shingles
+    * with any train document are contaminated. Split = doc_id parity (a
+    * stand-in for the real train/eval provenance column). Candidates come
+    * from the shingle inverted index (equi-join, never all-pairs); the
+    * planted near-dup pairs that straddle the parity split surface here.
+    */
+  def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .filter(size(toks) >= 5)
+      .withColumn("tk", toks)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(tk)-5), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))")))
+        .as("shingle"))
+    val train = sh.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    val eval_ = sh.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    eval_.join(train, "shingle")
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= 3)
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_train_matches"),
+        sum(col("shared_shingles")).as("total_shared"),
+        max(col("shared_shingles")).as("worst_overlap"))
+  }
+
+  val qContaminationSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 5),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS shingle
+      |       FROM t, UNNEST(range(1, len(tk)-3)) AS u(i)),
+      |pairs AS (
+      |  SELECT e.doc_id AS eval_id, tr.doc_id AS train_id, COUNT(*) AS shared_shingles
+      |  FROM sh e JOIN sh tr ON e.shingle = tr.shingle
+      |  WHERE e.doc_id % 2 = 1 AND tr.doc_id % 2 = 0
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT eval_id, COUNT(*) AS n_train_matches,
+      |  SUM(shared_shingles) AS total_shared, MAX(shared_shingles) AS worst_overlap
+      |FROM pairs GROUP BY eval_id""".stripMargin
+
+  /** Vocabulary coverage: how many of the most frequent tokens cover 90% of
+    * corpus occurrences (the vocabulary-pruning knob). Pure integer math:
+    * `10 × cumulative_before < 9 × total` avoids float thresholds.
+    */
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(s, dir)
+      .select(explode(toks).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    // global (unpartitioned) windows are fine here: the input is the
+    // DISTINCT vocabulary, which is tiny relative to the corpus
+    val w = Window.orderBy(col("freq").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    freq
+      .withColumn("cum", sum(col("freq")).over(w))
+      .withColumn("total", sum(col("freq")).over(Window.partitionBy()))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(col("freq")).as("total_occurrences"),
+        sum(when((col("cum") - col("freq")) * 10 < col("total") * 9, 1)
+          .otherwise(0)).as("tokens_for_90pct"))
+  }
+
+  val qVocabCoverageSql: String =
+    """WITH freq AS (
+      |  SELECT token, COUNT(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |  WHERE token <> '' GROUP BY token),
+      |c AS (SELECT token, freq,
+      |        SUM(freq) OVER (ORDER BY freq DESC, token
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        SUM(freq) OVER () AS total
+      |      FROM freq)
+      |SELECT COUNT(*) AS vocab_size, SUM(freq) AS total_occurrences,
+      |  SUM(CASE WHEN (cum - freq) * 10 < total * 9 THEN 1 ELSE 0 END) AS tokens_for_90pct
+      |FROM c""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_normalized_dedup" -> ((qNormalizedDedup _, Some(qNormalizedDedupSql))),
+    "q_contamination" -> ((qContamination _, Some(qContaminationSql))),
+    "q_vocab_coverage" -> ((qVocabCoverage _, Some(qVocabCoverageSql))),
     "q_length_histogram" -> ((qLengthHistogram _, Some(qLengthHistogramSql))),
     "q_bigram_freq" -> ((qBigramFreq _, Some(qBigramFreqSql))),
     "q_text_stats" -> ((qTextStats _, Some(qTextStatsSql))),
