@@ -327,7 +327,60 @@ object SimilarityQueries {
       |  FROM scored)
       |SELECT q_id, rnk, vec_id AS neighbor, cosine FROM ranked WHERE rnk <= 5""".stripMargin
 
+  /** Per-label centroids (the IVF coarse-quantizer build step) with
+    * decimal-exact per-dimension means, summarized as centroid norms.
+    * Gates the math behind ops.Ann.centroids (which uses double avg on the
+    * runtime path) against DuckDB.
+    * Scale: posexplode is narrow; the aggregate shuffles #labels × dim rows.
+    */
+  def qCentroids(s: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      // DECIMAL(28,14), not the money-scale (12,4): float values carry full
+      // mantissas and a 4-dp cast rounds where engines can disagree; at
+      // 14 dp the residual differences sit under the final r6
+      .agg((sum(expr("CAST(CAST(v AS DOUBLE) AS DECIMAL(28,14))")).cast("double") /
+        count(lit(1))).as("mean_v"),
+        count(lit(1)).as("n_vecs"))
+      .groupBy(col("label"))
+      .agg(max(col("n_vecs")).as("n_vecs"),
+        r6(sum(expr("CAST(CAST(mean_v * mean_v AS DECIMAL(28,14)) AS DOUBLE)")))
+          .as("centroid_norm_sq"))
+  }
+
+  val qCentroidsSql: String =
+    """WITH e AS (SELECT label, i - 1 AS dim, embedding[CAST(i AS INT)] AS v
+      |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |m AS (SELECT label, dim,
+      |        CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS mean_v,
+      |        COUNT(*) AS n_vecs
+      |      FROM e GROUP BY label, dim)
+      |SELECT label, MAX(n_vecs) AS n_vecs,
+      |  ROUND(SUM(CAST(CAST(mean_v * mean_v AS DECIMAL(28,14)) AS DOUBLE)), 6) AS centroid_norm_sq
+      |FROM m GROUP BY label""".stripMargin
+
+  /** Hash-based deterministic sampling — the reproducible corpus subsample
+    * (no RNG, survives reruns/backfills bit-for-bit): keep docs whose
+    * content sha256 ends in hex 0 or 1 (≈ 1/8 of the corpus).
+    */
+  def qHashSample(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("h", sha2(col("text"), 256))
+      .filter(substring(col("h"), 64, 1).isin("0", "1"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("sampled_docs"), sum(col("n_chars")).as("sampled_chars"))
+  }
+
+  val qHashSampleSql: String =
+    """SELECT lang, COUNT(*) AS sampled_docs, SUM(n_chars) AS sampled_chars
+      |FROM documents
+      |WHERE substr(sha256(text), 64, 1) IN ('0', '1')
+      |GROUP BY lang""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_centroids" -> ((qCentroids _, Some(qCentroidsSql))),
+    "q_hash_sample" -> ((qHashSample _, Some(qHashSampleSql))),
     "q_minhash_lsh" -> ((qMinhashLsh _, Some(qMinhashLshSql))),
     "q_ngram_jaccard" -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
     "q_simhash" -> ((qSimhash _, Some(qSimhashSql))),
