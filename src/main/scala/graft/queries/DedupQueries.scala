@@ -110,7 +110,44 @@ object DedupQueries {
       |      FROM events GROUP BY 1, 2) g
       |WHERE n_copies > 1 GROUP BY event_type""".stripMargin
 
+  /** Referential-integrity + constraint validation as a query (ops.Validate
+    * semantics, SURVEY §1.2 schema enforcement): orphan counts for both FK
+    * edges of the fact chain plus null/range rule violations on orders.
+    * All-zeros on this dataset — the assertion that the warehouse is
+    * consistent IS the result.
+    */
+  def qValidate(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val cust = Tables.customer(s, dir)
+    val orphanLi = graft.ops.Validate.orphans(li, "l_orderkey", orders, "o_orderkey").count()
+    val orphanOrd = graft.ops.Validate.orphans(orders, "o_custkey", cust, "c_custkey").count()
+    val rules = graft.ops.Validate.notNull("o_orderkey", "o_custkey") :+
+      graft.ops.Validate.inRange("o_totalprice", 0.0, 1e9)
+    graft.ops.Validate.report(orders, rules)
+      .withColumn("orphan_lineitems", lit(orphanLi))
+      .withColumn("orphan_orders", lit(orphanOrd))
+  }
+
+  val qValidateSql: String =
+    """WITH o AS (SELECT COUNT(*) AS rows_checked,
+      |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v1,
+      |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v2,
+      |  SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice NOT BETWEEN 0 AND 1e9 THEN 1 ELSE 0 END) AS v3
+      |  FROM orders),
+      |orphan_li AS (SELECT COUNT(*) AS n FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)),
+      |orphan_o AS (SELECT COUNT(*) AS n FROM orders od
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = od.o_custkey))
+      |SELECT r.rule, r.violations, o.rows_checked,
+      |  orphan_li.n AS orphan_lineitems, orphan_o.n AS orphan_orders
+      |FROM o, orphan_li, orphan_o,
+      |  LATERAL (VALUES ('not_null(o_orderkey)', v1),
+      |                  ('not_null(o_custkey)', v2),
+      |                  ('range(o_totalprice)', v3)) AS r(rule, violations)""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_validate" -> ((qValidate _, Some(qValidateSql))),
     "q_dedup_exact" -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_identity_hash" -> ((qIdentityHash _, Some(qIdentityHashSql))),
     "q_dedup_state" -> ((qDedupState _, Some(qDedupStateSql))),
