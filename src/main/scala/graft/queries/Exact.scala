@@ -31,6 +31,23 @@ object Exact {
   /** Exact, order-independent sum emitted as double. */
   def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
 
+  /** Product-sum (revenue-style Σ price×(1−disc)) emitted as double.
+    * The sum is rescaled to DECIMAL(24,4) BEFORE the double cast, for two
+    * engine asymmetries found at sf0.1:
+    *  - once the scaled integer outgrows 2^53, DuckDB's wide-decimal→double
+    *    conversion (via hugeint) stops being correctly rounded and drifts a
+    *    1-ulp from Spark; at scale 4 the scaled value stays below 2^53 at
+    *    the verify sfs so both casts are exact-then-correctly-rounded.
+    *  - decimal RESCALING itself is HALF_UP in Spark but TRUNCATION in
+    *    DuckDB, so the rescale must be value-preserving: safe here because
+    *    2dp×2dp data makes products exact at scale 4. A 3-factor product
+    *    (6 real decimals) must rescale at ≥6 instead — see q1_agg's
+    *    sum_charge.
+    * Mirror with CAST(CAST(SUM(...) AS DECIMAL(24,4)) AS DOUBLE) in SQL.
+    */
+  def dProductSum(c: Column): Column =
+    sum(c).cast(DecimalType(24, 4)).cast("double")
+
   /** Exact average: decimal sum / count, division done in double on both sides. */
   def davg(c: Column): Column = sum(c.cast(D)).cast("double") / count(lit(1))
 

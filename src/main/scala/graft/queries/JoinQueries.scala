@@ -30,15 +30,15 @@ object JoinQueries {
     c.join(o, col("c_custkey") === col("o_custkey"))
       .join(l, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(dProductSum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
   val q3JoinSql: String =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(24,4)) AS DOUBLE) AS revenue
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
       |WHERE c_mktsegment = 'BUILDING'
@@ -71,13 +71,13 @@ object JoinQueries {
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(dProductSum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+        .as("revenue"))
   }
 
   val q5MultiJoinSql: String =
     """SELECT r_name, n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(24,4)) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -226,15 +226,15 @@ object JoinQueries {
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_mktsegment"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
-        .cast("double").as("lost_revenue"))
+      .agg(dProductSum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+        .as("lost_revenue"))
       .orderBy(col("lost_revenue").desc, col("c_custkey"))
       .limit(20)
   }
 
   val q10ReturnsSql: String =
     """SELECT c_custkey, c_name, n_name, c_mktsegment,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS lost_revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(24,4)) AS DOUBLE) AS lost_revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey

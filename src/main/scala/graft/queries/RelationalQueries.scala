@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import Exact.dProductSum
 
 /** Relational operator surface (SURVEY.md §2.9) exposed as named queries.
   *
@@ -50,11 +51,22 @@ object RelationalQueries {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)))
-          .cast("double").as("sum_disc_price"),
+        dProductSum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)))
+          .as("sum_disc_price"),
+        // Two constraints shape this expression (found at sf0.1):
+        // (a) (6,4) factor casts, not D(12,4): with D factors the triple
+        //     product needs precision 40 > Spark's 38 cap, forcing a
+        //     scale-reducing round DuckDB doesn't mirror.
+        // (b) final rescale at scale 6, the data's TRUE precision (2dp
+        //     price × 2dp disc × 2dp tax): decimal rescale is HALF_UP in
+        //     Spark but TRUNCATION in DuckDB, so any rescale that actually
+        //     rounds diverges — rescale only where it is exact. The
+        //     scale-6 scaled integer stays below 2^53 at the verify sfs,
+        //     keeping the final double cast correctly rounded on both.
         sum(col("l_extendedprice").cast(D) *
-            ((lit(1).cast(D) - col("l_discount").cast(D)) * (lit(1).cast(D) + col("l_tax").cast(D))))
-          .cast("double").as("sum_charge"),
+            ((lit(1).cast(DecimalType(6, 4)) - col("l_discount").cast(DecimalType(6, 4))) *
+             (lit(1).cast(DecimalType(6, 4)) + col("l_tax").cast(DecimalType(6, 4)))))
+          .cast(DecimalType(24, 6)).cast("double").as("sum_charge"),
         (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
@@ -65,8 +77,8 @@ object RelationalQueries {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * ((CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4))))) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(24,4)) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * ((CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4))))) AS DECIMAL(24,6)) AS DOUBLE) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_price,
       |  CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
