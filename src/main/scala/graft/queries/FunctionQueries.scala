@@ -150,7 +150,39 @@ object FunctionQueries {
       |  NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null
       |FROM customer LEFT JOIN o ON c_custkey = o_custkey""".stripMargin
 
+  /** Date arithmetic: ship latency (datediff) and due dates (date_add)
+    * over the order→lineitem chain, aggregated per priority. Latency stats
+    * are exact integer math; the due-date sample keeps DATE type on both
+    * engines.
+    */
+  def qDateArith(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("latency_days"),
+        date_add(col("o_orderdate"), 30).as("due_date"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        min(col("latency_days")).as("min_latency"),
+        max(col("latency_days")).as("max_latency"),
+        sum(col("latency_days")).as("total_latency_days"),
+        min(col("due_date")).as("earliest_due"),
+        max(col("due_date")).as("latest_due"))
+  }
+
+  val qDateArithSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  MIN(date_diff('day', o_orderdate, l_shipdate)) AS min_latency,
+      |  MAX(date_diff('day', o_orderdate, l_shipdate)) AS max_latency,
+      |  SUM(date_diff('day', o_orderdate, l_shipdate)) AS total_latency_days,
+      |  MIN(CAST(o_orderdate + INTERVAL 30 DAY AS DATE)) AS earliest_due,
+      |  MAX(CAST(o_orderdate + INTERVAL 30 DAY AS DATE)) AS latest_due
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_date_arith" -> ((qDateArith _, Some(qDateArithSql))),
     "q_scalar_fns" -> ((qScalarFns _, Some(qScalarFnsSql))),
     "q_json_fns" -> ((qJsonFns _, Some(qJsonFnsSql))),
     "q_array_explode" -> ((qArrayExplode _, Some(qArrayExplodeSql))),
