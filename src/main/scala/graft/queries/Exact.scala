@@ -48,9 +48,6 @@ object Exact {
   def dProductSum(c: Column): Column =
     sum(c).cast(DecimalType(24, 4)).cast("double")
 
-  /** Exact average: decimal sum / count, division done in double on both sides. */
-  def davg(c: Column): Column = sum(c.cast(D)).cast("double") / count(lit(1))
-
   /** Round nonlinear doubles to 6 dp — mirror with ROUND(x, 6) in DuckDB. */
   def r6(c: Column): Column = round(c, 6)
 }
