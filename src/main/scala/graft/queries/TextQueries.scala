@@ -332,7 +332,49 @@ object TextQueries {
       |  SUM(CASE WHEN (cum - freq) * 10 < total * 9 THEN 1 ELSE 0 END) AS tokens_for_90pct
       |FROM c""".stripMargin
 
+  /** TF-IDF: top-3 most characteristic tokens per document (doc_id < 20).
+    * tf = in-doc count, idf = ln(N/df) over the whole corpus; ranking on
+    * the ROUNDED score with token tie-break so both engines rank
+    * identically. Scale: two hash aggregates (token-in-doc, token-df) and
+    * one broadcast-sized join with the df table — the idf side is
+    * vocabulary-sized, never corpus-sized.
+    */
+  def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val toksDf = docs.select(col("doc_id"), explode(toks).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toksDf.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df_ = toksDf.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+    tf.filter(col("doc_id") < 20)
+      .join(broadcast(df_), "token")
+      .withColumn("tfidf", r6(col("tf") * log(lit(nDocs.toDouble) / col("df"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  val qTfidfSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, token FROM tok2) d GROUP BY token),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      |  FROM tf JOIN df USING (token) CROSS JOIN n
+      |  WHERE tf.doc_id < 20),
+      |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |             ORDER BY tfidf DESC, token) AS rnk FROM scored)
+      |SELECT doc_id, rnk, token, tf, df, tfidf FROM ranked WHERE rnk <= 3""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_tfidf" -> ((qTfidf _, Some(qTfidfSql))),
     "q_normalized_dedup" -> ((qNormalizedDedup _, Some(qNormalizedDedupSql))),
     "q_contamination" -> ((qContamination _, Some(qContaminationSql))),
     "q_vocab_coverage" -> ((qVocabCoverage _, Some(qVocabCoverageSql))),
