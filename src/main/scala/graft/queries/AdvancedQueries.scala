@@ -198,7 +198,92 @@ object AdvancedQueries {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_spend
       |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15""".stripMargin
 
+  /** Z-score outliers: events whose value sits >3σ from their event-type
+    * mean. Mean and variance come from exact decimal Σx and Σx² (the
+    * one-pass textbook form — order-independent, so both engines compute
+    * identical doubles), z rounded to 6dp and ranked deterministically.
+    * Covers variance/stddev (R7) without float-summation drift.
+    */
+  def qZscoreOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val stats = ev.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sx"),
+        sum(expr("CAST(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4)) AS DECIMAL(28,8))"))
+          .cast("double").as("sxx"))
+      .withColumn("mean", col("sx") / col("n"))
+      .withColumn("variance", (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+    ev.join(broadcast(stats), col("event_type") === col("et"))
+      .withColumn("z", r6((col("value") - col("mean")) / sqrt(col("variance"))))
+      .filter(abs(col("z")) > 3)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+  }
+
+  val qZscoreOutliersSql: String =
+    """WITH stats AS (
+      |  SELECT event_type AS et, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4)) AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+      |  FROM events GROUP BY event_type),
+      |enriched AS (
+      |  SELECT et, n, sx / n AS mean, (sxx - sx * sx / n) / (n - 1) AS variance
+      |  FROM stats)
+      |SELECT event_id, event_type, value,
+      |  ROUND((value - mean) / SQRT(variance), 6) AS z
+      |FROM events JOIN enriched ON event_type = et
+      |WHERE ABS(ROUND((value - mean) / SQRT(variance), 6)) > 3""".stripMargin
+
+  /** Funnel analysis: per user, the earliest signup → first click after it
+    * → first purchase after that click; conversion counts per stage.
+    * One shuffle on user_id; each stage is a conditional min over the
+    * user's events — no self-joins, no row multiplication.
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("epoch", unix_timestamp(col("ts")))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("epoch"))).as("t_signup"))
+    val withClick = ev.join(perUser, "user_id")
+      .groupBy(col("user_id"), col("t_signup"))
+      .agg(min(when(col("event_type") === "click" && col("epoch") >= col("t_signup"),
+        col("epoch"))).as("t_click"))
+    val withPurchase = ev.join(withClick, "user_id")
+      .groupBy(col("user_id"), col("t_signup"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase" && col("epoch") >= col("t_click"),
+        col("epoch"))).as("t_purchase"))
+    withPurchase.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("t_signup").isNotNull, 1).otherwise(0)).as("reached_signup"),
+      sum(when(col("t_click").isNotNull, 1).otherwise(0)).as("reached_click"),
+      sum(when(col("t_purchase").isNotNull, 1).otherwise(0)).as("reached_purchase"))
+  }
+
+  val qFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch
+      |           FROM events),
+      |s1 AS (SELECT user_id,
+      |         MIN(CASE WHEN event_type = 'signup' THEN epoch END) AS t_signup
+      |       FROM e GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, s1.t_signup,
+      |         MIN(CASE WHEN e.event_type = 'click' AND e.epoch >= s1.t_signup
+      |             THEN e.epoch END) AS t_click
+      |       FROM e JOIN s1 ON e.user_id = s1.user_id
+      |       GROUP BY e.user_id, s1.t_signup),
+      |s3 AS (SELECT e.user_id, s2.t_signup, s2.t_click,
+      |         MIN(CASE WHEN e.event_type = 'purchase' AND e.epoch >= s2.t_click
+      |             THEN e.epoch END) AS t_purchase
+      |       FROM e JOIN s2 ON e.user_id = s2.user_id
+      |       GROUP BY e.user_id, s2.t_signup, s2.t_click)
+      |SELECT COUNT(*) AS n_users,
+      |  SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS reached_signup,
+      |  SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS reached_click,
+      |  SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS reached_purchase
+      |FROM s3""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_zscore_outliers" -> ((qZscoreOutliers _, Some(qZscoreOutliersSql))),
+    "q_funnel" -> ((qFunnel _, Some(qFunnelSql))),
     "q_scalar_subquery" -> ((qScalarSubquery _, Some(qScalarSubquerySql))),
     "q_having" -> ((qHaving _, Some(qHavingSql))),
     "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
