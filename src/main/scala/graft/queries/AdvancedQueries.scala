@@ -281,7 +281,36 @@ object AdvancedQueries {
       |  SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS reached_purchase
       |FROM s3""".stripMargin
 
+  /** Cohort retention: users grouped by first-activity day, counted by
+    * days-since-cohort activity. Two aggregates over one shuffle family
+    * (user_id then cohort grid); the grid output is #cohorts × #offsets —
+    * tiny regardless of corpus size.
+    */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(firstDay, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .filter(col("day_offset") <= 7)
+  }
+
+  val qRetentionSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+      |a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+      |        date_diff('day', f.cohort_day, e.day) AS day_offset
+      |      FROM e JOIN f ON e.user_id = f.user_id)
+      |SELECT cohort_day, day_offset, COUNT(DISTINCT user_id) AS active_users
+      |FROM a WHERE day_offset <= 7
+      |GROUP BY cohort_day, day_offset""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_retention" -> ((qRetention _, Some(qRetentionSql))),
     "q_zscore_outliers" -> ((qZscoreOutliers _, Some(qZscoreOutliersSql))),
     "q_funnel" -> ((qFunnel _, Some(qFunnelSql))),
     "q_scalar_subquery" -> ((qScalarSubquery _, Some(qScalarSubquerySql))),
