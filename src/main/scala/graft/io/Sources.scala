@@ -38,6 +38,23 @@ object Sources {
     schemaDdl.fold(r)(d => r.schema(d)).json(path)
   }
 
+  /** Raw text corpus intake: one row per line (or per file with
+    * wholetext) — the .txt side of document ingestion. Pair with
+    * `input_file_name()` for provenance columns.
+    */
+  def text(spark: SparkSession, path: String, wholeFile: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFile).text(path)
+
+  /** Binary file intake (images/audio/video → ops.Multimodal): one row per
+    * file with (path, modificationTime, length, content). The
+    * pathGlobFilter keeps the scan to the media extension; content is the
+    * opaque bytes column Multimodal.Media wraps.
+    */
+  def binaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+
   /** JDBC scan (S7). For anything bigger than a dimension table pass
     * `partition = Some((column, lower, upper, numPartitions))` so the read
     * parallelizes across executors. Driver jar must be on the cluster

@@ -50,6 +50,21 @@ class OpsSpec extends SparkSpec {
     assert(typed.schema("n").dataType.typeName == "long")
   }
 
+  test("text and binaryFile sources feed the corpus/multimodal paths") {
+    val dir = tmpDir("rawsrc")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.txt"),
+      "line one" + "\n" + "line two" + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.txt"), "single doc body")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img.bin"),
+      Array[Byte](1, 2, 3, 4, 5))
+    assert(Sources.text(spark, s"$dir/*.txt").count() == 3) // per line
+    assert(Sources.text(spark, s"$dir/*.txt", wholeFile = true).count() == 2) // per file
+    val bin = Sources.binaryFiles(spark, dir, glob = "*.bin").collect()
+    assert(bin.length == 1)
+    assert(bin.head.getAs[Long]("length") == 5L)
+    assert(bin.head.getAs[Array[Byte]]("content").toSeq == Seq[Byte](1, 2, 3, 4, 5))
+  }
+
   test("multimodal: stub decode is deterministic, frame sampling shapes output") {
     import spark.implicits._
     val media = Seq(

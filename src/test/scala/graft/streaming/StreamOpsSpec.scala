@@ -99,6 +99,29 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 50) // 25 evens × 2 files
   }
 
+  test("streaming session windows group gapped activity per user") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[Ev]
+    // user 1: two bursts separated by > 5 min; user 2: one burst
+    in.addData(
+      Ev(ts(0), 1, "a"), Ev(ts(2), 1, "b"),
+      Ev(ts(10), 1, "c"),
+      Ev(ts(1), 2, "d"))
+    val sessions = in.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), col("n"))
+    val ckpt = tmpDir("stream-session")
+    StreamOps.runAvailableNow(
+      sessions.writeStream.outputMode("complete").format("memory").queryName("sessions"), ckpt)
+    val got = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 1L), (1L, 2L), (2L, 1L))) // user1: burst of 2 + burst of 1
+  }
+
   test("dedupWithinWatermark drops repeated keys inside the horizon") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
