@@ -87,6 +87,25 @@ class OpsSpec extends SparkSpec {
     assert(embedded.columns.toSeq == Seq("media_id", "frame", "embedding"))
   }
 
+  test("multimodal features flow into ANN similarity search end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 30 fake media items -> features -> brute-force top-3 neighbors
+    val media = (1L to 30L).map(i =>
+      Multimodal.Media(i, "image", s"payload-$i-${"x" * (i % 7).toInt}".getBytes, 64, 64, 0, 1)).toDS()
+    val feats = Multimodal.extractFeatures(spark, media, dim = 16)
+    val corpus = Multimodal.withFeatureColumn(feats)
+      .select(col("media_id").as("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS FLOAT))").as("embedding"))
+    val queries = corpus.filter(col("vec_id") <= 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val top = Ann.bruteTopK(queries, corpus, k = 3)
+    val rows = top.collect()
+    assert(rows.length == 9) // 3 queries x 3 neighbors
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2))) // no self-match
+    assert(rows.forall(r => r.getDouble(3) <= 1.000001))
+  }
+
   test("resize updates metadata dims") {
     import spark.implicits._
     val media = Seq(Multimodal.Media(1L, "image", Array[Byte](1, 2), 640, 480, 0, 1)).toDS()
