@@ -40,6 +40,25 @@ class PipelineConfigSpec extends SparkSpec {
     assert(pipe.plan.count() == 5)
   }
 
+  test("config-driven checkpointed run honors checkpointDir and replayFrom") {
+    val ckdir = tmpDir("confck")
+    val p1 = write(tmpDir("conf4"),
+      s"""{"checkpointDir": "$ckdir",
+         |  "stages": [{"name": "square"}, {"name": "keep_even"}]}""".stripMargin)
+    val conf = PipelineConfig.load(spark, p1)
+    val impls = Map(
+      "square" -> ((df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("sq", col("idx") * col("idx"))),
+      "keep_even" -> ((df: org.apache.spark.sql.DataFrame) =>
+        df.filter(col("sq") % 2 === 0)))
+    val pipe = PipelineConfig.build(Seeds.fromRange(spark, 10), conf, impls)
+    assert(Runner.runCheckpointed(spark, pipe, conf.checkpointDir.get).count() == 5)
+    // replay from the second stage using the conf's checkpoint dir
+    val replayed = Runner.runCheckpointed(spark, pipe, conf.checkpointDir.get,
+      replayFrom = Some("keep_even"))
+    assert(replayed.count() == 5)
+  }
+
   test("configured stage without implementation fails fast") {
     val p = write(tmpDir("conf3"), """{"stages": [{"name": "ghost"}]}""")
     val conf = PipelineConfig.load(spark, p)

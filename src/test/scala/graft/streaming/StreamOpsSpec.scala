@@ -122,6 +122,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (1L, 2L), (2L, 1L))) // user1: burst of 2 + burst of 1
   }
 
+  test("scheduled trigger (ProcessingTime) runs micro-batches until stopped") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Long]
+    in.addData(1L, 2L, 3L)
+    val ckpt = tmpDir("stream-sched")
+    val q = StreamOps.runScheduled(
+      in.toDF().writeStream.format("memory").queryName("scheduled"),
+      ckpt, "100 milliseconds")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("scheduled").count() == 3)
+      in.addData(4L)
+      q.processAllAvailable()
+      assert(spark.table("scheduled").count() == 4) // next tick picked it up
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops repeated keys inside the horizon") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
