@@ -65,6 +65,18 @@ def main():
         try:
             spark_tbl = pq.read_table(pdir)
             spark_cols = {c: spark_tbl.column(c).to_pylist() for c in spark_tbl.column_names}
+            # Driver-harness hazard: DuckDB widens SUM(BIGINT) to HUGEINT
+            # (int128), which the driver canonicalizes differently than
+            # int64 (r2 regression: 13 hash mismatches). Oracles must cast
+            # integer sums to BIGINT explicitly.
+            rel = con.sql(sql)
+            hug = [c for c, t in zip(rel.columns, rel.types)
+                   if "HUGEINT" in str(t).upper()]
+            if hug:
+                print(f"FAIL {name}: oracle returns HUGEINT column(s) {hug}; "
+                      f"wrap in CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
             duck = con.execute(sql)
             duck_names = [d[0] for d in duck.description]
             duck_rows = duck.fetchall()

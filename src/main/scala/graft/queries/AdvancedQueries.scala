@@ -70,8 +70,8 @@ object AdvancedQueries {
       |             WHEN LAG(epoch, 1) OVER w IS NULL THEN 1 ELSE 0 END AS gap
       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch, event_id)),
       |sess AS (SELECT user_id, epoch,
-      |           SUM(gap) OVER (PARTITION BY user_id ORDER BY epoch, event_id
-      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |           CAST(SUM(gap) OVER (PARTITION BY user_id ORDER BY epoch, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |         FROM g)
       |SELECT user_id, session_id, MIN(epoch) AS session_start,
       |  MAX(epoch) AS session_end, COUNT(*) AS n_events,
@@ -276,9 +276,9 @@ object AdvancedQueries {
       |       FROM e JOIN s2 ON e.user_id = s2.user_id
       |       GROUP BY e.user_id, s2.t_signup, s2.t_click)
       |SELECT COUNT(*) AS n_users,
-      |  SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS reached_signup,
-      |  SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS reached_click,
-      |  SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS reached_purchase
+      |  CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_signup,
+      |  CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+      |  CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
       |FROM s3""".stripMargin
 
   /** Cohort retention: users grouped by first-activity day, counted by

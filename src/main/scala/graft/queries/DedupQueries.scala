@@ -80,7 +80,7 @@ object DedupQueries {
   }
 
   val qDedupStateSql: String =
-    """SELECT lang, COUNT(*) AS n_new_docs, SUM(n_chars) AS new_chars
+    """SELECT lang, COUNT(*) AS n_new_docs, CAST(SUM(n_chars) AS BIGINT) AS new_chars
       |FROM documents d
       |WHERE NOT EXISTS (
       |  SELECT 1 FROM documents s WHERE s.doc_id < 250
@@ -105,7 +105,7 @@ object DedupQueries {
 
   val qDedupDiagSql: String =
     """SELECT event_type, COUNT(*) AS dup_groups,
-      |  SUM(n_copies - 1) AS redundant_rows, MAX(n_copies) AS worst_group
+      |  CAST(SUM(n_copies - 1) AS BIGINT) AS redundant_rows, MAX(n_copies) AS worst_group
       |FROM (SELECT user_id, event_type, COUNT(*) AS n_copies
       |      FROM events GROUP BY 1, 2) g
       |WHERE n_copies > 1 GROUP BY event_type""".stripMargin
@@ -131,9 +131,9 @@ object DedupQueries {
 
   val qValidateSql: String =
     """WITH o AS (SELECT COUNT(*) AS rows_checked,
-      |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v1,
-      |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v2,
-      |  SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice NOT BETWEEN 0 AND 1e9 THEN 1 ELSE 0 END) AS v3
+      |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+      |  CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice NOT BETWEEN 0 AND 1e9 THEN 1 ELSE 0 END) AS BIGINT) AS v3
       |  FROM orders),
       |orphan_li AS (SELECT COUNT(*) AS n FROM lineitem l
       |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)),

@@ -69,7 +69,7 @@ object FunctionQueries {
 
   val qJsonFnsSql: String =
     """SELECT event_type, CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod10,
-      |  COUNT(*) AS n, SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      |  COUNT(*) AS n, CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
       |  MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
       |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
       |FROM events GROUP BY 1, 2""".stripMargin
@@ -175,7 +175,7 @@ object FunctionQueries {
     """SELECT o_orderpriority, COUNT(*) AS n_lines,
       |  MIN(date_diff('day', o_orderdate, l_shipdate)) AS min_latency,
       |  MAX(date_diff('day', o_orderdate, l_shipdate)) AS max_latency,
-      |  SUM(date_diff('day', o_orderdate, l_shipdate)) AS total_latency_days,
+      |  CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS total_latency_days,
       |  MIN(CAST(o_orderdate + INTERVAL 30 DAY AS DATE)) AS earliest_due,
       |  MAX(CAST(o_orderdate + INTERVAL 30 DAY AS DATE)) AS latest_due
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

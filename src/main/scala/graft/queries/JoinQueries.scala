@@ -153,8 +153,8 @@ object JoinQueries {
       |    ON c_custkey = o_custkey AND o_orderstatus = 'F'
       |  GROUP BY c_custkey, c_nationkey)
       |SELECT n_name, COUNT(*) AS n_customers,
-      |  SUM(n_f_orders) AS total_f_orders,
-      |  SUM(CASE WHEN n_f_orders = 0 THEN 1 ELSE 0 END) AS zero_order_customers
+      |  CAST(SUM(n_f_orders) AS BIGINT) AS total_f_orders,
+      |  CAST(SUM(CASE WHEN n_f_orders = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_order_customers
       |FROM per_cust JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
 

@@ -30,7 +30,7 @@ object PipelineQueries {
   }
 
   val qPipelineChainSql: String =
-    """SELECT COUNT(*) AS n, SUM(calculated_result) AS total,
+    """SELECT COUNT(*) AS n, CAST(SUM(calculated_result) AS BIGINT) AS total,
       |  MIN(idx) AS min_idx, MAX(idx) AS max_idx
       |FROM (SELECT idx, idx * idx AS calculated_result
       |      FROM (SELECT unnest(range(0, 100)) AS idx) seeds) calc

@@ -373,7 +373,7 @@ object SimilarityQueries {
   }
 
   val qHashSampleSql: String =
-    """SELECT lang, COUNT(*) AS sampled_docs, SUM(n_chars) AS sampled_chars
+    """SELECT lang, COUNT(*) AS sampled_docs, CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
       |FROM documents
       |WHERE substr(sha256(text), 64, 1) IN ('0', '1')
       |GROUP BY lang""".stripMargin

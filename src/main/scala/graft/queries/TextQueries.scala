@@ -37,8 +37,8 @@ object TextQueries {
   }
 
   val qTextStatsSql: String =
-    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-      |  SUM(len(string_split(text, ' '))) AS total_tokens,
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
       |  MIN(len(string_split(text, ' '))) AS min_tokens,
       |  MAX(len(string_split(text, ' '))) AS max_tokens,
       |  COUNT(DISTINCT source) AS n_sources
@@ -292,7 +292,7 @@ object TextQueries {
       |  WHERE e.doc_id % 2 = 1 AND tr.doc_id % 2 = 0
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
       |SELECT eval_id, COUNT(*) AS n_train_matches,
-      |  SUM(shared_shingles) AS total_shared, MAX(shared_shingles) AS worst_overlap
+      |  CAST(SUM(shared_shingles) AS BIGINT) AS total_shared, MAX(shared_shingles) AS worst_overlap
       |FROM pairs GROUP BY eval_id""".stripMargin
 
   /** Vocabulary coverage: how many of the most frequent tokens cover 90% of
@@ -328,8 +328,8 @@ object TextQueries {
       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
       |        SUM(freq) OVER () AS total
       |      FROM freq)
-      |SELECT COUNT(*) AS vocab_size, SUM(freq) AS total_occurrences,
-      |  SUM(CASE WHEN (cum - freq) * 10 < total * 9 THEN 1 ELSE 0 END) AS tokens_for_90pct
+      |SELECT COUNT(*) AS vocab_size, CAST(SUM(freq) AS BIGINT) AS total_occurrences,
+      |  CAST(SUM(CASE WHEN (cum - freq) * 10 < total * 9 THEN 1 ELSE 0 END) AS BIGINT) AS tokens_for_90pct
       |FROM c""".stripMargin
 
   /** TF-IDF: top-3 most characteristic tokens per document (doc_id < 20).
