@@ -38,6 +38,11 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // Some query builders cache intermediate tables (LSH signatures etc.);
+      // left in place they accumulate across the 69-query sweep and the GC
+      // pressure lands on whichever query runs when the heap fills (r2: one
+      // 0.7s query measured at 24.6s). Each query is timed from a clean cache.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).foreach(_ => ()) // full materialization, no collect

@@ -39,12 +39,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Nullable regardless of input nullability: a dimension mismatch yields
+  // NULL (silently truncating to min length would return a plausible score
+  // for what is always an upstream bug, e.g. mixed embedding versions).
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_similarity"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
     val y = b.asInstanceOf[ArrayData].toFloatArray()
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length) return null
+    val n = x.length
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -63,14 +69,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"""
          |float[] $x = $a.toFloatArray();
          |float[] $y = $b.toFloatArray();
-         |int $n = Math.min($x.length, $y.length);
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double xv = (double) $x[$i]; double yv = (double) $y[$i];
-         |  $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
+         |if ($x.length != $y.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.length;
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double xv = (double) $x[$i]; double yv = (double) $y[$i];
+         |    $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
+         |  }
+         |  ${ev.value} = ($nx == 0.0 || $ny == 0.0)
+         |    ? 0.0 : $dot / (Math.sqrt($nx) * Math.sqrt($ny));
          |}
-         |${ev.value} = ($nx == 0.0 || $ny == 0.0)
-         |  ? 0.0 : $dot / (Math.sqrt($nx) * Math.sqrt($ny));
        """.stripMargin
     })
 

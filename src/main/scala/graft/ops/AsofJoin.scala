@@ -35,26 +35,30 @@ object AsofJoin {
       rightTime: String,
       rightCols: Map[String, String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val carry = rightCols.toSeq // fixed field order for the carried struct
+    // The carried right values travel as ONE struct so the match is
+    // atomically a single right row: last(ignoreNulls) over the struct picks
+    // the most recent right ROW, and a genuinely-NULL field of that row
+    // stays NULL (per-column last() would back-fill it from an older row,
+    // silently mixing rows — standard as-of semantics forbid that).
+    val carryType = org.apache.spark.sql.types.StructType(
+      carry.map { case (from, to) => right.schema(from).copy(name = to) })
     // side 0 = right (sorts BEFORE a left row at the same timestamp so <= holds)
     val r = right.select(
-      Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side")) ++
-        rightCols.map { case (from, to) => col(from).as(s"__r_$to") } ++
+      Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side"),
+        struct(carry.map { case (from, to) => col(from).as(to) }: _*).as("__r")) ++
         leftCols.filterNot(c => c == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val l = left.select(
-      Seq(col(key), col(leftTime).as("__t"), lit(1).as("__side")) ++
-        rightCols.map { case (_, to) => lit(null).cast(right.schema(rightColsReverse(rightCols)(to)).dataType).as(s"__r_$to") } ++
+      Seq(col(key), col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast(carryType).as("__r")) ++
         leftCols.filterNot(c => c == key).map(col): _*)
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.values.foldLeft(r.unionByName(l)) { (df, to) =>
-      df.withColumn(s"__c_$to", last(col(s"__r_$to"), ignoreNulls = true).over(w))
-    }
+    val carried = r.unionByName(l)
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(
         Seq(col(key)) ++ leftCols.filterNot(_ == key).map(col) ++
-          rightCols.values.map(to => col(s"__c_$to").as(to)): _*)
+          carry.map { case (_, to) => col("__c").getField(to).as(to) }: _*)
   }
-
-  private def rightColsReverse(m: Map[String, String]): Map[String, String] =
-    m.map { case (from, to) => to -> from }
 }

@@ -20,7 +20,10 @@ import java.security.MessageDigest
 object Memoize {
 
   def argsKey(prefix: String, args: Seq[Any]): String = {
-    val canonical = prefix + "|" + args.map(String.valueOf).mkString("|")
+    // Length-prefix every token so the canonical string is injective:
+    // a plain '|' join would collide Seq("a|b") with Seq("a","b").
+    val canonical = (prefix +: args.map(String.valueOf))
+      .map(s => s"${s.length}:$s").mkString("|")
     sha256Hex(canonical)
   }
 

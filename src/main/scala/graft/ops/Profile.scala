@@ -35,7 +35,10 @@ object Profile {
     }
     val wide = df.agg(total, perCol: _*).collect().head
     val rows = wide.schema.fieldNames.filter(_ != "__rows").map { n =>
-      val Array(colName, metric) = n.split("__", 2)
+      // split on the LAST "__": column names may themselves contain "__"
+      // (e.g. user__id__nulls → column user__id, metric nulls)
+      val cut = n.lastIndexOf("__")
+      val (colName, metric) = (n.substring(0, cut), n.substring(cut + 2))
       val v = Option(wide.get(wide.fieldIndex(n))).map {
         case d: Double => d
         case l: Long => l.toDouble

@@ -28,6 +28,14 @@ object Skew {
       buckets: Int = 8,
       joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    // Replicating the right side `buckets`× is only sound when unmatched
+    // RIGHT rows are never emitted — a right/full outer join would emit
+    // every unmatched right row once per replica.
+    val safe = Set("inner", "cross", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+    require(safe.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin replicates the right side; joinType '$joinType' would " +
+        "duplicate unmatched right rows (use inner/left/semi/anti/cross)")
     val leftSalted = left.withColumn("__salt",
       pmod(xxhash64(struct(left.columns.map(col): _*)), lit(buckets)))
     val rightSalted = right

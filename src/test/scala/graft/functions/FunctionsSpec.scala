@@ -69,4 +69,15 @@ class FunctionsSpec extends SparkSpec {
       spark.sql("SELECT cosine_similarity(array(1.0F))").collect()
     }
   }
+
+  test("dimension mismatch yields NULL, not a truncated score") {
+    graft.functions.GraftFunctions.register(spark)
+    // SQL path (codegen) and a constant-folded/interpreted path both NULL
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0F, 2.0F), array(1.0F, 2.0F, 3.0F)) AS c").collect().head
+    assert(r.isNullAt(0))
+    val ok = spark.sql(
+      "SELECT cosine_similarity(array(1.0F, 2.0F), array(1.0F, 2.0F)) AS c").collect().head
+    assert(math.abs(ok.getDouble(0) - 1.0) < 1e-12)
+  }
 }

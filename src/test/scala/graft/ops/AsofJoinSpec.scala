@@ -35,4 +35,19 @@ class AsofJoinSpec extends SparkSpec {
     assert(row.getAs[Long]("x") == 1L && row.getAs[String]("y") == "z"
       && row.getAs[Long]("rv") == 7L)
   }
+
+  test("carried columns come atomically from ONE right row; NULL fields stay NULL") {
+    import spark.implicits._
+    // latest right row (rt=8) has rv2 = NULL; an older row (rt=5) has rv2 set.
+    // Per-column carry would back-fill rv2 from rt=5, mixing two right rows.
+    val left = Seq(("a", 10)).toDF("k", "t")
+    val right = Seq(
+      ("a", 5, Option("old1"), Option("old2")),
+      ("a", 8, Option("new1"), None: Option[String])
+    ).toDF("k", "rt", "rv1", "rv2")
+    val row = AsofJoin.asof(left, right, "k", "t", "rt",
+      Map("rv1" -> "rv1", "rv2" -> "rv2")).collect().head
+    assert(row.getAs[String]("rv1") == "new1")
+    assert(row.getAs[String]("rv2") == null) // from rt=8, not back-filled
+  }
 }

@@ -45,4 +45,10 @@ class DedupStateSpec extends SparkSpec {
     assert(Memoize.isCached(spark, memo, "range", Seq(10)))
     assert(!Memoize.isCached(spark, memo, "range", Seq(11)))
   }
+
+  test("memo keys are injective across arg-boundary ambiguity") {
+    assert(Memoize.argsKey("p", Seq("a|b")) != Memoize.argsKey("p", Seq("a", "b")))
+    assert(Memoize.argsKey("p|a", Seq("b")) != Memoize.argsKey("p", Seq("a", "b")))
+    assert(Memoize.argsKey("p", Seq("a", "b")) == Memoize.argsKey("p", Seq("a", "b")))
+  }
 }

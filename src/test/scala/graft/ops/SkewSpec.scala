@@ -32,4 +32,13 @@ class SkewSpec extends SparkSpec {
     assert(out.count(_._1 == "orphan") == 1)
     assert(out.find(_._1 == "orphan").get._3.isEmpty)
   }
+
+  test("rejects join types that emit unmatched right rows") {
+    val df = graft.io.Seeds.fromMaps(spark, Seq(Map("k" -> "a", "v" -> 1)))
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      intercept[IllegalArgumentException] {
+        Skew.saltedJoin(df, df, "k", buckets = 2, joinType = jt)
+      }
+    }
+  }
 }

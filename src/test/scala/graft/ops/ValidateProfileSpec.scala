@@ -49,4 +49,13 @@ class ValidateProfileSpec extends SparkSpec {
     assert(math.abs(distinct - rows) / rows < 0.05) // HLL within 5% on a key column
     assert(byKey(("c_acctbal", "min")).asInstanceOf[Double] <= byKey(("c_acctbal", "max")).asInstanceOf[Double])
   }
+
+  test("profile handles column names containing the metric separator") {
+    import spark.implicits._
+    val df = Seq((1, "x"), (2, null: String)).toDF("user__id", "raw__text__v2")
+    val p = Profile.profile(spark, df).collect()
+      .map(r => (r.getAs[String]("column"), r.getAs[String]("metric"))).toSet
+    assert(p.contains(("user__id", "nulls")) && p.contains(("raw__text__v2", "distinct")))
+    assert(!p.exists(_._1 == "user")) // mis-split would produce column "user"
+  }
 }
