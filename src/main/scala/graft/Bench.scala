@@ -23,11 +23,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm the session (JVM, whole-stage codegen incl. the decimal
-    // aggregate paths, parquet reader) outside any per-query timing by
-    // running the flagship query shape at the smallest sf — otherwise the
-    // alphabetically-first query absorbs all one-time compile cost.
+    // Warm the session (JVM, whole-stage codegen, parquet reader) outside
+    // any per-query timing — otherwise the alphabetically-first query
+    // absorbs all one-time compile cost. r2 showed aggregate warm-up alone
+    // is not enough: the first query to run a shuffled join (q10_returns)
+    // still paid ~5s of exchange/join codegen. Warm each major plan family
+    // (agg, join, window, explode) on the tiny sf0.001 tables.
     SparkEntry.entry(spark).foreach(_ => ())
+    val warmSf = "/root/testdata/sf0.001"
+    Seq("q3_join", "q_window_rank", "q_array_explode").foreach { q =>
+      SparkEntry.queries.get(q).foreach(fn =>
+        try fn(spark, warmSf).foreach(_ => ()) catch { case _: Throwable => () })
+    }
+    spark.catalog.clearCache()
     Tables.lineitem(spark, sfDir).count()
 
     def esc(s: String): String = s.flatMap {

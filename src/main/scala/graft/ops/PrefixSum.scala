@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix sum (cumulative sum under a total order) without the
+  * single-partition bottleneck.
+  *
+  * A plain `Window.orderBy(...)` with no partition spec plans a WindowExec
+  * that moves the WHOLE input to one partition ("No Partition Defined for
+  * Window operation" warning) — a non-starter at 100 TB. This operator uses
+  * the classic two-phase scheme instead:
+  *
+  *   1. range-partition the input by the order key, so partition i holds a
+  *      contiguous key range and all of partition i's keys precede all of
+  *      partition i+1's;
+  *   2. cumulative-sum locally within each partition (windowed, partitioned
+  *      by `spark_partition_id()` — every window partition fits one task);
+  *   3. compute per-partition totals (ONE row per partition — metadata
+  *      scale, like AQE's per-stage statistics), turn them into running
+  *      offsets, and broadcast-join the offsets back.
+  *
+  * Every stage is balanced: the widest shuffle carries the projected input
+  * once, and no task ever sees more than one partition's rows. The offsets
+  * table is `numPartitions` rows regardless of data size.
+  *
+  * The order columns must form a TOTAL order (include a unique tie-break
+  * column); with ties split across a range boundary the local sums would
+  * still be correct but tie rows' cumulative values would depend on which
+  * side of the boundary they landed, exactly as WindowExec's tie order is
+  * arbitrary.
+  */
+object PrefixSum {
+
+  /** Adds `out` = running sum of `value` over `order` (ascending per the
+    * given sort columns). `partitions` defaults to the session shuffle
+    * parallelism.
+    */
+  def cumsum(df: DataFrame, value: Column, order: Seq[Column], out: String,
+             partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, order: _*)
+      .withColumn("__ps_pid", spark_partition_id())
+    val local = Window.partitionBy(col("__ps_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val summed = ranged.withColumn("__ps_local", sum(value).over(local))
+
+    val totals = ranged.groupBy(col("__ps_pid")).agg(sum(value).as("__ps_tot"))
+    val totType = totals.schema("__ps_tot").dataType
+    // offsets: exclusive running sum of the per-partition totals, via a
+    // triangular self-join instead of a window — the totals table is one
+    // row per partition (metadata scale), so numPartitions² pairs is
+    // trivial and the plan stays free of unpartitioned Window nodes.
+    val earlier = totals.select(col("__ps_pid").as("__ps_pid2"), col("__ps_tot"))
+    val offsets = totals.select(col("__ps_pid"))
+      .join(earlier, col("__ps_pid2") < col("__ps_pid"), "left")
+      .groupBy(col("__ps_pid"))
+      .agg(coalesce(sum(col("__ps_tot")), lit(0).cast(totType)).as("__ps_off"))
+
+    summed.join(broadcast(offsets), "__ps_pid")
+      .withColumn(out, col("__ps_local") + col("__ps_off"))
+      .drop("__ps_pid", "__ps_local", "__ps_off")
+  }
+}

@@ -50,9 +50,12 @@ object NorthStarQueries {
   }
 
   /** Content-identity audit over every table row of documents using the
-    * library Identity op (sha2 of canonical JSON): distinct identities must
-    * equal row count when there are no exact dups. No oracle — to_json
-    * field formatting differs between engines; the INVARIANT is the check.
+    * library Identity op (sha2 of canonical JSON). The hash VALUES can't be
+    * oracle-compared (to_json field formatting differs between engines),
+    * but the invariant can: doc_id is the documents PK, so distinct
+    * identities must equal distinct doc_ids must equal the row count —
+    * the oracle computes the same invariant from the PK side, gating that
+    * Spark's identity column is one-per-row and collision-free.
     */
   def qIdentityAudit(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -62,9 +65,14 @@ object NorthStarQueries {
       .withColumn("all_unique", col("n_rows") === col("n_identities"))
   }
 
+  val qIdentityAuditSql: String =
+    """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_identities,
+      |  COUNT(*) = COUNT(DISTINCT doc_id) AS all_unique
+      |FROM documents""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_ann_ivf" -> ((qAnnIvf _, None)),
     "q_multimodal" -> ((qMultimodal _, None)),
-    "q_identity_audit" -> ((qIdentityAudit _, None))
+    "q_identity_audit" -> ((qIdentityAudit _, Some(qIdentityAuditSql)))
   )
 }

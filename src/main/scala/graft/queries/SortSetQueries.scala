@@ -163,21 +163,32 @@ object SortSetQueries {
       |FROM customer GROUP BY c_nationkey""".stripMargin
 
   /** HyperLogLog distinct estimate — the 100 TB path where exact distinct
-    * is a full shuffle of the key space. NO oracle: sketch implementations
-    * differ by engine, so the driver records a rows-only check; the
-    * accuracy bound vs exact is asserted in RegistrySpec instead.
+    * is a full shuffle of the key space. Sketch estimates differ by engine,
+    * so the ESTIMATE itself can't be hash-compared; instead the query emits
+    * the exact count plus a tolerance verdict (|approx−exact| ≤ 3·rsd·exact,
+    * rsd = 0.05 default) and the oracle asserts the verdict is TRUE with the
+    * same exact counts — an honest gate on the sketch's accuracy contract.
     */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users")).cast("double")
+          <= col("exact_users").cast("double") * 0.15).as("hll_ok"))
   }
+
+  val qApproxDistinctSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |  COUNT(*) AS n_events, TRUE AS hll_ok
+      |FROM events GROUP BY event_type""".stripMargin
 
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_union_by_name" -> ((qUnionByName _, Some(qUnionByNameSql))),
     "q_argmax" -> ((qArgmax _, Some(qArgmaxSql))),
-    "q_approx_distinct" -> ((qApproxDistinct _, None)),
+    "q_approx_distinct" -> ((qApproxDistinct _, Some(qApproxDistinctSql))),
     "q_topk" -> ((qTopK _, Some(qTopKSql))),
     "q_set_ops" -> ((qSetOps _, Some(qSetOpsSql))),
     "q_rollup" -> ((qRollup _, Some(qRollupSql))),

@@ -300,18 +300,19 @@ object TextQueries {
     * `10 × cumulative_before < 9 × total` avoids float thresholds.
     */
   def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val freq = Tables.documents(s, dir)
       .select(explode(toks).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    // global (unpartitioned) windows are fine here: the input is the
-    // DISTINCT vocabulary, which is tiny relative to the corpus
-    val w = Window.orderBy(col("freq").desc, col("token"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    freq
-      .withColumn("cum", sum(col("freq")).over(w))
-      .withColumn("total", sum(col("freq")).over(Window.partitionBy()))
+    // The cumulative sum runs over the DISTINCT vocabulary — much smaller
+    // than the corpus, but at 100 TB a web-scale vocabulary is still
+    // hundreds of millions of tokens, so no unpartitioned window: the
+    // distributed two-phase prefix sum keeps every task partition-sized.
+    // The corpus total is a broadcast scalar, not a whole-table window.
+    val cum = graft.ops.PrefixSum.cumsum(
+      freq, col("freq"), Seq(col("freq").desc, col("token")), "cum")
+    val total = freq.agg(sum(col("freq")).as("total"))
+    cum.join(broadcast(total))
       .agg(count(lit(1)).as("vocab_size"),
         sum(col("freq")).as("total_occurrences"),
         sum(when((col("cum") - col("freq")) * 10 < col("total") * 9, 1)

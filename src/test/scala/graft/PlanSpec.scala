@@ -14,7 +14,10 @@ class PlanSpec extends SparkSpec {
   // The ONLY queries allowed a nested-loop/cartesian shape, by design:
   // band-table BETWEEN join, the broadcast-queries exact cosine scan, and
   // IVF's query×centroid assignment (both sides tiny; the corpus join is equi).
-  private val bnljAllowed = Set("q_range_join", "q_cosine_topk", "q_ann_ivf")
+  // q_vocab_coverage: PrefixSum's triangular offsets join (numPartitions
+  // rows) and the broadcast scalar-total join are both metadata-scale BNLJs.
+  private val bnljAllowed =
+    Set("q_range_join", "q_cosine_topk", "q_ann_ivf", "q_vocab_coverage")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped = Set("q_stream_tumbling", "q_stream_dedup")

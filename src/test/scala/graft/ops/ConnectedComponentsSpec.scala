@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Min-label propagation CC on known graphs. */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def edgeDf(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("a", "b")
+  }
+
+  private def components(pairs: (Long, Long)*): Map[Long, Long] =
+    ConnectedComponents.run(edgeDf(pairs: _*), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two disjoint components resolve to their min ids") {
+    val c = components((1L, 2L), (2L, 3L), (10L, 11L))
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a long chain converges past one round (diameter > 1)") {
+    // 0-1-2-...-9: min label must travel 9 hops
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val c = components(chain: _*)
+    assert(c.size == 10)
+    assert(c.values.forall(_ == 0L))
+  }
+
+  test("duplicate, reversed, and self edges are tolerated") {
+    val c = components((5L, 4L), (4L, 5L), (5L, 5L), (4L, 3L))
+    assert(c == Map(3L -> 3L, 4L -> 3L, 5L -> 3L))
+  }
+
+  test("a star graph with the center as max id") {
+    val c = components((9L, 1L), (9L, 2L), (9L, 3L))
+    assert(c.values.toSet == Set(1L))
+    assert(c(9L) == 1L)
+  }
+
+  test("cluster stats over near-dup pairs match a driver-side union-find") {
+    val pairs = graft.queries.SimilarityQueries.qMinhashLsh(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty)
+    // reference union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(n => n -> find(n)).toMap
+    val got = ConnectedComponents.run(edgeDf(pairs: _*), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+}

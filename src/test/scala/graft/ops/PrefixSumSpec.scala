@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+
+import graft.{SparkSpec, Tables}
+
+/** Distributed prefix sum ≡ the single-partition window, with no
+  * unpartitioned Window node in the plan.
+  */
+class PrefixSumSpec extends SparkSpec {
+
+  test("cumsum equals the global-window cumulative sum") {
+    val freq = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val expected = freq
+      .withColumn("cum", sum(col("freq")).over(
+        Window.orderBy(col("freq").desc, col("token"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    val got = PrefixSum.cumsum(
+        freq, col("freq"), Seq(col("freq").desc, col("token")), "cum", partitions = 7)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
+  test("cumsum works for a single partition and preserves column set") {
+    val df = graft.io.Seeds.fromMaps(spark, Seq(
+      Map("k" -> "a", "v" -> 5), Map("k" -> "b", "v" -> 3), Map("k" -> "c", "v" -> 2)))
+    val out = PrefixSum.cumsum(df, col("v"), Seq(col("k")), "cum", partitions = 1)
+    assert(out.columns.sorted.toSeq == Seq("cum", "k", "v"))
+    val rows = out.orderBy("k").collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("cum")))
+    assert(rows.toSeq == Seq(("a", 5L), ("b", 8L), ("c", 10L)))
+  }
+
+  test("every Window node in the plan has a partition spec (no global window)") {
+    val freq = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val plan = PrefixSum.cumsum(
+        freq, col("freq"), Seq(col("freq").desc, col("token")), "cum")
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("q_vocab_coverage plans no unpartitioned window") {
+    val plan = graft.queries.TextQueries.qVocabCoverage(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.forall(_.partitionSpec.nonEmpty))
+  }
+}
