@@ -94,8 +94,50 @@ object StreamingQueries {
   val qStreamDedupSql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** Sliding 2-hour windows advancing hourly — every event lands in TWO
+    * overlapping windows, the shape Spark's window(slide) duplicates rows
+    * for. The oracle replicates the overlap by unnesting each event into
+    * both covering window starts (epoch-aligned, same as Spark's).
+    */
+  def qStreamSliding(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events =
+      if (schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    val agg = events
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_sliding_ckpt").toString
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("graft_stream_sliding")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_sliding")
+  }
+
+  val qStreamSlidingSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) - o * INTERVAL '1 hour' AS window_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+      |FROM events, UNNEST([0, 1]) AS u(o)
+      |WHERE event_type IN ('purchase', 'click')
+      |GROUP BY 1, 2""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_stream_tumbling" -> ((qStreamTumbling _, Some(qStreamTumblingSql))),
-    "q_stream_dedup" -> ((qStreamDedup _, Some(qStreamDedupSql)))
+    "q_stream_dedup" -> ((qStreamDedup _, Some(qStreamDedupSql))),
+    "q_stream_sliding" -> ((qStreamSliding _, Some(qStreamSlidingSql)))
   )
 }

@@ -16,11 +16,14 @@ class PlanSpec extends SparkSpec {
   // IVF's query×centroid assignment (both sides tiny; the corpus join is equi).
   // q_vocab_coverage: PrefixSum's triangular offsets join (numPartitions
   // rows) and the broadcast scalar-total join are both metadata-scale BNLJs.
+  // q_embedding_neardup: the 64-row hyperplane table is broadcast against
+  // the corpus with no join key by design (every vector × every plane).
   private val bnljAllowed =
-    Set("q_range_join", "q_cosine_topk", "q_ann_ivf", "q_vocab_coverage")
+    Set("q_range_join", "q_cosine_topk", "q_ann_ivf", "q_vocab_coverage",
+      "q_embedding_neardup")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
-  private val skipped = Set("q_stream_tumbling", "q_stream_dedup")
+  private val skipped = Set("q_stream_tumbling", "q_stream_dedup", "q_stream_sliding")
 
   test("no query plans a CartesianProduct; BNLJ only where designed") {
     for ((name, _) <- SparkEntry.queries if !skipped(name)) {
