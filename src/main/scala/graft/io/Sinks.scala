@@ -52,6 +52,19 @@ object Sinks {
   def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
 
+  /** JDBC sink — the write half of the reference's Postgres datasource
+    * (bert/datasource.py:50-84 only reads; real pipelines also publish
+    * results back to the warehouse). Batched inserts per partition via
+    * Spark's JDBC writer; `numPartitions` caps concurrent connections so
+    * a 1000-executor job doesn't open 1000 sessions against the database.
+    */
+  def jdbc(df: DataFrame, url: String, table: String,
+           mode: SaveMode = SaveMode.Append, numPartitions: Int = 8,
+           batchSize: Int = 1000): Unit =
+    df.coalesce(numPartitions).write.mode(mode)
+      .option("batchsize", batchSize)
+      .jdbc(url, table, new java.util.Properties())
+
   /** Queue flush (C4): the reference's `flushdb` / destroy-and-recreate
     * flags (bert/utils.py:344-358) — here, dropping a checkpoint or sink
     * directory. Returns true if anything was deleted.

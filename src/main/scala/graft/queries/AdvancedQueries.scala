@@ -163,6 +163,40 @@ object AdvancedQueries {
       |  ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** Approximate percentiles (GK sketch) — the 100 TB quantile path where
+    * exact percentile() means a per-group global sort. Like
+    * q_approx_distinct, the sketch VALUE differs by engine, so the gate
+    * checks the sketch's contract instead: the query recomputes each approx
+    * value's true rank fraction against the data and emits a verdict that
+    * it sits within ±0.01 of the requested quantile (sketch rank error is
+    * 1e-4 at accuracy 10000; the slack covers value granularity). The
+    * oracle asserts the verdicts with the same group counts.
+    */
+  def qApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    val ap = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("approx_percentile(o_totalprice, array(0.5D, 0.9D), 10000)").as("ap"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority").as("pri"), col("n"),
+        col("ap").getItem(0).as("ap50"), col("ap").getItem(1).as("ap90"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .join(broadcast(ap), col("o_orderpriority") === col("pri"))
+      .groupBy(col("o_orderpriority"), col("n"))
+      .agg(
+        (sum(when(col("o_totalprice") <= col("ap50"), 1).otherwise(0)).cast("double")
+          / col("n")).as("f50"),
+        (sum(when(col("o_totalprice") <= col("ap90"), 1).otherwise(0)).cast("double")
+          / col("n")).as("f90"))
+      .select(col("o_orderpriority"), col("n"),
+        (abs(col("f50") - 0.5) <= 0.01).as("p50_ok"),
+        (abs(col("f90") - 0.9) <= 0.01).as("p90_ok"))
+  }
+
+  val qApproxPercentileSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** Correlated scalar subquery: orders beating their customer's average —
     * Catalyst decorrelates into an aggregate + join (check the plan: no
     * per-row re-execution, unlike the reference's per-item Python loops).
@@ -320,6 +354,7 @@ object AdvancedQueries {
     "q_pivot" -> ((qPivot _, Some(qPivotSql))),
     "q_count_distinct" -> ((qCountDistinct _, Some(qCountDistinctSql))),
     "q_regex_fns" -> ((qRegexFns _, Some(qRegexFnsSql))),
-    "q_percentiles" -> ((qPercentiles _, Some(qPercentilesSql)))
+    "q_percentiles" -> ((qPercentiles _, Some(qPercentilesSql))),
+    "q_approx_percentile" -> ((qApproxPercentile _, Some(qApproxPercentileSql)))
   )
 }

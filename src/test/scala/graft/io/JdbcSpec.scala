@@ -41,4 +41,19 @@ class JdbcSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") || df.count() == 10)
   }
+
+  test("jdbc sink round-trips: write then read back equals the input") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i, s"w$i", i * 2.5)).toDF("id", "name", "val")
+    Sinks.jdbc(df, url, "items_out", numPartitions = 4)
+    val back = Sources.jdbc(spark, url, "items_out")
+    assert(back.count() == 50)
+    val got = back.collect().map(r =>
+      (r.getInt(r.fieldIndex("id")), r.getString(r.fieldIndex("name")),
+        r.getDouble(r.fieldIndex("val")))).toSet
+    assert(got == (1 to 50).map(i => (i, s"w$i", i * 2.5)).toSet)
+    // append mode accumulates, like the parquet sink
+    Sinks.jdbc(df.filter($"id" <= 5), url, "items_out", numPartitions = 2)
+    assert(Sources.jdbc(spark, url, "items_out").count() == 55)
+  }
 }
