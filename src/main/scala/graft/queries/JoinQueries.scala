@@ -245,7 +245,34 @@ object JoinQueries {
       |GROUP BY c_custkey, c_name, n_name, c_mktsegment
       |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** The salted-join path through the correctness gate: lineitem⋈part on
+    * the join key spread across 8 deterministic salt buckets, aggregated
+    * per brand. The oracle is the PLAIN join — salting must be invisible
+    * in the result. On this uniform testdata salting is pure overhead; the
+    * point is gating the rewrite's correctness (hot-key corpora get the
+    * same plan shape with the hot key's rows actually spread).
+    */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val part = Tables.part(s, dir)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    graft.ops.Skew.saltedJoin(li, part, "l_partkey", buckets = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val qSkewJoinSql: String =
+    """SELECT p_brand, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_skew_join" -> ((qSkewJoin _, Some(qSkewJoinSql))),
     "q3_join" -> ((q3Join _, Some(q3JoinSql))),
     "q10_returns" -> ((q10Returns _, Some(q10ReturnsSql))),
     "q5_multi_join" -> ((q5MultiJoin _, Some(q5MultiJoinSql))),

@@ -526,7 +526,37 @@ object SimilarityQueries {
       |WHERE substr(sha256(text), 64, 1) IN ('0', '1')
       |GROUP BY lang""".stripMargin
 
+  /** Mixture sampling — the training-data weighting step (sample source A
+    * at 100%, source B at 50%, …) done deterministically: a doc is kept
+    * iff its first md5 nibble (a 16-level uniform from content identity)
+    * falls under its source's weight, expressed in INTEGER quarters so the
+    * keep decision is exact integer math on both engines. No RNG:
+    * backfills and reruns reproduce the same sample bit-for-bit, exactly
+    * like q_hash_sample.
+    * Scale: per-row narrow compute + one hash aggregate of #sources rows.
+    */
+  def qMixtureSample(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("quarters",
+        (expr("CAST(substring(source, 4, 8) AS INT)") % 4) + 1)
+      .withColumn("nib", expr(
+        "instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1"))
+      .groupBy(col("source"), col("quarters"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("nib") < col("quarters") * 4, 1).otherwise(0)).as("n_sampled"))
+  }
+
+  val qMixtureSampleSql: String =
+    """SELECT source, (CAST(substr(source, 4) AS INT) % 4) + 1 AS quarters,
+      |  COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN strpos('0123456789abcdef',
+      |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+      |      < ((CAST(substr(source, 4) AS INT) % 4) + 1) * 4
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_mixture_sample" -> ((qMixtureSample _, Some(qMixtureSampleSql))),
     "q_centroids" -> ((qCentroids _, Some(qCentroidsSql))),
     "q_hash_sample" -> ((qHashSample _, Some(qHashSampleSql))),
     "q_minhash_lsh" -> ((qMinhashLsh _, Some(qMinhashLshSql))),
