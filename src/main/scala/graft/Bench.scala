@@ -43,9 +43,13 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
 
+    // optional args: bench only these queries (dev feedback loop)
+    val only = args.toSet
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       // Some query builders cache intermediate tables (LSH signatures etc.);
       // left in place they accumulate across the 69-query sweep and the GC
       // pressure lands on whichever query runs when the heap fills (r2: one

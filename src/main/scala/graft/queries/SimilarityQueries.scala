@@ -348,23 +348,25 @@ object SimilarityQueries {
     * while candidates stay ~3% of all pairs on this corpus.
     */
   def qEmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
-    val planes = s.range(64).select(col("id").cast("int").as("p"))
-      .withColumn("parr", expr(
-        """transform(sequence(0, 63), i ->
-          |  CAST(instr('0123456789abcdef',
-          |    substring(md5(concat(CAST(p AS STRING), ':', CAST(i AS STRING))), 1, 1)) - 8.5 AS DOUBLE))""".stripMargin))
-    val dot =
-      """aggregate(zip_with(embedding, parr, (a, b) ->
-        |  CAST(CAST(a AS DOUBLE) * b AS DECIMAL(28,14))),
-        |  CAST(0 AS DECIMAL(28,14)), (acc, x) -> CAST(acc + x AS DECIMAL(28,14)))""".stripMargin
+    // The 64×64 plane matrix is tiny and fully determined by md5, so it is
+    // computed ONCE on the driver and shipped as a literal — all 64 bits
+    // then fold in a single narrow pass per vector, with NO corpus×planes
+    // row explosion and NO groupBy shuffle to reassemble fingerprints.
+    // Values are identical to the oracle's SQL-side md5 nibbles.
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val planes: Seq[Seq[Double]] = (0 until 64).map(p => (0 until 64).map(i =>
+      "0123456789abcdef".indexOf(md5hex(s"$p:$i").charAt(0)) - 7.5))
     val fp = Tables.embeddings(s, dir)
-      .join(broadcast(planes))
-      .select(col("vec_id"), col("p"),
-        when(expr(dot) > 0, "1").otherwise("0").as("bit"))
-      .groupBy(col("vec_id"))
-      .agg(array_join(
-        expr("transform(array_sort(collect_list(struct(p, bit))), x -> x.bit)"), "")
-        .as("fp"))
+      .withColumn("planes", typedLit(planes))
+      .withColumn("fp", expr(
+        """array_join(transform(planes, parr ->
+          |  CASE WHEN aggregate(zip_with(embedding, parr, (a, b) ->
+          |      CAST(CAST(a AS DOUBLE) * b AS DECIMAL(28,14))),
+          |    CAST(0 AS DECIMAL(28,14)), (acc, x) -> CAST(acc + x AS DECIMAL(28,14))) > 0
+          |  THEN '1' ELSE '0' END), '')""".stripMargin))
+      .select(col("vec_id"), col("fp"))
       .cache()
     val bands = fp.select(col("vec_id"),
       posexplode(expr("transform(sequence(0, 7), b -> substring(fp, b * 8 + 1, 8))"))
