@@ -135,9 +135,58 @@ object StreamingQueries {
       |WHERE event_type IN ('purchase', 'click')
       |GROUP BY 1, 2""".stripMargin
 
+  /** Session windows (30-minute gap) per user as a streaming job — the
+    * state-merging window kind. Spark's session semantics: a new event
+    * extends the session iff it starts strictly before last_event + gap,
+    * so a new session begins at diff ≥ gap; the oracle replays exactly
+    * that rule with lag() on microsecond epochs (same µs truncation both
+    * engines apply to the nanosecond source timestamps).
+    */
+  def qStreamSession(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events =
+      if (schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    val agg = events
+      .withWatermark("ts", "365 days")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"))
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_session_ckpt").toString
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("graft_stream_session")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_session")
+  }
+
+  val qStreamSessionSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |g AS (SELECT user_id, us,
+      |        CASE WHEN us - LAG(us, 1) OVER w >= 1800000000 THEN 1
+      |             WHEN LAG(us, 1) OVER w IS NULL THEN 1 ELSE 0 END AS gap
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |sess AS (SELECT user_id, us,
+      |           SUM(gap) OVER (PARTITION BY user_id ORDER BY us
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |         FROM g)
+      |SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_stream_tumbling" -> ((qStreamTumbling _, Some(qStreamTumblingSql))),
     "q_stream_dedup" -> ((qStreamDedup _, Some(qStreamDedupSql))),
-    "q_stream_sliding" -> ((qStreamSliding _, Some(qStreamSlidingSql)))
+    "q_stream_sliding" -> ((qStreamSliding _, Some(qStreamSlidingSql))),
+    "q_stream_session" -> ((qStreamSession _, Some(qStreamSessionSql)))
   )
 }
