@@ -7,19 +7,21 @@ import org.apache.spark.sql.functions._
   * every near-dup pipeline runs after pair generation (MinHash/SimHash
   * pairs → duplicate GROUPS → keep one canonical doc per group).
   *
-  * Algorithm: iterative min-label propagation (the DataFrame form of
-  * Pregel-style CC, same as the reference implementations in GraphX and
-  * the large-star/small-star literature). Every node starts labeled with
-  * itself; each round every node takes the min of its own label and its
-  * neighbors' labels; fixpoint = component = min node id reachable.
+  * Algorithm: min-label propagation WITH pointer jumping (the DataFrame
+  * form of Pregel-style CC plus the path-halving trick from the
+  * large-star/small-star literature). Every node starts labeled with
+  * itself; each round a node takes the min of its own label, its
+  * neighbors' labels, and its LABEL'S label (the jump). Neighbor
+  * propagation alone needs diameter rounds — a pathological chain of 10⁶
+  * near-dups would need 10⁶ rounds; the jump step roughly doubles the
+  * distance a min label travels per round, so convergence is
+  * O(log diameter) and a 10⁶-chain takes ~20 rounds.
   *
   * 100 TB posture:
-  *  - each round is ONE equi-join + hash aggregate, both key-parallel;
-  *    rounds needed = graph diameter, and near-dup clusters are
-  *    shallow (dozens of docs, diameter a handful) — not web-graph deep.
+  *  - each round is two equi-joins + a hash aggregate, all key-parallel;
   *  - the edge table is shuffled ONCE: it is repartitioned by the join key
   *    and cached, so every round's join reuses its layout and only the
-  *    (node, label) table — one row per node — moves.
+  *    (node, label) table — one row per node — moves;
   *  - lineage is truncated each round with localCheckpoint, otherwise the
   *    plan doubles per iteration and the driver ooms on plan analysis long
   *    before the data is the problem. (A production run on an unreliable
@@ -31,9 +33,17 @@ object ConnectedComponents {
 
   /** Returns (node, component): one row per distinct node in the edge list,
     * component = smallest node id in its connected component. Self-loops
-    * and duplicate/reversed edges are tolerated.
+    * and duplicate/reversed edges are tolerated. Throws if `maxIter`
+    * rounds do not reach the fixpoint (never silently returns partial
+    * labels); at O(log diameter) rounds the default 25 covers any graph
+    * that fits on a cluster.
     */
-  def run(edges: DataFrame, src: String, dst: String, maxIter: Int = 25): DataFrame = {
+  def run(edges: DataFrame, src: String, dst: String, maxIter: Int = 25): DataFrame =
+    runWithStats(edges, src, dst, maxIter)._1
+
+  /** run() plus the number of rounds taken (for tests/monitoring). */
+  def runWithStats(edges: DataFrame, src: String, dst: String,
+                   maxIter: Int = 25): (DataFrame, Int) = {
     val sym = edges.select(col(src).as("e_src"), col(dst).as("e_dst"))
       .union(edges.select(col(dst).as("e_src"), col(src).as("e_dst")))
       .filter(col("e_src") =!= col("e_dst"))
@@ -50,9 +60,18 @@ object ConnectedComponents {
       val nbrMin = sym.join(labels, col("e_dst") === col("node"))
         .groupBy(col("e_src"))
         .agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.join(nbrMin, col("node") === col("e_src"), "left")
+      val cand = labels.join(nbrMin, col("node") === col("e_src"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+      // pointer jump: also adopt the label OF my label. A label is always
+      // the id of a node in my component, so the lookup stays in-component
+      // and monotonically nonincreasing — this is what turns O(diameter)
+      // into O(log diameter).
+      val next = cand.as("c")
+        .join(cand.select(col("node").as("l_node"), col("lbl").as("l_lbl")),
+          col("c.lbl") === col("l_node"), "left")
+        .select(col("node"),
+          least(col("c.lbl"), coalesce(col("l_lbl"), col("c.lbl"))).as("lbl"))
         .localCheckpoint()
       converged = next.as("n").join(labels.as("o"), "node")
         .filter(col("n.lbl") =!= col("o.lbl"))
@@ -61,6 +80,9 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
-    labels.withColumnRenamed("lbl", "component")
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds")
+    (labels.withColumnRenamed("lbl", "component"), iter)
   }
 }

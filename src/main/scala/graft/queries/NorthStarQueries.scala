@@ -49,6 +49,43 @@ object NorthStarQueries {
           .as("sum_feature_mass"))
   }
 
+  /** Multimodal inventory through the typed Media path WITH an oracle: the
+    * decode kernel stays engine-side (stubbed), but the schema/plumbing
+    * layer — binary payload + typed metadata flowing through the
+    * Dataset[Media] encoder — is replicable from the raw table, so byte
+    * sizes, kinds, and frame plans are hash-gated against DuckDB. This
+    * gates what q_multimodal (rows-only) cannot: that the media construction
+    * itself loses nothing.
+    */
+  def qMediaInventory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .map { r =>
+        Multimodal.Media(
+          media_id = r.getLong(0),
+          kind = if (r.getLong(2) % 2 == 0) "image" else "video",
+          bytes = r.getString(1).getBytes("UTF-8"),
+          width = 64, height = 64, sample_rate = 0,
+          n_frames = if (r.getLong(2) % 2 == 0) 1 else 4)
+      }
+    media.toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(length(col("bytes"))).as("total_bytes"),
+        sum(col("n_frames")).as("total_frames"),
+        max(length(col("bytes")).cast("long")).as("max_bytes"))
+  }
+
+  val qMediaInventorySql: String =
+    """SELECT CASE WHEN n_chars % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
+      |  COUNT(*) AS n_media,
+      |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(CASE WHEN n_chars % 2 = 0 THEN 1 ELSE 4 END) AS BIGINT) AS total_frames,
+      |  CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
+      |FROM documents WHERE doc_id < 100 GROUP BY 1""".stripMargin
+
   /** Content-identity audit over every table row of documents using the
     * library Identity op (sha2 of canonical JSON). The hash VALUES can't be
     * oracle-compared (to_json field formatting differs between engines),
@@ -73,6 +110,7 @@ object NorthStarQueries {
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_ann_ivf" -> ((qAnnIvf _, None)),
     "q_multimodal" -> ((qMultimodal _, None)),
+    "q_media_inventory" -> ((qMediaInventory _, Some(qMediaInventorySql))),
     "q_identity_audit" -> ((qIdentityAudit _, Some(qIdentityAuditSql)))
   )
 }

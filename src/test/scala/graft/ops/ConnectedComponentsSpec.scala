@@ -29,6 +29,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(c.values.forall(_ == 0L))
   }
 
+  test("pointer jumping converges a 64-node chain in O(log n) rounds") {
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val (df, iters) = ConnectedComponents.runWithStats(edgeDf(chain: _*), "a", "b")
+    val c = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c.size == 64)
+    assert(c.values.forall(_ == 0L))
+    // plain neighbor propagation would need 63 rounds (over maxIter=25)
+    assert(iters <= 12, s"took $iters rounds")
+  }
+
+  test("throws instead of returning partial labels when maxIter is too low") {
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(edgeDf(chain: _*), "a", "b", maxIter = 2)
+    }
+  }
+
   test("duplicate, reversed, and self edges are tolerated") {
     val c = components((5L, 4L), (4L, 5L), (5L, 5L), (4L, 3L))
     assert(c == Map(3L -> 3L, 4L -> 3L, 5L -> 3L))
