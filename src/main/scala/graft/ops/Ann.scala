@@ -46,8 +46,26 @@ object Ann {
         .as("centroid"))
   }
 
+  /** Decimal-accumulated cosine rounded to 6 dp — identical value algebra
+    * to queries.SimilarityQueries.qCosineTopk and its DuckDB oracle, so an
+    * exact-arithmetic IVF run can be hash-compared across engines.
+    */
+  private def decimalCosineExpr(a: String, b: String) = expr(
+    s"""round(
+       |  CAST(aggregate(zip_with($a, $b, (x, y) ->
+       |    CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,14))),
+       |    CAST(0 AS DECIMAL(28,14)), (acc, v) -> CAST(acc + v AS DECIMAL(28,14))) AS DOUBLE)
+       |  / (SQRT(CAST(aggregate($a, CAST(0 AS DECIMAL(28,14)), (acc, x) ->
+       |      CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)) AS DECIMAL(28,14))) AS DOUBLE))
+       |   * SQRT(CAST(aggregate($b, CAST(0 AS DECIMAL(28,14)), (acc, x) ->
+       |      CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)) AS DECIMAL(28,14))) AS DOUBLE))), 6)""".stripMargin)
+
   /** Top-k cosine neighbors per query, probing `nprobe` cells.
     * queries: (qIdCol, embCol); corpus: (idCol, embCol, cellCol).
+    * `exactArith = true` scores with decimal accumulation and ranks on the
+    * ROUNDED cosine (qCosineTopk's algebra) so a full-probe run is
+    * bit-comparable to a brute-force SQL oracle; the default double path
+    * is the faster production kernel.
     */
   def ivfTopK(
       spark: SparkSession,
@@ -58,7 +76,8 @@ object Ann {
       qIdCol: String = "q_id",
       idCol: String = "vec_id",
       embCol: String = "embedding",
-      cellCol: String = "label"): DataFrame = {
+      cellCol: String = "label",
+      exactArith: Boolean = false): DataFrame = {
     val cents = broadcast(centroids(corpus, cellCol, embCol))
     // assign each query its nprobe nearest cells
     val wCell = Window.partitionBy(col(qIdCol)).orderBy(col("cell_sim").desc, col("cell"))
@@ -71,10 +90,13 @@ object Ann {
     // score only within probed cells — native codegen'd kernel
     graft.functions.GraftFunctions.register(spark)
     val wTop = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))
+    val score =
+      if (exactArith) decimalCosineExpr("q_emb", embCol)
+      else expr(s"cosine_similarity(q_emb, $embCol)")
     probes
       .join(corpus, probes("cell") === corpus(cellCol))
       .filter(col(qIdCol) =!= col(idCol))
-      .withColumn("cosine", expr(s"cosine_similarity(q_emb, $embCol)"))
+      .withColumn("cosine", score)
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= k)
       .select(col(qIdCol), col("rnk"), col(idCol).as("neighbor"), round(col("cosine"), 6).as("cosine"))

@@ -23,6 +23,37 @@ object NorthStarQueries {
     Ann.ivfTopK(s, queries, emb, k = 5, nprobe = 2)
   }
 
+  /** IVF at FULL probe, hash-gated against the brute-force SQL oracle:
+    * with every cell probed, the IVF machinery (centroid build, cell
+    * assignment, probe routing, in-cell scoring, ranking) must reproduce
+    * the exact scan bit-for-bit — exactArith scores with the same decimal
+    * algebra as q_cosine_topk. This gates the ANN code path itself;
+    * q_ann_ivf (nprobe=2, rows-only) remains the production-shaped run.
+    */
+  def qAnnFullprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Ann.ivfTopK(s, queries, emb, k = 5, nprobe = 64, exactArith = true)
+  }
+
+  val qAnnFullprobeSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q_id, vec_id,
+      |    ROUND(
+      |      CAST(list_sum(list_transform(range(1, len(q_emb) + 1), i ->
+      |        CAST(CAST(q_emb[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE)
+      |      / (SQRT(CAST(list_sum(list_transform(q_emb, x ->
+      |            CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE))
+      |       * SQRT(CAST(list_sum(list_transform(embedding, x ->
+      |            CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE))), 6) AS cosine
+      |  FROM q CROSS JOIN embeddings WHERE q_id <> vec_id),
+      |ranked AS (SELECT q_id, vec_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, rnk, vec_id AS neighbor, cosine FROM ranked WHERE rnk <= 5""".stripMargin
+
   /** Multimodal feature pipeline: documents' bytes as stand-in media →
     * per-partition batched (stubbed) decode → feature stats per kind.
     * No oracle — the decode kernel is engine-side by design; determinism
@@ -109,6 +140,7 @@ object NorthStarQueries {
 
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_ann_ivf" -> ((qAnnIvf _, None)),
+    "q_ann_fullprobe" -> ((qAnnFullprobe _, Some(qAnnFullprobeSql))),
     "q_multimodal" -> ((qMultimodal _, None)),
     "q_media_inventory" -> ((qMediaInventory _, Some(qMediaInventorySql))),
     "q_identity_audit" -> ((qIdentityAudit _, Some(qIdentityAuditSql)))

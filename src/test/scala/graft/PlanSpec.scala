@@ -19,8 +19,8 @@ class PlanSpec extends SparkSpec {
   // q_embedding_neardup: the 64-row hyperplane table is broadcast against
   // the corpus with no join key by design (every vector × every plane).
   private val bnljAllowed =
-    Set("q_range_join", "q_cosine_topk", "q_ann_ivf", "q_vocab_coverage",
-      "q_embedding_neardup")
+    Set("q_range_join", "q_cosine_topk", "q_ann_ivf", "q_ann_fullprobe",
+      "q_vocab_coverage", "q_embedding_neardup")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
