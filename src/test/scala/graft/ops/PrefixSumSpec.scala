@@ -36,6 +36,21 @@ class PrefixSumSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("a", 5L), ("b", 8L), ("c", 10L)))
   }
 
+  test("cumsum carries decimal values exactly across partition boundaries") {
+    import org.apache.spark.sql.types.DecimalType
+    val df = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice").cast(DecimalType(12, 4)).as("price"))
+    val expected = df
+      .withColumn("cum", sum(col("price")).over(
+        Window.orderBy(col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => (r.getLong(0), r.getDecimal(2))).toMap
+    val got = PrefixSum.cumsum(df, col("price"), Seq(col("o_orderkey")), "cum", partitions = 5)
+      .collect().map(r => (r.getLong(0), r.getDecimal(2))).toMap
+    assert(got.size == expected.size)
+    assert(got.forall { case (k, v) => expected(k).compareTo(v) == 0 })
+  }
+
   test("every Window node in the plan has a partition spec (no global window)") {
     val freq = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("token"))
