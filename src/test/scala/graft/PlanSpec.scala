@@ -62,6 +62,22 @@ class PlanSpec extends SparkSpec {
       "star-schema dims not broadcast")
   }
 
+  test("flagship plans keep their hot path inside whole-stage codegen") {
+    // A scan→filter→project→partial-agg pipeline that falls out of
+    // codegen (interpreted expressions, UDFs) is the classic silent 10×
+    // at scale. AQE wraps the plan and defers stage compilation, hiding
+    // the codegen markers from the printed plan — turn it off for the
+    // inspection only (codegen insertion is independent of AQE).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("q1_agg", "q3_join", "q_topk", "q_window_rank", "q_scalar_fns")) {
+        val plan = planOf(q)
+        assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+          s"$q has no codegen span:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("decimal sums are partition-count invariant (order independence)") {
     import graft.queries.Exact
     val li = Tables.lineitem(spark, sfDir)
