@@ -30,10 +30,17 @@ object Bench {
     // still paid ~5s of exchange/join codegen. Warm each major plan family
     // (agg, join, window, explode) on the tiny sf0.001 tables.
     SparkEntry.entry(spark).foreach(_ => ())
-    val warmSf = "/root/testdata/sf0.001"
+    // prefer the smallest sf for cheap warm-up; fall back to the bench dir
+    // so the warm-up still happens (slower, but honest timings beat a
+    // silently skipped warm-up) on hosts with a different data layout
+    val warmSf =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/root/testdata/sf0.001")))
+        "/root/testdata/sf0.001"
+      else sfDir
     Seq("q3_join", "q_window_rank", "q_array_explode").foreach { q =>
       SparkEntry.queries.get(q).foreach(fn =>
-        try fn(spark, warmSf).foreach(_ => ()) catch { case _: Throwable => () })
+        try fn(spark, warmSf).foreach(_ => ())
+        catch { case scala.util.control.NonFatal(_) => () })
     }
     spark.catalog.clearCache()
     Tables.lineitem(spark, sfDir).count()
@@ -43,8 +50,12 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
 
-    // optional args: bench only these queries (dev feedback loop)
+    // optional args: bench only these queries (dev feedback loop). Unknown
+    // names fail loudly — a typo must not overwrite $BENCH_OUT with an
+    // empty-but-green artifact.
     val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)

@@ -61,7 +61,10 @@ object Sinks {
   def jdbc(df: DataFrame, url: String, table: String,
            mode: SaveMode = SaveMode.Append, numPartitions: Int = 8,
            batchSize: Int = 1000): Unit =
-    df.coalesce(numPartitions).write.mode(mode)
+    // repartition (a shuffle barrier), NOT coalesce: coalesce would cap the
+    // parallelism of every upstream stage at numPartitions, throttling the
+    // whole job to the connection budget instead of just the write.
+    df.repartition(numPartitions).write.mode(mode)
       .option("batchsize", batchSize)
       .jdbc(url, table, new java.util.Properties())
 

@@ -51,7 +51,11 @@ object ConnectedComponents {
       .repartition(col("e_dst"))
       .cache()
 
-    var labels = sym.select(col("e_src").as("node")).distinct()
+    // node set from the UNFILTERED edge list, so a node appearing only in
+    // self-loops still gets a (singleton) component instead of vanishing
+    var labels = edges.select(col(src).as("node"))
+      .union(edges.select(col(dst).as("node")))
+      .distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
     var iter = 0

@@ -142,37 +142,16 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
   }
 
+  // ONE source of truth for the pair pipeline: the q_minhash_lsh oracle is
+  // embedded verbatim as the `pairs` CTE (DuckDB accepts the nested WITH),
+  // so a banding/parameter change can never silently desynchronize the
+  // two oracles.
   val qDedupClustersSql: String =
-    """WITH RECURSIVE pairs AS (
-      |WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-      |           WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
-      |       FROM t, UNNEST(range(1, len(tk)-1)) AS u(i)),
-      |sig AS (SELECT doc_id,
-      |  min(md5('0:' || shingle)) AS h0,  min(md5('1:' || shingle)) AS h1,
-      |  min(md5('2:' || shingle)) AS h2,  min(md5('3:' || shingle)) AS h3,
-      |  min(md5('4:' || shingle)) AS h4,  min(md5('5:' || shingle)) AS h5,
-      |  min(md5('6:' || shingle)) AS h6,  min(md5('7:' || shingle)) AS h7
-      |  FROM sh GROUP BY doc_id),
-      |bands AS (
-      |  SELECT doc_id, 0 AS band, h0||h1 AS bkey FROM sig UNION ALL
-      |  SELECT doc_id, 1, h2||h3 FROM sig UNION ALL
-      |  SELECT doc_id, 2, h4||h5 FROM sig UNION ALL
-      |  SELECT doc_id, 3, h6||h7 FROM sig),
-      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
-      |         WHERE x.doc_id < y.doc_id),
-      |inter AS (SELECT doc_a, doc_b, count(*) AS inter
-      |          FROM cand JOIN sh sa ON doc_a = sa.doc_id
-      |          JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
-      |          GROUP BY doc_a, doc_b),
-      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
-      |SELECT doc_a, doc_b
-      |FROM inter JOIN sizes za ON doc_a = za.doc_id
-      |JOIN sizes zb ON doc_b = zb.doc_id
-      |WHERE CAST(inter AS DOUBLE) / (za.n_sh + zb.n_sh - inter) >= 0.8),
+    s"""WITH RECURSIVE pairs AS (
+      |$qMinhashLshSql),
       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |          UNION SELECT doc_b, doc_a FROM pairs),""".stripMargin +
+    """
       |reach(node, lbl) AS (
       |  SELECT a, a FROM edges
       |  UNION

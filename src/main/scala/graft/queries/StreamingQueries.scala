@@ -17,40 +17,51 @@ import Exact._
   */
 object StreamingQueries {
 
-  /** Tumbling 1-hour purchase/click value totals, computed by a streaming
-    * query in complete mode. Complete-mode final state after AvailableNow ≡
-    * the batch aggregate by construction; exactness comes from the same
-    * decimal accumulation as every batch query.
+  /** Shared harness: stream the events table (file source over the sf dir
+    * filtered to events.parquet — production streams a landing directory),
+    * nanosecond timestamps truncated to microseconds exactly as DuckDB
+    * truncates them, apply the transform, drain with AvailableNow into a
+    * memory sink, return the final table. One copy of the source/sink
+    * plumbing so a fix (ts conversion, checkpoint handling) lands
+    * everywhere at once.
     */
-  def qStreamTumbling(s: SparkSession, dir: String): DataFrame = {
+  private def runEventStream(s: SparkSession, dir: String, name: String,
+                             outputMode: String)
+                            (transform: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
-    // the file source wants a directory: stream the sf dir filtered to the
-    // events file (production streams a landing directory anyway)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val events =
       if (schema("ts").dataType == LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       else raw
-    val agg = events
-      .filter(col("event_type").isin("purchase", "click"))
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
-      .select(col("w.start").as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
-    val ckpt = java.nio.file.Files.createTempDirectory("stream_tumbling_ckpt").toString
-    val q = agg.writeStream
-      .outputMode("complete")
+    val ckpt = java.nio.file.Files.createTempDirectory(s"${name}_ckpt").toString
+    val q = transform(events).writeStream
+      .outputMode(outputMode)
       .format("memory")
-      .queryName("graft_stream_tumbling")
+      .queryName(name)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table("graft_stream_tumbling")
+    s.table(name)
   }
+
+  /** Tumbling 1-hour purchase/click value totals, computed by a streaming
+    * query in complete mode. Complete-mode final state after AvailableNow ≡
+    * the batch aggregate by construction; exactness comes from the same
+    * decimal accumulation as every batch query.
+    */
+  def qStreamTumbling(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "graft_stream_tumbling", "complete") { events =>
+      events
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    }
 
   val qStreamTumblingSql: String =
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
@@ -65,31 +76,13 @@ object StreamingQueries {
     * exactly once — projecting only the key columns makes the output
     * deterministic regardless of which physical row survived.
     */
-  def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
-    val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val events =
-      if (schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
-    val deduped = events
-      .withWatermark("ts", "365 days")
-      .dropDuplicatesWithinWatermark("user_id", "event_type")
-      .select(col("user_id"), col("event_type"))
-    val ckpt = java.nio.file.Files.createTempDirectory("stream_dedup_ckpt").toString
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName("graft_stream_dedup")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table("graft_stream_dedup")
-  }
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "graft_stream_dedup", "append") { events =>
+      events
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+    }
 
   val qStreamDedupSql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
@@ -99,33 +92,15 @@ object StreamingQueries {
     * for. The oracle replicates the overlap by unnesting each event into
     * both covering window starts (epoch-aligned, same as Spark's).
     */
-  def qStreamSliding(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
-    val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val events =
-      if (schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
-    val agg = events
-      .filter(col("event_type").isin("purchase", "click"))
-      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
-      .select(col("w.start").as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
-    val ckpt = java.nio.file.Files.createTempDirectory("stream_sliding_ckpt").toString
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName("graft_stream_sliding")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table("graft_stream_sliding")
-  }
+  def qStreamSliding(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "graft_stream_sliding", "complete") { events =>
+      events
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    }
 
   val qStreamSlidingSql: String =
     """SELECT time_bucket(INTERVAL '1 hour', ts) - o * INTERVAL '1 hour' AS window_start,
@@ -136,44 +111,27 @@ object StreamingQueries {
       |GROUP BY 1, 2""".stripMargin
 
   /** Session windows (30-minute gap) per user as a streaming job — the
-    * state-merging window kind. Spark's session semantics: a new event
-    * extends the session iff it starts strictly before last_event + gap,
-    * so a new session begins at diff ≥ gap; the oracle replays exactly
-    * that rule with lag() on microsecond epochs (same µs truncation both
-    * engines apply to the nanosecond source timestamps).
+    * state-merging window kind. Spark's session semantics (verified
+    * empirically): an event exactly gap after the previous one still
+    * MERGES — the session interval is [start, last + gap] inclusive at the
+    * probe — so a new session begins only at diff > gap; the oracle
+    * replays exactly that rule with lag() on microsecond epochs (same µs
+    * truncation both engines apply to the nanosecond source timestamps).
     */
-  def qStreamSession(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
-    val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val events =
-      if (schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
-    val agg = events
-      .withWatermark("ts", "365 days")
-      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
-        col("n_events"))
-    val ckpt = java.nio.file.Files.createTempDirectory("stream_session_ckpt").toString
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName("graft_stream_session")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table("graft_stream_session")
-  }
+  def qStreamSession(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "graft_stream_session", "complete") { events =>
+      events
+        .withWatermark("ts", "365 days")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events"))
+    }
 
   val qStreamSessionSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
       |g AS (SELECT user_id, us,
-      |        CASE WHEN us - LAG(us, 1) OVER w >= 1800000000 THEN 1
+      |        CASE WHEN us - LAG(us, 1) OVER w > 1800000000 THEN 1
       |             WHEN LAG(us, 1) OVER w IS NULL THEN 1 ELSE 0 END AS gap
       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
       |sess AS (SELECT user_id, us,

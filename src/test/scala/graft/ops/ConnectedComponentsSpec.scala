@@ -51,6 +51,11 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(c == Map(3L -> 3L, 4L -> 3L, 5L -> 3L))
   }
 
+  test("a node appearing only in a self-loop keeps a singleton component") {
+    val c = components((7L, 7L), (1L, 2L))
+    assert(c == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
   test("a star graph with the center as max id") {
     val c = components((9L, 1L), (9L, 2L), (9L, 3L))
     assert(c.values.toSet == Set(1L))
