@@ -21,6 +21,26 @@ class StreamOpsSpec extends SparkSpec {
   private def ts(min: Int, sec: Int = 0) =
     Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
 
+  test("Bus topics publish/subscribe and survive multi-batch drains") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Bus.publish(spark, "orders_in", Ev(ts(0), 1, "a"), Ev(ts(1), 2, "b"))
+    val out = Bus.subscribe[Ev](spark, "orders_in")
+      .groupBy(col("user")).agg(count(lit(1)).as("n"))
+    val ckpt = tmpDir("bus-topic")
+    StreamOps.runAvailableNow(
+      out.writeStream.outputMode("complete").format("memory").queryName("bus_out"), ckpt)
+    assert(spark.table("bus_out").count() == 2)
+    // same topic name returns the same stream; new records reach a
+    // restarted drain from the same checkpoint
+    Bus.publish(spark, "orders_in", Ev(ts(2), 1, "c"))
+    StreamOps.runAvailableNow(
+      out.writeStream.outputMode("complete").format("memory").queryName("bus_out"), ckpt)
+    val n = spark.table("bus_out").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n == Map(1L -> 2L, 2L -> 1L))
+    Bus.delete(spark, "orders_in")
+  }
+
   test("drain-and-stop: batch stage transforms apply to a stream unchanged") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
