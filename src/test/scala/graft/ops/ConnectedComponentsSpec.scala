@@ -62,6 +62,30 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(c(9L) == 1L)
   }
 
+  test("property: random graphs match a driver-side union-find") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEdges = Gen.nonEmptyListOf(for {
+      a <- Gen.chooseNum(0L, 19L); b <- Gen.chooseNum(0L, 19L)
+    } yield (a, b))
+    val prop = Prop.forAllNoShrink(genEdges) { edges =>
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(n => n -> find(n)).toMap
+      val got = ConnectedComponents.run(edgeDf(edges: _*), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("cluster stats over near-dup pairs match a driver-side union-find") {
     val pairs = graft.queries.SimilarityQueries.qMinhashLsh(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))

@@ -64,6 +64,25 @@ class PrefixSumSpec extends SparkSpec {
     assert(windows.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("property: cumsum equals scanLeft for random inputs and partition counts") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val gen = for {
+      vals <- Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L))
+      parts <- Gen.chooseNum(1, 8)
+    } yield (vals, parts)
+    // few cases (each spins Spark jobs), random shapes incl. duplicates
+    val prop = Prop.forAllNoShrink(gen) { case (vals, parts) =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("k", "v")
+      val got = PrefixSum.cumsum(df, col("v"), Seq(col("k")), "cum", partitions = parts)
+        .orderBy("k").collect().map(_.getAs[Long]("cum")).toSeq
+      val expected = vals.scanLeft(0L)(_ + _).tail
+      got == expected
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("q_vocab_coverage plans no unpartitioned window") {
     val plan = graft.queries.TextQueries.qVocabCoverage(spark, sfDir)
       .queryExecution.optimizedPlan
