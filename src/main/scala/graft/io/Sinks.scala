@@ -26,6 +26,16 @@ object Sinks {
   def overwrite(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** JSON-lines parts — the reference's actual wire format for ETLDataset
+    * (`<prefix>/<n>.json`); parquet is the default because columnar wins
+    * at scale, but interop with a JSON consumer stays one call.
+    */
+  def appendJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).json(path)
+
+  def appendCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Append).option("header", header.toString).csv(path)
+
   /** Append only rows whose key is not already present in the sink.
     * Returns the number of rows actually appended.
     * Scale: the anti-join shuffles on the key; with a partitioned sink the

@@ -333,6 +333,38 @@ object TextQueries {
       |  CAST(SUM(CASE WHEN (cum - freq) * 10 < total * 9 THEN 1 ELSE 0 END) AS BIGINT) AS tokens_for_90pct
       |FROM c""".stripMargin
 
+  /** Intra-document repetition — the duplicate-n-gram quality signal
+    * (high duplicate-trigram fraction flags boilerplate/spam documents in
+    * corpus filtering): per doc, 1 − distinct/total word-3-grams, as an
+    * exact rational rounded at 6 dp; the 20 most repetitive docs with
+    * deterministic tie-break. Per-row narrow compute, one small top-k.
+    */
+  def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .filter(size(toks) >= 3)
+      .withColumn("tk", toks)
+      .withColumn("grams", expr(
+        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+      .select(col("doc_id"),
+        size(col("grams")).as("total_grams"),
+        size(array_distinct(col("grams"))).as("distinct_grams"))
+      .withColumn("dup_ratio",
+        r6(lit(1.0) - col("distinct_grams").cast("double") / col("total_grams")))
+      .orderBy(col("dup_ratio").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val qRepetitionSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, list_transform(range(1, len(tk) - 1),
+      |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 3) t)
+      |SELECT doc_id, len(grams) AS total_grams,
+      |  len(list_distinct(grams)) AS distinct_grams,
+      |  ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) AS dup_ratio
+      |FROM g ORDER BY dup_ratio DESC, doc_id LIMIT 20""".stripMargin
+
   /** TF-IDF: top-3 most characteristic tokens per document (doc_id < 20).
     * tf = in-doc count, idf = ln(N/df) over the whole corpus; ranking on
     * the ROUNDED score with token tie-break so both engines rank
@@ -376,6 +408,7 @@ object TextQueries {
 
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_tfidf" -> ((qTfidf _, Some(qTfidfSql))),
+    "q_repetition" -> ((qRepetition _, Some(qRepetitionSql))),
     "q_normalized_dedup" -> ((qNormalizedDedup _, Some(qNormalizedDedupSql))),
     "q_contamination" -> ((qContamination _, Some(qContaminationSql))),
     "q_vocab_coverage" -> ((qVocabCoverage _, Some(qVocabCoverageSql))),

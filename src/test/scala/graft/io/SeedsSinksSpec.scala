@@ -36,6 +36,16 @@ class SeedsSinksSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 3)
   }
 
+  test("json and csv sinks round-trip through the matching source") {
+    val df = Seeds.fromRange(spark, 20)
+    val jsonPath = tmpDir("sink-json") + "/t"
+    Sinks.appendJson(df, jsonPath)
+    assert(spark.read.json(jsonPath).count() == 20)
+    val csvPath = tmpDir("sink-csv") + "/t"
+    Sinks.appendCsv(df, csvPath)
+    assert(spark.read.option("header", "true").csv(csvPath).count() == 20)
+  }
+
   test("appendDedup writes only unseen keys and reports the count") {
     val path = tmpDir("sink2") + "/ds"
     assert(Sinks.appendDedup(spark, Seeds.fromRange(spark, 10), path, Seq("idx")) == 10)
