@@ -41,15 +41,19 @@ object PrefixSum {
              partitions: Int = 0): DataFrame = {
     val n = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
-    // cache: BOTH branches below (local cumsum, per-partition totals) read
-    // `ranged`, and correctness requires them to see the SAME partition
-    // boundaries. Without materialization that only holds while Catalyst
-    // reuses the exchange — repartitionByRange's boundary sampling is
-    // seeded per-RDD, so two independent executions can split rows
-    // differently and silently misalign __ps_pid between branches.
+    // materialize ONCE (localCheckpoint, eager): BOTH branches below
+    // (local cumsum, per-partition totals) read `ranged`, and correctness
+    // requires them to see the SAME partition boundaries. Without
+    // materialization that only holds while Catalyst reuses the exchange —
+    // repartitionByRange's boundary sampling is seeded per-RDD, so two
+    // independent executions can split rows differently and silently
+    // misalign __ps_pid. localCheckpoint (vs cache) because its blocks are
+    // released by the ContextCleaner when the plan is garbage collected —
+    // a library call must not pin storage memory until someone remembers
+    // to unpersist.
     val ranged = df.repartitionByRange(n, order: _*)
       .withColumn("__ps_pid", spark_partition_id())
-      .cache()
+      .localCheckpoint()
     val local = Window.partitionBy(col("__ps_pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val summed = ranged.withColumn("__ps_local", sum(value).over(local))

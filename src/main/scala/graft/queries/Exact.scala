@@ -50,4 +50,15 @@ object Exact {
 
   /** Round nonlinear doubles to 6 dp — mirror with ROUND(x, 6) in DuckDB. */
   def r6(c: Column): Column = round(c, 6)
+
+  /** Word n-grams over a tokenized array column (space-joined windows of n
+    * adjacent tokens) — ONE definition for every shingling/bigram/
+    * contamination/repetition site, so a tokenization change cannot
+    * silently desynchronize one Spark query from its DuckDB oracle.
+    * Requires size(tkCol) >= n (filter first).
+    */
+  def ngrams(tkCol: String, n: Int): Column = {
+    val parts = (0 until n).map(j => s"$tkCol[i+$j]").mkString(", ")
+    expr(s"transform(sequence(0, size($tkCol)-$n), i -> concat_ws(' ', $parts))")
+  }
 }

@@ -37,9 +37,7 @@ object SimilarityQueries {
       // lambda would re-split the whole text per element (3 × n_tokens
       // full splits per doc)
       .withColumn("tk", toks)
-      .select(col("doc_id"), explode(array_distinct(
-        expr("transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
-        .as("shingle"))
+      .select(col("doc_id"), explode(array_distinct(ngrams("tk", 3))).as("shingle"))
 
   /** MinHash + LSH near-dup pairs with exact Jaccard verification.
     *

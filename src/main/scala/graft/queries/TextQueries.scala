@@ -213,9 +213,7 @@ object TextQueries {
     Tables.documents(s, dir)
       .filter(size(toks) >= 2)
       .withColumn("tk", toks)
-      .select(explode(
-        expr("transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1]))"))
-        .as("bigram"))
+      .select(explode(ngrams("tk", 2)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("bigram"))
@@ -263,9 +261,7 @@ object TextQueries {
     val sh = Tables.documents(s, dir)
       .filter(size(toks) >= 5)
       .withColumn("tk", toks)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(tk)-5), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))")))
-        .as("shingle"))
+      .select(col("doc_id"), explode(array_distinct(ngrams("tk", 5))).as("shingle"))
     val train = sh.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id").as("train_id"), col("shingle"))
     val eval_ = sh.filter(col("doc_id") % 2 === 1)
@@ -343,8 +339,7 @@ object TextQueries {
     Tables.documents(s, dir)
       .filter(size(toks) >= 3)
       .withColumn("tk", toks)
-      .withColumn("grams", expr(
-        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+      .withColumn("grams", ngrams("tk", 3))
       .select(col("doc_id"),
         size(col("grams")).as("total_grams"),
         size(array_distinct(col("grams"))).as("distinct_grams"))
