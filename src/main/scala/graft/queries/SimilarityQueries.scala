@@ -505,6 +505,32 @@ object SimilarityQueries {
       |WHERE substr(sha256(text), 64, 1) IN ('0', '1')
       |GROUP BY lang""".stripMargin
 
+  /** Fixed-SIZE stratified sampling: exactly 10 docs per language, chosen
+    * by content-hash order (sha256, doc_id tie-break) — the reproducible
+    * "n examples per stratum" sampler (eval-set carving, per-language
+    * quotas) that rand()-based sampleBy cannot give: reruns and backfills
+    * select the same rows bit-for-bit.
+    * Scale: one hash shuffle on the stratum key; the rank filter plans a
+    * WindowGroupLimit, so each partition retains only its top-n during the
+    * shuffle — never the full stratum.
+    */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("h", sha2(col("text"), 256))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("lang"), col("rn"), col("doc_id"))
+  }
+
+  val qStratifiedSampleSql: String =
+    """SELECT lang, rn, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sha256(text), doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 10""".stripMargin
+
   /** Mixture sampling — the training-data weighting step (sample source A
     * at 100%, source B at 50%, …) done deterministically: a doc is kept
     * iff its first md5 nibble (a 16-level uniform from content identity)
@@ -536,6 +562,7 @@ object SimilarityQueries {
 
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_mixture_sample" -> ((qMixtureSample _, Some(qMixtureSampleSql))),
+    "q_stratified_sample" -> ((qStratifiedSample _, Some(qStratifiedSampleSql))),
     "q_centroids" -> ((qCentroids _, Some(qCentroidsSql))),
     "q_hash_sample" -> ((qHashSample _, Some(qHashSampleSql))),
     "q_minhash_lsh" -> ((qMinhashLsh _, Some(qMinhashLshSql))),
