@@ -74,6 +74,33 @@ object FunctionQueries {
       |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Map-typed column surface through the gate: parse the JSON props into
+    * a MAP, then exercise element_at / map_keys / map_values / map_concat —
+    * the dynamic-payload path (§1.2's MapType fallback for schemaless
+    * dicts). The oracle reads the same values through DuckDB's JSON ops.
+    */
+  def qMapFns(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .filter(col("event_id") < 300)
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+      .withColumn("m2", map_concat(col("m"),
+        map_from_arrays(array(lit("etype_len")), array(length(col("event_type")).cast("bigint")))))
+      .select(col("event_id"),
+        element_at(col("m"), "k").as("k_value"),
+        size(map_keys(col("m"))).as("n_keys"),
+        element_at(col("m2"), "etype_len").as("etype_len"),
+        expr("aggregate(map_values(m2), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("value_sum"))
+  }
+
+  val qMapFnsSql: String =
+    """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_value,
+      |  len(json_keys(props)) AS n_keys,
+      |  CAST(strlen(event_type) AS BIGINT) AS etype_len,
+      |  CAST(props->>'$.k' AS BIGINT) + strlen(event_type) AS value_sum
+      |FROM events WHERE event_id < 300""".stripMargin
+
   /** Array functions: tokenize documents (split) then explode → top-20 token
     * frequencies with deterministic tie-break. Scale: explode is a narrow
     * generate (no shuffle); the aggregate shuffles #distinct-tokens rows
@@ -185,6 +212,7 @@ object FunctionQueries {
     "q_date_arith" -> ((qDateArith _, Some(qDateArithSql))),
     "q_scalar_fns" -> ((qScalarFns _, Some(qScalarFnsSql))),
     "q_json_fns" -> ((qJsonFns _, Some(qJsonFnsSql))),
+    "q_map_fns" -> ((qMapFns _, Some(qMapFnsSql))),
     "q_array_explode" -> ((qArrayExplode _, Some(qArrayExplodeSql))),
     "q_higher_order" -> ((qHigherOrder _, Some(qHigherOrderSql))),
     "q_conditional_fns" -> ((qConditionalFns _, Some(qConditionalFnsSql)))
