@@ -22,18 +22,12 @@ object Bench {
     val only = args.toSet
     val unknown = only -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
-    val builder = SparkSession.builder()
+    val spark = SessionConf.overlay(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-    // SPARK_GRAFT_CONF="k=v;k=v": arbitrary session-conf overlay (see Verify)
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
-      })
-    val spark = builder.getOrCreate()
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm the session (JVM, whole-stage codegen, parquet reader) outside

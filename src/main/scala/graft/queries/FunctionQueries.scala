@@ -97,8 +97,8 @@ object FunctionQueries {
   val qMapFnsSql: String =
     """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_value,
       |  len(json_keys(props)) AS n_keys,
-      |  CAST(strlen(event_type) AS BIGINT) AS etype_len,
-      |  CAST(props->>'$.k' AS BIGINT) + strlen(event_type) AS value_sum
+      |  CAST(length(event_type) AS BIGINT) AS etype_len,
+      |  CAST(props->>'$.k' AS BIGINT) + length(event_type) AS value_sum
       |FROM events WHERE event_id < 300""".stripMargin
 
   /** Array functions: tokenize documents (split) then explode → top-20 token
