@@ -197,6 +197,64 @@ object AdvancedQueries {
     """SELECT o_orderpriority, COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** Correlated EXISTS / NOT EXISTS / IN subqueries — the SQL-syntax path
+    * into semi/anti joins (Catalyst decorrelates all three; the DataFrame
+    * twins are q_semi_join/q_anti_join). Customers with an urgent order
+    * but no high-priced one, restricted to nations seen in orders'
+    * customer set.
+    */
+  def qExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_ex")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_ex")
+    s.sql(
+      """SELECT c_custkey, c_nationkey
+        |FROM customer_ex c
+        |WHERE EXISTS (SELECT 1 FROM orders_ex o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders_ex o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000)
+        |  AND c_nationkey IN (SELECT c_nationkey FROM customer_ex
+        |                      WHERE c_acctbal > 9000)""".stripMargin)
+  }
+
+  val qExistsSubquerySql: String =
+    """SELECT c_custkey, c_nationkey
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 400000)
+      |  AND c_nationkey IN (SELECT c_nationkey FROM customer
+      |                      WHERE c_acctbal > 9000)""".stripMargin
+
+  /** NULL semantics corner cases through the gate: nullable keys produced
+    * by NULLIF, the single NULL group in GROUP BY, null-safe equality
+    * (Spark `<=>` ≡ SQL IS NOT DISTINCT FROM), and COALESCE fallback —
+    * the semantics every engine pair disagrees on first.
+    */
+  def qNullSemantics(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      // FLOOR first: Spark's double->int cast truncates while DuckDB's
+      // ROUNDS — floor on identical doubles is engine-identical
+      .withColumn("vkey", nullif(floor(col("value")).cast("int") % 5, lit(0)))
+      .groupBy(col("event_type"), col("vkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("vkey") <=> lit(null), 1).otherwise(0)).as("n_null_safe_null"),
+        coalesce(min(col("vkey")), lit(-1)).as("min_or_default"))
+  }
+
+  val qNullSemanticsSql: String =
+    """SELECT event_type, NULLIF(CAST(FLOOR(value) AS INT) % 5, 0) AS vkey,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN NULLIF(CAST(FLOOR(value) AS INT) % 5, 0) IS NOT DISTINCT FROM NULL
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_null,
+      |  COALESCE(MIN(NULLIF(CAST(FLOOR(value) AS INT) % 5, 0)), -1) AS min_or_default
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** Correlated scalar subquery: orders beating their customer's average —
     * Catalyst decorrelates into an aggregate + join (check the plan: no
     * per-row re-execution, unlike the reference's per-item Python loops).
@@ -348,6 +406,8 @@ object AdvancedQueries {
     "q_zscore_outliers" -> ((qZscoreOutliers _, Some(qZscoreOutliersSql))),
     "q_funnel" -> ((qFunnel _, Some(qFunnelSql))),
     "q_scalar_subquery" -> ((qScalarSubquery _, Some(qScalarSubquerySql))),
+    "q_exists_subquery" -> ((qExistsSubquery _, Some(qExistsSubquerySql))),
+    "q_null_semantics" -> ((qNullSemantics _, Some(qNullSemanticsSql))),
     "q_having" -> ((qHaving _, Some(qHavingSql))),
     "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_sessionize" -> ((qSessionize _, Some(qSessionizeSql))),
