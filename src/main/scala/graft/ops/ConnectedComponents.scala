@@ -44,17 +44,33 @@ object ConnectedComponents {
   /** run() plus the number of rounds taken (for tests/monitoring). */
   def runWithStats(edges: DataFrame, src: String, dst: String,
                    maxIter: Int = 25): (DataFrame, Int) = {
-    val sym = edges.select(col(src).as("e_src"), col(dst).as("e_dst"))
-      .union(edges.select(col(dst).as("e_src"), col(src).as("e_dst")))
+    // materialize the caller's edge pipeline ONCE: the symmetric union and
+    // the node-set extraction below each reference `edges`, and an
+    // expensive upstream (a whole LSH pair pipeline) would otherwise
+    // execute once per reference
+    val e = edges.select(col(src).as("e_src"), col(dst).as("e_dst"))
+      .localCheckpoint()
+    val symAll = e
+      .union(e.select(col("e_dst").as("e_src"), col("e_src").as("e_dst")))
       .filter(col("e_src") =!= col("e_dst"))
       .distinct()
-      .repartition(col("e_dst"))
       .cache()
+    // Size the loop's parallelism to the GRAPH, not the session default:
+    // after LSH pruning the edge list is usually orders of magnitude
+    // smaller than the corpus, and every one of the O(log d) rounds pays
+    // per-task fixed costs on every partition. ~50k edges per partition;
+    // the count also materializes the cache. Joins against `sym` adopt its
+    // partitioning, so the whole loop runs at this width.
+    val nEdges = symAll.count()
+    val maxP = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val p = math.max(1, math.min(maxP.toLong, nEdges / 50000 + 1)).toInt
+    val sym = symAll.repartition(p, col("e_dst")).cache()
+    symAll.unpersist()
 
     // node set from the UNFILTERED edge list, so a node appearing only in
     // self-loops still gets a (singleton) component instead of vanishing
-    var labels = edges.select(col(src).as("node"))
-      .union(edges.select(col(dst).as("node")))
+    var labels = e.select(col("e_src").as("node"))
+      .union(e.select(col("e_dst").as("node")))
       .distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
@@ -65,22 +81,23 @@ object ConnectedComponents {
         .groupBy(col("e_src"))
         .agg(min(col("lbl")).as("nbr_lbl"))
       val cand = labels.join(nbrMin, col("node") === col("e_src"), "left")
-        .select(col("node"),
+        .select(col("node"), col("lbl").as("old_lbl"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
       // pointer jump: also adopt the label OF my label. A label is always
       // the id of a node in my component, so the lookup stays in-component
       // and monotonically nonincreasing — this is what turns O(diameter)
-      // into O(log diameter).
+      // into O(log diameter). The old label rides along so convergence is
+      // a filter on the checkpointed result, not another join per round.
       val next = cand.as("c")
         .join(cand.select(col("node").as("l_node"), col("lbl").as("l_lbl")),
           col("c.lbl") === col("l_node"), "left")
         .select(col("node"),
-          least(col("c.lbl"), coalesce(col("l_lbl"), col("c.lbl"))).as("lbl"))
+          least(col("c.lbl"), coalesce(col("l_lbl"), col("c.lbl"))).as("lbl"),
+          (least(col("c.lbl"), coalesce(col("l_lbl"), col("c.lbl")))
+            =!= col("old_lbl")).as("__chg"))
         .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), "node")
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .head(1).isEmpty
-      labels = next
+      converged = next.filter(col("__chg")).head(1).isEmpty
+      labels = next.drop("__chg")
       iter += 1
     }
     sym.unpersist()
