@@ -197,6 +197,51 @@ object AdvancedQueries {
     """SELECT o_orderpriority, COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** Bivariate statistics (Pearson correlation + sample covariance) per
+    * event type, from decimal-exact moment sums rather than the built-in
+    * corr()/covar_samp() — the builtins use different streaming update
+    * formulas per engine (Welford vs naive) whose float drift can cross a
+    * rounding boundary; exact Σx, Σy, Σxy, Σx², n make both engines
+    * compute the SAME doubles before the one rounded division.
+    * x = value, y = the JSON props k. Scale: one hash aggregate, five
+    * decimal sums, map-side partials.
+    */
+  def qCorrelation(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sx"),
+        sum(col("k")).cast("double").as("sy"),
+        sum(expr("CAST(CAST(value AS DECIMAL(12,4)) * k AS DECIMAL(28,4))"))
+          .cast("double").as("sxy"),
+        sum(expr("CAST(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4)) AS DECIMAL(28,8))"))
+          .cast("double").as("sxx"),
+        sum(col("k") * col("k")).cast("double").as("syy"))
+      .select(col("event_type"), col("n"),
+        r6((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+          .as("covar_samp"),
+        r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("pearson_r"))
+  }
+
+  val qCorrelationSql: String =
+    """WITH m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * CAST(props->>'$.k' AS BIGINT) AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4)) AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(props->>'$.k' AS BIGINT) * CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS DOUBLE) AS syy
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n,
+      |  ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
+      |  ROUND((n * sxy - sx * sy) /
+      |    SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS pearson_r
+      |FROM m""".stripMargin
+
   /** Correlated EXISTS / NOT EXISTS / IN subqueries — the SQL-syntax path
     * into semi/anti joins (Catalyst decorrelates all three; the DataFrame
     * twins are q_semi_join/q_anti_join). Customers with an urgent order
@@ -407,6 +452,7 @@ object AdvancedQueries {
     "q_funnel" -> ((qFunnel _, Some(qFunnelSql))),
     "q_scalar_subquery" -> ((qScalarSubquery _, Some(qScalarSubquerySql))),
     "q_exists_subquery" -> ((qExistsSubquery _, Some(qExistsSubquerySql))),
+    "q_correlation" -> ((qCorrelation _, Some(qCorrelationSql))),
     "q_null_semantics" -> ((qNullSemantics _, Some(qNullSemanticsSql))),
     "q_having" -> ((qHaving _, Some(qHavingSql))),
     "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
