@@ -50,22 +50,23 @@ object ConnectedComponents {
     // execute once per reference
     val e = edges.select(col(src).as("e_src"), col(dst).as("e_dst"))
       .localCheckpoint()
-    val symAll = e
-      .union(e.select(col("e_dst").as("e_src"), col("e_src").as("e_dst")))
-      .filter(col("e_src") =!= col("e_dst"))
-      .distinct()
-      .cache()
     // Size the loop's parallelism to the GRAPH, not the session default:
     // after LSH pruning the edge list is usually orders of magnitude
     // smaller than the corpus, and every one of the O(log d) rounds pays
-    // per-task fixed costs on every partition. ~50k edges per partition;
-    // the count also materializes the cache. Joins against `sym` adopt its
-    // partitioning, so the whole loop runs at this width.
-    val nEdges = symAll.count()
+    // per-task fixed costs on every partition. ~50k edges per partition,
+    // sized from the (already materialized) directed edge list. The
+    // sym-vs-labels joins adopt sym's width; the groupBy and pointer-jump
+    // self-join still plan at the session shuffle width, where AQE's
+    // partition coalescing shrinks them to the data.
+    val nEdges = 2 * e.count()
     val maxP = edges.sparkSession.sessionState.conf.numShufflePartitions
     val p = math.max(1, math.min(maxP.toLong, nEdges / 50000 + 1)).toInt
-    val sym = symAll.repartition(p, col("e_dst")).cache()
-    symAll.unpersist()
+    val sym = e
+      .union(e.select(col("e_dst").as("e_src"), col("e_src").as("e_dst")))
+      .filter(col("e_src") =!= col("e_dst"))
+      .distinct()
+      .repartition(p, col("e_dst"))
+      .cache()
 
     // node set from the UNFILTERED edge list, so a node appearing only in
     // self-loops still gets a (singleton) component instead of vanishing

@@ -215,8 +215,7 @@ object AdvancedQueries {
         sum(col("k")).cast("double").as("sy"),
         sum(expr("CAST(CAST(value AS DECIMAL(12,4)) * k AS DECIMAL(28,4))"))
           .cast("double").as("sxy"),
-        sum(expr("CAST(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4)) AS DECIMAL(28,8))"))
-          .cast("double").as("sxx"),
+        dSumSq(col("value")).as("sxx"),
         sum(col("k") * col("k")).cast("double").as("syy"))
       .select(col("event_type"), col("n"),
         r6((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
@@ -233,7 +232,7 @@ object AdvancedQueries {
       |    CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sx,
       |    CAST(CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS DOUBLE) AS sy,
       |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * CAST(props->>'$.k' AS BIGINT) AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4)) AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4)) AS DECIMAL(28,8))) AS DECIMAL(24,4)) AS DOUBLE) AS sxx,
       |    CAST(CAST(SUM(CAST(props->>'$.k' AS BIGINT) * CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS DOUBLE) AS syy
       |  FROM events GROUP BY event_type)
       |SELECT event_type, n,
@@ -347,8 +346,7 @@ object AdvancedQueries {
     val stats = ev.groupBy(col("event_type").as("et"))
       .agg(count(lit(1)).as("n"),
         sum(dec(col("value"))).cast("double").as("sx"),
-        sum(expr("CAST(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4)) AS DECIMAL(28,8))"))
-          .cast("double").as("sxx"))
+        dSumSq(col("value")).as("sxx"))
       .withColumn("mean", col("sx") / col("n"))
       .withColumn("variance", (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
     ev.join(broadcast(stats), col("event_type") === col("et"))
@@ -361,7 +359,7 @@ object AdvancedQueries {
     """WITH stats AS (
       |  SELECT event_type AS et, COUNT(*) AS n,
       |    CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4)) AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+      |    CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4)) AS DECIMAL(28,8))) AS DECIMAL(24,4)) AS DOUBLE) AS sxx
       |  FROM events GROUP BY event_type),
       |enriched AS (
       |  SELECT et, n, sx / n AS mean, (sxx - sx * sx / n) / (n - 1) AS variance

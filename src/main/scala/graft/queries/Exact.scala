@@ -51,6 +51,21 @@ object Exact {
   /** Round nonlinear doubles to 6 dp — mirror with ROUND(x, 6) in DuckDB. */
   def r6(c: Column): Column = round(c, 6)
 
+  /** Σx² for money-scale values, rescaled to scale 4 BEFORE the double
+    * cast. The per-product scale is 8 (4dp × 4dp) but 2-dp source data
+    * makes every product exact at scale 4, so the rescale is
+    * value-preserving — and at scale 8 the summed scaled integer crosses
+    * 2^53 around sf0.1, where DuckDB's wide-decimal→double cast stops
+    * being correctly rounded (see dProductSum). ONE definition for every
+    * moment-sum site (z-score, correlation).
+    * Mirror with CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(12,4)) *
+    * CAST(x AS DECIMAL(12,4)) AS DECIMAL(28,8))) AS DECIMAL(24,4)) AS
+    * DOUBLE).
+    */
+  def dSumSq(c: Column): Column =
+    sum((dec(c) * dec(c)).cast(DecimalType(28, 8)))
+      .cast(DecimalType(24, 4)).cast("double")
+
   /** Word n-grams over a tokenized array column (space-joined windows of n
     * adjacent tokens) — ONE definition for every shingling/bigram/
     * contamination/repetition site, so a tokenization change cannot
