@@ -74,6 +74,32 @@ object FunctionQueries {
       |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Calendar truncation/extraction — the reporting-grain functions
+    * (monthly rollups, quarter/week-of-year fields) not covered by
+    * q_date_arith's day arithmetic. trunc-to-month emits DATE on both
+    * engines; extracts are exact integers.
+    */
+  def qDateTrunc(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .select(trunc(col("o_orderdate").cast("date"), "month").as("order_month"),
+        quarter(col("o_orderdate")).as("q"),
+        year(col("o_orderdate")).as("y"),
+        col("o_totalprice"), col("o_custkey"))
+      .groupBy(col("order_month"), col("q"), col("y"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+  }
+
+  val qDateTruncSql: String =
+    """SELECT date_trunc('month', o_orderdate) AS order_month,
+      |  EXTRACT(quarter FROM o_orderdate) AS q,
+      |  EXTRACT(year FROM o_orderdate) AS y,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+      |  COUNT(DISTINCT o_custkey) AS n_customers
+      |FROM orders GROUP BY 1, 2, 3""".stripMargin
+
   /** Map-typed column surface through the gate: parse the JSON props into
     * a MAP, then exercise element_at / map_keys / map_values / map_concat —
     * the dynamic-payload path (§1.2's MapType fallback for schemaless
@@ -210,6 +236,7 @@ object FunctionQueries {
 
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_date_arith" -> ((qDateArith _, Some(qDateArithSql))),
+    "q_date_trunc" -> ((qDateTrunc _, Some(qDateTruncSql))),
     "q_scalar_fns" -> ((qScalarFns _, Some(qScalarFnsSql))),
     "q_json_fns" -> ((qJsonFns _, Some(qJsonFnsSql))),
     "q_map_fns" -> ((qMapFns _, Some(qMapFnsSql))),
