@@ -4,11 +4,18 @@ import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR.
   *
-  * Output contract (driver-parseable): ONE JSON line on stdout, and the same
-  * line written to $BENCH_OUT (default /root/repo/BENCH_OUT.json) because
-  * sbt prefixes stdout with "[info] " which broke the driver's parse in r1.
-  * Failures are not swallowed: failed queries land in an "errors" map and
-  * the process exits nonzero.
+  * Output contract (driver-parseable): ONE COMPACT JSON line on stdout —
+  * total/unit/sf plus a headline per-query subset — and the FULL per-query
+  * map written to $BENCH_OUT (default /root/repo/BENCH_OUT.json). Two
+  * constraints shape this, both learned from dark bench gates:
+  *   - r1: sbt prefixes stdout with "[info] ", so the file copy exists;
+  *   - r2/r3: the driver keeps only the LAST ~2000 chars of stdout, and the
+  *     full 85-query map is ~2.3 KB, so the head of the line (with
+  *     "metric"/"value") was truncated away and parse returned null. The
+  *     stdout line is therefore capped well under the tail window (sbt's
+  *     trailing "[success] Total time..." line shares it).
+  * Failures are not swallowed: failed queries land in an "errors" map (both
+  * outputs) and the process exits nonzero.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -82,15 +89,34 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
     }
-    val qs = timings.map { case (k, v) => s""""${esc(k)}":${f"$v%.3f"}""" }
-      .mkString("{", ",", "}")
+    def qsJson(m: collection.Map[String, Double]): String =
+      m.map { case (k, v) => s""""${esc(k)}":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
-    val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}"""
-    println(json)
-    Files.writeString(Paths.get(out), json + "\n")
+    def line(qs: collection.Map[String, Double]): String =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${qsJson(qs)},"errors":$errs,"sf":"${esc(sfDir)}","detail":"${esc(out)}"}"""
+    // Full detail → file (driver and humans can read it whole).
+    Files.writeString(Paths.get(out), line(timings) + "\n")
+    // Stdout → compact headline subset, one per plan family, hard-capped so
+    // the line survives the driver's 2000-char stdout tail. If headliners
+    // are missing (e.g. a filtered dev run) fall back to whatever was timed,
+    // trimming from the end until the cap holds.
+    val headliners = Vector(
+      "q1_agg", "q3_join", "q5_multi_join", "q_left_join_agg", "q_window_rank",
+      "q_topk", "q_set_ops", "q_rollup", "q_json_fns", "q_exists_subquery",
+      "q_dedup_exact", "q_minhash_lsh", "q_embedding_neardup", "q_cosine_topk",
+      "q_ann_fullprobe", "q_text_stats", "q_tfidf", "q_stream_tumbling",
+      "q_dedup_clusters", "q_range_join")
+    val picked = {
+      val head = headliners.filter(timings.contains)
+      if (head.nonEmpty) head else timings.keys.toVector
+    }
+    val capped = Iterator.iterate(picked)(_.dropRight(1))
+      .map(ks => line(scala.collection.immutable.ListMap(ks.map(k => k -> timings(k)): _*)))
+      .find(_.length <= 1500)
+      .getOrElse(line(Map.empty))
+    println(capped)
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
