@@ -95,17 +95,31 @@ object GraftFunctions {
     "_FUNC_(a, b) - cosine similarity of two float arrays (codegen'd fused loop).",
     "")
 
+  private val dotInfo = new ExpressionInfo(
+    classOf[DotProduct].getName, null, "dot_product",
+    "_FUNC_(a, b) - dot product of two float arrays (codegen'd fused loop).",
+    "")
+
   private def build(children: Seq[Expression]): Expression = {
     require(children.size == 2, "cosine_similarity takes exactly 2 arguments")
     CosineSimilarity(children(0), children(1))
   }
 
-  /** Idempotent runtime registration on a live session. */
+  private def buildDot(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "dot_product takes exactly 2 arguments")
+    DotProduct(children(0), children(1))
+  }
+
+  /** Idempotent runtime registration on a live session: the SQL functions
+    * plus the HOF→kernel optimizer rewrite. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_similarity"), info, build _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("hamming_distance"), HammingDistance.info, HammingDistance.build _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_product"), dotInfo, buildDot _)
+    graft.plans.DotProductRewrite.install(spark)
   }
 }
 
@@ -121,5 +135,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("hamming_distance"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
       (children: Seq[Expression]) => HammingDistance(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }
