@@ -26,7 +26,8 @@ object SparkEntry {
       PipelineQueries.all,
       AdvancedQueries.all,
       StreamingQueries.all,
-      NorthStarQueries.all
+      NorthStarQueries.all,
+      AnalyticsQueries.all
     )
 
   private val merged: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = {

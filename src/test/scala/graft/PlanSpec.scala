@@ -18,9 +18,11 @@ class PlanSpec extends SparkSpec {
   // rows) and the broadcast scalar-total join are both metadata-scale BNLJs.
   // q_embedding_neardup: the 64-row hyperplane table is broadcast against
   // the corpus with no join key by design (every vector × every plane).
+  // q_gapfill: the spine join is distinct-types × a broadcast 1-row bounds
+  // aggregate — keyless by design, metadata-scale (#types × 1 rows).
   private val bnljAllowed =
     Set("q_range_join", "q_cosine_topk", "q_ann_ivf", "q_ann_fullprobe",
-      "q_vocab_coverage", "q_embedding_neardup")
+      "q_vocab_coverage", "q_embedding_neardup", "q_gapfill")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
