@@ -119,7 +119,19 @@ object GraftFunctions {
       FunctionIdentifier("hamming_distance"), HammingDistance.info, HammingDistance.build _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_product"), dotInfo, buildDot _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("edit_distance_within"), edwInfo, buildEdw _)
     graft.plans.DotProductRewrite.install(spark)
+  }
+
+  private val edwInfo = new ExpressionInfo(
+    classOf[EditDistanceWithin].getName, null, "edit_distance_within",
+    "_FUNC_(a, b, k) - edit distance if <= k else -1 (byte-banded DP, early exit).",
+    "")
+
+  private def buildEdw(children: Seq[Expression]): Expression = {
+    require(children.size == 3, "edit_distance_within takes exactly 3 arguments")
+    EditDistanceWithin(children(0), children(1), children(2))
   }
 }
 
@@ -138,6 +150,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("edit_distance_within"),
+      new ExpressionInfo(classOf[EditDistanceWithin].getName, "edit_distance_within"),
+      (children: Seq[Expression]) => EditDistanceWithin(children(0), children(1), children(2))))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }

@@ -73,14 +73,22 @@ object AnalyticsQueries {
     * levenshtein — no UDF.
     */
   def qEditDistance(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val p = Tables.part(s, dir)
       .select(col("p_partkey"), col("p_name"), col("p_brand"))
-    p.as("a").join(p.as("b"),
+    // Broadcast the (small) right side: a sort-merge self-join on a
+    // 25-value key buffers each duplicate-key group quadratically AND caps
+    // parallelism at #brands; the broadcast hash join probes per LEFT row,
+    // so work spreads across every partition. Per-pair distance uses the
+    // codegen'd edit_distance_within (byte-banded DP, early exit, -1 when
+    // > 4) — identical results to levenshtein(a, b, 4), ~10× cheaper on
+    // the ASCII hot path (see functions.EditDistanceWithin).
+    p.as("a").join(broadcast(p.as("b")),
         col("a.p_brand") === col("b.p_brand") &&
           col("a.p_partkey") < col("b.p_partkey"))
       .select(col("a.p_brand").as("brand"),
-        levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
-      .filter(col("dist") > 0 && col("dist") <= 4)
+        expr("edit_distance_within(a.p_name, b.p_name, 4)").as("dist"))
+      .filter(col("dist") > 0)
       .groupBy(col("brand"))
       .agg(count(lit(1)).as("n_pairs"),
         min(col("dist")).cast("bigint").as("min_dist"),

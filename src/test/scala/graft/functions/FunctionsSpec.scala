@@ -70,6 +70,32 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("edit_distance_within matches built-in levenshtein(a, b, k) everywhere") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("kitten", "sitting"), ("abc", "abc"), ("", "abcd"), ("abcd", ""),
+      ("small ring", "large ring"), ("red widget", "blue bolt"),
+      ("naïve café", "naive cafe"), ("żółć", "zolc"), // non-ASCII fallback path
+      ("a", "abcdefghij")
+    ).toDF("a", "b")
+    for (k <- Seq(0, 1, 4, 10)) {
+      val diff = df.selectExpr(
+          s"edit_distance_within(a, b, $k) AS custom",
+          s"levenshtein(a, b, $k) AS builtin")
+        .filter(col("custom") =!= col("builtin")).count()
+      assert(diff == 0, s"divergence from built-in at k=$k")
+    }
+    // null propagation
+    val r = spark.sql("SELECT edit_distance_within(NULL, 'x', 2) AS d").collect().head
+    assert(r.isNullAt(0))
+    // threshold exceeded -> -1, within -> exact distance
+    val v = spark.sql(
+      "SELECT edit_distance_within('kitten', 'sitting', 2), edit_distance_within('kitten', 'sitting', 3)")
+      .collect().head
+    assert(v.getInt(0) == -1 && v.getInt(1) == 3)
+  }
+
   test("dimension mismatch yields NULL, not a truncated score") {
     graft.functions.GraftFunctions.register(spark)
     // SQL path (codegen) and a constant-folded/interpreted path both NULL
