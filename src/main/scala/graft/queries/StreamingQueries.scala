@@ -141,10 +141,61 @@ object StreamingQueries {
       |SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
+  /** Arbitrary keyed state via flatMapGroupsWithState — the general-state
+    * primitive (per-user counters/models the built-in windows can't hold),
+    * run as a REAL streaming job and gated by the batch oracle. Each
+    * micro-batch updates (n, Σvalue, last-seen) per user and emits the new
+    * state; the final state per key must equal the batch aggregate however
+    * the source was batched, so the post-drain read keeps, atomically, the
+    * update with the highest n (a whole-struct max — n strictly grows, so
+    * that IS the final state; taking per-column maxes could mix updates).
+    * Money values cross the typed boundary as scale-4 integers (exact long
+    * adds in state; both engines then divide the identical integer by 1e4
+    * in double). State is bounded by key cardinality, checkpointed
+    * exactly-once; at 100 TB the state store shards by key like any
+    * shuffle.
+    */
+  def qStreamCustomState(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val updates = runEventStream(s, dir, "graft_stream_custom_state", "update") { events =>
+      events
+        .select(col("user_id"),
+          expr("CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT)").as("v_scaled"),
+          unix_micros(col("ts")).as("us"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          (user: Long, rows: Iterator[(Long, Long, Long)], st: GroupState[(Long, Long, Long)]) =>
+            var (n, sum, last) = st.getOption.getOrElse((0L, 0L, Long.MinValue))
+            rows.foreach { case (_, v, us) =>
+              n += 1; sum += v; if (us > last) last = us
+            }
+            st.update((n, sum, last))
+            Iterator((user, n, sum, last))
+        }
+        .toDF("user_id", "n_events", "sum_scaled", "last_us")
+    }
+    updates
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("sum_scaled"), col("last_us"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        (col("m.sum_scaled").cast("double") / lit(10000.0d)).as("sum_value"),
+        col("m.last_us").as("last_us"))
+  }
+
+  val qStreamCustomStateSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_value,
+      |  MAX(epoch_us(ts)) AS last_us
+      |FROM events GROUP BY user_id""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_stream_tumbling" -> ((qStreamTumbling _, Some(qStreamTumblingSql))),
     "q_stream_dedup" -> ((qStreamDedup _, Some(qStreamDedupSql))),
     "q_stream_sliding" -> ((qStreamSliding _, Some(qStreamSlidingSql))),
-    "q_stream_session" -> ((qStreamSession _, Some(qStreamSessionSql)))
+    "q_stream_session" -> ((qStreamSession _, Some(qStreamSessionSql))),
+    "q_stream_custom_state" -> ((qStreamCustomState _, Some(qStreamCustomStateSql)))
   )
 }

@@ -26,7 +26,8 @@ class PlanSpec extends SparkSpec {
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
-    Set("q_stream_tumbling", "q_stream_dedup", "q_stream_sliding", "q_stream_session")
+    Set("q_stream_tumbling", "q_stream_dedup", "q_stream_sliding", "q_stream_session",
+      "q_stream_custom_state")
 
   test("no query plans a CartesianProduct; BNLJ only where designed") {
     for ((name, _) <- SparkEntry.queries if !skipped(name)) {
