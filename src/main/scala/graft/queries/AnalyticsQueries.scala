@@ -200,7 +200,39 @@ object AnalyticsQueries {
       |UNION ALL SELECT nationkey, 'avg_bal', avg_bal FROM w
       |UNION ALL SELECT nationkey, 'n_cust', n_cust FROM w""".stripMargin
 
+  /** Per-document token entropy — the lexical-diversity quality signal
+    * (low entropy = repetitive/templated text, a standard training-data
+    * filter next to q_repetition's window-based variant). One-pass form
+    * H = ln(n) − Σ c·ln(c)/n, so no per-token probability join; the Σ term
+    * decimal-accumulates (order-independent across partitions/engines),
+    * ln on identical double operands + round(6) as in q_tfidf.
+    */
+  def qTokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("bigint").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr("CAST(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)) AS DECIMAL(28,14))"))
+          .cast("double").as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        r6(log(col("n_tokens").cast("double")) - col("s") / col("n_tokens"))
+          .as("token_entropy"))
+  }
+
+  val qTokenEntropySql: String =
+    """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+      |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+      |        CAST(SUM(CAST(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS s
+      |      FROM c GROUP BY 1)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  ROUND(LN(CAST(n_tokens AS DOUBLE)) - s / n_tokens, 6) AS token_entropy
+      |FROM a""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_token_entropy" -> ((qTokenEntropy _, Some(qTokenEntropySql))),
     "q_regression" -> ((qRegression _, Some(qRegressionSql))),
     "q_edit_distance" -> ((qEditDistance _, Some(qEditDistanceSql))),
     "q_gapfill" -> ((qGapfill _, Some(qGapfillSql))),
