@@ -231,8 +231,56 @@ object AnalyticsQueries {
       |  ROUND(LN(CAST(n_tokens AS DOUBLE)) - s / n_tokens, 6) AS token_entropy
       |FROM a""".stripMargin
 
+  /** Large×large interval-containment join via ops.IntervalJoin: for every
+    * event, the CROSS-USER sessions (qSessionize's derivation) active at
+    * its timestamp — the concurrency-attribution shape (ad impressions ×
+    * campaign flights, trades × halts) that would otherwise plan a
+    * quadratic BNLJ, since probe and intervals share no equi key. Bucketed
+    * at the 30-min session gap: probe shuffles once on its single bucket,
+    * intervals replicate ⌈len/1800⌉+1×, the pair meets in exactly one
+    * bucket. The oracle is the naive BETWEEN join.
+    */
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables.events(s, dir).withColumn("epoch", unix_timestamp(col("ts")))
+    val sess = ev
+      .withColumn("gap",
+        when(col("epoch") - lag(col("epoch"), 1).over(w) > 1800, 1)
+          .when(lag(col("epoch"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_id", sum(col("gap")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("epoch")).as("s_start"), max(col("epoch")).as("s_end"))
+      .select(col("s_start"), col("s_end"))
+    val probe = ev.select(col("event_id"), col("event_type"), col("epoch"))
+    graft.ops.IntervalJoin.containment(probe, "epoch", sess, "s_start", "s_end", 1800L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("event_id")).as("n_events"))
+  }
+
+  val qIntervalJoinSql: String =
+    """WITH e AS (SELECT event_id, event_type, user_id,
+      |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch FROM events),
+      |g AS (SELECT user_id, event_id, epoch,
+      |        CASE WHEN epoch - LAG(epoch, 1) OVER w > 1800 THEN 1
+      |             WHEN LAG(epoch, 1) OVER w IS NULL THEN 1 ELSE 0 END AS gap
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch, event_id)),
+      |sess0 AS (SELECT user_id, epoch,
+      |            CAST(SUM(gap) OVER (PARTITION BY user_id ORDER BY epoch, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |          FROM g),
+      |sess AS (SELECT MIN(epoch) AS s_start, MAX(epoch) AS s_end
+      |         FROM sess0 GROUP BY user_id, sid),
+      |pairs AS (SELECT e.event_type, e.event_id
+      |          FROM e JOIN sess ON e.epoch BETWEEN sess.s_start AND sess.s_end)
+      |SELECT event_type, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT event_id) AS n_events
+      |FROM pairs GROUP BY event_type""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_token_entropy" -> ((qTokenEntropy _, Some(qTokenEntropySql))),
+    "q_interval_join" -> ((qIntervalJoin _, Some(qIntervalJoinSql))),
     "q_regression" -> ((qRegression _, Some(qRegressionSql))),
     "q_edit_distance" -> ((qEditDistance _, Some(qEditDistanceSql))),
     "q_gapfill" -> ((qGapfill _, Some(qGapfillSql))),
