@@ -191,7 +191,63 @@ object StreamingQueries {
       |  MAX(epoch_us(ts)) AS last_us
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Stream-stream inner join with watermark-bounded state — last-hour
+    * click→purchase attribution: each purchase joins the SAME USER's
+    * clicks in the preceding hour. Both sides are real streams (two
+    * readers over the landing dir); the event-time range condition plus
+    * per-side watermarks is exactly what lets Spark expire join state —
+    * without them a stream-stream join buffers both streams forever. The
+    * drained append output must equal the batch join, hash-checked via the
+    * DuckDB oracle. State at 100 TB/day: each side holds only rows younger
+    * than watermark+range, sharded by the equi key like any shuffle.
+    */
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def stream(): DataFrame = {
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      if (schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    }
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_join_ckpt").toString
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_stream_join")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_join")
+  }
+
+  val qStreamJoinSql: String =
+    """WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+      |      FROM events WHERE event_type = 'click')
+      |SELECT p.user_id, purchase_id, click_id, p_us, c_us
+      |FROM p JOIN c ON p.user_id = c.user_id
+      | AND c_us >= p_us - 3600000000 AND c_us <= p_us""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_stream_join" -> ((qStreamJoin _, Some(qStreamJoinSql))),
     "q_stream_tumbling" -> ((qStreamTumbling _, Some(qStreamTumblingSql))),
     "q_stream_dedup" -> ((qStreamDedup _, Some(qStreamDedupSql))),
     "q_stream_sliding" -> ((qStreamSliding _, Some(qStreamSlidingSql))),
