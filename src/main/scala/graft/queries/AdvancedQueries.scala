@@ -41,6 +41,65 @@ object AdvancedQueries {
       |ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  /** Forward as-of join: for every purchase, the user's NEXT click at or
+    * after it (same union+window machinery, time-descending carry). Clicks
+    * are pre-aggregated to unique (user, ts) rows so colliding right times
+    * cannot make the tie nondeterministic — the same dedup runs in the
+    * oracle, whose native ASOF supports the <= direction too.
+    */
+  def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    AsofJoin.asof(purchases, clicks,
+      key = "user_id", leftTime = "ts", rightTime = "click_ts",
+      rightCols = Map("click_id" -> "next_click_id", "click_ts" -> "next_click_ts"),
+      direction = "forward")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("next_click_id"), col("next_click_ts"))
+  }
+
+  val qAsofForwardSql: String =
+    """WITH c AS (SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+      |           FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+      |SELECT p.user_id, p.event_id, p.ts,
+      |  c.click_id AS next_click_id, c.click_ts AS next_click_ts
+      |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.click_ts""".stripMargin
+
+  /** Backward as-of join with a match tolerance: the most recent click
+    * counts only within 10 minutes — stale matches null out (the standard
+    * as-of tolerance, e.g. pandas merge_asof's). The tolerance is a
+    * post-carry filter on the matched right TIME, so it adds no join work;
+    * the oracle applies the same CASE to DuckDB's native ASOF result.
+    */
+  def qAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    AsofJoin.asof(purchases, clicks,
+      key = "user_id", leftTime = "ts", rightTime = "click_ts",
+      rightCols = Map("click_id" -> "recent_click_id", "click_ts" -> "recent_click_ts"),
+      tolerance = Some((lt, rt) => unix_micros(lt) - unix_micros(rt) <= lit(600000000L)))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("recent_click_id"), col("recent_click_ts"))
+  }
+
+  val qAsofToleranceSql: String =
+    """SELECT p.user_id, p.event_id, p.ts,
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
+      |       THEN c.event_id END AS recent_click_id,
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
+      |       THEN c.ts END AS recent_click_ts
+      |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
   /** Gap-based sessionization (30-minute inactivity gap) — the batch twin
     * of streaming session windows. One shuffle on user_id, one per-user
     * sort; session ids are running sums of gap indicators. Session stats
@@ -454,6 +513,8 @@ object AdvancedQueries {
     "q_null_semantics" -> ((qNullSemantics _, Some(qNullSemanticsSql))),
     "q_having" -> ((qHaving _, Some(qHavingSql))),
     "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
+    "q_asof_forward" -> ((qAsofForward _, Some(qAsofForwardSql))),
+    "q_asof_tolerance" -> ((qAsofTolerance _, Some(qAsofToleranceSql))),
     "q_sessionize" -> ((qSessionize _, Some(qSessionizeSql))),
     "q_pivot" -> ((qPivot _, Some(qPivotSql))),
     "q_count_distinct" -> ((qCountDistinct _, Some(qCountDistinctSql))),
