@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.unsafe.types.UTF8String
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, NullType, StringType}
 
 /** Thresholded edit distance: distance if ≤ k, else -1 — drop-in semantics
   * for the built-in `levenshtein(a, b, k)`, ~10× cheaper per pair.
@@ -20,6 +20,17 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   */
 case class EditDistanceWithin(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
+
+  // ExpectsInputTypes is off-limits outside org.apache.spark.sql (see
+  // CosineSimilarity) — validate at construction so a wrong-typed argument
+  // is an analysis-time error, not a mid-query ClassCastException.
+  // NullType is admissible everywhere: a null input short-circuits the
+  // null-safe eval to NULL before any cast runs.
+  require(
+    Seq(first, second).forall(e =>
+      !e.resolved || e.dataType == StringType || e.dataType == NullType) &&
+      (!third.resolved || third.dataType == IntegerType || third.dataType == NullType),
+    "edit_distance_within expects (string, string, int)")
 
   override def dataType: DataType = IntegerType
 
@@ -51,14 +62,19 @@ object EditDistanceWithin {
     if (math.abs(n - m) > k) return -1
     if (n == 0) return m // |m - 0| <= k already checked
     if (m == 0) return n
-    val inf = k + 1
+    // the distance never exceeds max(n, m), so a larger threshold is
+    // equivalent — and clamping keeps inf = kk + 1 from overflowing when
+    // k = Int.MaxValue (where inf would wrap negative and clamp every DP
+    // cell to a huge negative "infinity")
+    val kk = math.min(k, math.max(n, m))
+    val inf = kk + 1
     var prev = new Array[Int](m + 1)
     var cur = new Array[Int](m + 1)
     var j = 0
-    while (j <= m) { prev(j) = if (j <= k) j else inf; j += 1 }
+    while (j <= m) { prev(j) = if (j <= kk) j else inf; j += 1 }
     var i = 1
     while (i <= n) {
-      cur(0) = if (i <= k) i else inf
+      cur(0) = if (i <= kk) i else inf
       var rowMin = cur(0)
       j = 1
       while (j <= m) {
@@ -73,10 +89,10 @@ object EditDistanceWithin {
         if (v < rowMin) rowMin = v
         j += 1
       }
-      if (rowMin > k) return -1 // the band is exhausted — no path back under k
+      if (rowMin > kk) return -1 // the band is exhausted — no path back under k
       val t = prev; prev = cur; cur = t
       i += 1
     }
-    if (prev(m) <= k) prev(m) else -1
+    if (prev(m) <= kk) prev(m) else -1
   }
 }

@@ -40,6 +40,10 @@ object IntervalJoin {
       endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // a pre-existing __bucket (e.g. the output of a previous containment()
+    // call) would be silently overwritten, joined on, and dropped
+    require(!(probe.columns ++ intervals.columns).contains("__bucket"),
+      "column name '__bucket' is reserved by IntervalJoin.containment")
     // integer DIV, not double division: epoch micros overflow the 2^53
     // double-exact range within a few decades, and floor(a/b) on doubles
     // would silently mis-bucket there

@@ -66,11 +66,20 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Literal positive zero ONLY — matching -0.0 would flip the sign bit of
+    * an empty-array fold (the fold returns its zero verbatim; DotProduct
+    * returns +0.0), breaking bit-identity. Scala's == cannot tell them
+    * apart, so compare bit patterns.
+    */
   private object DoubleZero {
+    private def isPosZero(v: Any): Boolean = v match {
+      case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d) == 0L
+      case _ => false
+    }
     def unapply(e: Expression): Boolean = e match {
-      case Literal(z, DoubleType) => z == 0.0d
-      case Cast(Literal(_, t), DoubleType, _, _) => // pre-constant-folding shape
-        e.foldable && Option(e.eval()).contains(0.0d)
+      case Literal(z, DoubleType) => isPosZero(z)
+      case Cast(Literal(_, _), DoubleType, _, _) => // pre-constant-folding shape
+        e.foldable && isPosZero(e.eval())
       case _ => false
     }
   }
@@ -89,14 +98,18 @@ object DotProductRewrite extends Rule[LogicalPlan] {
           isVar(aacc, acc) && isVar(av, v) && isVar(fin, fv) =>
       DotProduct(a, b)
 
-    // aggregate(a, 0D, (acc, x) -> acc + xD * xD)  — squared norm
+    // aggregate(a, 0D, (acc, x) -> acc + xD * xD)  — squared norm.
+    // `a` is duplicated into DotProduct(a, a), so it must be deterministic:
+    // a non-deterministic input (rand()-derived slice) evaluates ONCE in
+    // the fold but would evaluate twice, independently, after the rewrite.
+
     case ArrayAggregate(
         a,
         DoubleZero(),
         LambdaFunction(Add(aacc, Multiply(mx, my, _), _),
           Seq(acc: NamedLambdaVariable, x: NamedLambdaVariable), _),
         LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
-        if isFloatArray(a) && isVar(aacc, acc) &&
+        if isFloatArray(a) && a.deterministic && isVar(aacc, acc) &&
           isVarToDouble(mx, x) && isVarToDouble(my, x) && isVar(fin, fv) =>
       DotProduct(a, a)
   }

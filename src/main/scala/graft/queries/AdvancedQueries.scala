@@ -75,13 +75,16 @@ object AdvancedQueries {
     * as-of tolerance, e.g. pandas merge_asof's). The tolerance is a
     * post-carry filter on the matched right TIME, so it adds no join work;
     * the oracle applies the same CASE to DuckDB's native ASOF result.
+    * Clicks are deduped to unique (user, ts) like qAsofForward — colliding
+    * right times would otherwise make which click_id carries engine-chosen.
     */
   def qAsofTolerance(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts"))
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
     AsofJoin.asof(purchases, clicks,
       key = "user_id", leftTime = "ts", rightTime = "click_ts",
       rightCols = Map("click_id" -> "recent_click_id", "click_ts" -> "recent_click_ts"),
@@ -91,14 +94,15 @@ object AdvancedQueries {
   }
 
   val qAsofToleranceSql: String =
-    """SELECT p.user_id, p.event_id, p.ts,
-      |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
-      |       THEN c.event_id END AS recent_click_id,
-      |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
-      |       THEN c.ts END AS recent_click_ts
+    """WITH c AS (SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+      |           FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+      |SELECT p.user_id, p.event_id, p.ts,
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(c.click_ts) <= 600000000
+      |       THEN c.click_id END AS recent_click_id,
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(c.click_ts) <= 600000000
+      |       THEN c.click_ts END AS recent_click_ts
       |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
-      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+      |ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin
 
   /** Gap-based sessionization (30-minute inactivity gap) — the batch twin
     * of streaming session windows. One shuffle on user_id, one per-user
@@ -268,14 +272,9 @@ object AdvancedQueries {
   def qCorrelation(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+    val ms = Exact.momentSums(col("value"), col("k"))
     ev.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"))).cast("double").as("sx"),
-        sum(col("k")).cast("double").as("sy"),
-        sum(expr("CAST(CAST(value AS DECIMAL(12,4)) * k AS DECIMAL(28,4))"))
-          .cast("double").as("sxy"),
-        dSumSq(col("value")).as("sxx"),
-        sum(col("k") * col("k")).cast("double").as("syy"))
+      .agg(ms.head, ms.tail: _*)
       .select(col("event_type"), col("n"),
         r6((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
           .as("covar_samp"),

@@ -28,14 +28,9 @@ object AnalyticsQueries {
   def qRegression(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+    val ms = Exact.momentSums(col("value"), col("k"))
     ev.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"))).cast("double").as("sx"),
-        sum(col("k")).cast("double").as("sy"),
-        sum(expr("CAST(CAST(value AS DECIMAL(12,4)) * k AS DECIMAL(28,4))"))
-          .cast("double").as("sxy"),
-        dSumSq(col("value")).as("sxx"),
-        sum(col("k") * col("k")).cast("double").as("syy"))
+      .agg(ms.head, ms.tail: _*)
       .select(col("event_type"), col("n"),
         r6((col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),

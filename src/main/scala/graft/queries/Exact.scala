@@ -66,6 +66,26 @@ object Exact {
     sum((dec(c) * dec(c)).cast(DecimalType(28, 8)))
       .cast(DecimalType(24, 4)).cast("double")
 
+  /** The six bivariate moment aggregates over (x = money-scale double
+    * column, y = integral column): n, sx, sy, sxy, sxx, syy. Decimal
+    * accumulation where an operand is fractional (order-independent),
+    * exact long sums where integral, all emitted as double — ONE
+    * definition for every covariance/correlation/regression site, so a
+    * precision fix cannot silently desynchronize one from its oracle.
+    * SQL mirror (the m CTE shared by q_correlation/q_regression):
+    * COUNT(*), CAST(SUM(CAST(x AS DECIMAL(12,4))) AS DOUBLE),
+    * CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE),
+    * CAST(SUM(CAST(CAST(x AS DECIMAL(12,4)) * y AS DECIMAL(28,4))) AS DOUBLE),
+    * dSumSq's documented mirror, CAST(CAST(SUM(y*y) AS BIGINT) AS DOUBLE).
+    */
+  def momentSums(x: Column, y: Column): Seq[Column] = Seq(
+    count(lit(1)).as("n"),
+    sum(dec(x)).cast("double").as("sx"),
+    sum(y).cast("double").as("sy"),
+    sum((dec(x) * y).cast(DecimalType(28, 4))).cast("double").as("sxy"),
+    dSumSq(x).as("sxx"),
+    sum(y * y).cast("double").as("syy"))
+
   /** Word n-grams over a tokenized array column (space-joined windows of n
     * adjacent tokens) — ONE definition for every shingling/bigram/
     * contamination/repetition site, so a tokenization change cannot

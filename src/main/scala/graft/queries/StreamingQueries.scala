@@ -17,27 +17,29 @@ import Exact._
   */
 object StreamingQueries {
 
-  /** Shared harness: stream the events table (file source over the sf dir
-    * filtered to events.parquet — production streams a landing directory),
-    * nanosecond timestamps truncated to microseconds exactly as DuckDB
-    * truncates them, apply the transform, drain with AvailableNow into a
-    * memory sink, return the final table. One copy of the source/sink
-    * plumbing so a fix (ts conversion, checkpoint handling) lands
-    * everywhere at once.
+  /** One streaming reader over the events table (file source over the sf
+    * dir filtered to events.parquet — production streams a landing
+    * directory), nanosecond timestamps truncated to microseconds exactly
+    * as DuckDB truncates them. Callable more than once: a stream-stream
+    * self-join needs two independent sources. ONE copy of the source
+    * plumbing so a ts-conversion fix lands everywhere at once.
     */
-  private def runEventStream(s: SparkSession, dir: String, name: String,
-                             outputMode: String)
-                            (transform: DataFrame => DataFrame): DataFrame = {
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val events =
-      if (schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
+  /** Drain a streaming frame with AvailableNow into a named memory sink
+    * and return the final table — ONE copy of the sink/checkpoint plumbing.
+    */
+  private def drainToMemory(df: DataFrame, name: String, outputMode: String): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(s"${name}_ckpt").toString
-    val q = transform(events).writeStream
+    val q = df.writeStream
       .outputMode(outputMode)
       .format("memory")
       .queryName(name)
@@ -45,8 +47,13 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name)
+    df.sparkSession.table(name)
   }
+
+  private def runEventStream(s: SparkSession, dir: String, name: String,
+                             outputMode: String)
+                            (transform: DataFrame => DataFrame): DataFrame =
+    drainToMemory(transform(eventStream(s, dir)), name, outputMode)
 
   /** Tumbling 1-hour purchase/click value totals, computed by a streaming
     * query in complete mode. Complete-mode final state after AvailableNow ≡
@@ -202,20 +209,11 @@ object StreamingQueries {
     * than watermark+range, sharded by the equi key like any shuffle.
     */
   def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    def stream(): DataFrame = {
-      val raw = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      if (schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
-    }
-    val purchases = stream().filter(col("event_type") === "purchase")
+    val purchases = eventStream(s, dir).filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
       .withWatermark("p_ts", "2 hours")
-    val clicks = stream().filter(col("event_type") === "click")
+    val clicks = eventStream(s, dir).filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("c_ts"))
       .withWatermark("c_ts", "2 hours")
@@ -225,16 +223,7 @@ object StreamingQueries {
         col("c_ts") <= col("p_ts"))
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
-    val ckpt = java.nio.file.Files.createTempDirectory("stream_join_ckpt").toString
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName("graft_stream_join")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table("graft_stream_join")
+    drainToMemory(joined, "graft_stream_join", "append")
   }
 
   val qStreamJoinSql: String =

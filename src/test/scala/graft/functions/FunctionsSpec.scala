@@ -94,6 +94,14 @@ class FunctionsSpec extends SparkSpec {
       "SELECT edit_distance_within('kitten', 'sitting', 2), edit_distance_within('kitten', 'sitting', 3)")
       .collect().head
     assert(v.getInt(0) == -1 && v.getInt(1) == 3)
+    // k = Int.MaxValue must not overflow the DP infinity (k+1 wraps)
+    val big = spark.sql(
+      s"SELECT edit_distance_within('kitten', 'sitting', ${Int.MaxValue}) AS d").collect().head
+    assert(big.getInt(0) == 3)
+    // wrong-typed threshold is a construction-time error, not a mid-query crash
+    intercept[IllegalArgumentException] {
+      spark.sql("SELECT edit_distance_within('a', 'b', 'x')").collect()
+    }
   }
 
   test("dimension mismatch yields NULL, not a truncated score") {

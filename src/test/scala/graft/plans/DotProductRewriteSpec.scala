@@ -42,6 +42,20 @@ class DotProductRewriteSpec extends SparkSpec {
     assert(!optimized(decimalForm).contains("dot_product"))
   }
 
+  test("negative-zero literal and non-deterministic input are NOT rewritten") {
+    // -0.0 zero: an empty-array fold returns its zero verbatim (-0.0);
+    // DotProduct would return +0.0 — a bit-level change, so no rewrite
+    val negZero =
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), -0.0D, (acc, v) -> acc + v)"
+    assert(!optimized(negZero).contains("dot_product"))
+    // non-deterministic squared-norm input would be evaluated twice by
+    // DotProduct(a, a) — the fold evaluates it once, so no rewrite
+    val nondet =
+      """aggregate(CAST(slice(a, 1, CAST(rand() * 2 + 1 AS INT)) AS ARRAY<FLOAT>),
+        | CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""".stripMargin
+    assert(!optimized(nondet).contains("dot_product"))
+  }
+
   test("rewrite is value-preserving incl. nulls, mismatched lengths, empties") {
     GraftFunctions.register(spark)
     import spark.implicits._
