@@ -35,12 +35,23 @@ object Ann {
 
   /** Per-cell centroids: mean embedding per `cellCol` (elementwise —
     * aggregate each dimension). Returns (cell, centroid: array<double>).
+    * `exactArith` accumulates each dimension in DECIMAL(28,14) before the
+    * mean (order-independent across partitions AND engines — the same
+    * algebra as queries.SimilarityQueries.qCentroids), so an oracle can
+    * reproduce the centroids bit-for-bit; the default double `avg` is the
+    * production path.
     */
-  def centroids(corpus: DataFrame, cellCol: String, embCol: String): DataFrame = {
+  def centroids(corpus: DataFrame, cellCol: String, embCol: String,
+                exactArith: Boolean = false): DataFrame = {
+    val mean =
+      if (exactArith)
+        (sum(expr("CAST(CAST(v AS DOUBLE) AS DECIMAL(28,14))")).cast("double") /
+          count(lit(1))).as("mean_v")
+      else avg(col("v")).as("mean_v")
     corpus
       .select(col(cellCol).as("cell"), posexplode(col(embCol)).as(Seq("dim", "v")))
       .groupBy(col("cell"), col("dim"))
-      .agg(avg(col("v")).as("mean_v"))
+      .agg(mean)
       .groupBy(col("cell"))
       .agg(expr("transform(array_sort(collect_list(named_struct('d', dim, 'v', mean_v))), s -> s.v)")
         .as("centroid"))
@@ -78,12 +89,18 @@ object Ann {
       embCol: String = "embedding",
       cellCol: String = "label",
       exactArith: Boolean = false): DataFrame = {
-    val cents = broadcast(centroids(corpus, cellCol, embCol))
-    // assign each query its nprobe nearest cells
+    val cents = broadcast(centroids(corpus, cellCol, embCol, exactArith))
+    // assign each query its nprobe nearest cells. In exactArith mode the
+    // cell score is the ROUNDED decimal cosine with a cell tie-break, so
+    // the probe CHOICE itself (not just the in-cell scores) is
+    // engine-reproducible and an oracle can replicate the pruning.
+    val cellScore =
+      if (exactArith) decimalCosineExpr("q_emb", "centroid")
+      else cosineExpr("q_emb", "centroid")
     val wCell = Window.partitionBy(col(qIdCol)).orderBy(col("cell_sim").desc, col("cell"))
     val probes = broadcast(
       queries.crossJoin(cents)
-        .withColumn("cell_sim", cosineExpr("q_emb", "centroid"))
+        .withColumn("cell_sim", cellScore)
         .withColumn("cell_rank", row_number().over(wCell))
         .filter(col("cell_rank") <= nprobe)
         .select(col(qIdCol), col("q_emb"), col("cell")))

@@ -14,21 +14,60 @@ object NorthStarQueries {
 
   /** IVF approximate nearest neighbors (the 100 TB path beside the exact
     * q_cosine_topk): probe the 2 nearest of the label cells per query.
-    * No oracle — DuckDB has no IVF; AnnSpec proves ≡ exact at full probe.
+    * DuckDB has no IVF, so the oracle REPLICATES the pruning in SQL —
+    * exact decimal centroids, rounded decimal cell ranking with a cell
+    * tie-break, top-nprobe probe set, decimal in-cell scoring — the same
+    * strategy every LSH oracle here uses (replicate the blocking, don't
+    * approximate it). This gates the PRUNED production shape itself, not
+    * just its full-probe degenerate (q_ann_fullprobe). The double-kernel
+    * variant (cosine_similarity codegen) is the same plan with a faster
+    * scorer; AnnSpec value-tests its recall and full-probe equivalence.
     */
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    Ann.ivfTopK(s, queries, emb, k = 5, nprobe = 2)
+    Ann.ivfTopK(s, queries, emb, k = 5, nprobe = 2, exactArith = true)
   }
+
+  /** Decimal cosine of two DuckDB lists — the exactArith ANN algebra
+    * (identical to q_ann_fullprobe's oracle), one line for embedding. */
+  private def dCos(a: String, b: String): String =
+    s"ROUND(CAST(list_sum(list_transform(range(1, len($a) + 1), i -> " +
+      s"CAST(CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE) " +
+      s"/ (SQRT(CAST(list_sum(list_transform($a, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE)) " +
+      s"* SQRT(CAST(list_sum(list_transform($b, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE))), 6)"
+
+  val qAnnIvfSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+      |e AS (SELECT label, i - 1 AS dim, embedding[CAST(i AS INT)] AS v
+      |      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |cent0 AS (SELECT label, dim,
+      |            CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS mean_v
+      |          FROM e GROUP BY label, dim),
+      |cent AS (SELECT label, list(mean_v ORDER BY dim) AS centroid FROM cent0 GROUP BY label),
+      |cellsim AS (SELECT q.q_id, c.label, ${dCos("q.q_emb", "c.centroid")} AS cell_sim
+      |            FROM q CROSS JOIN cent c),
+      |probes AS (SELECT q_id, label FROM (
+      |             SELECT q_id, label,
+      |               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cell_sim DESC, label) AS cell_rank
+      |             FROM cellsim)
+      |           WHERE cell_rank <= 2),
+      |scored AS (SELECT q.q_id, em.vec_id, ${dCos("q.q_emb", "em.embedding")} AS cosine
+      |           FROM q JOIN probes p ON q.q_id = p.q_id
+      |           JOIN embeddings em ON em.label = p.label
+      |           WHERE q.q_id <> em.vec_id),
+      |ranked AS (SELECT q_id, vec_id, cosine,
+      |             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+      |           FROM scored)
+      |SELECT q_id, rnk, vec_id AS neighbor, cosine FROM ranked WHERE rnk <= 5""".stripMargin
 
   /** IVF at FULL probe, hash-gated against the brute-force SQL oracle:
     * with every cell probed, the IVF machinery (centroid build, cell
     * assignment, probe routing, in-cell scoring, ranking) must reproduce
     * the exact scan bit-for-bit — exactArith scores with the same decimal
-    * algebra as q_cosine_topk. This gates the ANN code path itself;
-    * q_ann_ivf (nprobe=2, rows-only) remains the production-shaped run.
+    * algebra as q_cosine_topk. Complements q_ann_ivf (nprobe=2), whose
+    * oracle replicates the pruning itself.
     */
   def qAnnFullprobe(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -139,7 +178,7 @@ object NorthStarQueries {
       |FROM documents""".stripMargin
 
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
-    "q_ann_ivf" -> ((qAnnIvf _, None)),
+    "q_ann_ivf" -> ((qAnnIvf _, Some(qAnnIvfSql))),
     "q_ann_fullprobe" -> ((qAnnFullprobe _, Some(qAnnFullprobeSql))),
     "q_multimodal" -> ((qMultimodal _, None)),
     "q_media_inventory" -> ((qMediaInventory _, Some(qMediaInventorySql))),
