@@ -25,10 +25,13 @@ case class EditDistanceWithin(first: Expression, second: Expression, third: Expr
   // CosineSimilarity) — validate at construction so a wrong-typed argument
   // is an analysis-time error, not a mid-query ClassCastException.
   // NullType is admissible everywhere: a null input short-circuits the
-  // null-safe eval to NULL before any cast runs.
+  // null-safe eval to NULL before any cast runs. String inputs match by
+  // CLASS, not object equality — Spark 4 collated strings are StringType
+  // instances that != the default StringType object, and the byte-wise
+  // kernel is collation-irrelevant.
   require(
     Seq(first, second).forall(e =>
-      !e.resolved || e.dataType == StringType || e.dataType == NullType) &&
+      !e.resolved || e.dataType.isInstanceOf[StringType] || e.dataType == NullType) &&
       (!third.resolved || third.dataType == IntegerType || third.dataType == NullType),
     "edit_distance_within expects (string, string, int)")
 

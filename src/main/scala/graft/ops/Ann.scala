@@ -44,9 +44,7 @@ object Ann {
   def centroids(corpus: DataFrame, cellCol: String, embCol: String,
                 exactArith: Boolean = false): DataFrame = {
     val mean =
-      if (exactArith)
-        (sum(expr("CAST(CAST(v AS DOUBLE) AS DECIMAL(28,14))")).cast("double") /
-          count(lit(1))).as("mean_v")
+      if (exactArith) graft.queries.Exact.dMean14(col("v")).as("mean_v")
       else avg(col("v")).as("mean_v")
     corpus
       .select(col(cellCol).as("cell"), posexplode(col(embCol)).as(Seq("dim", "v")))

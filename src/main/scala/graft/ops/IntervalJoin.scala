@@ -40,8 +40,9 @@ object IntervalJoin {
       endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    // a pre-existing __bucket (e.g. the output of a previous containment()
-    // call) would be silently overwritten, joined on, and dropped
+    // a caller-supplied __bucket column would be silently overwritten,
+    // joined on, and then dropped from the result (the operator's own
+    // output never carries one — it is dropped below)
     require(!(probe.columns ++ intervals.columns).contains("__bucket"),
       "column name '__bucket' is reserved by IntervalJoin.containment")
     // integer DIV, not double division: epoch micros overflow the 2^53

@@ -19,14 +19,17 @@ object AdvancedQueries {
     * or before it (graft.ops.AsofJoin — union + single shuffle + per-key
     * carry-forward; no range join, no row multiplication). The DuckDB
     * oracle uses its native ASOF LEFT JOIN, so two INDEPENDENT
-    * implementations must agree bit-for-bit.
+    * implementations must agree bit-for-bit. Clicks are deduped to unique
+    * (user, ts) like the forward/tolerance variants — colliding right
+    * times would make which click_id carries engine-chosen.
     */
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
     AsofJoin.asof(purchases, clicks,
       key = "user_id", leftTime = "ts", rightTime = "click_ts",
       rightCols = Map("click_id" -> "last_click_id", "click_ts" -> "last_click_ts"))
@@ -35,11 +38,12 @@ object AdvancedQueries {
   }
 
   val qAsofJoinSql: String =
-    """SELECT p.user_id, p.event_id, p.ts, p.value,
-      |  c.event_id AS last_click_id, c.ts AS last_click_ts
+    """WITH c AS (SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+      |           FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+      |SELECT p.user_id, p.event_id, p.ts, p.value,
+      |  c.click_id AS last_click_id, c.click_ts AS last_click_ts
       |FROM (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
-      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+      |ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin
 
   /** Forward as-of join: for every purchase, the user's NEXT click at or
     * after it (same union+window machinery, time-descending carry). Clicks

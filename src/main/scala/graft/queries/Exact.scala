@@ -66,6 +66,15 @@ object Exact {
     sum((dec(c) * dec(c)).cast(DecimalType(28, 8)))
       .cast(DecimalType(24, 4)).cast("double")
 
+  /** Decimal-accumulated mean at scale 14 (full-mantissa floats, not the
+    * money scale): order-independent across partitions AND engines — the
+    * per-dimension centroid-mean algebra shared by qCentroids and
+    * ops.Ann.centroids(exactArith). SQL mirror:
+    * CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*).
+    */
+  def dMean14(c: Column): Column =
+    sum(c.cast("double").cast(DecimalType(28, 14))).cast("double") / count(lit(1))
+
   /** The six bivariate moment aggregates over (x = money-scale double
     * column, y = integral column): n, sx, sy, sxy, sxx, syy. Decimal
     * accumulation where an operand is fractional (order-independent),

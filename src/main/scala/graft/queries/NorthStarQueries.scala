@@ -30,6 +30,22 @@ object NorthStarQueries {
     Ann.ivfTopK(s, queries, emb, k = 5, nprobe = 2, exactArith = true)
   }
 
+  /** The production-kernel pruned IVF: same plan as q_ann_ivf with the
+    * codegen'd cosine_similarity scorer and double centroid means — the
+    * configuration a 100 TB run uses. Rows-only in the gate BY DESIGN:
+    * raw-double ranking cannot be hash-replicated across engines; its
+    * value guarantees live in AnnSpec (recall vs brute force, ≡ exact at
+    * full probe), and q_ann_ivf hash-gates the identical pruning logic.
+    * Registered so the bench measures the real kernel, not only the
+    * exact-arithmetic twin.
+    */
+  def qAnnIvfKernel(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Ann.ivfTopK(s, queries, emb, k = 5, nprobe = 2)
+  }
+
   /** Decimal cosine of two DuckDB lists — the exactArith ANN algebra
     * (identical to q_ann_fullprobe's oracle), one line for embedding. */
   private def dCos(a: String, b: String): String =
@@ -77,16 +93,9 @@ object NorthStarQueries {
   }
 
   val qAnnFullprobeSql: String =
-    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
       |scored AS (
-      |  SELECT q_id, vec_id,
-      |    ROUND(
-      |      CAST(list_sum(list_transform(range(1, len(q_emb) + 1), i ->
-      |        CAST(CAST(q_emb[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE)
-      |      / (SQRT(CAST(list_sum(list_transform(q_emb, x ->
-      |            CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE))
-      |       * SQRT(CAST(list_sum(list_transform(embedding, x ->
-      |            CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE))), 6) AS cosine
+      |  SELECT q_id, vec_id, ${dCos("q_emb", "embedding")} AS cosine
       |  FROM q CROSS JOIN embeddings WHERE q_id <> vec_id),
       |ranked AS (SELECT q_id, vec_id, cosine,
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
@@ -179,6 +188,7 @@ object NorthStarQueries {
 
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_ann_ivf" -> ((qAnnIvf _, Some(qAnnIvfSql))),
+    "q_ann_ivf_kernel" -> ((qAnnIvfKernel _, None)),
     "q_ann_fullprobe" -> ((qAnnFullprobe _, Some(qAnnFullprobeSql))),
     "q_multimodal" -> ((qMultimodal _, None)),
     "q_media_inventory" -> ((qMediaInventory _, Some(qMediaInventorySql))),

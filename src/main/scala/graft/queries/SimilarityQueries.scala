@@ -467,8 +467,7 @@ object SimilarityQueries {
       // DECIMAL(28,14), not the money-scale (12,4): float values carry full
       // mantissas and a 4-dp cast rounds where engines can disagree; at
       // 14 dp the residual differences sit under the final r6
-      .agg((sum(expr("CAST(CAST(v AS DOUBLE) AS DECIMAL(28,14))")).cast("double") /
-        count(lit(1))).as("mean_v"),
+      .agg(Exact.dMean14(col("v")).as("mean_v"),
         count(lit(1)).as("n_vecs"))
       .groupBy(col("label"))
       .agg(max(col("n_vecs")).as("n_vecs"),

@@ -21,8 +21,8 @@ class PlanSpec extends SparkSpec {
   // q_gapfill: the spine join is distinct-types × a broadcast 1-row bounds
   // aggregate — keyless by design, metadata-scale (#types × 1 rows).
   private val bnljAllowed =
-    Set("q_range_join", "q_cosine_topk", "q_ann_ivf", "q_ann_fullprobe",
-      "q_vocab_coverage", "q_embedding_neardup", "q_gapfill")
+    Set("q_range_join", "q_cosine_topk", "q_ann_ivf", "q_ann_ivf_kernel",
+      "q_ann_fullprobe", "q_vocab_coverage", "q_embedding_neardup", "q_gapfill")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
