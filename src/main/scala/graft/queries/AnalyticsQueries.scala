@@ -273,9 +273,54 @@ object AnalyticsQueries {
       |  COUNT(DISTINCT event_id) AS n_events
       |FROM pairs GROUP BY event_type""".stripMargin
 
+  /** Snapshot diff — change-data-capture between two table versions (the
+    * MERGE/SCD primitive every warehouse sync runs): full outer join on
+    * the key, classify added/removed/changed/unchanged, exact decimal
+    * price deltas per class. The two "snapshots" are deterministic slices
+    * of orders (old drops keys ≡0 mod 7; new drops ≡0 mod 11 and bumps
+    * prices on ≡0 mod 5), so both engines derive identical versions.
+    * Scale: one shuffle on the key; at 100 TB the same plan is the
+    * backbone of incremental MERGE INTO.
+    */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val old = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("price"))
+    val neu = o.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 5 === 0, dec(col("o_totalprice")) + lit(1000))
+          .otherwise(dec(col("o_totalprice"))).as("price"))
+    old.as("o").join(neu.as("n"), col("o.k") === col("n.k"), "full_outer")
+      .select(
+        when(col("o.k").isNull, "added")
+          .when(col("n.k").isNull, "removed")
+          .when(col("o.price") =!= col("n.price"), "changed")
+          .otherwise("unchanged").as("change_type"),
+        (coalesce(col("n.price"), lit(0)) - coalesce(col("o.price"), lit(0))).as("delta"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("delta")).cast("double").as("price_delta"))
+  }
+
+  val qSnapshotDiffSql: String =
+    """WITH o AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,4)) AS price
+      |           FROM orders WHERE o_orderkey % 7 <> 0),
+      |n AS (SELECT o_orderkey AS k,
+      |        CASE WHEN o_orderkey % 5 = 0 THEN CAST(o_totalprice AS DECIMAL(12,4)) + 1000
+      |             ELSE CAST(o_totalprice AS DECIMAL(12,4)) END AS price
+      |      FROM orders WHERE o_orderkey % 11 <> 0),
+      |j AS (SELECT CASE WHEN o.k IS NULL THEN 'added'
+      |               WHEN n.k IS NULL THEN 'removed'
+      |               WHEN o.price <> n.price THEN 'changed'
+      |               ELSE 'unchanged' END AS change_type,
+      |        COALESCE(n.price, 0) - COALESCE(o.price, 0) AS delta
+      |      FROM o FULL OUTER JOIN n ON o.k = n.k)
+      |SELECT change_type, COUNT(*) AS n_rows, CAST(SUM(delta) AS DOUBLE) AS price_delta
+      |FROM j GROUP BY change_type""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_token_entropy" -> ((qTokenEntropy _, Some(qTokenEntropySql))),
     "q_interval_join" -> ((qIntervalJoin _, Some(qIntervalJoinSql))),
+    "q_snapshot_diff" -> ((qSnapshotDiff _, Some(qSnapshotDiffSql))),
     "q_regression" -> ((qRegression _, Some(qRegressionSql))),
     "q_edit_distance" -> ((qEditDistance _, Some(qEditDistanceSql))),
     "q_gapfill" -> ((qGapfill _, Some(qGapfillSql))),

@@ -66,6 +66,40 @@ class AsofJoinSpec extends SparkSpec {
     assert(out("L2") == null)
   }
 
+  test("matches the naive per-key nearest-row join on random data, all modes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // times drawn from a SMALL range so boundary-equal collisions occur;
+    // right times deduped per key (the operator's documented determinism
+    // precondition)
+    val left = (1 to 200).map(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(50).toLong)).toDF("lid", "k", "t")
+    val right = (1 to 150).map(i =>
+      (s"k${rnd.nextInt(6)}", rnd.nextInt(50).toLong, i.toLong))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      .toDF("k", "rt", "rv")
+    val rightRows = right.as[(String, Long, Long)].collect()
+    def naive(dir: String, tol: Option[Long]): Map[Long, Option[Long]] =
+      left.as[(Long, String, Long)].collect().map { case (lid, k, t) =>
+        val cands = rightRows.filter(r => r._1 == k &&
+          (if (dir == "backward") r._2 <= t else r._2 >= t) &&
+          tol.forall(b => math.abs(t - r._2) <= b))
+        val best = if (cands.isEmpty) None
+          else Some(if (dir == "backward") cands.maxBy(_._2)._3 else cands.minBy(_._2)._3)
+        lid -> best
+      }.toMap
+    for ((dir, tol) <- Seq(("backward", None), ("forward", None),
+        ("backward", Some(7L)), ("forward", Some(3L)))) {
+      val got = AsofJoin.asof(left, right, "k", "t", "rt", Map("rv" -> "rv"),
+          direction = dir,
+          tolerance = tol.map(b => (lt: org.apache.spark.sql.Column,
+            rt: org.apache.spark.sql.Column) =>
+            org.apache.spark.sql.functions.abs(lt - rt) <= b))
+        .selectExpr("lid", "rv").as[(Long, Option[Long])].collect().toMap
+      assert(got == naive(dir, tol), s"divergence at dir=$dir tol=$tol")
+    }
+  }
+
   test("rejects bad direction and reserved carry name") {
     val a = df(Seq(Map("k" -> "a", "t" -> 1)))
     val b = df(Seq(Map("k" -> "a", "rt" -> 1, "rv" -> 1)))
