@@ -78,6 +78,35 @@ object Sinks {
       .option("batchsize", batchSize)
       .jdbc(url, table, new java.util.Properties())
 
+  /** Small-file compaction — the standing maintenance job of every
+    * append-mode parquet table: streaming micro-batches and frequent
+    * appends leave thousands of KB-sized part files, and at 100 TB the
+    * per-file open/footer cost comes to dominate scans. Rewrites the table
+    * to ⌈bytes/targetFileBytes⌉ part files via an atomic overwrite of a
+    * temp copy (readers never see a half-compacted table; same
+    * commit-protocol guarantee as `overwrite`). Returns (filesBefore,
+    * filesAfter). Single-writer per table, like every sink here.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetFileBytes > 0)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts = fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
+    val before = parts
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // materialize through a temp dir first: overwrite-from-self would
+    // delete the source out from under its own lazy scan
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}_compact_tmp")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    spark.read.parquet(tmp.toString)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    fs.delete(tmp, true)
+    (before, parts)
+  }
+
   /** Queue flush (C4): the reference's `flushdb` / destroy-and-recreate
     * flags (bert/utils.py:344-358) — here, dropping a checkpoint or sink
     * directory. Returns true if anything was deleted.

@@ -61,4 +61,31 @@ class SeedsSinksSpec extends SparkSpec {
     assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("k=")))
     assert(spark.read.parquet(path).count() == 2)
   }
+
+  test("partitioned reads PRUNE: a partition filter reaches the scan") {
+    val path = tmpDir("sink4") + "/ds"
+    val df = Seeds.fromMaps(spark, (1 to 20).map(i =>
+      Map("k" -> s"p${i % 4}", "v" -> i)))
+    Sinks.appendPartitioned(df, path, Seq("k"))
+    val q = spark.read.parquet(path).filter(org.apache.spark.sql.functions.col("k") === "p1")
+    val plan = q.queryExecution.executedPlan.toString
+    // the partition filter must land as a PartitionFilters entry on the
+    // FileScan (pruned at planning), not a post-scan Filter over all rows
+    assert(plan.contains("PartitionFilters") && plan.contains("k#"),
+      s"partition filter not pushed:\n$plan")
+    assert(q.count() == 5)
+  }
+
+  test("compact rewrites many small part files into few, preserving rows") {
+    val path = tmpDir("sink5") + "/ds"
+    // 12 appends of 1-partition frames -> >= 12 small part files
+    (1 to 12).foreach { i =>
+      Sinks.append(Seeds.fromMaps(spark, Seq(Map("i" -> i))).coalesce(1), path)
+    }
+    val rowsBefore = spark.read.parquet(path).collect().map(_.getLong(0)).sorted.toSeq
+    val (before, after) = Sinks.compact(spark, path, targetFileBytes = 64L << 20)
+    assert(before >= 12 && after == 1, s"expected 12+ -> 1 files, got $before -> $after")
+    val rowsAfter = spark.read.parquet(path).collect().map(_.getLong(0)).sorted.toSeq
+    assert(rowsAfter == rowsBefore)
+  }
 }
