@@ -59,6 +59,18 @@ class PlanSpec extends SparkSpec {
       assert(planOf(q).contains("TakeOrderedAndProject"), s"$q does a global sort")
   }
 
+  test("q_edit_distance broadcasts the self-join side (no SMJ duplicate-key buffering)") {
+    val plan = planOf("q_edit_distance")
+    assert(plan.contains("BroadcastHashJoin"), "blocked self-join not broadcast")
+    assert(!plan.contains("SortMergeJoin"), "fuzzy match fell back to sort-merge")
+  }
+
+  test("q_interval_join plans an equi-join on the bucket key, not a BNLJ") {
+    val plan = planOf("q_interval_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "interval containment planned a nested loop")
+  }
+
   test("q5_multi_join broadcasts the dimension tables") {
     val plan = planOf("q5_multi_join")
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
