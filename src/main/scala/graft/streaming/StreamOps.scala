@@ -75,6 +75,26 @@ object StreamOps {
       .trigger(Trigger.ProcessingTime(interval))
       .start()
 
+  /** Route each micro-batch through an arbitrary BATCH writer
+    * (io.Sinks.append / appendDedup / jdbc) — the production sink path for
+    * targets with no native streaming sink. Spark retries a failed batch
+    * under the same batchId, so exactly-once at the target requires the
+    * writer to be idempotent in batchId (e.g. appendDedup keyed on it, or
+    * a per-batch output directory); the id is passed through for exactly
+    * that purpose. Drains with AvailableNow and blocks until done.
+    */
+  def foreachBatchSink(df: DataFrame, checkpoint: String)
+      (write: (DataFrame, Long) => Unit): StreamingQuery = {
+    val q = df.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        write(batch.toDF(), id))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Custom keyed state via flatMapGroupsWithState — the general form of
     * the reference's ETLState when membership isn't enough (counters,
     * per-key models, cross-batch joins). Emits (key, runningCount) per

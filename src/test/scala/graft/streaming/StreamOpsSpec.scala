@@ -58,6 +58,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(q.lastProgress != null)
   }
 
+  test("foreachBatchSink routes micro-batches through a batch writer") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Long]
+    in.addData(1L to 40L: _*)
+    val dir = tmpDir("fbsink") + "/out"
+    val seenBatches = scala.collection.mutable.ArrayBuffer[Long]()
+    StreamOps.foreachBatchSink(
+      in.toDF().withColumnRenamed("value", "v"), tmpDir("fbsink-ckpt")) {
+      (batch, id) =>
+        seenBatches += id
+        // idempotent-in-batchId target: one subdirectory per batch
+        graft.io.Sinks.overwrite(batch, s"$dir/batch=$id")
+    }
+    assert(seenBatches.nonEmpty)
+    val back = spark.read.parquet(s"$dir/batch=*").select("v").as[Long].collect().sorted
+    assert(back.toSeq == (1L to 40L))
+  }
+
   test("tumbling window counts with watermark match the batch equivalent") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
