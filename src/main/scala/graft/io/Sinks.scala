@@ -82,28 +82,41 @@ object Sinks {
     * append-mode parquet table: streaming micro-batches and frequent
     * appends leave thousands of KB-sized part files, and at 100 TB the
     * per-file open/footer cost comes to dominate scans. Rewrites the table
-    * to ⌈bytes/targetFileBytes⌉ part files via an atomic overwrite of a
-    * temp copy (readers never see a half-compacted table; same
-    * commit-protocol guarantee as `overwrite`). Returns (filesBefore,
-    * filesAfter). Single-writer per table, like every sink here.
+    * to ⌈bytes/targetFileBytes⌉ part files in a temp directory, then swaps
+    * it in with delete + rename (metadata-only — the no-table window is a
+    * rename, not a rewrite job, and the temp copy holds every byte until
+    * the swap; a crashed run leaves the original table untouched).
+    * Flat tables only — hive-partitioned layouts are rejected rather than
+    * silently flattened. Returns (filesBefore, filesAfter). Single-writer
+    * per table, like every sink here.
     */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L << 20): (Int, Int) = {
     require(targetFileBytes > 0)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0, 0) // appends pending — nothing to do
+    // hive-partitioned layouts (k=.../part-...) would be silently
+    // FLATTENED (the partition column becomes data, pruning is lost) —
+    // reject them; compaction of a partitioned table is per-partition
+    require(!fs.listStatus(p).exists(st =>
+        st.isDirectory && st.getPath.getName.contains("=")),
+      s"$path is hive-partitioned; compact each partition directory instead")
     def parts = fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
     val before = parts
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    // materialize through a temp dir first: overwrite-from-self would
-    // delete the source out from under its own lazy scan
+    // write the compacted copy to a temp dir (reading and overwriting the
+    // same files in one plan would delete the source under its own scan),
+    // then swap it in with delete + rename: metadata-only, so the window
+    // with no complete table is a directory rename, not a full rewrite job
+    // — and the temp copy holds all bytes until the swap
     val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}_compact_tmp")
+    fs.delete(tmp, true) // stale copy from a crashed earlier run
     spark.read.parquet(path).repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    spark.read.parquet(tmp.toString)
-      .write.mode(SaveMode.Overwrite).parquet(path)
-    fs.delete(tmp, true)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
     (before, parts)
   }
 

@@ -84,16 +84,11 @@ object StreamOps {
     * that purpose. Drains with AvailableNow and blocks until done.
     */
   def foreachBatchSink(df: DataFrame, checkpoint: String)
-      (write: (DataFrame, Long) => Unit): StreamingQuery = {
-    val q = df.writeStream
-      .foreachBatch((batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
-        write(batch.toDF(), id))
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
-  }
+      (write: (DataFrame, Long) => Unit): StreamingQuery =
+    runAvailableNow(
+      df.writeStream.foreachBatch((batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        write(batch.toDF(), id)),
+      checkpoint)
 
   /** Custom keyed state via flatMapGroupsWithState — the general form of
     * the reference's ETLState when membership isn't enough (counters,

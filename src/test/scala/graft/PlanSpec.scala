@@ -65,10 +65,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "fuzzy match fell back to sort-merge")
   }
 
-  test("q_interval_join plans an equi-join on the bucket key, not a BNLJ") {
+  test("q_interval_join plans an equi-join ON THE BUCKET KEY") {
+    // the blanket test already forbids BNLJ/cartesian; this asserts the
+    // positive shape — some hash/merge join keyed on the quantized bucket
     val plan = planOf("q_interval_join")
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-      "interval containment planned a nested loop")
+    val joinLine = plan.linesIterator.find(l =>
+      (l.contains("SortMergeJoin") || l.contains("HashJoin")) && l.contains("__bucket"))
+    assert(joinLine.isDefined, s"no equi-join on __bucket found:\n$plan")
   }
 
   test("q5_multi_join broadcasts the dimension tables") {

@@ -69,10 +69,12 @@ class SeedsSinksSpec extends SparkSpec {
     Sinks.appendPartitioned(df, path, Seq("k"))
     val q = spark.read.parquet(path).filter(org.apache.spark.sql.functions.col("k") === "p1")
     val plan = q.queryExecution.executedPlan.toString
-    // the partition filter must land as a PartitionFilters entry on the
-    // FileScan (pruned at planning), not a post-scan Filter over all rows
-    assert(plan.contains("PartitionFilters") && plan.contains("k#"),
-      s"partition filter not pushed:\n$plan")
+    // the partition filter must land INSIDE the scan's PartitionFilters
+    // entry (pruned at planning) — the key alone is always printed (empty
+    // brackets when nothing pruned), so assert the filter's column appears
+    // within the brackets, not merely somewhere in the plan
+    assert("PartitionFilters: \\[[^\\]]*k#".r.findFirstIn(plan).isDefined,
+      s"partition filter not pushed into the scan:\n$plan")
     assert(q.count() == 5)
   }
 
@@ -87,5 +89,13 @@ class SeedsSinksSpec extends SparkSpec {
     assert(before >= 12 && after == 1, s"expected 12+ -> 1 files, got $before -> $after")
     val rowsAfter = spark.read.parquet(path).collect().map(_.getLong(0)).sorted.toSeq
     assert(rowsAfter == rowsBefore)
+  }
+
+  test("compact no-ops on a missing path and rejects partitioned layouts") {
+    assert(Sinks.compact(spark, tmpDir("sink6") + "/never_written") == ((0, 0)))
+    val path = tmpDir("sink7") + "/ds"
+    Sinks.appendPartitioned(Seeds.fromMaps(spark, Seq(
+      Map("k" -> "a", "v" -> 1), Map("k" -> "b", "v" -> 2))), path, Seq("k"))
+    intercept[IllegalArgumentException] { Sinks.compact(spark, path) }
   }
 }
