@@ -360,6 +360,80 @@ object TextQueries {
       |  ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) AS dup_ratio
       |FROM g ORDER BY dup_ratio DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Sequence packing — the GPT-style concat-then-chunk step that turns a
+    * deduplicated corpus into fixed-budget training sequences: documents are
+    * laid out in deterministic content-hash order (sha256, doc_id tie-break
+    * — the same reproducible order as q_stratified_sample), token offsets
+    * accumulate over that total order, and a document belongs to the pack
+    * holding its first token (`offset DIV budget`). Output is per-pack
+    * occupancy: how many docs start in each 512-token sequence and how many
+    * tokens they contribute.
+    *
+    * Scale: the cumulative offset uses ops.PrefixSum (range partition +
+    * local scan + broadcast per-partition offsets) — no unpartitioned
+    * window anywhere, so the layout step is balanced at corpus scale; the
+    * final aggregate shuffles #packs rows (corpus_tokens / 512).
+    */
+  def qPack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 512
+    // project BEFORE the prefix-sum: the range exchange must carry
+    // (doc_id, h, ntok), never the document bodies
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"),
+        size(toks).cast("long").as("ntok"))
+    graft.ops.PrefixSum.cumsum(
+        d, col("ntok"), Seq(col("h"), col("doc_id")), "cum_tok")
+      .withColumn("seq_id", expr(s"CAST((cum_tok - ntok) DIV $budget AS BIGINT)"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
+  val qPackSql: String =
+    """WITH d AS (SELECT doc_id, sha256(text) AS h,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |           FROM documents),
+      |c AS (SELECT doc_id, ntok,
+      |        CAST(SUM(ntok) OVER (ORDER BY h, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+      |      FROM d)
+      |SELECT CAST((cum_tok - ntok) // 512 AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(ntok) AS BIGINT) AS pack_tokens,
+      |  MIN(doc_id) AS first_doc
+      |FROM c GROUP BY 1""".stripMargin
+
+  /** Blocklist redaction — the PII-scrub shape (emails/phones/IDs in a real
+    * corpus; here a synthetic token blocklist stands in, since the test
+    * corpus has no PII-like strings) : every blocklisted token is replaced
+    * with a fixed `<PII>` marker and per-language audit stats come back
+    * exact — documents touched, total redactions, and the net character
+    * delta of the rewrite. Per-row narrow regex compute (codegen'd
+    * built-ins, word-boundary anchored so only whole tokens match) plus one
+    * #langs-row hash aggregate; nothing here widens at 100 TB.
+    */
+  def qRedact(s: SparkSession, dir: String): DataFrame = {
+    val pat = "\\b(customer|key|value|order)\\b"
+    Tables.documents(s, dir)
+      .withColumn("n_hits", regexp_count(col("text"), lit(pat)))
+      .withColumn("red", regexp_replace(col("text"), pat, "<PII>"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("docs_hit"),
+        sum(col("n_hits").cast("long")).as("total_hits"),
+        sum((length(col("red")) - length(col("text"))).cast("long")).as("char_delta"))
+  }
+
+  val qRedactSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN len(regexp_extract_all(text, '\b(customer|key|value|order)\b')) > 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+      |  CAST(SUM(len(regexp_extract_all(text, '\b(customer|key|value|order)\b'))) AS BIGINT) AS total_hits,
+      |  CAST(SUM(length(regexp_replace(text, '\b(customer|key|value|order)\b', '<PII>', 'g'))
+      |    - length(text)) AS BIGINT) AS char_delta
+      |FROM documents GROUP BY lang""".stripMargin
+
   /** TF-IDF: top-3 most characteristic tokens per document (doc_id < 20).
     * tf = in-doc count, idf = ln(N/df) over the whole corpus; ranking on
     * the ROUNDED score with token tie-break so both engines rank
@@ -402,6 +476,8 @@ object TextQueries {
       |SELECT doc_id, rnk, token, tf, df, tfidf FROM ranked WHERE rnk <= 3""".stripMargin
 
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_pack" -> ((qPack _, Some(qPackSql))),
+    "q_redact" -> ((qRedact _, Some(qRedactSql))),
     "q_tfidf" -> ((qTfidf _, Some(qTfidfSql))),
     "q_repetition" -> ((qRepetition _, Some(qRepetitionSql))),
     "q_normalized_dedup" -> ((qNormalizedDedup _, Some(qNormalizedDedupSql))),

@@ -14,15 +14,17 @@ class PlanSpec extends SparkSpec {
   // The ONLY queries allowed a nested-loop/cartesian shape, by design:
   // band-table BETWEEN join, the broadcast-queries exact cosine scan, and
   // IVF's query×centroid assignment (both sides tiny; the corpus join is equi).
-  // q_vocab_coverage: PrefixSum's triangular offsets join (numPartitions
-  // rows) and the broadcast scalar-total join are both metadata-scale BNLJs.
+  // q_vocab_coverage / q_pack: PrefixSum's triangular offsets join
+  // (numPartitions rows) and the broadcast scalar-total join are both
+  // metadata-scale BNLJs.
   // q_embedding_neardup: the 64-row hyperplane table is broadcast against
   // the corpus with no join key by design (every vector × every plane).
   // q_gapfill: the spine join is distinct-types × a broadcast 1-row bounds
   // aggregate — keyless by design, metadata-scale (#types × 1 rows).
   private val bnljAllowed =
     Set("q_range_join", "q_cosine_topk", "q_ann_ivf", "q_ann_ivf_kernel",
-      "q_ann_fullprobe", "q_vocab_coverage", "q_embedding_neardup", "q_gapfill")
+      "q_ann_fullprobe", "q_vocab_coverage", "q_pack", "q_embedding_neardup",
+      "q_gapfill")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
