@@ -98,6 +98,43 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("shuffle joins get a runtime bloom filter from a selective build side") {
+    // The non-partitioned analog of dynamic partition pruning: when the
+    // fact is NOT laid out on the join key and the join is too big to
+    // broadcast, Spark's InjectRuntimeFilter should semi-filter the probe
+    // side with a bloom filter built from the selective dim — at 100 TB
+    // that is the difference between shuffling the whole fact and
+    // shuffling the surviving fraction. Frozen here so a conf/shape change
+    // that silently drops the filter fails CI. Thresholds are tuned for
+    // test-sized data; the default 10 GB application-side floor is exactly
+    // the cluster posture (don't bother below scan sizes that matter).
+    val path = tmpDir("bloom") + "/fact"
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").parquet(path)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val sel = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val q = spark.read.parquet(path)
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter injected on the probe side:\n$plan")
+      assert(q.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("decimal sums are partition-count invariant (order independence)") {
     import graft.queries.Exact
     val li = Tables.lineitem(spark, sfDir)

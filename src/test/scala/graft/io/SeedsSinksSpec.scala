@@ -78,6 +78,25 @@ class SeedsSinksSpec extends SparkSpec {
     assert(q.count() == 5)
   }
 
+  test("joins against a partitioned fact prune partitions DYNAMICALLY") {
+    import org.apache.spark.sql.functions.col
+    // The 100 TB shape: fact partitioned on the join key, dim filtered at
+    // runtime. Static pruning can't help (the filter is on the DIM side);
+    // dynamic partition pruning must inject the dim's surviving keys into
+    // the fact scan's PartitionFilters, or the fact scan reads everything.
+    val path = tmpDir("dpp") + "/fact"
+    val fact = Seeds.fromMaps(spark, (1 to 100).map(i =>
+      Map("k" -> s"p${i % 10}", "v" -> i)))
+    Sinks.appendPartitioned(fact, path, Seq("k"))
+    val dim = Seeds.fromMaps(spark, (0 until 10).map(i =>
+      Map("k" -> s"p$i", "grp" -> (i % 2))))
+    val q = spark.read.parquet(path).join(dim.filter(col("grp") === 0), "k")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$plan")
+    assert(q.count() == 50) // grp=0 keeps the 5 even partitions × 10 rows
+  }
+
   test("compact rewrites many small part files into few, preserving rows") {
     val path = tmpDir("sink5") + "/ds"
     // 12 appends of 1-partition frames -> >= 12 small part files
