@@ -146,8 +146,75 @@ object DedupQueries {
       |                  ('not_null(o_custkey)', v2),
       |                  ('range(o_totalprice)', v3)) AS r(rule, violations)""".stripMargin
 
+  /** Intake profile as a query (ops.Profile): one aggregate pass emits the
+    * long-format (column, metric, value) quality sweep over `events`. The
+    * deterministic metrics (nulls, min/max — length min/max for strings)
+    * hash-gate exactly; the HLL distinct estimate differs by engine, so it
+    * becomes an in-query tolerance verdict against the exact distinct
+    * (|approx−exact| ≤ 3·rsd·exact, the same contract as
+    * q_approx_distinct). Scale: Profile is one conditional-aggregate pass
+    * (a single reduced row — the only driver materialization, metadata
+    * scale); the verdict join is a 6-row equi-join.
+    */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val prof = graft.ops.Profile.profile(s, ev)
+    val det = prof.filter(col("metric") =!= "distinct")
+    val exact = ev.agg(
+        countDistinct(col("event_id")).as("event_id"),
+        countDistinct(col("ts")).as("ts"),
+        countDistinct(col("user_id")).as("user_id"),
+        countDistinct(col("event_type")).as("event_type"),
+        countDistinct(col("value")).as("value"),
+        countDistinct(col("props")).as("props"))
+      .select(expr(
+        """stack(6, 'event_id', event_id, 'ts', ts, 'user_id', user_id,
+          |  'event_type', event_type, 'value', value, 'props', props)
+          |  AS (column, exact_distinct)""".stripMargin))
+    val verdict = prof.filter(col("metric") === "distinct")
+      .join(exact, "column")
+      .select(col("column"), lit("distinct_ok").as("metric"),
+        when(abs(col("value") - col("exact_distinct"))
+          <= col("exact_distinct").cast("double") * 0.15, 1.0).otherwise(0.0)
+          .as("value"),
+        col("rows"))
+    det.unionByName(verdict)
+  }
+
+  val qProfileSql: String =
+    """WITH a AS (SELECT COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS ei_nulls,
+      |  CAST(MIN(event_id) AS DOUBLE) AS ei_min, CAST(MAX(event_id) AS DOUBLE) AS ei_max,
+      |  CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS ts_nulls,
+      |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS ui_nulls,
+      |  CAST(MIN(user_id) AS DOUBLE) AS ui_min, CAST(MAX(user_id) AS DOUBLE) AS ui_max,
+      |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS et_nulls,
+      |  CAST(MIN(length(event_type)) AS DOUBLE) AS et_min,
+      |  CAST(MAX(length(event_type)) AS DOUBLE) AS et_max,
+      |  CAST(SUM(CASE WHEN "value" IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS v_nulls,
+      |  CAST(MIN("value") AS DOUBLE) AS v_min, CAST(MAX("value") AS DOUBLE) AS v_max,
+      |  CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS p_nulls,
+      |  CAST(MIN(length(props)) AS DOUBLE) AS p_min,
+      |  CAST(MAX(length(props)) AS DOUBLE) AS p_max
+      |  FROM events)
+      |SELECT r."column", r.metric, r."value", a.n AS "rows"
+      |FROM a, LATERAL (VALUES
+      |  ('event_id','nulls',ei_nulls), ('event_id','distinct_ok',1.0),
+      |  ('event_id','min',ei_min), ('event_id','max',ei_max),
+      |  ('ts','nulls',ts_nulls), ('ts','distinct_ok',1.0),
+      |  ('user_id','nulls',ui_nulls), ('user_id','distinct_ok',1.0),
+      |  ('user_id','min',ui_min), ('user_id','max',ui_max),
+      |  ('event_type','nulls',et_nulls), ('event_type','distinct_ok',1.0),
+      |  ('event_type','min',et_min), ('event_type','max',et_max),
+      |  ('value','nulls',v_nulls), ('value','distinct_ok',1.0),
+      |  ('value','min',v_min), ('value','max',v_max),
+      |  ('props','nulls',p_nulls), ('props','distinct_ok',1.0),
+      |  ('props','min',p_min), ('props','max',p_max)
+      |) AS r("column", metric, "value")""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_validate" -> ((qValidate _, Some(qValidateSql))),
+    "q_profile" -> ((qProfile _, Some(qProfileSql))),
     "q_dedup_exact" -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_identity_hash" -> ((qIdentityHash _, Some(qIdentityHashSql))),
     "q_dedup_state" -> ((qDedupState _, Some(qDedupStateSql))),
