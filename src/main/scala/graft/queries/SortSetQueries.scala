@@ -185,7 +185,57 @@ object SortSetQueries {
       |  COUNT(*) AS n_events, TRUE AS hll_ok
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Ordered string aggregation (LISTAGG ... WITHIN GROUP): the canonical
+    * "collapse a group to a delimited, deterministically ordered list"
+    * reporting op. The explicit ORDER BY inside the aggregate is what makes
+    * it gate-able — an unordered collect_list is nondeterministic under any
+    * parallel execution. Scale: one hash shuffle on the group key; the
+    * per-group sort is bounded by group width (here: nations per region).
+    */
+  def qStringAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(expr("listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+        count(lit(1)).as("n_nations"))
+  }
+
+  val qStringAggSql: String =
+    """SELECT r_name, string_agg(n_name, '|' ORDER BY n_name) AS nations,
+      |  COUNT(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  /** Boolean and bitwise aggregates — the predicate-rollup surface
+    * (bool_and/bool_or for "does every/any row satisfy X", bit_and/or/xor
+    * for mask folding). All are order-independent reductions, so they are
+    * exactly hash-gateable and AQE/partition-count-proof by construction.
+    * Scale: one hash aggregate with map-side partials; #groups rows move.
+    */
+  def qBoolBitAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("bool_and(value > 0)").as("all_positive"),
+        expr("bool_or(value > 100)").as("any_large"),
+        expr("bit_and(user_id)").as("uid_mask_and"),
+        expr("bit_or(user_id)").as("uid_mask_or"),
+        expr("bit_xor(user_id)").as("uid_mask_xor"))
+  }
+
+  val qBoolBitAggSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  bool_and("value" > 0) AS all_positive,
+      |  bool_or("value" > 100) AS any_large,
+      |  bit_and(user_id) AS uid_mask_and,
+      |  bit_or(user_id) AS uid_mask_or,
+      |  bit_xor(user_id) AS uid_mask_xor
+      |FROM events GROUP BY event_type""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_bool_bit_agg" -> ((qBoolBitAgg _, Some(qBoolBitAggSql))),
+    "q_string_agg" -> ((qStringAgg _, Some(qStringAggSql))),
     "q_union_by_name" -> ((qUnionByName _, Some(qUnionByNameSql))),
     "q_argmax" -> ((qArgmax _, Some(qArgmaxSql))),
     "q_approx_distinct" -> ((qApproxDistinct _, Some(qApproxDistinctSql))),

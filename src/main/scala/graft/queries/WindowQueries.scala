@@ -130,7 +130,47 @@ object WindowQueries {
       |FROM orders WHERE o_custkey < 50
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin
 
+  /** Navigation functions over the full per-user frame: first/last/nth
+    * event plus lead/lag neighbors for each user's 3rd event. Deterministic
+    * order (ts, event_id); last_value needs the explicit unbounded-following
+    * frame — the default frame stops at CURRENT ROW, a classic silent-wrong
+    * in both engines, pinned identically here and in the oracle.
+    * Scale: same shape as every window — hash shuffle on user_id, one
+    * per-group sort shared by all five functions over the same window.
+    */
+  def qWindowNavigation(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("first_type", first(col("event_type")).over(full))
+      .withColumn("last_type", last(col("event_type")).over(full))
+      .withColumn("second_id", nth_value(col("event_id"), 2).over(full))
+      .withColumn("prev_id", lag(col("event_id"), 1).over(ord))
+      .withColumn("next_id", lead(col("event_id"), 1).over(ord))
+      .filter(col("rn") === 3)
+      .select(col("user_id"), col("event_id"), col("first_type"),
+        col("last_type"), col("second_id"), col("prev_id"), col("next_id"))
+  }
+
+  val qWindowNavigationSql: String =
+    """SELECT user_id, event_id, first_type, last_type, second_id, prev_id, next_id
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    FIRST_VALUE(event_type) OVER wf AS first_type,
+      |    LAST_VALUE(event_type) OVER wf AS last_type,
+      |    NTH_VALUE(event_id, 2) OVER wf AS second_id,
+      |    LAG(event_id, 1) OVER w AS prev_id,
+      |    LEAD(event_id, 1) OVER w AS next_id
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |    wf AS (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |) t WHERE rn = 3""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_window_navigation" -> ((qWindowNavigation _, Some(qWindowNavigationSql))),
     "q_window_rank" -> ((qWindowRank _, Some(qWindowRankSql))),
     "q_window_running" -> ((qWindowRunning _, Some(qWindowRunningSql))),
     "q_window_range" -> ((qWindowRange _, Some(qWindowRangeSql))),
