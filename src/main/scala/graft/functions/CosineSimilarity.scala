@@ -154,5 +154,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[EditDistanceWithin].getName, "edit_distance_within"),
       (children: Seq[Expression]) => EditDistanceWithin(children(0), children(1), children(2))))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

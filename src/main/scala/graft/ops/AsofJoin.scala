@@ -35,6 +35,11 @@ object AsofJoin {
     * standard convention). Ties in right time resolve to the later-sorted
     * row — pre-aggregate the right side to unique (key, time) rows if right
     * times can collide and determinism matters.
+    * NULL times never match (the DuckDB/pandas as-of convention): a
+    * null-time right row is dropped, a null-time left row comes back
+    * unmatched. Without the explicit guards, nulls-first/last sort order
+    * would silently treat a null time as "earliest"/"latest" and hand
+    * null-time rows a bogus nearest match.
     */
   def asof(
       left: DataFrame,
@@ -61,7 +66,7 @@ object AsofJoin {
         right.schema(rightTime).copy(name = "__rt"))
     // side 0 = right (sorts BEFORE a left row at the same timestamp in both
     // directions, so the boundary-equal right row is eligible)
-    val r = right.select(
+    val r = right.filter(col(rightTime).isNotNull).select(
       Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side"),
         struct(carry.map { case (from, to) => col(from).as(to) } :+
           col(rightTime).as("__rt"): _*).as("__r")) ++
@@ -75,13 +80,18 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = r.unionByName(l)
       .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
-    // a NULL tolerance verdict (no match at all) falls through to NULL
-    val matched = tolerance match {
+    // a NULL tolerance verdict (no match at all) falls through to NULL;
+    // a NULL left time matches nothing regardless of direction (in forward
+    // mode desc-nulls-last sorting would otherwise hand it the earliest
+    // right row)
+    val matched0 = tolerance match {
       case Some(ok) =>
         when(ok(col("__t"), col("__c").getField("__rt")), col("__c"))
           .otherwise(lit(null).cast(carryType))
       case None => col("__c")
     }
+    val matched = when(col("__t").isNull, lit(null).cast(carryType))
+      .otherwise(matched0)
     carried.filter(col("__side") === 1)
       .withColumn("__m", matched)
       .select(

@@ -1,0 +1,224 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BindReferences.bindReference
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Native as-of join — the category-(c) extension point end-to-end: a
+  * custom `LogicalPlan` node, a `SparkStrategy` that plans it, and a
+  * physical `BinaryExecNode` that executes it, registered through
+  * `SparkSessionExtensions` (and `spark.experimental.extraStrategies` for
+  * live sessions).
+  *
+  * [[graft.ops.AsofJoin]] is the composition path (union + one shuffle +
+  * windowed carry); it is correct and scale-safe, but it pays for
+  * generality: the union doubles the rows entering the shuffle, every left
+  * column rides through the sort as a null-padded union column, and the
+  * window carries a struct per row. This exec is what a purpose-built
+  * operator buys: each side shuffles ONCE on its own key (left rows never
+  * widen, right rows never replicate), both sides sort per partition by
+  * (key, time) — Catalyst inserts the exchanges/sorts from
+  * requiredChildDistribution/Ordering, so AQE still plans them — and a
+  * single forward merge pass per partition emits each left row joined to
+  * the latest right row with right.time <= left.time (backward as-of,
+  * boundary-equal matches included). No row multiplication, no quadratic
+  * per-key work, skew bounded by the hottest single key — same contract as
+  * the composition, minus the union overhead.
+  *
+  * Semantics notes (both deliberately matching the composition):
+  *  - NULL keys group like groupBy keys: a null-key left row matches
+  *    null-key right rows (natural-ordering comparison, not SQL `=`).
+  *  - NULL times never match: a null right time is skipped, a null left
+  *    time emits the left row unmatched.
+  *  - Right-time ties resolve to the later-sorted row; pre-aggregate the
+  *    right side to unique (key, time) if determinism matters (the gated
+  *    queries do).
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTime: Attribute,
+    rightTime: Attribute) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinPlan]] → [[AsofJoinExec]]; a no-op on every other node. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // One hash shuffle per side on its own key. EnsureRequirements
+  // co-partitions the two exchanges (same mechanism as sort-merge join),
+  // and AQE's partition coalescing applies one spec to every shuffle of a
+  // stage, so the sides stay aligned for zipPartitions.
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) ::
+      ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  private def ordering(key: Expression, time: Expression): Seq[SortOrder] =
+    Seq(SortOrder(key, Ascending), SortOrder(time, Ascending))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(ordering(leftKey, leftTime), ordering(rightKey, rightTime))
+
+  // Left rows pass through in their sorted order and partitioning, so both
+  // properties are preservable — a downstream per-key window or merge sees
+  // them for free.
+  override def outputOrdering: Seq[SortOrder] = ordering(leftKey, leftTime)
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  /** Event-time as comparable micros/units; TimestampType evals to Long,
+    * DateType to Int — anything numeric-backed works identically on both
+    * sides (the API layer validates the two types match).
+    */
+  private def toLong(v: Any): Long = v.asInstanceOf[Number].longValue
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val outAttrs = output
+    val lKey = leftKey
+    val rKey = rightKey
+    val lTime = leftTime
+    val rTime = rightTime
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lkGen = UnsafeProjection.create(Seq(lKey), leftOut)
+      val rkGen = UnsafeProjection.create(Seq(rKey), rightOut)
+      val ltBound = bindReference(lTime, leftOut)
+      val rtBound = bindReference(rTime, rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lKey.dataType))
+      val resultProj = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+      val nullRight = new GenericInternalRow(rightOut.size)
+      val joined = new JoinedRow
+      val rBuf = rIt.buffered
+
+      new Iterator[InternalRow] {
+        // the latest right row (copied — Spark iterators reuse buffers)
+        // whose (key, time) has been passed by the left cursor
+        private var lastRight: InternalRow = _
+        private var lastRightKey: UnsafeRow = _
+
+        override def hasNext: Boolean = lIt.hasNext
+
+        override def next(): InternalRow = {
+          val lrow = lIt.next()
+          val lk = lkGen(lrow)
+          val ltv = ltBound.eval(lrow)
+          if (ltv != null) {
+            val lt = toLong(ltv)
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val rrow = rBuf.head
+              val rtv = rtBound.eval(rrow)
+              if (rtv == null) { rBuf.next() } // null time never matches
+              else {
+                val cmp = keyOrd.compare(rkGen(rrow), lk)
+                if (cmp < 0) { rBuf.next() } // key fully passed; discard
+                else if (cmp == 0 && toLong(rtv) <= lt) {
+                  lastRight = rrow.copy()
+                  lastRightKey = rkGen(rrow).copy()
+                  rBuf.next()
+                } else advance = false // right cursor is ahead; stop
+              }
+            }
+          }
+          val matched = ltv != null && lastRight != null &&
+            keyOrd.compare(lastRightKey, lk) == 0
+          resultProj(joined(lrow, if (matched) lastRight else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level API over the native operator (mirrors
+  * [[graft.ops.AsofJoin.asof]]'s backward mode: same argument shape, same
+  * output columns).
+  */
+object AsofJoinNative {
+
+  private val supportedTime: DataType => Boolean = {
+    case TimestampType | TimestampNTZType | DateType |
+         LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  /** Idempotently activate the strategy on a live session (the runtime
+    * analog of `spark.sql.extensions=graft.functions.GraftExtensions`).
+    */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+
+  /** left asof-join right (backward): for each left row, the latest right
+    * row with the same key and right time <= left time; carried right
+    * columns are renamed per `rightCols`. The right side is re-projected
+    * under fresh aliases, so self-joins cannot collide attribute ids.
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightCols: Map[String, String]): DataFrame = {
+    val spark = left.sparkSession
+    install(spark)
+    val lType = left.schema(leftTime).dataType
+    val rType = right.schema(rightTime).dataType
+    require(lType == rType && supportedTime(lType),
+      s"as-of time columns must share a numeric-backed type; got $lType / $rType")
+    require(left.schema(key).dataType == right.schema(key).dataType,
+      "as-of key columns must share a type")
+    val reserved = Set("__asof_rk", "__asof_rt")
+    require(!rightCols.values.exists(reserved), s"carried names $reserved are reserved")
+    val carry = rightCols.toSeq
+    // fresh aliases → fresh exprIds (self-join safe) + no name clashes
+    val rProj = right.select(
+      Seq(col(key).as("__asof_rk"), col(rightTime).as("__asof_rt")) ++
+        carry.map { case (from, to) => col(from).as(to) }: _*)
+    val lp = left.queryExecution.analyzed
+    val rp = rProj.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column '$name' not found"))
+    val node = AsofJoinPlan(lp, rp,
+      attr(lp, key), attr(rp, "__asof_rk"), attr(lp, leftTime), attr(rp, "__asof_rt"))
+    PlanBridge.ofRows(spark, node)
+      .drop("__asof_rk", "__asof_rt")
+  }
+}

@@ -45,6 +45,27 @@ object AdvancedQueries {
       |FROM (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin
 
+  /** The SAME as-of join through the native operator
+    * (graft.plans.AsofJoinNative: custom LogicalPlan → SparkStrategy →
+    * AsofJoinExec, one shuffle per side + per-partition merge — no union,
+    * no window). Three independent implementations must now agree
+    * bit-for-bit: this exec, the union+window composition (q_asof_join),
+    * and DuckDB's native ASOF LEFT JOIN.
+    */
+  def qAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.plans.AsofJoinNative.asof(purchases, clicks,
+      key = "user_id", leftTime = "ts", rightTime = "click_ts",
+      rightCols = Map("click_id" -> "last_click_id", "click_ts" -> "last_click_ts"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        col("last_click_id"), col("last_click_ts"))
+  }
+
   /** Forward as-of join: for every purchase, the user's NEXT click at or
     * after it (same union+window machinery, time-descending carry). Clicks
     * are pre-aggregated to unique (user, ts) rows so colliding right times
@@ -516,6 +537,7 @@ object AdvancedQueries {
     "q_null_semantics" -> ((qNullSemantics _, Some(qNullSemanticsSql))),
     "q_having" -> ((qHaving _, Some(qHavingSql))),
     "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
+    "q_asof_native" -> ((qAsofNative _, Some(qAsofJoinSql))),
     "q_asof_forward" -> ((qAsofForward _, Some(qAsofForwardSql))),
     "q_asof_tolerance" -> ((qAsofTolerance _, Some(qAsofToleranceSql))),
     "q_sessionize" -> ((qSessionize _, Some(qSessionizeSql))),

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The one private[sql] doorway the library needs: turning a custom
+  * LogicalPlan node into a DataFrame. Spark exposes no public constructor
+  * for this, so — like every plan-extending Spark library — this object
+  * lives under `org.apache.spark.sql` solely to reach `Dataset.ofRows`.
+  * Nothing else in the library uses package-private Spark API.
+  */
+object PlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

@@ -1,0 +1,139 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+import graft.SparkSpec
+import graft.ops.AsofJoin
+
+/** The native as-of exec must be indistinguishable from the composition
+  * path (ops.AsofJoin backward mode) on every input, including the ugly
+  * ones: null times, null keys, ties, keys on one side only, empty sides.
+  */
+class AsofJoinNativeSpec extends SparkSpec with TableDrivenPropertyChecks {
+
+  import scala.jdk.CollectionConverters._
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
+
+  private val leftSchema = StructType(Seq(
+    StructField("k", LongType), StructField("lt", TimestampType),
+    StructField("lv", StringType)))
+  private val rightSchema = StructType(Seq(
+    StructField("k", LongType), StructField("rt", TimestampType),
+    StructField("rv", StringType)))
+
+  private def mkLeft(rows: Seq[(java.lang.Long, java.lang.Long, String)]) =
+    spark.createDataFrame(
+      rows.map { case (k, t, v) =>
+        Row(k, if (t == null) null else ts(t.longValue), v) }.asJava, leftSchema)
+
+  private def mkRight(rows: Seq[(java.lang.Long, java.lang.Long, String)]) =
+    spark.createDataFrame(
+      rows.map { case (k, t, v) =>
+        Row(k, if (t == null) null else ts(t.longValue), v) }.asJava, rightSchema)
+
+  private def both(left: Seq[(java.lang.Long, java.lang.Long, String)],
+                   right: Seq[(java.lang.Long, java.lang.Long, String)]) = {
+    val l = mkLeft(left)
+    val r = mkRight(right)
+    val carried = Map("rv" -> "rv_out", "rt" -> "rt_out")
+    val native = AsofJoinNative.asof(l, r, "k", "lt", "rt", carried)
+    val composed = AsofJoin.asof(l, r, "k", "lt", "rt", carried)
+    (native, composed)
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("native ≡ composition on a hand-picked edge-case table") {
+    val cases = Table(
+      ("left", "right"),
+      // plain backward matches incl. boundary-equal time
+      (Seq[(java.lang.Long, java.lang.Long, String)](
+        (1L: java.lang.Long, 10L: java.lang.Long, "a"),
+        (1L, 20L, "b"), (2L, 15L, "c")),
+       Seq[(java.lang.Long, java.lang.Long, String)](
+        (1L: java.lang.Long, 10L: java.lang.Long, "r1"),
+        (1L, 15L, "r2"), (2L, 16L, "r3"))),
+      // left-only and right-only keys
+      (Seq[(java.lang.Long, java.lang.Long, String)](
+        (1L: java.lang.Long, 10L: java.lang.Long, "a"), (3L, 10L, "b")),
+       Seq[(java.lang.Long, java.lang.Long, String)](
+        (2L: java.lang.Long, 5L: java.lang.Long, "r1"))),
+      // null left time (no match), null right time (skipped)
+      (Seq[(java.lang.Long, java.lang.Long, String)](
+        (1L: java.lang.Long, null, "a"), (1L, 10L, "b")),
+       Seq[(java.lang.Long, java.lang.Long, String)](
+        (1L: java.lang.Long, null, "rX"), (1L, 5L, "r1"))),
+      // null keys group together (composition semantics)
+      (Seq[(java.lang.Long, java.lang.Long, String)](
+        (null, 10L: java.lang.Long, "a"), (1L, 10L, "b")),
+       Seq[(java.lang.Long, java.lang.Long, String)](
+        (null, 5L: java.lang.Long, "rN"), (1L, 5L, "r1"))),
+      // empty right
+      (Seq[(java.lang.Long, java.lang.Long, String)](
+        (1L: java.lang.Long, 10L: java.lang.Long, "a")),
+       Seq.empty[(java.lang.Long, java.lang.Long, String)]),
+      // all right rows AFTER all left rows (nothing matches)
+      (Seq[(java.lang.Long, java.lang.Long, String)](
+        (1L: java.lang.Long, 10L: java.lang.Long, "a")),
+       Seq[(java.lang.Long, java.lang.Long, String)](
+        (1L: java.lang.Long, 20L: java.lang.Long, "r1"))))
+    forAll(cases) { (l, r) =>
+      val (native, composed) = both(l, r)
+      assert(canon(native) == canon(composed))
+    }
+  }
+
+  test("native ≡ composition on randomized data (fixed seed, 500×200 rows)") {
+    val rnd = new scala.util.Random(42)
+    val left = Seq.fill(500)((
+      java.lang.Long.valueOf(rnd.nextInt(20).toLong),
+      java.lang.Long.valueOf(rnd.nextInt(1000).toLong),
+      s"l${rnd.nextInt(100)}"))
+    // unique (key, time) right rows: ties are resolved engine-arbitrarily
+    // in BOTH implementations, so determinism requires the same
+    // pre-aggregation the gated queries use
+    val right = Seq.fill(200)((
+      java.lang.Long.valueOf(rnd.nextInt(20).toLong),
+      java.lang.Long.valueOf(rnd.nextInt(1000).toLong),
+      s"r${rnd.nextInt(100)}"))
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val (native, composed) = both(left, right)
+    assert(canon(native) == canon(composed))
+  }
+
+  test("self-join (same source both sides) does not collide attributes") {
+    val ev = mkLeft(Seq(
+      (1L: java.lang.Long, 10L: java.lang.Long, "a"),
+      (1L, 20L, "b"), (2L, 5L, "c")))
+    val out = AsofJoinNative.asof(ev, ev.toDF("k", "rt", "rv"),
+      "k", "lt", "rt", Map("rv" -> "prev_v"))
+    assert(out.count() == 3)
+    val row = out.filter(col("lv") === "b").collect().head
+    assert(row.getAs[String]("prev_v") == "b") // <=, boundary-equal self
+  }
+
+  test("plan: one exchange per side, per-partition sorts, AsofJoinExec node") {
+    val l = mkLeft(Seq((1L: java.lang.Long, 10L: java.lang.Long, "a")))
+    val r = mkRight(Seq((1L: java.lang.Long, 5L: java.lang.Long, "r")))
+    val df = AsofJoinNative.asof(l, r, "k", "lt", "rt", Map("rv" -> "rv_out"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"native exec not planned:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"expected exactly one hash exchange per side:\n$plan")
+    assert(!plan.contains("Window"), "native path must not fall back to the window form")
+  }
+
+  test("rejects mismatched or unsupported time types") {
+    val l = mkLeft(Seq((1L: java.lang.Long, 10L: java.lang.Long, "a")))
+    intercept[IllegalArgumentException] {
+      AsofJoinNative.asof(l, l.withColumn("rt", col("lv")), "k", "lt", "rt", Map())
+    }
+  }
+}
