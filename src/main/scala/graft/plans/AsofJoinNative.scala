@@ -51,6 +51,13 @@ case class AsofJoinPlan(
     rightTime: Attribute) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+  // The generic stats visitor multiplies child sizes for unknown binary
+  // nodes (a cross-join-shaped guess). This join emits exactly one row per
+  // left row, each at most left+right wide — the sum is the honest bound,
+  // and it keeps planners above this node from refusing broadcasts.
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -204,8 +211,17 @@ object AsofJoinNative {
       s"as-of time columns must share a numeric-backed type; got $lType / $rType")
     require(left.schema(key).dataType == right.schema(key).dataType,
       "as-of key columns must share a type")
+    // Spark's NormalizeFloatingNumbers rule only rewrites the join/group
+    // nodes it knows about; a float key through THIS node could hash -0.0
+    // and 0.0 (or NaN bit patterns) to different partitions. Float as-of
+    // keys are meaningless anyway — reject instead of corrupting.
+    require(!Seq(FloatType, DoubleType).contains(left.schema(key).dataType),
+      "float/double as-of keys are not supported (hash normalization)")
     val reserved = Set("__asof_rk", "__asof_rt")
     require(!rightCols.values.exists(reserved), s"carried names $reserved are reserved")
+    require(!left.columns.exists(reserved), s"left columns $reserved are reserved")
+    val clash = left.columns.toSet.intersect(rightCols.values.toSet)
+    require(clash.isEmpty, s"carried names collide with left columns: $clash")
     val carry = rightCols.toSeq
     // fresh aliases → fresh exprIds (self-join safe) + no name clashes
     val rProj = right.select(

@@ -136,4 +136,26 @@ class AsofJoinNativeSpec extends SparkSpec with TableDrivenPropertyChecks {
       AsofJoinNative.asof(l, l.withColumn("rt", col("lv")), "k", "lt", "rt", Map())
     }
   }
+
+  test("rejects float keys (hash normalization) and clashing carried names") {
+    val l = mkLeft(Seq((1L: java.lang.Long, 10L: java.lang.Long, "a")))
+    val lf = l.withColumn("k", col("k").cast("double"))
+    intercept[IllegalArgumentException] {
+      AsofJoinNative.asof(lf, lf.toDF("k", "rt", "rv"), "k", "lt", "rt", Map())
+    }
+    intercept[IllegalArgumentException] { // "lv" already exists on the left
+      AsofJoinNative.asof(l, l.toDF("k", "rt", "rv"), "k", "lt", "rt",
+        Map("rv" -> "lv"))
+    }
+  }
+
+  test("stats above the node are additive, not a cross-join-shaped product") {
+    val l = mkLeft(Seq((1L: java.lang.Long, 10L: java.lang.Long, "a")))
+    val r = mkRight(Seq((1L: java.lang.Long, 5L: java.lang.Long, "r")))
+    val df = AsofJoinNative.asof(l, r, "k", "lt", "rt", Map("rv" -> "rv_out"))
+    val node = df.queryExecution.optimizedPlan.collect {
+      case p: AsofJoinPlan => p }.head
+    assert(node.stats.sizeInBytes ==
+      node.left.stats.sizeInBytes + node.right.stats.sizeInBytes)
+  }
 }
