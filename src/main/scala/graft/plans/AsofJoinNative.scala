@@ -48,7 +48,9 @@ case class AsofJoinPlan(
     leftKey: Attribute,
     rightKey: Attribute,
     leftTime: Attribute,
-    rightTime: Attribute) extends BinaryNode {
+    rightTime: Attribute,
+    forward: Boolean = false,
+    toleranceUnits: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   // The generic stats visitor multiplies child sizes for unknown binary
@@ -66,8 +68,8 @@ case class AsofJoinPlan(
 /** Plans [[AsofJoinPlan]] → [[AsofJoinExec]]; a no-op on every other node. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -77,6 +79,8 @@ case class AsofJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
+    forward: Boolean,
+    toleranceUnits: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -117,6 +121,8 @@ case class AsofJoinExec(
     val rKey = rightKey
     val lTime = leftTime
     val rTime = rightTime
+    val fwd = forward
+    val tol = toleranceUnits
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lkGen = UnsafeProjection.create(Seq(lKey), leftOut)
       val rkGen = UnsafeProjection.create(Seq(rKey), rightOut)
@@ -129,38 +135,62 @@ case class AsofJoinExec(
       val rBuf = rIt.buffered
 
       new Iterator[InternalRow] {
-        // the latest right row (copied — Spark iterators reuse buffers)
-        // whose (key, time) has been passed by the left cursor
+        // BACKWARD: the latest right row (copied — Spark iterators reuse
+        // buffers) whose (key, time) has been passed by the left cursor.
+        // FORWARD: unused; the match is the right head itself.
         private var lastRight: InternalRow = _
         private var lastRightKey: UnsafeRow = _
 
         override def hasNext: Boolean = lIt.hasNext
 
-        override def next(): InternalRow = {
-          val lrow = lIt.next()
-          val lk = lkGen(lrow)
-          val ltv = ltBound.eval(lrow)
-          if (ltv != null) {
-            val lt = toLong(ltv)
-            var advance = true
-            while (advance && rBuf.hasNext) {
-              val rrow = rBuf.head
-              val rtv = rtBound.eval(rrow)
-              if (rtv == null) { rBuf.next() } // null time never matches
-              else {
-                val cmp = keyOrd.compare(rkGen(rrow), lk)
-                if (cmp < 0) { rBuf.next() } // key fully passed; discard
-                else if (cmp == 0 && toLong(rtv) <= lt) {
+        /** Advance right past rows that can match neither this left row
+          * nor any later one (left times only grow), then return this left
+          * row's match, or null. Both directions discard keys already
+          * passed; backward additionally consumes-and-remembers same-key
+          * rows at/before the left time, forward discards same-key rows
+          * strictly before it (they precede every future left time too)
+          * and matches the un-consumed head.
+          */
+        private def matchFor(lk: UnsafeRow, lt: Long): InternalRow = {
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val rrow = rBuf.head
+            val rtv = rtBound.eval(rrow)
+            if (rtv == null) { rBuf.next() } // null time never matches
+            else {
+              val cmp = keyOrd.compare(rkGen(rrow), lk)
+              if (cmp < 0) { rBuf.next() } // key fully passed; discard
+              else if (cmp > 0) advance = false // right is ahead; stop
+              else if (fwd) {
+                if (toLong(rtv) < lt) rBuf.next() else advance = false
+              } else {
+                if (toLong(rtv) <= lt) {
                   lastRight = rrow.copy()
                   lastRightKey = rkGen(rrow).copy()
                   rBuf.next()
-                } else advance = false // right cursor is ahead; stop
+                } else advance = false
               }
             }
           }
-          val matched = ltv != null && lastRight != null &&
-            keyOrd.compare(lastRightKey, lk) == 0
-          resultProj(joined(lrow, if (matched) lastRight else nullRight))
+          if (fwd) {
+            if (rBuf.hasNext && keyOrd.compare(rkGen(rBuf.head), lk) == 0) {
+              val rt = toLong(rtBound.eval(rBuf.head)) // non-null: loop stopped here
+              if (tol.forall(rt - lt <= _)) rBuf.head else null
+            } else null
+          } else {
+            if (lastRight != null && keyOrd.compare(lastRightKey, lk) == 0 &&
+                tol.forall(lt - toLong(rtBound.eval(lastRight)) <= _))
+              lastRight
+            else null
+          }
+        }
+
+        override def next(): InternalRow = {
+          val lrow = lIt.next()
+          val ltv = ltBound.eval(lrow)
+          val matched =
+            if (ltv == null) null else matchFor(lkGen(lrow), toLong(ltv))
+          resultProj(joined(lrow, if (matched != null) matched else nullRight))
         }
       }
     }
@@ -191,10 +221,15 @@ object AsofJoinNative {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
 
-  /** left asof-join right (backward): for each left row, the latest right
-    * row with the same key and right time <= left time; carried right
-    * columns are renamed per `rightCols`. The right side is re-projected
-    * under fresh aliases, so self-joins cannot collide attribute ids.
+  /** left asof-join right: for each left row, the nearest right row with
+    * the same key — backward (default) = latest right time <= left time,
+    * forward = earliest right time >= left time. Carried right columns are
+    * renamed per `rightCols`; the right side is re-projected under fresh
+    * aliases, so self-joins cannot collide attribute ids.
+    * `toleranceUnits` bounds |left − right| time in the column's INTERNAL
+    * units (micros for timestamps, days for dates, the value itself for
+    * integers); a match outside it comes back null — same contract as the
+    * composition's tolerance predicate.
     */
   def asof(
       left: DataFrame,
@@ -202,7 +237,12 @@ object AsofJoinNative {
       key: String,
       leftTime: String,
       rightTime: String,
-      rightCols: Map[String, String]): DataFrame = {
+      rightCols: Map[String, String],
+      direction: String = "backward",
+      toleranceUnits: Option[Long] = None): DataFrame = {
+    require(Set("backward", "forward")(direction),
+      s"direction must be backward|forward, got '$direction'")
+    require(toleranceUnits.forall(_ >= 0), "tolerance must be non-negative")
     val spark = left.sparkSession
     install(spark)
     val lType = left.schema(leftTime).dataType
@@ -233,7 +273,8 @@ object AsofJoinNative {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column '$name' not found"))
     val node = AsofJoinPlan(lp, rp,
-      attr(lp, key), attr(rp, "__asof_rk"), attr(lp, leftTime), attr(rp, "__asof_rt"))
+      attr(lp, key), attr(rp, "__asof_rk"), attr(lp, leftTime), attr(rp, "__asof_rt"),
+      forward = direction == "forward", toleranceUnits = toleranceUnits)
     PlanBridge.ofRows(spark, node)
       .drop("__asof_rk", "__asof_rt")
   }

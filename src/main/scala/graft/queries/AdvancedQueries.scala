@@ -66,6 +66,40 @@ object AdvancedQueries {
         col("last_click_id"), col("last_click_ts"))
   }
 
+  /** Native-exec twins of the forward and tolerance variants: identical
+    * data and oracles, merge-pass execution. Every gated as-of semantics
+    * now runs through BOTH implementations against DuckDB's native ASOF.
+    */
+  def qAsofNativeFwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.plans.AsofJoinNative.asof(purchases, clicks,
+      key = "user_id", leftTime = "ts", rightTime = "click_ts",
+      rightCols = Map("click_id" -> "next_click_id", "click_ts" -> "next_click_ts"),
+      direction = "forward")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("next_click_id"), col("next_click_ts"))
+  }
+
+  def qAsofNativeTol(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.plans.AsofJoinNative.asof(purchases, clicks,
+      key = "user_id", leftTime = "ts", rightTime = "click_ts",
+      rightCols = Map("click_id" -> "recent_click_id", "click_ts" -> "recent_click_ts"),
+      toleranceUnits = Some(600000000L)) // 10 min in timestamp micros
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("recent_click_id"), col("recent_click_ts"))
+  }
+
   /** Forward as-of join: for every purchase, the user's NEXT click at or
     * after it (same union+window machinery, time-descending carry). Clicks
     * are pre-aggregated to unique (user, ts) rows so colliding right times
@@ -538,6 +572,8 @@ object AdvancedQueries {
     "q_having" -> ((qHaving _, Some(qHavingSql))),
     "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_asof_native" -> ((qAsofNative _, Some(qAsofJoinSql))),
+    "q_asof_native_fwd" -> ((qAsofNativeFwd _, Some(qAsofForwardSql))),
+    "q_asof_native_tol" -> ((qAsofNativeTol _, Some(qAsofToleranceSql))),
     "q_asof_forward" -> ((qAsofForward _, Some(qAsofForwardSql))),
     "q_asof_tolerance" -> ((qAsofTolerance _, Some(qAsofToleranceSql))),
     "q_sessionize" -> ((qSessionize _, Some(qSessionizeSql))),

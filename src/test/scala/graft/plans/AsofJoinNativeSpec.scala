@@ -108,6 +108,55 @@ class AsofJoinNativeSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(canon(native) == canon(composed))
   }
 
+  test("forward direction ≡ composition on randomized data") {
+    val rnd = new scala.util.Random(7)
+    val left = Seq.fill(400)((
+      java.lang.Long.valueOf(rnd.nextInt(15).toLong),
+      java.lang.Long.valueOf(rnd.nextInt(800).toLong),
+      s"l${rnd.nextInt(50)}"))
+    val right = Seq.fill(150)((
+      java.lang.Long.valueOf(rnd.nextInt(15).toLong),
+      java.lang.Long.valueOf(rnd.nextInt(800).toLong),
+      s"r${rnd.nextInt(50)}"))
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val l = mkLeft(left)
+    val r = mkRight(right)
+    val carried = Map("rv" -> "rv_out", "rt" -> "rt_out")
+    val native = AsofJoinNative.asof(l, r, "k", "lt", "rt", carried,
+      direction = "forward")
+    val composed = AsofJoin.asof(l, r, "k", "lt", "rt", carried,
+      direction = "forward")
+    assert(canon(native) == canon(composed))
+  }
+
+  test("tolerance ≡ composition tolerance, both directions") {
+    val rnd = new scala.util.Random(13)
+    val left = Seq.fill(300)((
+      java.lang.Long.valueOf(rnd.nextInt(10).toLong),
+      java.lang.Long.valueOf(rnd.nextInt(500).toLong),
+      s"l${rnd.nextInt(50)}"))
+    val right = Seq.fill(120)((
+      java.lang.Long.valueOf(rnd.nextInt(10).toLong),
+      java.lang.Long.valueOf(rnd.nextInt(500).toLong),
+      s"r${rnd.nextInt(50)}"))
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val l = mkLeft(left)
+    val r = mkRight(right)
+    val carried = Map("rv" -> "rv_out", "rt" -> "rt_out")
+    val tolMicros = 60L * 1000000L // 60 s in timestamp-internal micros
+    for (dir <- Seq("backward", "forward")) {
+      val native = AsofJoinNative.asof(l, r, "k", "lt", "rt", carried,
+        direction = dir, toleranceUnits = Some(tolMicros))
+      val sign: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+          org.apache.spark.sql.Column =
+        if (dir == "backward") (lt, rt) => unix_micros(lt) - unix_micros(rt) <= lit(tolMicros)
+        else (lt, rt) => unix_micros(rt) - unix_micros(lt) <= lit(tolMicros)
+      val composed = AsofJoin.asof(l, r, "k", "lt", "rt", carried,
+        direction = dir, tolerance = Some(sign))
+      assert(canon(native) == canon(composed), s"direction=$dir")
+    }
+  }
+
   test("self-join (same source both sides) does not collide attributes") {
     val ev = mkLeft(Seq(
       (1L: java.lang.Long, 10L: java.lang.Long, "a"),
