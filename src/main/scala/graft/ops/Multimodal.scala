@@ -38,6 +38,10 @@ object Multimodal {
   /** STUB decode kernel: deterministic bytes → feature vector. Replace with
     * a real decoder (libjpeg/ffmpeg) in production; everything downstream
     * is indifferent. Deterministic so tests and reruns are stable.
+    * Per-byte contributions are b/256 — exact dyadic doubles, so every sum
+    * over them (bucket totals, cross-row aggregates) is order-independent
+    * and bit-exact: the whole fake-feature pipeline hash-gates against an
+    * integer-arithmetic oracle (q_multimodal).
     */
   def decodeStub(bytes: Array[Byte], dim: Int): Array[Double] = {
     val out = new Array[Double](dim)
@@ -45,7 +49,7 @@ object Multimodal {
     var i = 0
     while (i < bytes.length) {
       h = h * 31 + bytes(i)
-      out(math.abs((h % dim).toInt)) += (bytes(i) & 0xff) / 255.0
+      out(math.abs((h % dim).toInt)) += (bytes(i) & 0xff) / 256.0
       i += 1
     }
     out

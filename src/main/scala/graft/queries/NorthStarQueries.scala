@@ -103,9 +103,14 @@ object NorthStarQueries {
       |SELECT q_id, rnk, vec_id AS neighbor, cosine FROM ranked WHERE rnk <= 5""".stripMargin
 
   /** Multimodal feature pipeline: documents' bytes as stand-in media →
-    * per-partition batched (stubbed) decode → feature stats per kind.
-    * No oracle — the decode kernel is engine-side by design; determinism
-    * and batch shape are OpsSpec-tested.
+    * per-partition batched (stubbed) decode → feature stats per frame
+    * group. ORACLE-GATED despite the engine-side kernel: the stub's
+    * per-byte contributions are exact dyadics (b/256), so total feature
+    * mass per frame is (Σ byte values + frame salt)/256 in EXACT integer
+    * arithmetic — DuckDB recomputes it from the raw text bytes, gating the
+    * typed-Dataset construction, the mapPartitions batch decode, AND the
+    * frame-sampling plan end-to-end. (The corpus is ASCII, so UTF-8 bytes
+    * == code points; a multibyte corpus would gate on BLOB bytes instead.)
     */
   def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -127,6 +132,19 @@ object NorthStarQueries {
         round(sum(expr("aggregate(features, CAST(0 AS DOUBLE), (a, x) -> a + x)")), 6)
           .as("sum_feature_mass"))
   }
+
+  val qMultimodalSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n_chars % 2 = 0 THEN 1 ELSE 4 END AS n_frames,
+      |    CAST(list_sum(list_transform(range(1, length(text) + 1),
+      |      i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS byte_mass
+      |  FROM documents WHERE doc_id < 100),
+      |f AS (SELECT doc_id, byte_mass, CAST(u.f AS INT) AS frame
+      |      FROM m, UNNEST(range(0, n_frames, 2)) AS u(f))
+      |SELECT frame, COUNT(*) AS n_media,
+      |  ROUND(CAST(SUM(byte_mass + frame) AS DOUBLE) / 256.0, 6) AS sum_feature_mass
+      |FROM f GROUP BY frame""".stripMargin
 
   /** Multimodal inventory through the typed Media path WITH an oracle: the
     * decode kernel stays engine-side (stubbed), but the schema/plumbing
@@ -190,7 +208,7 @@ object NorthStarQueries {
     "q_ann_ivf" -> ((qAnnIvf _, Some(qAnnIvfSql))),
     "q_ann_ivf_kernel" -> ((qAnnIvfKernel _, None)),
     "q_ann_fullprobe" -> ((qAnnFullprobe _, Some(qAnnFullprobeSql))),
-    "q_multimodal" -> ((qMultimodal _, None)),
+    "q_multimodal" -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_media_inventory" -> ((qMediaInventory _, Some(qMediaInventorySql))),
     "q_identity_audit" -> ((qIdentityAudit _, Some(qIdentityAuditSql)))
   )
