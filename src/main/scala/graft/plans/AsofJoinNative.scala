@@ -129,7 +129,13 @@ case class AsofJoinExec(
       val ltBound = bindReference(lTime, leftOut)
       val rtBound = bindReference(rTime, rightOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lKey.dataType))
-      val resultProj = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+      // bind the right side as NULLABLE: the projection takes each field's
+      // nullability from the INPUT schema it binds against, and an
+      // unmatched left row feeds an all-null row through right-side slots —
+      // binding rightOut verbatim would make a non-nullable carried column
+      // emit its type's default (0/false/epoch) instead of NULL
+      val resultProj = UnsafeProjection.create(outAttrs,
+        leftOut ++ rightOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rightOut.size)
       val joined = new JoinedRow
       val rBuf = rIt.buffered
@@ -158,7 +164,8 @@ case class AsofJoinExec(
             val rtv = rtBound.eval(rrow)
             if (rtv == null) { rBuf.next() } // null time never matches
             else {
-              val cmp = keyOrd.compare(rkGen(rrow), lk)
+              val rk = rkGen(rrow) // reused buffer; valid until next rkGen call
+              val cmp = keyOrd.compare(rk, lk)
               if (cmp < 0) { rBuf.next() } // key fully passed; discard
               else if (cmp > 0) advance = false // right is ahead; stop
               else if (fwd) {
@@ -166,7 +173,7 @@ case class AsofJoinExec(
               } else {
                 if (toLong(rtv) <= lt) {
                   lastRight = rrow.copy()
-                  lastRightKey = rkGen(rrow).copy()
+                  lastRightKey = rk.copy()
                   rBuf.next()
                 } else advance = false
               }

@@ -15,6 +15,24 @@ import Exact._
   */
 object AdvancedQueries {
 
+  /** Shared as-of inputs: purchases (left) and clicks deduped to unique
+    * (user, ts) rows (right). ONE derivation for all six gated as-of
+    * queries — the three-way "composition == native exec == DuckDB ASOF"
+    * equivalence is only meaningful if every variant consumes literally
+    * the same frames, so this is structural, not copy-pasted. `value`
+    * rides along; variants that do not report it drop it in their final
+    * select.
+    */
+  private def asofInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    (purchases, clicks)
+  }
+
   /** As-of join: for every purchase event, the user's most recent click at
     * or before it (graft.ops.AsofJoin — union + single shuffle + per-key
     * carry-forward; no range join, no row multiplication). The DuckDB
@@ -24,12 +42,7 @@ object AdvancedQueries {
     * times would make which click_id carries engine-chosen.
     */
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id"), col("ts").as("click_ts"))
-      .agg(max(col("event_id")).as("click_id"))
+    val (purchases, clicks) = asofInputs(s, dir)
     AsofJoin.asof(purchases, clicks,
       key = "user_id", leftTime = "ts", rightTime = "click_ts",
       rightCols = Map("click_id" -> "last_click_id", "click_ts" -> "last_click_ts"))
@@ -53,12 +66,7 @@ object AdvancedQueries {
     * and DuckDB's native ASOF LEFT JOIN.
     */
   def qAsofNative(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id"), col("ts").as("click_ts"))
-      .agg(max(col("event_id")).as("click_id"))
+    val (purchases, clicks) = asofInputs(s, dir)
     graft.plans.AsofJoinNative.asof(purchases, clicks,
       key = "user_id", leftTime = "ts", rightTime = "click_ts",
       rightCols = Map("click_id" -> "last_click_id", "click_ts" -> "last_click_ts"))
@@ -71,12 +79,7 @@ object AdvancedQueries {
     * now runs through BOTH implementations against DuckDB's native ASOF.
     */
   def qAsofNativeFwd(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), col("ts"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id"), col("ts").as("click_ts"))
-      .agg(max(col("event_id")).as("click_id"))
+    val (purchases, clicks) = asofInputs(s, dir)
     graft.plans.AsofJoinNative.asof(purchases, clicks,
       key = "user_id", leftTime = "ts", rightTime = "click_ts",
       rightCols = Map("click_id" -> "next_click_id", "click_ts" -> "next_click_ts"),
@@ -86,12 +89,7 @@ object AdvancedQueries {
   }
 
   def qAsofNativeTol(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), col("ts"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id"), col("ts").as("click_ts"))
-      .agg(max(col("event_id")).as("click_id"))
+    val (purchases, clicks) = asofInputs(s, dir)
     graft.plans.AsofJoinNative.asof(purchases, clicks,
       key = "user_id", leftTime = "ts", rightTime = "click_ts",
       rightCols = Map("click_id" -> "recent_click_id", "click_ts" -> "recent_click_ts"),
@@ -107,12 +105,7 @@ object AdvancedQueries {
     * oracle, whose native ASOF supports the <= direction too.
     */
   def qAsofForward(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), col("ts"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id"), col("ts").as("click_ts"))
-      .agg(max(col("event_id")).as("click_id"))
+    val (purchases, clicks) = asofInputs(s, dir)
     AsofJoin.asof(purchases, clicks,
       key = "user_id", leftTime = "ts", rightTime = "click_ts",
       rightCols = Map("click_id" -> "next_click_id", "click_ts" -> "next_click_ts"),
@@ -138,12 +131,7 @@ object AdvancedQueries {
     * right times would otherwise make which click_id carries engine-chosen.
     */
   def qAsofTolerance(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), col("ts"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id"), col("ts").as("click_ts"))
-      .agg(max(col("event_id")).as("click_id"))
+    val (purchases, clicks) = asofInputs(s, dir)
     AsofJoin.asof(purchases, clicks,
       key = "user_id", leftTime = "ts", rightTime = "click_ts",
       rightCols = Map("click_id" -> "recent_click_id", "click_ts" -> "recent_click_ts"),

@@ -179,6 +179,24 @@ class AsofJoinNativeSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(!plan.contains("Window"), "native path must not fall back to the window form")
   }
 
+  test("unmatched rows are NULL even when right columns are non-nullable") {
+    // tuples → non-nullable long columns; the result projection must bind
+    // the right side as nullable or the no-match row silently emits the
+    // type default (0 / epoch) instead of NULL
+    import spark.implicits._
+    val l = Seq((1L, 100L, "a"), (2L, 100L, "b")).toDF("k", "lt", "lv")
+    val r = Seq((1L, 50L, 7L)).toDF("k", "rt", "rv")
+    assert(!r.schema("rv").nullable, "fixture must be non-nullable to bite")
+    val out = AsofJoinNative.asof(l, r, "k", "lt", "rt",
+      Map("rv" -> "rv_out", "rt" -> "rt_out"))
+    val unmatched = out.filter(col("k") === 2).collect().head
+    assert(unmatched.isNullAt(unmatched.fieldIndex("rv_out")),
+      s"unmatched carried value must be NULL, got $unmatched")
+    assert(unmatched.isNullAt(unmatched.fieldIndex("rt_out")))
+    val matched = out.filter(col("k") === 1).collect().head
+    assert(matched.getAs[Long]("rv_out") == 7L)
+  }
+
   test("rejects mismatched or unsupported time types") {
     val l = mkLeft(Seq((1L: java.lang.Long, 10L: java.lang.Long, "a")))
     intercept[IllegalArgumentException] {
