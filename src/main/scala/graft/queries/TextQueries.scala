@@ -404,6 +404,43 @@ object TextQueries {
       |  MIN(doc_id) AS first_doc
       |FROM c GROUP BY 1""".stripMargin
 
+  /** Document chunking — the RAG/embedding preprocessing step: overlapping
+    * fixed-width token windows (width 64, stride 48 → 16-token overlap),
+    * covering every token, last chunk short. The gate hashes each chunk's
+    * exact TEXT (sha256), so window arithmetic, slicing, and joining all
+    * have to agree with the oracle byte-for-byte. Per-row narrow compute
+    * with a bounded explode (≈n_tok/stride rows per doc); no shuffle at
+    * all until a downstream consumer aggregates.
+    */
+  def qChunk(s: SparkSession, dir: String): DataFrame = {
+    val width = 64
+    val stride = 48
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 50)
+      .withColumn("tk", toks)
+      .withColumn("n_tok", size(col("tk")))
+      .withColumn("n_chunks", expr(
+        s"CAST((greatest(n_tok - $width, 0) + $stride - 1) DIV $stride + 1 AS INT)"))
+      .select(col("doc_id"), col("tk"),
+        posexplode(expr("sequence(0, n_chunks - 1)")).as(Seq("chunk", "start0")))
+      .select(col("doc_id"), col("chunk"),
+        expr(s"size(slice(tk, chunk * $stride + 1, $width))").as("chunk_tokens"),
+        sha2(expr(s"array_join(slice(tk, chunk * $stride + 1, $width), ' ')"), 256)
+          .as("chunk_sha"))
+  }
+
+  val qChunkSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE doc_id < 50),
+      |n AS (SELECT doc_id, tk,
+      |        (GREATEST(len(tk) - 64, 0) + 47) // 48 + 1 AS n_chunks FROM t),
+      |c AS (SELECT doc_id, tk, CAST(u.i AS INT) AS chunk
+      |      FROM n, UNNEST(range(0, n_chunks)) AS u(i))
+      |SELECT doc_id, chunk,
+      |  CAST(len(tk[chunk * 48 + 1 : chunk * 48 + 64]) AS INT) AS chunk_tokens,
+      |  sha256(array_to_string(tk[chunk * 48 + 1 : chunk * 48 + 64], ' ')) AS chunk_sha
+      |FROM c""".stripMargin
+
   /** Blocklist redaction — the PII-scrub shape (emails/phones/IDs in a real
     * corpus; here a synthetic token blocklist stands in, since the test
     * corpus has no PII-like strings) : every blocklisted token is replaced
@@ -477,6 +514,7 @@ object TextQueries {
 
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_pack" -> ((qPack _, Some(qPackSql))),
+    "q_chunk" -> ((qChunk _, Some(qChunkSql))),
     "q_redact" -> ((qRedact _, Some(qRedactSql))),
     "q_tfidf" -> ((qTfidf _, Some(qTfidfSql))),
     "q_repetition" -> ((qRepetition _, Some(qRepetitionSql))),
