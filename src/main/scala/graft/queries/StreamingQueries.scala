@@ -235,7 +235,32 @@ object StreamingQueries {
       |FROM p JOIN c ON p.user_id = c.user_id
       | AND c_us >= p_us - 3600000000 AND c_us <= p_us""".stripMargin
 
+  /** Stream-static enrichment join — the dimension-lookup shape every
+    * streaming pipeline has (events stream ⋈ slowly-changing dim table):
+    * the static side is a batch DataFrame broadcast into every micro-batch,
+    * no state store involved (unlike stream-stream joins), then a running
+    * per-nation aggregate in complete mode. Gated against the plain batch
+    * join+aggregate in DuckDB. Scale: the stream side never shuffles for
+    * the join (broadcast hash join per micro-batch); only #nations rows of
+    * aggregate state persist.
+    */
+  def qStreamEnrich(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "graft_stream_enrich", "complete") { events =>
+      val dim = graft.Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      events.join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    }
+
+  val qStreamEnrichSql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_nationkey""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_stream_enrich" -> ((qStreamEnrich _, Some(qStreamEnrichSql))),
     "q_stream_join" -> ((qStreamJoin _, Some(qStreamJoinSql))),
     "q_stream_tumbling" -> ((qStreamTumbling _, Some(qStreamTumblingSql))),
     "q_stream_dedup" -> ((qStreamDedup _, Some(qStreamDedupSql))),
