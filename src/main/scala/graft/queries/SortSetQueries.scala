@@ -233,7 +233,30 @@ object SortSetQueries {
       |  bit_xor(user_id) AS uid_mask_xor
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Exact distinct set carried as an aggregate VALUE via the typed
+    * Aggregator UDAF (functions.DistinctSetAgg) — the reference's
+    * ETLState-as-a-value shape. Output is the sorted member array, so the
+    * custom merge path (set union across partitions) hash-gates against
+    * DuckDB's list aggregation; group cardinality is bounded (users per
+    * event type), which is the only regime where a set-valued aggregate
+    * is scale-sane.
+    */
+  def qDistinctSet(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .filter(col("user_id") < 40)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.DistinctSetAgg.distinctSet(col("user_id")).as("users"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val qDistinctSetSql: String =
+    """SELECT event_type,
+      |  list_sort(list(DISTINCT user_id)) AS users,
+      |  COUNT(*) AS n_events
+      |FROM events WHERE user_id < 40 GROUP BY event_type""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_distinct_set" -> ((qDistinctSet _, Some(qDistinctSetSql))),
     "q_bool_bit_agg" -> ((qBoolBitAgg _, Some(qBoolBitAggSql))),
     "q_string_agg" -> ((qStringAgg _, Some(qStringAggSql))),
     "q_union_by_name" -> ((qUnionByName _, Some(qUnionByNameSql))),

@@ -104,6 +104,19 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("DistinctSetAgg (typed Aggregator) matches sort_array(collect_set())") {
+    import org.apache.spark.sql.functions.{col, collect_set, sort_array}
+    val ev = graft.Tables.events(spark, sfDir)
+    val viaUdaf = ev.groupBy(col("event_type"))
+      .agg(graft.functions.DistinctSetAgg.distinctSet(col("user_id")).as("users"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val viaBuiltin = ev.groupBy(col("event_type"))
+      .agg(sort_array(collect_set(col("user_id"))).as("users"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(viaUdaf == viaBuiltin)
+    assert(viaUdaf.nonEmpty && viaUdaf.values.forall(s => s == s.sorted))
+  }
+
   test("dimension mismatch yields NULL, not a truncated score") {
     graft.functions.GraftFunctions.register(spark)
     // SQL path (codegen) and a constant-folded/interpreted path both NULL
