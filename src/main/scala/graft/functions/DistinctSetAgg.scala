@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions.udaf
   * FunctionsSpec pins its parity with the built-in spelling
   * `sort_array(collect_set(x))`, which stays the recommended form.
   */
-object DistinctSetAgg extends Aggregator[Long, Set[Long], Array[Long]] {
+object DistinctSetAgg extends Aggregator[java.lang.Long, Set[Long], Array[Long]] {
   override def zero: Set[Long] = Set.empty
-  override def reduce(b: Set[Long], a: Long): Set[Long] = b + a
+  // boxed input so NULLs are representable and SKIPPED — matching
+  // collect_set's null semantics; a primitive Long input would silently
+  // unbox a NULL row into a spurious 0L member
+  override def reduce(b: Set[Long], a: java.lang.Long): Set[Long] =
+    if (a == null) b else b + a.longValue
   override def merge(b1: Set[Long], b2: Set[Long]): Set[Long] = b1 union b2
   override def finish(b: Set[Long]): Array[Long] = b.toArray.sorted
   override def bufferEncoder: Encoder[Set[Long]] = Encoders.kryo[Set[Long]]
@@ -28,5 +32,5 @@ object DistinctSetAgg extends Aggregator[Long, Set[Long], Array[Long]] {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 
   /** Column form for untyped DataFrames: `distinctSet(col("user_id"))`. */
-  def distinctSet(c: Column): Column = udaf(DistinctSetAgg).apply(c)
+  def distinctSet(c: Column): Column = udaf(DistinctSetAgg, Encoders.LONG).apply(c)
 }

@@ -422,7 +422,7 @@ object TextQueries {
       .withColumn("n_chunks", expr(
         s"CAST((greatest(n_tok - $width, 0) + $stride - 1) DIV $stride + 1 AS INT)"))
       .select(col("doc_id"), col("tk"),
-        posexplode(expr("sequence(0, n_chunks - 1)")).as(Seq("chunk", "start0")))
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk"))
       .select(col("doc_id"), col("chunk"),
         expr(s"size(slice(tk, chunk * $stride + 1, $width))").as("chunk_tokens"),
         sha2(expr(s"array_join(slice(tk, chunk * $stride + 1, $width), ' ')"), 256)

@@ -117,6 +117,22 @@ class FunctionsSpec extends SparkSpec {
     assert(viaUdaf.nonEmpty && viaUdaf.values.forall(s => s == s.sorted))
   }
 
+  test("DistinctSetAgg skips NULL inputs like collect_set") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      Seq(Row("a", 1L: java.lang.Long), Row("a", null), Row("a", 2L: java.lang.Long),
+        Row("b", null)).asJava,
+      StructType(Seq(StructField("g", StringType), StructField("v", LongType))))
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.DistinctSetAgg.distinctSet(col("v")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got("a") == Seq(1L, 2L), s"NULL must be skipped, got ${got("a")}")
+    assert(got("b") == Seq.empty)
+  }
+
   test("dimension mismatch yields NULL, not a truncated score") {
     graft.functions.GraftFunctions.register(spark)
     // SQL path (codegen) and a constant-folded/interpreted path both NULL
