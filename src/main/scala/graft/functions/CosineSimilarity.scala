@@ -121,6 +121,8 @@ object GraftFunctions {
       FunctionIdentifier("dot_product"), dotInfo, buildDot _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("edit_distance_within"), edwInfo, buildEdw _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("srp_fingerprint"), SrpFingerprint.info, SrpFingerprint.build _)
     graft.plans.DotProductRewrite.install(spark)
   }
 
@@ -153,6 +155,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("edit_distance_within"),
       new ExpressionInfo(classOf[EditDistanceWithin].getName, "edit_distance_within"),
       (children: Seq[Expression]) => EditDistanceWithin(children(0), children(1), children(2))))
+    ext.injectFunction((FunctionIdentifier("srp_fingerprint"),
+      new ExpressionInfo(classOf[SrpFingerprint].getName, "srp_fingerprint"),
+      (children: Seq[Expression]) => SrpFingerprint(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }

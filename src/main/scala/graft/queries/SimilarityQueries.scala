@@ -335,14 +335,17 @@ object SimilarityQueries {
         .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val planes: Seq[Seq[Double]] = (0 until 64).map(p => (0 until 64).map(i =>
       "0123456789abcdef".indexOf(md5hex(s"$p:$i").charAt(0)) - 7.5))
+    // Fingerprint via the fused kernel (functions/SrpFingerprint): the
+    // same DECIMAL(28,14) accumulation the declarative HOF spelling does —
+    // FunctionsSpec pins bit-identity over this very corpus — minus ~8k
+    // interpreted lambda evals per row. Measured ~25%: the exact BigDecimal
+    // ops themselves dominate this stage, which is the price of the
+    // engine-agnostic sign contract (a production double-precision variant
+    // would use the codegen'd dot_product kernel and tolerate rare sign
+    // flips near zero).
     val fp = Tables.embeddings(s, dir)
-      .withColumn("planes", typedLit(planes))
-      .withColumn("fp", expr(
-        """array_join(transform(planes, parr ->
-          |  CASE WHEN aggregate(zip_with(embedding, parr, (a, b) ->
-          |      CAST(CAST(a AS DOUBLE) * b AS DECIMAL(28,14))),
-          |    CAST(0 AS DECIMAL(28,14)), (acc, x) -> CAST(acc + x AS DECIMAL(28,14))) > 0
-          |  THEN '1' ELSE '0' END), '')""".stripMargin))
+      .withColumn("fp",
+        graft.functions.SrpFingerprint.fingerprint(col("embedding"), planes))
       .select(col("vec_id"), col("fp"))
       .cache()
     val bands = fp.select(col("vec_id"),

@@ -104,6 +104,53 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("srp_fingerprint kernel ≡ the decimal HOF spelling on the real corpus") {
+    import org.apache.spark.sql.functions.{col, expr, typedLit}
+    graft.functions.GraftFunctions.register(spark)
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val planes: Seq[Seq[Double]] = (0 until 64).map(p => (0 until 64).map(i =>
+      "0123456789abcdef".indexOf(md5hex(s"$p:$i").charAt(0)) - 7.5))
+    val hof =
+      """array_join(transform(planes, parr ->
+        |  CASE WHEN aggregate(zip_with(embedding, parr, (a, b) ->
+        |      CAST(CAST(a AS DOUBLE) * b AS DECIMAL(28,14))),
+        |    CAST(0 AS DECIMAL(28,14)), (acc, x) -> CAST(acc + x AS DECIMAL(28,14))) > 0
+        |  THEN '1' ELSE '0' END), '')""".stripMargin
+    val both = graft.Tables.embeddings(spark, sfDir)
+      .withColumn("planes", typedLit(planes))
+      .select(col("vec_id"),
+        expr(hof).as("via_hof"),
+        graft.functions.SrpFingerprint.fingerprint(col("embedding"), planes)
+          .as("via_kernel"))
+      .collect()
+    assert(both.nonEmpty)
+    for (r <- both)
+      assert(r.getString(1) == r.getString(2),
+        s"fingerprint mismatch for vec_id ${r.getLong(0)}")
+    // degenerate inputs: NULL embedding / NULL element / wrong length all
+    // yield the all-'0' fingerprint in BOTH spellings, never NULL
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val weird = spark.createDataFrame(Seq(
+      Row(1L, null),
+      Row(2L, Seq(1.0f, null, 3.0f)),
+      Row(3L, Seq(1.0f, 2.0f))).asJava,
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val w = weird.withColumn("planes", typedLit(planes))
+      .select(expr(hof).as("via_hof"),
+        graft.functions.SrpFingerprint.fingerprint(col("embedding"), planes)
+          .as("via_kernel"))
+      .collect()
+    for (r <- w) {
+      assert(r.getString(0) == "0" * 64 && r.getString(1) == "0" * 64,
+        s"degenerate row must give all-zeros in both spellings: $r")
+    }
+  }
+
   test("DistinctSetAgg (typed Aggregator) matches sort_array(collect_set())") {
     import org.apache.spark.sql.functions.{col, collect_set, sort_array}
     val ev = graft.Tables.events(spark, sfDir)
