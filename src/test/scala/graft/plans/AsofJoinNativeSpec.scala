@@ -157,6 +157,46 @@ class AsofJoinNativeSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("native ≡ composition across AQE coalescing regimes and partition counts") {
+    val rnd = new scala.util.Random(99)
+    val left = Seq.fill(300)((
+      java.lang.Long.valueOf(rnd.nextInt(12).toLong),
+      java.lang.Long.valueOf(rnd.nextInt(600).toLong),
+      s"l${rnd.nextInt(40)}"))
+    val right = Seq.fill(100)((
+      java.lang.Long.valueOf(rnd.nextInt(12).toLong),
+      java.lang.Long.valueOf(rnd.nextInt(600).toLong),
+      s"r${rnd.nextInt(40)}"))
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val carried = Map("rv" -> "rv_out", "rt" -> "rt_out")
+    val expected = canon(AsofJoin.asof(mkLeft(left), mkRight(right),
+      "k", "lt", "rt", carried))
+    val regimes = Seq(
+      // AQE on + aggressive coalescing (both exchanges must coalesce in
+      // lockstep or zipPartitions would see mismatched partition counts)
+      Map("spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+        "spark.sql.shuffle.partitions" -> "13"),
+      // AQE off at an odd partition count
+      Map("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "13"),
+      Map("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "1"))
+    val saved = regimes.flatMap(_.keys).distinct
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      for (conf <- regimes) {
+        conf.foreach { case (k, v) => spark.conf.set(k, v) }
+        val got = canon(AsofJoinNative.asof(mkLeft(left), mkRight(right),
+          "k", "lt", "rt", carried))
+        assert(got == expected, s"divergence under $conf")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("self-join (same source both sides) does not collide attributes") {
     val ev = mkLeft(Seq(
       (1L: java.lang.Long, 10L: java.lang.Long, "a"),

@@ -59,6 +59,22 @@ class InvariantsSpec extends SparkSpec {
     assert(uniq.distinct.length == uniq.length)
   }
 
+  test("q_pack is partition-count invariant (PrefixSum total order)") {
+    def packs(parts: String): Map[Long, (Long, Long, Long)] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try TextQueries.all("q_pack")._1(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    val p1 = packs("1")
+    val p7 = packs("7")
+    assert(p1 == p7, "pack assignment depends on partitioning")
+    assert(p1.nonEmpty)
+    // packing covers every doc exactly once
+    val total = p1.values.map(_._1).sum
+    assert(total == Tables.documents(spark, sfDir).count())
+  }
+
   test("hash sampling is stable across runs and subsets the corpus") {
     val a = SimilarityQueries.qHashSample(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
