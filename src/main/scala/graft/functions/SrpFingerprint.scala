@@ -28,7 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * scale 14, so the sign equals the HOF's `> 0` on the same decimal.
   * Degenerate inputs also match the HOF: a NULL embedding, a NULL element,
   * or a length mismatch each null out the fold, whose CASE yields '0' —
-  * so those rows produce an all-'0' fingerprint, never NULL.
+  * so those rows produce an all-'0' fingerprint, never NULL. The one
+  * deliberate difference: a value overflowing DECIMAL(28,14) (≥1e14 —
+  * no sane embedding) throws here in BOTH ANSI and legacy modes, where
+  * the legacy HOF would silently null the plane; loud beats divergent.
   * FunctionsSpec pins kernel ≡ HOF over the real corpus.
   *
   * `planes` must be a foldable array<array<double>> literal (the
@@ -43,11 +46,13 @@ case class SrpFingerprint(left: Expression, right: Expression)
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
-    left.dataType match {
-      case ArrayType(FloatType, _) =>
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
         if (right.foldable) TypeCheckSuccess
         else TypeCheckFailure("srp_fingerprint planes must be a literal (foldable)")
-      case other =>
+      case (ArrayType(FloatType, _), other) =>
+        TypeCheckFailure(s"srp_fingerprint planes must be array<array<double>>, got $other")
+      case (other, _) =>
         TypeCheckFailure(s"srp_fingerprint expects an array<float> embedding, got $other")
     }
   }
@@ -60,10 +65,16 @@ case class SrpFingerprint(left: Expression, right: Expression)
   override def prettyName: String = "srp_fingerprint"
 
   @transient private lazy val planes: Array[Array[Double]] = {
-    val pd = right.eval(null).asInstanceOf[ArrayData]
+    val v = right.eval(null)
+    require(v != null, "srp_fingerprint planes must not be NULL")
+    val pd = v.asInstanceOf[ArrayData]
     Array.tabulate(pd.numElements()) { p =>
+      require(!pd.isNullAt(p), s"srp_fingerprint plane $p is NULL")
       val row = pd.getArray(p)
-      Array.tabulate(row.numElements())(i => row.getDouble(i))
+      Array.tabulate(row.numElements()) { i =>
+        require(!row.isNullAt(i), s"srp_fingerprint plane $p component $i is NULL")
+        row.getDouble(i)
+      }
     }
   }
 
@@ -92,8 +103,19 @@ case class SrpFingerprint(left: Expression, right: Expression)
           var acc = JBigDecimal.ZERO
           var j = 0
           while (j < n) {
-            acc = acc.add(JBigDecimal.valueOf(vals(j) * plane(j))
-              .setScale(14, RoundingMode.HALF_UP))
+            val term = JBigDecimal.valueOf(vals(j) * plane(j))
+              .setScale(14, RoundingMode.HALF_UP)
+            // DECIMAL(28,14) cannot hold >14 integer digits: the HOF's
+            // CAST errors here (ANSI) / nulls the plane (legacy). Silent
+            // divergence is the one thing this kernel must never do, so
+            // overflow fails loudly in both modes.
+            if (term.precision() > 28)
+              throw new ArithmeticException(
+                s"srp_fingerprint: |${vals(j) * plane(j)}| overflows DECIMAL(28,14)")
+            acc = acc.add(term)
+            if (acc.precision() > 28)
+              throw new ArithmeticException(
+                "srp_fingerprint: accumulated dot product overflows DECIMAL(28,14)")
             j += 1
           }
           if (acc.signum() > 0) '1'.toByte else '0'.toByte

@@ -269,6 +269,8 @@ object AsofJoinNative {
     require(!left.columns.exists(reserved), s"left columns $reserved are reserved")
     val clash = left.columns.toSet.intersect(rightCols.values.toSet)
     require(clash.isEmpty, s"carried names collide with left columns: $clash")
+    val dupTargets = rightCols.values.toSeq.diff(rightCols.values.toSeq.distinct)
+    require(dupTargets.isEmpty, s"duplicate carried names: ${dupTargets.distinct}")
     val carry = rightCols.toSeq
     // fresh aliases → fresh exprIds (self-join safe) + no name clashes
     val rProj = right.select(
@@ -277,8 +279,12 @@ object AsofJoinNative {
     val lp = left.queryExecution.analyzed
     val rp = rProj.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(s"column '$name' not found"))
+      plan.output.filter(_.name == name) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(s"column '$name' not found")
+        case many => throw new IllegalArgumentException(
+          s"column '$name' is ambiguous (${many.size} matches) — rename before the as-of")
+      }
     val node = AsofJoinPlan(lp, rp,
       attr(lp, key), attr(rp, "__asof_rk"), attr(lp, leftTime), attr(rp, "__asof_rt"),
       forward = direction == "forward", toleranceUnits = toleranceUnits)

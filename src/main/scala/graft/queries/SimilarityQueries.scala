@@ -324,17 +324,35 @@ object SimilarityQueries {
     * band — at a real near-dup threshold (s ≥ 0.95) recall is ~99.6%,
     * while candidates stay ~3% of all pairs on this corpus.
     */
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The 64×64 SRP hyperplane matrix — ONE definition shared by the query,
+    * the kernel-parity test (FunctionsSpec), and (by construction) the
+    * oracle's SQL-side md5 nibbles. Tiny and md5-determined, so it is
+    * computed on the driver and shipped as a literal.
+    */
+  val srpPlanes: Seq[Seq[Double]] = (0 until 64).map(p => (0 until 64).map(i =>
+    "0123456789abcdef".indexOf(md5hex(s"$p:$i").charAt(0)) - 7.5))
+
+  /** The declarative decimal spelling of the SRP fingerprint — kept as the
+    * reference semantics the SrpFingerprint kernel must match bit-for-bit
+    * (FunctionsSpec asserts it against THIS string, so query and test
+    * cannot drift apart).
+    */
+  val srpHofExpr: String =
+    """array_join(transform(planes, parr ->
+      |  CASE WHEN aggregate(zip_with(embedding, parr, (a, b) ->
+      |      CAST(CAST(a AS DOUBLE) * b AS DECIMAL(28,14))),
+      |    CAST(0 AS DECIMAL(28,14)), (acc, x) -> CAST(acc + x AS DECIMAL(28,14))) > 0
+      |  THEN '1' ELSE '0' END), '')""".stripMargin
+
   def qEmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
-    // The 64×64 plane matrix is tiny and fully determined by md5, so it is
-    // computed ONCE on the driver and shipped as a literal — all 64 bits
-    // then fold in a single narrow pass per vector, with NO corpus×planes
-    // row explosion and NO groupBy shuffle to reassemble fingerprints.
-    // Values are identical to the oracle's SQL-side md5 nibbles.
-    def md5hex(x: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val planes: Seq[Seq[Double]] = (0 until 64).map(p => (0 until 64).map(i =>
-      "0123456789abcdef".indexOf(md5hex(s"$p:$i").charAt(0)) - 7.5))
+    // All 64 bits fold in a single narrow pass per vector, with NO
+    // corpus×planes row explosion and NO groupBy shuffle to reassemble
+    // fingerprints.
+    val planes = srpPlanes
     // Fingerprint via the fused kernel (functions/SrpFingerprint): the
     // same DECIMAL(28,14) accumulation the declarative HOF spelling does —
     // FunctionsSpec pins bit-identity over this very corpus — minus ~8k

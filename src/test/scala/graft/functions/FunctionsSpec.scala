@@ -107,17 +107,10 @@ class FunctionsSpec extends SparkSpec {
   test("srp_fingerprint kernel ≡ the decimal HOF spelling on the real corpus") {
     import org.apache.spark.sql.functions.{col, expr, typedLit}
     graft.functions.GraftFunctions.register(spark)
-    def md5hex(x: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val planes: Seq[Seq[Double]] = (0 until 64).map(p => (0 until 64).map(i =>
-      "0123456789abcdef".indexOf(md5hex(s"$p:$i").charAt(0)) - 7.5))
-    val hof =
-      """array_join(transform(planes, parr ->
-        |  CASE WHEN aggregate(zip_with(embedding, parr, (a, b) ->
-        |      CAST(CAST(a AS DOUBLE) * b AS DECIMAL(28,14))),
-        |    CAST(0 AS DECIMAL(28,14)), (acc, x) -> CAST(acc + x AS DECIMAL(28,14))) > 0
-        |  THEN '1' ELSE '0' END), '')""".stripMargin
+    // the SAME plane matrix and HOF spelling the production query uses —
+    // a drift in either immediately breaks this pin
+    val planes = graft.queries.SimilarityQueries.srpPlanes
+    val hof = graft.queries.SimilarityQueries.srpHofExpr
     val both = graft.Tables.embeddings(spark, sfDir)
       .withColumn("planes", typedLit(planes))
       .select(col("vec_id"),

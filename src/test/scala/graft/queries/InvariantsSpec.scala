@@ -60,11 +60,12 @@ class InvariantsSpec extends SparkSpec {
   }
 
   test("q_pack is partition-count invariant (PrefixSum total order)") {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
     def packs(parts: String): Map[Long, (Long, Long, Long)] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
       try TextQueries.all("q_pack")._1(spark, sfDir)
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     }
     val p1 = packs("1")
     val p7 = packs("7")
