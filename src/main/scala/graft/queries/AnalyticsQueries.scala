@@ -216,6 +216,54 @@ object AnalyticsQueries {
           .as("token_entropy"))
   }
 
+  /** Per-source token-distribution drift: KL(source ‖ corpus) — the
+    * corpus-monitoring signal that a data source's language has shifted
+    * (scraper drift, contamination, template floods). Exactness follows
+    * the q_token_entropy identity: expand KL so every logarithm is LN of
+    * an integer COUNT (engine-identical doubles), cast each term to
+    * DECIMAL(28,14), and sum in decimal (order-independent):
+    * KL = (Σ cs·ln cs − Σ cs·ln cc)/N_s + ln N_c − ln N_s.
+    * Scale: token counts are two hash aggregates; the corpus-count join is
+    * vocabulary-sized (broadcast); the final per-source rollup is #sources
+    * rows, and the corpus total is a broadcast scalar.
+    */
+  def qSourceDrift(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val corpus = tok.groupBy(col("tok")).agg(count(lit(1)).as("cc"))
+    val total = tok.agg(count(lit(1)).as("n_corpus"))
+    val st = tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cs"))
+    st.join(broadcast(corpus), "tok")
+      .groupBy(col("source"))
+      .agg(sum(col("cs")).cast("bigint").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(expr("CAST(CAST(cs AS DOUBLE) * LN(CAST(cs AS DOUBLE)) AS DECIMAL(28,14))"))
+          .cast("double").as("s1"),
+        sum(expr("CAST(CAST(cs AS DOUBLE) * LN(CAST(cc AS DOUBLE)) AS DECIMAL(28,14))"))
+          .cast("double").as("s2"))
+      .join(broadcast(total))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        r6((col("s1") - col("s2")) / col("n_tokens")
+          + log(col("n_corpus").cast("double"))
+          - log(col("n_tokens").cast("double"))).as("kl_vs_corpus"))
+  }
+
+  val qSourceDriftSql: String =
+    """WITH t AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      |t2 AS (SELECT source, tok FROM t WHERE tok <> ''),
+      |cc AS (SELECT tok, COUNT(*) AS cc FROM t2 GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS n_corpus FROM t2),
+      |st AS (SELECT source, tok, COUNT(*) AS cs FROM t2 GROUP BY 1, 2),
+      |a AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS n_tokens, COUNT(*) AS vocab,
+      |        CAST(SUM(CAST(CAST(cs AS DOUBLE) * LN(CAST(cs AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS s1,
+      |        CAST(SUM(CAST(CAST(cs AS DOUBLE) * LN(CAST(cc AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS s2
+      |      FROM st JOIN cc USING (tok) GROUP BY source)
+      |SELECT source, n_tokens, vocab,
+      |  ROUND((s1 - s2) / n_tokens + LN(CAST(n.n_corpus AS DOUBLE))
+      |    - LN(CAST(n_tokens AS DOUBLE)), 6) AS kl_vs_corpus
+      |FROM a, n""".stripMargin
+
   val qTokenEntropySql: String =
     """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
       |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
@@ -318,6 +366,7 @@ object AnalyticsQueries {
       |FROM j GROUP BY change_type""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_source_drift" -> ((qSourceDrift _, Some(qSourceDriftSql))),
     "q_token_entropy" -> ((qTokenEntropy _, Some(qTokenEntropySql))),
     "q_interval_join" -> ((qIntervalJoin _, Some(qIntervalJoinSql))),
     "q_snapshot_diff" -> ((qSnapshotDiff _, Some(qSnapshotDiffSql))),

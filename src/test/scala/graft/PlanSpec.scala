@@ -21,10 +21,11 @@ class PlanSpec extends SparkSpec {
   // the corpus with no join key by design (every vector × every plane).
   // q_gapfill: the spine join is distinct-types × a broadcast 1-row bounds
   // aggregate — keyless by design, metadata-scale (#types × 1 rows).
+  // q_source_drift: the corpus-total scalar is a broadcast 1-row join.
   private val bnljAllowed =
     Set("q_range_join", "q_cosine_topk", "q_ann_ivf", "q_ann_ivf_kernel",
       "q_ann_fullprobe", "q_vocab_coverage", "q_pack", "q_embedding_neardup",
-      "q_gapfill")
+      "q_gapfill", "q_source_drift")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
