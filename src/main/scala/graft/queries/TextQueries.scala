@@ -228,6 +228,41 @@ object TextQueries {
       |      UNNEST(range(1, len(tk))) AS u(i)) b
       |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""".stripMargin
 
+  /** Bigram language-model estimation (MLE): P(w2 | w1) = c(w1 w2)/c(w1 ·)
+    * over corpus bigrams — the n-gram-LM building block (next-token tables,
+    * perplexity scoring, generation-artifact detection). The denominator is
+    * bigrams STARTING with w1, so each w1's conditional distribution sums
+    * to 1 exactly. Ranking is on integer counts (engine-identical); the
+    * probability is one IEEE division rounded at 6 dp. Scale: two hash
+    * aggregates (bigram, head) plus a vocabulary-sized broadcast join.
+    */
+  def qBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(s, dir)
+      .filter(size(toks) >= 2)
+      .withColumn("tk", toks)
+      .select(explode(ngrams("tk", 2)).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .groupBy(col("w1"), col("bigram"))
+      .agg(count(lit(1)).as("c2"))
+    val head = bi.groupBy(col("w1")).agg(sum(col("c2")).cast("bigint").as("c1"))
+    bi.join(broadcast(head), "w1")
+      .select(col("w1"), col("bigram"), col("c2"), col("c1"),
+        r6(col("c2").cast("double") / col("c1")).as("prob"))
+      .orderBy(col("c2").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val qBigramLmSql: String =
+    """WITH b AS (SELECT tk[i] || ' ' || tk[i+1] AS bigram, tk[i] AS w1
+      |           FROM (SELECT string_split(text, ' ') AS tk FROM documents
+      |                 WHERE len(string_split(text, ' ')) >= 2) t,
+      |           UNNEST(range(1, len(tk))) AS u(i)),
+      |c AS (SELECT w1, bigram, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+      |h AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c GROUP BY w1)
+      |SELECT w1, bigram, c2, c1, ROUND(CAST(c2 AS DOUBLE) / c1, 6) AS prob
+      |FROM c JOIN h USING (w1)
+      |ORDER BY c2 DESC, bigram LIMIT 20""".stripMargin
+
   /** Normalization-based dedup stats: how many documents collapse when
     * compared after lowercasing, punctuation-stripping, and whitespace
     * normalization — the cheap canonical-form pass that runs before any
@@ -515,6 +550,7 @@ object TextQueries {
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_pack" -> ((qPack _, Some(qPackSql))),
     "q_chunk" -> ((qChunk _, Some(qChunkSql))),
+    "q_bigram_lm" -> ((qBigramLm _, Some(qBigramLmSql))),
     "q_redact" -> ((qRedact _, Some(qRedactSql))),
     "q_tfidf" -> ((qTfidf _, Some(qTfidfSql))),
     "q_repetition" -> ((qRepetition _, Some(qRepetitionSql))),
