@@ -263,6 +263,55 @@ object TextQueries {
       |FROM c JOIN h USING (w1)
       |ORDER BY c2 DESC, bigram LIMIT 20""".stripMargin
 
+  /** Perplexity-based quality scoring: each document's average negative
+    * log-likelihood under the corpus bigram MLE (q_bigram_lm's model) —
+    * the classic LM-filtering signal (CCNet-style): templated/duplicated
+    * text scores low, malformed or out-of-domain text scores high.
+    * nll(doc) = (Σ_bigrams ln c(w1·) − ln c(w1w2)) / n_bigrams, so every
+    * logarithm is LN of an integer corpus count: per-term doubles are
+    * engine-identical, each term is cast to DECIMAL(28,14), and the sum is
+    * decimal (order-independent) — the q_token_entropy exactness recipe.
+    * Scale: the LM table is vocabulary²-bounded but corpus-frequency
+    * sparse (broadcast here; at web scale it becomes a shuffle join keyed
+    * on the bigram); the per-doc rollup is one hash aggregate.
+    */
+  def qPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val allBi = Tables.documents(s, dir)
+      .filter(size(toks) >= 2)
+      .withColumn("tk", toks)
+      .select(col("doc_id"), explode(ngrams("tk", 2)).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val lm = allBi.groupBy(col("w1"), col("bigram")).agg(count(lit(1)).as("c2"))
+    val head = lm.groupBy(col("w1")).agg(sum(col("c2")).cast("bigint").as("c1"))
+    val scored = allBi.filter(col("doc_id") < 20)
+      .join(broadcast(lm.select(col("bigram"), col("c2"))), "bigram")
+      .join(broadcast(head), "w1")
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr(
+          """CAST(CAST(LN(CAST(c1 AS DOUBLE)) - LN(CAST(c2 AS DOUBLE)) AS DOUBLE)
+            |  AS DECIMAL(28,14))""".stripMargin))
+          .cast("double").as("nll_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r6(col("nll_sum") / col("n_bigrams")).as("avg_nll"))
+  }
+
+  val qPerplexitySql: String =
+    """WITH b AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram, tk[i] AS w1
+      |           FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |                 WHERE len(string_split(text, ' ')) >= 2) t,
+      |           UNNEST(range(1, len(tk))) AS u(i)),
+      |lm AS (SELECT w1, bigram, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+      |h AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM lm GROUP BY w1),
+      |s AS (SELECT doc_id,
+      |        CAST(CAST(LN(CAST(c1 AS DOUBLE)) - LN(CAST(c2 AS DOUBLE)) AS DOUBLE)
+      |          AS DECIMAL(28,14)) AS term
+      |      FROM b JOIN lm USING (w1, bigram) JOIN h USING (w1)
+      |      WHERE doc_id < 20)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+      |FROM s GROUP BY doc_id""".stripMargin
+
   /** Normalization-based dedup stats: how many documents collapse when
     * compared after lowercasing, punctuation-stripping, and whitespace
     * normalization — the cheap canonical-form pass that runs before any
@@ -551,6 +600,7 @@ object TextQueries {
     "q_pack" -> ((qPack _, Some(qPackSql))),
     "q_chunk" -> ((qChunk _, Some(qChunkSql))),
     "q_bigram_lm" -> ((qBigramLm _, Some(qBigramLmSql))),
+    "q_perplexity" -> ((qPerplexity _, Some(qPerplexitySql))),
     "q_redact" -> ((qRedact _, Some(qRedactSql))),
     "q_tfidf" -> ((qTfidf _, Some(qTfidfSql))),
     "q_repetition" -> ((qRepetition _, Some(qRepetitionSql))),
