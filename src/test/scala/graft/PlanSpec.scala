@@ -77,6 +77,15 @@ class PlanSpec extends SparkSpec {
     assert(joinLine.isDefined, s"no equi-join on __bucket found:\n$plan")
   }
 
+  test("LM queries broadcast their vocabulary-sized model tables") {
+    // q_perplexity joins the probe bigrams against the LM count table and
+    // the head totals; both are vocabulary-scale and must broadcast — a
+    // silent fallback to sort-merge would shuffle the corpus per join.
+    val plan = planOf("q_perplexity")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"LM tables not broadcast:\n$plan")
+  }
+
   test("q5_multi_join broadcasts the dimension tables") {
     val plan = planOf("q5_multi_join")
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
