@@ -228,6 +228,67 @@ object SimilarityQueries {
       |JOIN sizes zb ON doc_b = zb.doc_id
       |WHERE CAST(inter AS DOUBLE) / (za.n_g + zb.n_g - inter) >= 0.6""".stripMargin
 
+  /** Winnowing fingerprints (the MOSS scheme) over word-3-shingles: hash
+    * every shingle, slide a window of 4 consecutive hashes, and keep each
+    * window's MINIMUM — any shared run of ≥ 6 tokens is guaranteed to
+    * share a fingerprint while only ~1/4 of the shingles are stored. The
+    * selection is content-anchored, so it is robust to local edits in a
+    * way positional sampling is not — the classic plagiarism/clone
+    * primitive, complementing MinHash (set overlap) with LOCALITY.
+    * Word-level grams (not chars) because this corpus's shared vocabulary
+    * makes char-4-grams promiscuous. Pairs sharing ≥ 3 winnowed
+    * fingerprints after a df-cap are reported.
+    * Scale: the window min is per-doc (hash shuffle on doc_id, bounded by
+    * the longest document); candidates come from an equi-join on the
+    * fingerprint — never all-pairs — with the same df-cap blocking as the
+    * n-gram query.
+    */
+  def qWinnow(s: SparkSession, dir: String): DataFrame = {
+    val w = 4
+    val grams = Tables.documents(s, dir)
+      .filter(size(toks) >= 3)
+      .withColumn("tk", toks)
+      .withColumn("m", (size(col("tk")) - 2).cast("int"))
+      .withColumn("sh", ngrams("tk", 3))
+      .select(col("doc_id"), col("m"),
+        posexplode(expr("transform(sh, x -> md5(x))")).as(Seq("pos0", "h")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos0"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val fps = grams
+      .withColumn("wmin", min(col("h")).over(win))
+      // keep only COMPLETE windows: the last w-1 positions see a truncated
+      // frame whose min is not a real window min (pos0 is 0-based)
+      .filter(col("pos0") <= col("m") - w)
+      .select(col("doc_id"), col("wmin"))
+      .distinct()
+    val rare = fps.groupBy(col("wmin")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select(col("wmin"))
+    val blocked = fps.join(rare, "wmin")
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.wmin") === col("b.wmin") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 3)
+  }
+
+  val qWinnowSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |g AS (SELECT doc_id, len(tk) - 2 AS m, CAST(u.i AS INT) AS pos0,
+      |        md5(tk[u.i] || ' ' || tk[u.i+1] || ' ' || tk[u.i+2]) AS h
+      |      FROM t, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+      |wm AS (SELECT doc_id, m, pos0,
+      |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos0
+      |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      |       FROM g),
+      |fps AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE pos0 <= m - 3),
+      |rare AS (SELECT wmin FROM fps GROUP BY wmin HAVING COUNT(*) <= 50),
+      |b AS (SELECT fps.doc_id, fps.wmin FROM fps JOIN rare USING (wmin))
+      |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, COUNT(*) AS shared_fps
+      |FROM b a JOIN b b2 ON a.wmin = b2.wmin AND a.doc_id < b2.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin
+
   /** SimHash near-dup pairs. 64-bit fingerprint per doc: bit p is the sign
     * of Σ_tokens (2·bit_p(md5(token)) − 1) over the doc's DISTINCT tokens,
     * where bit_p reads the p-th bit of the first 16 hex digits of md5.
@@ -589,6 +650,7 @@ object SimilarityQueries {
     "q_dedup_clusters" -> ((qDedupClusters _, Some(qDedupClustersSql))),
     "q_ngram_jaccard" -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
     "q_simhash" -> ((qSimhash _, Some(qSimhashSql))),
+    "q_winnow" -> ((qWinnow _, Some(qWinnowSql))),
     "q_cosine_topk" -> ((qCosineTopk _, Some(qCosineTopkSql))),
     "q_embedding_neardup" -> ((qEmbeddingNeardup _, Some(qEmbeddingNeardupSql)))
   )
