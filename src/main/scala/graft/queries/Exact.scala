@@ -105,4 +105,21 @@ object Exact {
     val parts = (0 until n).map(j => s"$tkCol[i+$j]").mkString(", ")
     expr(s"transform(sequence(0, size($tkCol)-$n), i -> concat_ws(' ', $parts))")
   }
+
+  /** Uniform integer in [0, 16^n) from hex nibbles [start, start+n) of
+    * md5(inner) — the deterministic-hash randomness primitive shared by
+    * the sampling/sketch queries (no RNG: reruns and both engines agree
+    * bit-for-bit). `md5IntExpr` is the Spark SQL spelling, `md5IntSql`
+    * the DuckDB mirror (instr/substring vs strpos/substr; identical
+    * arithmetic). Keep n <= 15 nibbles so the value stays in a BIGINT.
+    */
+  def md5IntExpr(inner: String, start: Int, n: Int): String =
+    (start until start + n)
+      .map(k => s"(instr('0123456789abcdef', substring(md5($inner), $k, 1)) - 1)")
+      .reduceLeft((acc, nx) => s"($acc * 16 + $nx)")
+
+  def md5IntSql(inner: String, start: Int, n: Int): String =
+    (start until start + n)
+      .map(k => s"(strpos('0123456789abcdef', substr(md5($inner), $k, 1)) - 1)")
+      .reduceLeft((acc, nx) => s"($acc * 16 + $nx)")
 }

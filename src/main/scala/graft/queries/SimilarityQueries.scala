@@ -641,7 +641,42 @@ object SimilarityQueries {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
       |FROM documents GROUP BY 1, 2""".stripMargin
 
+  /** Weighted deterministic sampling — keep each document with probability
+    * proportional to its length (the importance-weighting step when a
+    * pipeline downsamples while preserving long-document token mass).
+    * Decision: h * max_chars < n_chars * 65536, where h is a 16-bit
+    * uniform from the doc_id's md5 — pure integer comparison (no modulo
+    * bias, no RNG, no floats), so reruns and both engines agree
+    * bit-for-bit, exactly like q_hash_sample/q_mixture_sample.
+    * Scale: the max is one scalar aggregate broadcast into a per-row
+    * narrow filter + one #langs-row aggregate. At 100 TB the corpus max
+    * would be a config constant rather than a computed subquery.
+    */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val maxc = docs.agg(max(col("n_chars")).as("max_chars"))
+    docs.crossJoin(broadcast(maxc))
+      .withColumn("h", expr(Exact.md5IntExpr("CAST(doc_id AS STRING)", 1, 4)))
+      .withColumn("keep", col("h") * col("max_chars") < col("n_chars") * lit(65536L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+  }
+
+  val qWeightedSampleSql: String =
+    s"""WITH m AS (SELECT MAX(n_chars) AS max_chars FROM documents),
+       |k AS (SELECT lang, n_chars,
+       |        ${Exact.md5IntSql("CAST(doc_id AS VARCHAR)", 1, 4)} * max_chars
+       |          < n_chars * 65536 AS keep
+       |      FROM documents CROSS JOIN m)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+       |FROM k GROUP BY lang""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_weighted_sample" -> ((qWeightedSample _, Some(qWeightedSampleSql))),
     "q_mixture_sample" -> ((qMixtureSample _, Some(qMixtureSampleSql))),
     "q_stratified_sample" -> ((qStratifiedSample _, Some(qStratifiedSampleSql))),
     "q_centroids" -> ((qCentroids _, Some(qCentroidsSql))),

@@ -596,7 +596,192 @@ object TextQueries {
       |             ORDER BY tfidf DESC, token) AS rnk FROM scored)
       |SELECT doc_id, rnk, token, tf, df, tfidf FROM ranked WHERE rnk <= 3""".stripMargin
 
+  /** Boilerplate detection — the RefinedWeb/CCNet repeated-content pass
+    * adapted to this corpus's unit (word bigrams; web pipelines use lines,
+    * which this corpus lacks): a bigram is boilerplate when it appears in
+    * >= 20 distinct documents, and each document is scored by the fraction
+    * of its bigram instances that are boilerplate. High-ratio docs are
+    * template/chrome-heavy and get dropped or stripped before training.
+    * Exact integer counts; the ratio is the only double (round-6).
+    * Scale: the document-frequency table is vocabulary-bounded (broadcast
+    * here; a shuffle join on the bigram key at web scale — same shape as
+    * q_tfidf's df join). One explode + two hash aggregates; document
+    * bodies never shuffle.
+    */
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(s, dir)
+      .filter(size(toks) >= 2)
+      .withColumn("tk", toks)
+      .select(col("doc_id"), explode(ngrams("tk", 2)).as("bigram"))
+    val dfTbl = bi.groupBy(col("bigram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 20)
+    bi.join(broadcast(dfTbl.select(col("bigram"), lit(1L).as("isb"))),
+        Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("isb"), lit(0L))).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        r6(col("n_boiler").cast("double") / col("n_bigrams")))
+      .orderBy(col("boiler_ratio").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val qBoilerplateSql: String =
+    """WITH b AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram
+      |           FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |                 WHERE len(string_split(text, ' ')) >= 2) t,
+      |           UNNEST(range(1, len(tk))) AS u(i)),
+      |df AS (SELECT bigram, COUNT(DISTINCT doc_id) AS df FROM b GROUP BY bigram),
+      |boiler AS (SELECT bigram FROM df WHERE df >= 20)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(CASE WHEN boiler.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_boiler,
+      |  ROUND(CAST(SUM(CASE WHEN boiler.bigram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS boiler_ratio
+      |FROM b LEFT JOIN boiler USING (bigram)
+      |GROUP BY doc_id
+      |ORDER BY boiler_ratio DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Zipf rank-frequency fit: OLS slope of ln(freq) on ln(rank) over the
+    * top-100 tokens — the corpus-health diagnostic (natural text slopes
+    * ≈ −1; template-heavy or synthetic corpora flatten or steepen it).
+    * Exactness: every logarithm is LN of an integer (rank or count), so
+    * per-term doubles are engine-identical; terms are cast to
+    * DECIMAL(28,14) and summed decimal (order-independent, the
+    * q_perplexity recipe). Ranks come from a triangular self-join over the
+    * 100-row top-k table (bounded, broadcast), not a global window — the
+    * plan stays free of unpartitioned Window nodes.
+    * Scale: one token-count aggregate + TakeOrderedAndProject(100); the
+    * fit itself touches 100 rows.
+    */
+  def qZipf(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(s, dir)
+      .select(explode(toks).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(100)
+    val other = freq.select(col("token").as("t2"), col("freq").as("f2"))
+    val ranked = freq.join(broadcast(other),
+        col("f2") > col("freq") ||
+          (col("f2") === col("freq") && col("t2") < col("token")), "left")
+      .groupBy(col("token"), col("freq"))
+      .agg((count(col("t2")) + 1).as("rank"))
+    val terms = ranked.select(
+      expr("CAST(CAST(LN(CAST(rank AS DOUBLE)) AS DOUBLE) AS DECIMAL(28,14))").as("lx"),
+      expr("CAST(CAST(LN(CAST(freq AS DOUBLE)) AS DOUBLE) AS DECIMAL(28,14))").as("ly"),
+      expr("""CAST(CAST(LN(CAST(rank AS DOUBLE)) * LN(CAST(freq AS DOUBLE)) AS DOUBLE)
+             |  AS DECIMAL(28,14))""".stripMargin).as("lxy"),
+      expr("""CAST(CAST(LN(CAST(rank AS DOUBLE)) * LN(CAST(rank AS DOUBLE)) AS DOUBLE)
+             |  AS DECIMAL(28,14))""".stripMargin).as("lxx"))
+    terms.agg(
+        count(lit(1)).as("n"),
+        sum(col("lx")).cast("double").as("sx"),
+        sum(col("ly")).cast("double").as("sy"),
+        sum(col("lxy")).cast("double").as("sxy"),
+        sum(col("lxx")).cast("double").as("sxx"))
+      .select(col("n"),
+        r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+           (col("n") * col("sxx") - col("sx") * col("sx"))).as("zipf_slope"),
+        r6((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+           (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"))
+          .as("intercept"))
+  }
+
+  val qZipfSql: String =
+    """WITH freq AS (
+      |  SELECT token, COUNT(*) AS freq
+      |  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) t
+      |  WHERE token <> '' GROUP BY token
+      |  ORDER BY freq DESC, token LIMIT 100),
+      |ranked AS (
+      |  SELECT token, freq,
+      |    ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+      |  FROM freq),
+      |terms AS (
+      |  SELECT
+      |    CAST(CAST(LN(CAST(rank AS DOUBLE)) AS DOUBLE) AS DECIMAL(28,14)) AS lx,
+      |    CAST(CAST(LN(CAST(freq AS DOUBLE)) AS DOUBLE) AS DECIMAL(28,14)) AS ly,
+      |    CAST(CAST(LN(CAST(rank AS DOUBLE)) * LN(CAST(freq AS DOUBLE)) AS DOUBLE)
+      |      AS DECIMAL(28,14)) AS lxy,
+      |    CAST(CAST(LN(CAST(rank AS DOUBLE)) * LN(CAST(rank AS DOUBLE)) AS DOUBLE)
+      |      AS DECIMAL(28,14)) AS lxx
+      |  FROM ranked),
+      |m AS (SELECT COUNT(*) AS n, CAST(SUM(lx) AS DOUBLE) AS sx,
+      |        CAST(SUM(ly) AS DOUBLE) AS sy, CAST(SUM(lxy) AS DOUBLE) AS sxy,
+      |        CAST(SUM(lxx) AS DOUBLE) AS sxx
+      |      FROM terms)
+      |SELECT n,
+      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+      |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+      |    AS intercept
+      |FROM m""".stripMargin
+
+  /** Count-min-sketch heavy hitters — the streaming-friendly frequent-items
+    * sketch (Cormode–Muthukrishnan): d=4 hash rows × w=64 buckets of
+    * counters; an item's estimate is the MIN of its d counters, always >=
+    * the true count (one-sided error <= N·e/w with probability 1−e^−d).
+    * Computed over word bigrams with w deliberately small (~900 distinct
+    * bigrams into 64 buckets) so collisions are real and the overestimate
+    * column genuinely exercises the sketch's error bound; the exact count
+    * rides along as the audit (overestimate >= 0 is structural).
+    * Deterministic md5-derived bucket hashes → the entire sketch is
+    * integer-replicable in SQL, so this is hash-gated, not verdict-gated.
+    * Scale: the sketch table is d×w rows regardless of corpus size — ONE
+    * explode + hash aggregate builds it, and estimating any candidate set
+    * is a broadcast join against <=4096 rows, never a corpus re-shuffle.
+    * That is the whole point vs exact counting: the corpus-wide state is
+    * O(d·w), not O(vocabulary).
+    */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val d = 4; val w = 1024
+    val bi = Tables.documents(s, dir)
+      .filter(size(toks) >= 2)
+      .withColumn("tk", toks)
+      .select(explode(ngrams("tk", 2)).as("bigram"))
+    def bucket(r: Int) =
+      expr(s"(${Exact.md5IntExpr(s"concat('$r:', bigram)", 1, 3)}) % $w")
+    val buckets = array((0 until d).map(bucket): _*)
+    val sketch = bi
+      .select(posexplode(buckets).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val exact = bi.groupBy(col("bigram")).agg(count(lit(1)).as("exact"))
+    exact
+      .select(col("bigram"), col("exact"),
+        posexplode(buckets).as(Seq("r", "bucket")))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("bigram"), col("exact"))
+      .agg(min(col("cnt")).as("est"))
+      .select(col("bigram"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overestimate"))
+      .orderBy(col("est").desc, col("bigram"))
+      .limit(15)
+  }
+
+  val qHeavyHittersSql: String = {
+    val bucketSql = Exact.md5IntSql("CAST(r AS VARCHAR) || ':' || bigram", 1, 3)
+    s"""WITH b AS (SELECT tk[i] || ' ' || tk[i+1] AS bigram
+       |           FROM (SELECT string_split(text, ' ') AS tk FROM documents
+       |                 WHERE len(string_split(text, ' ')) >= 2) t,
+       |           UNNEST(range(1, len(tk))) AS u(i)),
+       |inst AS (SELECT bigram, r, ($bucketSql) % 1024 AS bucket
+       |         FROM b, UNNEST(range(0, 4)) AS v(r)),
+       |sketch AS (SELECT r, bucket, COUNT(*) AS cnt FROM inst GROUP BY r, bucket),
+       |exact AS (SELECT bigram, COUNT(*) AS exact FROM b GROUP BY bigram),
+       |cand AS (SELECT bigram, exact, r, ($bucketSql) % 1024 AS bucket
+       |         FROM exact, UNNEST(range(0, 4)) AS v(r)),
+       |est AS (SELECT bigram, exact, MIN(cnt) AS est
+       |        FROM cand JOIN sketch USING (r, bucket)
+       |        GROUP BY bigram, exact)
+       |SELECT bigram, exact, est, est - exact AS overestimate
+       |FROM est ORDER BY est DESC, bigram LIMIT 15""".stripMargin
+  }
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_heavy_hitters" -> ((qHeavyHitters _, Some(qHeavyHittersSql))),
+    "q_boilerplate" -> ((qBoilerplate _, Some(qBoilerplateSql))),
+    "q_zipf" -> ((qZipf _, Some(qZipfSql))),
     "q_pack" -> ((qPack _, Some(qPackSql))),
     "q_chunk" -> ((qChunk _, Some(qChunkSql))),
     "q_bigram_lm" -> ((qBigramLm _, Some(qBigramLmSql))),
