@@ -549,7 +549,36 @@ object AdvancedQueries {
       |FROM a WHERE day_offset <= 7
       |GROUP BY cohort_day, day_offset""".stripMargin
 
+  /** Custom-connector query over the [[graft.io.dsv2.SyntheticSource]]
+    * DataSource V2 table: the id-range predicate is PUSHED into the source
+    * (narrows partition planning to [20000, 60000) — Dsv2Spec freezes
+    * that), the `cat` predicate stays a Spark-side residual filter, and
+    * only (id, val, cat) are generated thanks to column pruning (`score`
+    * is never materialized). The relation is deterministic, so DuckDB
+    * replicates it with range() + identical integer math.
+    */
+  def qDsv2(s: SparkSession, dir: String): DataFrame = {
+    s.read.format("graft.io.dsv2.SyntheticSource")
+      .option("rows", 100000L).option("slices", 8)
+      .load()
+      .filter(col("id") >= 20000L && col("id") < 60000L && col("cat") =!= "c3")
+      .groupBy(col("cat"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("val")).as("total_val"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+  }
+
+  val qDsv2Sql: String =
+    """SELECT 'c' || CAST(id % 7 AS VARCHAR) AS cat, COUNT(*) AS n,
+      |  CAST(SUM((id * 2654435761) % 1000000) AS BIGINT) AS total_val,
+      |  MIN(id) AS min_id, MAX(id) AS max_id
+      |FROM range(0, 100000) AS t(id)
+      |WHERE id >= 20000 AND id < 60000 AND 'c' || CAST(id % 7 AS VARCHAR) <> 'c3'
+      |GROUP BY 1""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_dsv2" -> ((qDsv2 _, Some(qDsv2Sql))),
     "q_retention" -> ((qRetention _, Some(qRetentionSql))),
     "q_zscore_outliers" -> ((qZscoreOutliers _, Some(qZscoreOutliersSql))),
     "q_funnel" -> ((qFunnel _, Some(qFunnelSql))),
