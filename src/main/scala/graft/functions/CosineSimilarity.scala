@@ -123,7 +123,41 @@ object GraftFunctions {
       FunctionIdentifier("edit_distance_within"), edwInfo, buildEdw _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("srp_fingerprint"), SrpFingerprint.info, SrpFingerprint.build _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bloom_filter_agg"), bloomAggInfo, buildBloomAgg _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("might_contain"), mightContainInfo, buildMightContain _)
     graft.plans.DotProductRewrite.install(spark)
+  }
+
+  // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+  // runtime-filter rewrite but does not register them as SQL functions;
+  // exposing them here (same names Databricks uses) gives queries the
+  // broadcast-compact-membership primitive without a driver-side
+  // DataFrameStatFunctions round trip or an interpreted UDF.
+  private val bloomAggInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+    null, "bloom_filter_agg",
+    "_FUNC_(xxhash64(col), items, bits) - build a bloom filter over a LONG hash column.",
+    "")
+
+  private def buildBloomAgg(children: Seq[Expression]): Expression = {
+    require(children.size == 3,
+      "bloom_filter_agg takes exactly 3 arguments (hash col, est items, num bits)")
+    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      children(0), children(1), children(2))
+  }
+
+  private val mightContainInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+    null, "might_contain",
+    "_FUNC_(bloom, xxhash64(col)) - probabilistic membership (no false negatives).",
+    "")
+
+  private def buildMightContain(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "might_contain takes exactly 2 arguments")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      children(0), children(1))
   }
 
   private val edwInfo = new ExpressionInfo(
@@ -158,6 +192,20 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("srp_fingerprint"),
       new ExpressionInfo(classOf[SrpFingerprint].getName, "srp_fingerprint"),
       (children: Seq[Expression]) => SrpFingerprint(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))))
+    ext.injectFunction((FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }

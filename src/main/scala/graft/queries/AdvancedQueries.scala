@@ -577,7 +577,63 @@ object AdvancedQueries {
       |WHERE id >= 20000 AND id < 60000 AND 'c' || CAST(id % 7 AS VARCHAR) <> 'c3'
       |GROUP BY 1""".stripMargin
 
+  /** LATERAL correlated subquery — top-2 orders per customer, the
+    * "for each row, run this parameterized subquery" shape (SQL:2003
+    * LATERAL, Spark 4 native). Catalyst decorrelates the per-row subquery
+    * into a window-ranked join rather than executing it row-at-a-time, so
+    * the declarative per-row spelling still scales: one shuffle on the
+    * correlation key, per-key limit — the same plan q_topk's explicit
+    * window would produce, without the caller writing it.
+    */
+  def qLateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_lat")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_lat")
+    s.sql(
+      """SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+        |FROM customer_lat c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) AS l""".stripMargin)
+  }
+
+  val qLateralSql: String =
+    """SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) AS l""".stripMargin
+
+  /** Recursive CTE (Spark 4 native WITH RECURSIVE) — each supplier walks
+    * its binary-heap ancestor chain (parent = key DIV 2) to the root:
+    * log-depth recursion, the hierarchy-flattening shape (org charts, BOM
+    * explosions, category trees). Output = exact integer depth + ancestor
+    * path length per supplier. Scale: each recursion step is one
+    * equi-self-join of the frontier; depth is O(log key-space), and the
+    * frontier shrinks monotonically — contrast with ConnectedComponents'
+    * pointer-jumping for data-defined (non-structural) graphs.
+    */
+  def qRecursive(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier_rec")
+    s.sql(
+      """WITH RECURSIVE chain(suppkey, anc, depth) AS (
+        |  SELECT s_suppkey, CAST(s_suppkey AS BIGINT), 0 FROM supplier_rec
+        |  UNION ALL
+        |  SELECT suppkey, anc DIV 2, depth + 1 FROM chain WHERE anc > 1)
+        |SELECT suppkey, MAX(depth) AS depth_to_root, COUNT(*) AS chain_len
+        |FROM chain GROUP BY suppkey""".stripMargin)
+  }
+
+  val qRecursiveSql: String =
+    """WITH RECURSIVE chain(suppkey, anc, depth) AS (
+      |  SELECT s_suppkey, CAST(s_suppkey AS BIGINT), 0 FROM supplier
+      |  UNION ALL
+      |  SELECT suppkey, anc // 2, depth + 1 FROM chain WHERE anc > 1)
+      |SELECT suppkey, MAX(depth) AS depth_to_root, COUNT(*) AS chain_len
+      |FROM chain GROUP BY suppkey""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_lateral" -> ((qLateral _, Some(qLateralSql))),
+    "q_recursive" -> ((qRecursive _, Some(qRecursiveSql))),
     "q_dsv2" -> ((qDsv2 _, Some(qDsv2Sql))),
     "q_retention" -> ((qRetention _, Some(qRetentionSql))),
     "q_zscore_outliers" -> ((qZscoreOutliers _, Some(qZscoreOutliersSql))),

@@ -375,6 +375,72 @@ object TextQueries {
       |  CAST(SUM(shared_shingles) AS BIGINT) AS total_shared, MAX(shared_shingles) AS worst_overlap
       |FROM pairs GROUP BY eval_id""".stripMargin
 
+  /** Bloom-filter decontamination — q_contamination's 100 TB scale path:
+    * instead of shuffling BOTH sides' shingles into an equi-join, the
+    * eval set's distinct shingles fold into ONE compact bloom filter
+    * (Spark's own BloomFilterAggregate — the expression pair behind its
+    * runtime-filter rewrite, registered as SQL functions
+    * `bloom_filter_agg`/`might_contain` via [[graft.functions.GraftFunctions]]),
+    * and the training corpus probes it with a codegen'd per-row test: no
+    * shuffle of the big side at all, the same shape as a broadcast join
+    * but with O(bits) state instead of O(eval shingles).
+    * The sketch is engine-specific, so like q_approx_distinct the gate is
+    * a tolerance VERDICT, not a hash of the sketch: the exact overlap
+    * count rides along (SQL-replicable), `no_false_negatives` must be
+    * TRUE (the bloom guarantee — a false negative would silently leak
+    * eval data into training), and the false-positive count must stay
+    * under 2% of probes (m/n = 16 bits/item ⇒ nominal fpp ≈ 4e-4).
+    */
+  def qBloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = Tables.documents(s, dir)
+      .filter(size(toks) >= 5)
+      .withColumn("tk", toks)
+      .select(col("doc_id"), explode(array_distinct(ngrams("tk", 5))).as("shingle"))
+    val eval_ = sh.filter(col("doc_id") % 2 === 1).select(col("shingle")).distinct()
+    eval_.createOrReplaceTempView("bloom_eval_sh")
+    sh.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("shingle"))
+      .createOrReplaceTempView("bloom_train_sh")
+    // BloomFilterAggregate requires foldable sizing literals, and a fixed
+    // size rots as data grows (the fpp bound degrades linearly past the
+    // design point) — so size from the measured eval cardinality at 16
+    // bits/item (nominal fpp ≈ 4e-4, far inside the 2% verdict bound).
+    // The count is one extra aggregate over the SMALL side; in production
+    // the item estimate comes from table stats instead.
+    val nEval = math.max(1024L, eval_.count())
+    val nBits = 16L * nEval
+    s.sql(
+      s"""WITH probe AS (
+         |  SELECT t.doc_id, t.shingle,
+         |    might_contain(
+         |      (SELECT bloom_filter_agg(xxhash64(shingle), ${nEval}L, ${nBits}L)
+         |       FROM bloom_eval_sh),
+         |      xxhash64(t.shingle)) AS flagged,
+         |    EXISTS (SELECT 1 FROM bloom_eval_sh e
+         |            WHERE e.shingle = t.shingle) AS truly
+         |  FROM bloom_train_sh t)
+         |SELECT COUNT(*) AS n_train_shingles,
+         |  CAST(SUM(CASE WHEN truly THEN 1 ELSE 0 END) AS BIGINT) AS n_true_overlap,
+         |  BOOL_AND(flagged OR NOT truly) AS no_false_negatives,
+         |  CAST(SUM(CASE WHEN flagged AND NOT truly THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 50 <= COUNT(*) AS fp_within_bound
+         |FROM probe""".stripMargin)
+  }
+
+  val qBloomDecontaminateSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 5),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS shingle
+      |       FROM t, UNNEST(range(1, len(tk)-3)) AS u(i)),
+      |e AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 1),
+      |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 0)
+      |SELECT COUNT(*) AS n_train_shingles,
+      |  CAST(SUM(CASE WHEN shingle IN (SELECT shingle FROM e) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_true_overlap,
+      |  TRUE AS no_false_negatives, TRUE AS fp_within_bound
+      |FROM tr""".stripMargin
+
   /** Vocabulary coverage: how many of the most frequent tokens cover 90% of
     * corpus occurrences (the vocabulary-pruning knob). Pure integer math:
     * `10 × cumulative_before < 9 × total` avoids float thresholds.
@@ -791,6 +857,7 @@ object TextQueries {
     "q_repetition" -> ((qRepetition _, Some(qRepetitionSql))),
     "q_normalized_dedup" -> ((qNormalizedDedup _, Some(qNormalizedDedupSql))),
     "q_contamination" -> ((qContamination _, Some(qContaminationSql))),
+    "q_bloom_decontaminate" -> ((qBloomDecontaminate _, Some(qBloomDecontaminateSql))),
     "q_vocab_coverage" -> ((qVocabCoverage _, Some(qVocabCoverageSql))),
     "q_length_histogram" -> ((qLengthHistogram _, Some(qLengthHistogramSql))),
     "q_bigram_freq" -> ((qBigramFreq _, Some(qBigramFreqSql))),
