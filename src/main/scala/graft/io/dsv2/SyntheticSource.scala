@@ -7,8 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -30,6 +31,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **Column pruning** ([[SupportsPushDownRequiredColumns]]): only
   *    requested columns are generated — the DSv2 analog of parquet's
   *    ReadSchema pruning.
+  *  - **Aggregate pushdown** ([[SupportsPushDownAggregates]]): ungrouped
+  *    COUNT(*)/MIN(id)/MAX(id) are answered COMPLETELY from range
+  *    arithmetic — one metadata row, zero generated rows (the move a
+  *    warehouse connector makes with table statistics). Grouped or
+  *    derived-column aggregates are declined and computed by Spark.
+  *  - **Limit pushdown** ([[SupportsPushDownLimit]]): the relation is
+  *    unordered, so LIMIT n caps the generated range exactly.
+  *  - **Reported statistics** ([[SupportsReportStatistics]]): row count
+  *    and byte size of the POST-pushdown range, so Catalyst's broadcast
+  *    decisions see the narrowed relation, not the nominal table.
   *
   * The table itself is a deterministic synthetic relation (the DSv2 analog
   * of `range()` with derived columns), so the gate can replicate it exactly
@@ -87,12 +98,14 @@ class SyntheticTable(rows: Long, slices: Int) extends Table with SupportsRead {
 }
 
 class SyntheticScanBuilder(rows: Long, slices: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = SyntheticSource.fullSchema
+  private var aggs: Option[Seq[AggregateFunc]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, residual) = filters.partition {
@@ -113,30 +126,117 @@ class SyntheticScanBuilder(rows: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = SyntheticScan(lo, math.max(lo, hi), slices, required)
+  // COUNT(*), MIN(id), MAX(id) over the whole (post-filter) relation are
+  // pure range arithmetic: count = hi−lo, min = lo, max = hi−1. COMPLETE
+  // pushdown — the scan answers with one row and ZERO generated rows, the
+  // same trick a warehouse connector plays with its table metadata.
+  // Grouped aggregates and aggregates over derived columns are declined
+  // (return false → Spark computes them from the scanned rows as usual).
+  private def supported(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case m: Min => m.column match {
+        case nr: NamedReference => nr.fieldNames.toSeq == Seq("id")
+        case _ => false
+      }
+      case m: Max => m.column match {
+        case nr: NamedReference => nr.fieldNames.toSeq == Seq("id")
+        case _ => false
+      }
+      case _ => false
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = supported(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!supported(agg)) return false
+    aggs = Some(agg.aggregateExpressions.toSeq)
+    true
+  }
+
+  // LIMIT pushdown: the relation is unordered, so "any n rows" is exact —
+  // cap the generated range. Fully pushed (Spark still applies its own
+  // final limit over the ≤ n returned rows, which is then a no-op).
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    true
+  }
+
+  override def build(): Scan = SyntheticScan(lo, math.max(lo, hi), slices, required, aggs)
 }
 
-case class SyntheticScan(lo: Long, hi: Long, slices: Int, required: StructType)
-    extends Scan with Batch {
+case class SyntheticScan(
+    lo: Long, hi: Long, slices: Int, required: StructType,
+    aggs: Option[Seq[AggregateFunc]])
+    extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = aggs match {
+    case None => required
+    case Some(fns) =>
+      fns.zipWithIndex.foldLeft(new StructType()) {
+        case (st, (_: CountStar, i)) => st.add(s"agg_$i", LongType, nullable = false)
+        case (st, (_, i)) => st.add(s"agg_$i", LongType, nullable = true)
+      }
+  }
+
   override def toBatch: Batch = this
 
-  override def description(): String =
-    s"graft-synthetic range=[$lo,$hi) cols=[${required.fieldNames.mkString(",")}]"
+  override def description(): String = {
+    val what = aggs.map(fns => s" agg=[${fns.mkString(",")}]").getOrElse("")
+    s"graft-synthetic range=[$lo,$hi) cols=[${required.fieldNames.mkString(",")}]$what"
+  }
+
+  // Post-pushdown stats: Catalyst's join planning (broadcast-threshold
+  // decisions) sees the NARROWED range, not the nominal table size.
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    private val rowBytes = readSchema().fields.map(_.dataType.defaultSize).sum
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(n * rowBytes)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (aggs.isDefined) return Array(SyntheticAggPartition(lo, hi))
     val n = hi - lo
     if (n <= 0) return Array.empty
     val per = math.max(1L, (n + slices - 1) / slices)
     (lo until hi by per).map(s => SyntheticRange(s, math.min(hi, s + per)): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new SyntheticReaderFactory(required.fieldNames)
+  override def createReaderFactory(): PartitionReaderFactory = aggs match {
+    case None => new SyntheticReaderFactory(required.fieldNames)
+    case Some(fns) =>
+      // AggregateFunc is not Serializable-friendly; ship a compact tag.
+      new SyntheticAggReaderFactory(fns.map {
+        case _: CountStar => 'c'
+        case _: Min => 'n'
+        case _: Max => 'x'
+      }.toArray)
+  }
 }
 
 case class SyntheticRange(start: Long, end: Long) extends InputPartition
+case class SyntheticAggPartition(lo: Long, hi: Long) extends InputPartition
+
+/** Answers a completely-pushed aggregation with one computed row. */
+class SyntheticAggReaderFactory(tags: Array[Char]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val SyntheticAggPartition(lo, hi) = partition: @unchecked
+    val empty = hi <= lo
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow =
+        new GenericInternalRow(tags.map[Any] {
+          case 'c' => math.max(0L, hi - lo)
+          case 'n' => if (empty) null else lo
+          case 'x' => if (empty) null else hi - 1
+        })
+      override def close(): Unit = ()
+    }
+  }
+}
+
 
 /** Serialized to executors: holds only the pruned column names. */
 class SyntheticReaderFactory(cols: Array[String]) extends PartitionReaderFactory {

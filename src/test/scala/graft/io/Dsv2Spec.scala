@@ -20,7 +20,7 @@ class Dsv2Spec extends SparkSpec {
 
   /** The single BatchScanExec's Scan, for asserting what got planned. */
   private def scanOf(df: DataFrame): SyntheticScan = {
-    val scans = df.queryExecution.executedPlan.collect {
+    val scans = df.queryExecution.sparkPlan.collect {
       case b: BatchScanExec => b.scan
     }
     assert(scans.size == 1, s"expected one BatchScanExec, got $scans")
@@ -44,7 +44,7 @@ class Dsv2Spec extends SparkSpec {
       s"pushdown did not narrow the range: [${scan.lo},${scan.hi})")
     assert(df.count() == 100L)
     // handled filters are consumed — no Spark-side re-evaluation on id
-    val postFilters = df.queryExecution.executedPlan.collect {
+    val postFilters = df.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FilterExec => f.condition.sql
     }
     assert(postFilters.isEmpty, s"id bounds were not consumed: $postFilters")
@@ -54,7 +54,7 @@ class Dsv2Spec extends SparkSpec {
     val df = read(1000).filter(col("id") < 70L && col("cat") === "c3")
     val scan = scanOf(df)
     assert(scan.lo == 0L && scan.hi == 70L)
-    val postFilters = df.queryExecution.executedPlan.collect {
+    val postFilters = df.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FilterExec => f.condition.sql
     }
     assert(postFilters.exists(_.contains("cat")), s"cat residual missing: $postFilters")
@@ -82,6 +82,44 @@ class Dsv2Spec extends SparkSpec {
     val empty = read(1000, slices = 4).filter(col("id") >= 2000L)
     assert(scanOf(empty).planInputPartitions().isEmpty)
     assert(empty.count() == 0L)
+  }
+
+  test("count/min/max push completely: one metadata row, zero generated rows") {
+    val df = read(1000000).filter(col("id") >= 100L)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("lo"), max(col("id")).as("hi"))
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b.scan }
+    assert(scans.size == 1)
+    val scan = scans.head.asInstanceOf[SyntheticScan]
+    assert(scan.aggs.isDefined, "aggregation was not pushed")
+    // the answer comes from range arithmetic — a single one-row partition
+    assert(scan.planInputPartitions().length == 1)
+    val row = df.collect().head
+    assert(row.getAs[Long]("n") == 999900L)
+    assert(row.getAs[Long]("lo") == 100L)
+    assert(row.getAs[Long]("hi") == 999999L)
+  }
+
+  test("grouped or non-id aggregates are declined and computed by Spark") {
+    val df = read(700).groupBy(col("cat")).agg(count(lit(1)).as("n"))
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b.scan }
+    assert(scans.head.asInstanceOf[SyntheticScan].aggs.isEmpty)
+    assert(df.collect().map(_.getAs[Long]("n")).sum == 700L)
+  }
+
+  test("limit pushdown caps the generated range") {
+    val df = read(1000000).limit(5)
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b.scan }
+    val scan = scans.head.asInstanceOf[SyntheticScan]
+    assert(scan.hi <= 5L, s"limit not pushed: hi=${scan.hi}")
+    assert(df.count() == 5L)
+  }
+
+  test("reported statistics reflect the post-pushdown range") {
+    val df = read(1000000).filter(col("id") >= 999000L).select(col("id"))
+    val stats = df.queryExecution.optimizedPlan.stats
+    // 1000 rows × 8 bytes — small enough that a join against this side
+    // would broadcast; the nominal million-row table would not.
+    assert(stats.sizeInBytes == BigInt(8000))
   }
 
   test("equality pushdown plans a single one-row range") {
