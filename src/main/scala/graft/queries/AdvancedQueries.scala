@@ -631,7 +631,42 @@ object AdvancedQueries {
       |SELECT suppkey, MAX(depth) AS depth_to_root, COUNT(*) AS chain_len
       |FROM chain GROUP BY suppkey""".stripMargin
 
+  /** SCD Type-2 dimension build — collapse each user's event stream into
+    * validity intervals of their event_type "state": a segment opens when
+    * the type CHANGES (lag comparison), closes when the next segment opens
+    * (lead), and the open segment is flagged current. The classic
+    * warehouse history-table construction (effective_from/effective_to/
+    * is_current) from an append-only event log.
+    * Scale: two stacked per-user windows — one hash shuffle on user_id,
+    * both sorts reuse it (same partitioning and ordering); no row
+    * multiplication anywhere.
+    */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val starts = Tables.events(s, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    starts
+      .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+      .filter(col("user_id") < 300)
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
+  val qScd2Sql: String =
+    """WITH starts AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events
+      |  QUALIFY prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM starts WHERE user_id < 300""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_scd2" -> ((qScd2 _, Some(qScd2Sql))),
     "q_lateral" -> ((qLateral _, Some(qLateralSql))),
     "q_recursive" -> ((qRecursive _, Some(qRecursiveSql))),
     "q_dsv2" -> ((qDsv2 _, Some(qDsv2Sql))),

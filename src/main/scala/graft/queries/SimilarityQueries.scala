@@ -675,7 +675,114 @@ object SimilarityQueries {
        |  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
        |FROM k GROUP BY lang""".stripMargin
 
+  /** Int8 scalar quantization of embeddings with a recall audit — the
+    * standard 4× memory/bandwidth compression before ANN serving: per
+    * vector, scale = 127/max|v| and q_i = round(v_i·scale). Scoring is
+    * then pure INTEGER dot products (exact on both engines, no decimal
+    * gymnastics); the audit ranks every query's top-5 under quantized
+    * scores AND under the exact float dot product (decimal-summed, the
+    * q_cosine_topk recipe) and reports the overlap (recall@5) plus
+    * whether the top-1 survived — the measurement that tells you whether
+    * the compression is safe to ship.
+    * Scale: quantization is a per-row narrow map (the 100 TB path stores
+    * qv once); scoring broadcasts the 10 query vectors; the two rankings
+    * are per-query-key windows.
+    */
+  def qQuantize(s: SparkSession, dir: String): DataFrame = {
+    val maxabs =
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+    val qvec =
+      s"""transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) *
+         |  (CASE WHEN ($maxabs) = 0.0D THEN 0.0D ELSE 127.0D / ($maxabs) END), 0) AS INT))""".stripMargin
+    val qdot =
+      """CAST(aggregate(zip_with(q_qv, qv, (a, b) -> CAST(a AS BIGINT) * b),
+        |  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)""".stripMargin
+    val edot =
+      """CAST(aggregate(zip_with(q_emb, embedding, (a, b) ->
+        |  CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,14))),
+        |  CAST(0 AS DECIMAL(28,14)), (acc, x) -> CAST(acc + x AS DECIMAL(28,14))) AS DOUBLE)""".stripMargin
+    val emb = Tables.embeddings(s, dir).withColumn("qv", expr(qvec))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("embedding").as("q_emb"))
+    val pairs = broadcast(queries).crossJoin(emb)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), expr(qdot).as("qdot"), expr(edot).as("edot"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("qdot").desc, col("vec_id"))
+    val we = Window.partitionBy(col("q_id")).orderBy(col("edot").desc, col("vec_id"))
+    val ranked = pairs
+      .withColumn("rq", row_number().over(wq))
+      .withColumn("re", row_number().over(we))
+    val qtop = ranked.filter(col("rq") <= 5)
+    val etop = ranked.filter(col("re") <= 5).select(col("q_id"), col("vec_id"))
+    val common = qtop.select(col("q_id"), col("vec_id"))
+      .join(etop, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+    val top1 = qtop.filter(col("rq") === 1)
+      .select(col("q_id"), col("vec_id").as("q_top1"), col("qdot").as("qdot_top1"))
+    val etop1 = ranked.filter(col("re") === 1)
+      .select(col("q_id"), col("vec_id").as("e_top1"))
+    top1.join(etop1, "q_id").join(common, "q_id")
+      .select(col("q_id"), col("q_top1"), col("qdot_top1"),
+        (col("q_top1") === col("e_top1")).as("top1_same"), col("n_common"))
+  }
+
+  val qQuantizeSql: String =
+    """WITH m AS (SELECT vec_id, embedding,
+      |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |    FROM embeddings),
+      |qv AS (SELECT vec_id, embedding,
+      |      list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) *
+      |        (CASE WHEN ma = 0.0 THEN 0.0 ELSE 127.0 / ma END), 0) AS INT)) AS qv
+      |    FROM m),
+      |p AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+      |      CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i ->
+      |        CAST(q.qv[CAST(i AS INT)] AS BIGINT) * c.qv[CAST(i AS INT)])) AS BIGINT) AS qdot,
+      |      CAST(list_sum(list_transform(range(1, len(q.embedding) + 1), i ->
+      |        CAST(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) *
+      |             CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE) AS edot
+      |    FROM qv q CROSS JOIN qv c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |r AS (SELECT q_id, vec_id, qdot,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qdot DESC, vec_id) AS rq,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY edot DESC, vec_id) AS re
+      |    FROM p),
+      |common AS (
+      |  SELECT q_id, COUNT(*) AS n_common
+      |  FROM (SELECT q_id, vec_id FROM r WHERE rq <= 5) a
+      |  JOIN (SELECT q_id, vec_id FROM r WHERE re <= 5) b USING (q_id, vec_id)
+      |  GROUP BY q_id)
+      |SELECT t1.q_id, t1.vec_id AS q_top1, t1.qdot AS qdot_top1,
+      |  t1.vec_id = e1.vec_id AS top1_same, common.n_common
+      |FROM (SELECT q_id, vec_id, qdot FROM r WHERE rq = 1) t1
+      |JOIN (SELECT q_id, vec_id FROM r WHERE re = 1) e1 USING (q_id)
+      |JOIN common USING (q_id)""".stripMargin
+
+  /** Deterministic 80/10/10 train/val/test split — the reproducible split
+    * every training pipeline needs (content-addressed: a doc's split never
+    * changes when the corpus grows, unlike rand() or modulo-on-row-number).
+    * First md5 byte (0..255) of the doc id: < 204 train, < 230 val, else
+    * test. Pure integer comparison; one narrow map + one #splits×#langs
+    * aggregate.
+    */
+  def qSplit(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("b", expr(Exact.md5IntExpr("CAST(doc_id AS STRING)", 1, 2)))
+      .withColumn("split",
+        when(col("b") < 204, "train").when(col("b") < 230, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+
+  val qSplitSql: String =
+    s"""SELECT CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split,
+       |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM (SELECT lang, n_chars,
+       |        ${Exact.md5IntSql("CAST(doc_id AS VARCHAR)", 1, 2)} AS b
+       |      FROM documents) t
+       |GROUP BY 1, 2""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_quantize" -> ((qQuantize _, Some(qQuantizeSql))),
+    "q_split" -> ((qSplit _, Some(qSplitSql))),
     "q_weighted_sample" -> ((qWeightedSample _, Some(qWeightedSampleSql))),
     "q_mixture_sample" -> ((qMixtureSample _, Some(qMixtureSampleSql))),
     "q_stratified_sample" -> ((qStratifiedSample _, Some(qStratifiedSampleSql))),
