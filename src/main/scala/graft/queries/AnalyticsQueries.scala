@@ -365,7 +365,91 @@ object AnalyticsQueries {
       |SELECT change_type, COUNT(*) AS n_rows, CAST(SUM(delta) AS DOUBLE) AS price_delta
       |FROM j GROUP BY change_type""".stripMargin
 
+  /** PageRank (5 damped iterations, d = 0.85) over the token-bigram
+    * digraph — the iterative-graph-algebra operator family beyond
+    * ConnectedComponents' label propagation: edge weight = bigram count,
+    * transition P(w2|w1) = c/c1, dangling mass redistributed uniformly.
+    * On this corpus the graph is vocabulary-sized; at web scale the SAME
+    * plan holds — each iteration is one equi-join (ranks ⋈ edges) + one
+    * hash aggregate, the edge table partitions by source key, and the
+    * dangling term is a broadcast scalar, so an iteration's cost is one
+    * shuffle of #edges rows regardless of iteration count.
+    * Exactness: per-edge contributions are double products (identical on
+    * both engines) summed as DECIMAL(28,14) (order-independent), the
+    * q_perplexity recipe — so 5 chained iterations stay bit-identical and
+    * the oracle unrolls them as 5 CTE stages. N is a vocabulary-sized
+    * metadata count (driver scalar, like q_bloom_decontaminate's sizing).
+    */
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tkDf = Tables.documents(s, dir).select(split(col("text"), " ").as("tk"))
+    val nodes = tkDf.select(explode(col("tk")).as("token"))
+      .filter(col("token") =!= "").distinct().cache()
+    val pairs = tkDf.filter(size(col("tk")) >= 2)
+      .select(expr("explode(transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS w1, tk[i+1] AS w2)))").as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val edges = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val out = edges.groupBy(col("w1")).agg(sum(col("c")).cast("bigint").as("c1")).cache()
+    val e = edges.join(out, "w1")
+      .select(col("w1"), col("w2"),
+        (col("c").cast("double") / col("c1").cast("double")).as("p")).cache()
+    val nN = nodes.count().toDouble
+    var ranks = nodes.select(col("token"), (lit(1.0) / lit(nN)).as("rank"))
+    for (_ <- 1 to 5) {
+      // ranks feeds BOTH the contribution join and the dangling aggregate,
+      // and 5 chained iterations would otherwise nest 2^5 copies of the
+      // plan — truncate lineage each round (node-count-sized data), the
+      // ConnectedComponents recipe.
+      ranks = ranks.localCheckpoint()
+      val contrib = ranks.join(e, col("token") === col("w1"))
+        .select(col("w2"),
+          (col("rank") * col("p")).cast("double").cast(DecimalType(28, 14)).as("ct"))
+      val insum = contrib.groupBy(col("w2")).agg(sum(col("ct")).cast("double").as("in_sum"))
+      val dang = ranks.join(out, col("token") === col("w1"), "left_anti")
+        .agg(coalesce(sum(col("rank").cast(DecimalType(28, 14))).cast("double"), lit(0.0)).as("dang"))
+      ranks = nodes.join(insum, col("token") === col("w2"), "left").drop("w2")
+        .crossJoin(broadcast(dang))
+        .select(col("token"),
+          (lit(0.15) / lit(nN) + lit(0.85) *
+            (coalesce(col("in_sum"), lit(0.0)) + col("dang") / lit(nN))).as("rank"))
+    }
+    ranks.orderBy(col("rank").desc, col("token")).limit(10)
+      .select(col("token"), r6(col("rank")).as("pagerank"))
+  }
+
+  val qPagerankSql: String = {
+    val iters = (1 to 5).map { k =>
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      s"""c$k AS (SELECT e.w2, CAST(CAST(r.rank * e.p AS DOUBLE) AS DECIMAL(28,14)) AS ct
+         |        FROM $prev r JOIN e ON r.token = e.w1),
+         |s$k AS (SELECT w2, CAST(SUM(ct) AS DOUBLE) AS in_sum FROM c$k GROUP BY w2),
+         |d$k AS (SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(28,14))) AS DOUBLE),
+         |               CAST(0.0 AS DOUBLE)) AS dang
+         |        FROM $prev WHERE token NOT IN (SELECT w1 FROM outd)),
+         |r$k AS (SELECT nd.token,
+         |          CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+         |            (COALESCE(s$k.in_sum, CAST(0.0 AS DOUBLE)) + d$k.dang / nn.n) AS rank
+         |        FROM nodes nd LEFT JOIN s$k ON nd.token = s$k.w2
+         |        CROSS JOIN d$k CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+       |nodes AS (SELECT DISTINCT token
+       |          FROM (SELECT UNNEST(tk) AS token FROM tk) t WHERE token <> ''),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |bi AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+       |       FROM tk, UNNEST(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2),
+       |ed AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+       |outd AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM ed GROUP BY 1),
+       |e AS (SELECT w1, w2, CAST(c AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+       |      FROM ed JOIN outd USING (w1)),
+       |r0 AS (SELECT token, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT token, ROUND(rank, 6) AS pagerank FROM r5
+       |ORDER BY rank DESC, token LIMIT 10""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_pagerank" -> ((qPagerank _, Some(qPagerankSql))),
     "q_source_drift" -> ((qSourceDrift _, Some(qSourceDriftSql))),
     "q_token_entropy" -> ((qTokenEntropy _, Some(qTokenEntropySql))),
     "q_interval_join" -> ((qIntervalJoin _, Some(qIntervalJoinSql))),
