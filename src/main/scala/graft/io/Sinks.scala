@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Dataset sinks — the reference's ETLDataset add/update (K2).
   *
@@ -118,6 +119,48 @@ object Sinks {
     fs.delete(p, true)
     require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
     (before, parts)
+  }
+
+  /** MERGE-shape upsert: apply `updates` to the keyed parquet table at
+    * `path` — matched keys take the update row (UPDATE), unmatched update
+    * keys append (INSERT), everything else carries over. The batch-CDC
+    * companion to [[appendDedup]] (which only inserts-if-absent) and to
+    * q_snapshot_diff (which classifies but does not apply).
+    *
+    * Same crash posture as [[compact]]: the merged copy is written to a
+    * temp dir first, then swapped in with delete + rename — a crashed run
+    * leaves the original table untouched; the no-table window is a rename.
+    * Updates must be unique per key (asserted — a duplicate-key update
+    * would nondeterministically pick a winner).
+    *
+    * Scale: one anti-join (table minus updated keys) + union — shuffles
+    * only on the key, no row multiplication; with bucketed layouts
+    * ([[Bucketing]]) the anti-join is exchange-free. Returns
+    * (rows updated, rows inserted).
+    */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+             keyCols: Seq[String]): (Long, Long) = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val dupKeys = updates.groupBy(keyCols.map(col): _*).count().filter(col("count") > 1)
+    require(dupKeys.isEmpty, s"updates carry duplicate keys on ${keyCols.mkString(",")}")
+    if (!exists(spark, path)) {
+      updates.write.mode(SaveMode.Overwrite).parquet(path)
+      return (0L, updates.count())
+    }
+    val current = spark.read.parquet(path)
+    require(current.columns.sorted.sameElements(updates.columns.sorted),
+      s"schema mismatch: table has ${current.columns.toSeq}, updates have ${updates.columns.toSeq}")
+    val matched = current.join(updates.select(keyCols.map(col): _*), keyCols, "left_semi").count()
+    val kept = current.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val merged = kept.unionByName(updates.select(current.columns.map(col): _*))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}_upsert_tmp")
+    fs.delete(tmp, true)
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+    (matched, updates.count() - matched)
   }
 
   /** Queue flush (C4): the reference's `flushdb` / destroy-and-recreate

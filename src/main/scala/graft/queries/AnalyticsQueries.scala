@@ -448,7 +448,42 @@ object AnalyticsQueries {
        |ORDER BY rank DESC, token LIMIT 10""".stripMargin
   }
 
+  /** Sequential pattern mining — the top recurring 3-step event-type
+    * sequences across user journeys (the "what do users do next"
+    * behavioral query; the n-gram idea lifted from tokens to per-user
+    * event streams). Contiguous windows via two leads over one per-user
+    * sort; support counted both as occurrences and as distinct users.
+    * Scale: one hash shuffle on user_id (both leads share the sort), then
+    * a #patterns aggregate — no row multiplication, no self-join.
+    */
+  def qSequenceMining(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(" > ", col("event_type"), col("e2"), col("e3")).as("pattern"),
+        col("user_id"))
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_occurrences").desc, col("pattern"))
+      .limit(20)
+  }
+
+  val qSequenceMiningSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+      |    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      |  FROM events)
+      |SELECT event_type || ' > ' || e2 || ' > ' || e3 AS pattern,
+      |  COUNT(*) AS n_occurrences, COUNT(DISTINCT user_id) AS n_users
+      |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n_occurrences DESC, pattern LIMIT 20""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_sequence_mining" -> ((qSequenceMining _, Some(qSequenceMiningSql))),
     "q_pagerank" -> ((qPagerank _, Some(qPagerankSql))),
     "q_source_drift" -> ((qSourceDrift _, Some(qSourceDriftSql))),
     "q_token_entropy" -> ((qTokenEntropy _, Some(qTokenEntropySql))),

@@ -110,6 +110,32 @@ class SeedsSinksSpec extends SparkSpec {
     assert(rowsAfter == rowsBefore)
   }
 
+  test("upsert updates matched keys, inserts new ones, carries the rest") {
+    val path = tmpDir("sink8") + "/ds"
+    Sinks.overwrite(Seeds.fromMaps(spark, Seq(
+      Map("k" -> 1, "v" -> "a"), Map("k" -> 2, "v" -> "b"), Map("k" -> 3, "v" -> "c"))), path)
+    val updates = Seeds.fromMaps(spark, Seq(
+      Map("k" -> 2, "v" -> "B2"), Map("k" -> 9, "v" -> "NEW")))
+    val (updated, inserted) = Sinks.upsert(spark, path, updates, Seq("k"))
+    assert(updated == 1L && inserted == 1L)
+    val got = spark.read.parquet(path).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "c", 9L -> "NEW"))
+    // duplicate-key updates are rejected, and the table is untouched
+    intercept[IllegalArgumentException] {
+      Sinks.upsert(spark, path, Seeds.fromMaps(spark, Seq(
+        Map("k" -> 5, "v" -> "x"), Map("k" -> 5, "v" -> "y"))), Seq("k"))
+    }
+    assert(spark.read.parquet(path).count() == 4)
+    // schema drift is rejected
+    intercept[IllegalArgumentException] {
+      Sinks.upsert(spark, path, Seeds.fromMaps(spark, Seq(Map("k" -> 5, "other" -> "x"))), Seq("k"))
+    }
+    // first write creates the table
+    val fresh = tmpDir("sink9") + "/ds"
+    assert(Sinks.upsert(spark, fresh, updates, Seq("k")) == ((0L, 2L)))
+  }
+
   test("compact no-ops on a missing path and rejects partitioned layouts") {
     assert(Sinks.compact(spark, tmpDir("sink6") + "/never_written") == ((0, 0)))
     val path = tmpDir("sink7") + "/ds"
