@@ -27,7 +27,8 @@ object SparkEntry {
       AdvancedQueries.all,
       StreamingQueries.all,
       NorthStarQueries.all,
-      AnalyticsQueries.all
+      AnalyticsQueries.all,
+      LearnQueries.all
     )
 
   private val merged: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = {

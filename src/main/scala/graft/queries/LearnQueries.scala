@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Exact._
+
+/** Corpus/vocabulary LEARNING operators — the iterative-algorithm surface a
+  * training-data pipeline needs beyond per-row transforms: subword
+  * vocabulary induction (BPE), smoothed language-model estimation
+  * (Kneser-Ney), and the embedding-algebra building blocks of PCA and
+  * k-means (exact Gram matrix, Lloyd assignment step).
+  *
+  * The reference has none of these (its jobs are opaque Python bodies,
+  * bert/binding.py:30-44); they are the standard public algorithms
+  * (Sennrich et al. 2016 BPE; Kneser & Ney 1995; Lloyd 1982) re-expressed
+  * as Spark dataflows. Shared design rule: the DISTRIBUTED part is
+  * declarative (map-side-combinable groupBy pair counts, broadcast
+  * centroid tables, narrow per-row rewrites); only O(1)-sized global
+  * decisions (the argmax merge of a BPE round) touch the driver — the
+  * same shape these algorithms take on a real 1000-executor corpus run.
+  */
+object LearnQueries {
+
+  // ---------------------------------------------------------------- BPE --
+
+  /** Symbol-string encoding for BPE: '||' between symbols AND at both ends
+    * ('||h||e||r||'). A merge (a,b) is then the plain string replace
+    * '|a||b|' -> '|ab|': the pattern consumes ONE pipe of each double
+    * boundary, so left-to-right non-overlapping replace() — identical
+    * semantics in Spark and DuckDB — applies the merge exactly like
+    * greedy BPE ('aaaa' -> 'aa aa', 'aaa' -> 'aa a'), and the surviving
+    * pipe keeps a symbol boundary from ever matching inside a longer
+    * symbol ('xa b' cannot match '|a||b|').
+    */
+  private val symCol =
+    concat(lit("||"), concat_ws("||", expr("filter(split(w, ''), x -> x <> '')")), lit("||"))
+
+  /** Byte-pair-encoding vocabulary induction, 3 merge rounds over the word
+    * frequencies of the whole corpus (Sennrich et al. 2016). Per round:
+    * (1) adjacent-symbol pair counts — an explode + groupBy that map-side
+    * combines down to ~|vocab| keys; (2) the argmax pair (count desc, then
+    * lexicographic — fully deterministic) — a 1-row collect, the only
+    * driver touch; (3) the merge applied as a narrow per-row replace().
+    * At 100 TB the word-frequency table this runs on is already tiny
+    * (vocab-sized), so rounds cost one small shuffle each.
+    *
+    * Oracle: DuckDB replays all 3 rounds with the same encoding via
+    * chained CTEs; independently cross-checked against a plain-Python BPE.
+    */
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("sym", symCol)
+      .select(col("freq"), col("sym"))
+      .persist()
+    try {
+      var cur = words.select(col("freq"), col("sym"))
+      val out = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (it <- 1 to 3) {
+        val top = cur
+          .withColumn("li", expr("filter(split(sym, '\\\\|\\\\|'), x -> x <> '')"))
+          .filter(size(col("li")) >= 2) // sequence(0,-1) would run DESCENDING
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(li)-2), i -> struct(li[i] AS lhs, li[i+1] AS rhs))"))
+            .as("pr"))
+          .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()(0)
+        val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+        // the corpus is plain words; fail loudly rather than build a
+        // malformed replace pattern if that ever changes
+        require((l + r).matches("[A-Za-z0-9]+"), s"non-alphanumeric symbol '$l','$r'")
+        out += ((it, l, r, l + r, c))
+        cur = cur.withColumn("sym", expr(s"replace(sym, '|$l||$r|', '|$l$r|')"))
+      }
+      s.createDataFrame(out.result())
+        .toDF("iter", "lhs", "rhs", "merged", "pair_count")
+    } finally words.unpersist()
+  }
+
+  val qBpeMergesSql: String =
+    """WITH wf AS (
+      |  SELECT w, COUNT(*) AS freq FROM (
+      |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |w0 AS (SELECT freq, '||' || array_to_string(list_filter(string_split(w, ''), x -> x <> ''), '||') || '||' AS sym FROM wf),
+      |l0 AS (SELECT freq, list_filter(string_split(sym, '||'), x -> x <> '') AS li FROM w0),
+      |p1 AS (SELECT li[CAST(i AS INT)] AS lhs, li[CAST(i+1 AS INT)] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+      |       FROM l0, UNNEST(range(1, len(li))) AS u(i) GROUP BY 1, 2),
+      |m1 AS (SELECT * FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      |w1 AS (SELECT freq, replace(sym, '|'||m1.lhs||'||'||m1.rhs||'|', '|'||m1.lhs||m1.rhs||'|') AS sym FROM w0, m1),
+      |l1 AS (SELECT freq, list_filter(string_split(sym, '||'), x -> x <> '') AS li FROM w1),
+      |p2 AS (SELECT li[CAST(i AS INT)] AS lhs, li[CAST(i+1 AS INT)] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+      |       FROM l1, UNNEST(range(1, len(li))) AS u(i) GROUP BY 1, 2),
+      |m2 AS (SELECT * FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      |w2 AS (SELECT freq, replace(sym, '|'||m2.lhs||'||'||m2.rhs||'|', '|'||m2.lhs||m2.rhs||'|') AS sym FROM w1, m2),
+      |l2 AS (SELECT freq, list_filter(string_split(sym, '||'), x -> x <> '') AS li FROM w2),
+      |p3 AS (SELECT li[CAST(i AS INT)] AS lhs, li[CAST(i+1 AS INT)] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+      |       FROM l2, UNNEST(range(1, len(li))) AS u(i) GROUP BY 1, 2),
+      |m3 AS (SELECT * FROM p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1)
+      |SELECT 1 AS iter, lhs, rhs, lhs||rhs AS merged, cnt AS pair_count FROM m1
+      |UNION ALL SELECT 2, lhs, rhs, lhs||rhs, cnt FROM m2
+      |UNION ALL SELECT 3, lhs, rhs, lhs||rhs, cnt FROM m3
+      |ORDER BY iter""".stripMargin
+
+  // --------------------------------------------------------- Kneser-Ney --
+
+  /** Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999) with the standard discount D = 0.75 — the
+    * smoothing used by real LM-based quality filters (q_perplexity runs
+    * the unsmoothed MLE twin). D = 3/4 is dyadic, so with integer counts
+    * the whole formula is one integer ratio:
+    *
+    *   P_KN(w2|w1) = (c - D)/cw1 + D * n1f(w1)/cw1 * n1b(w2)/T
+    *               = ((4c - 3)*T + 3*n1f*n1b) / (4*cw1*T)
+    *
+    * (c = bigram count, cw1 = Σ_w2 c, n1f/n1b = distinct right/left
+    * continuations, T = distinct bigram types). Both engines compute the
+    * identical BIGINT numerator/denominator — the probability itself is
+    * gated exactly, not within-epsilon. Counts are map-side-combinable
+    * groupBys; the "model" (the three count tables) stays vocab²-bounded
+    * regardless of corpus size — the 100 TB shape is unchanged.
+    */
+  def qKneserNey(s: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(s, dir)
+      .select(expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val big = tk.select(explode(expr(
+      "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS w1, tk[i+1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val f = c.groupBy(col("w1")).agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1f"))
+    val bk = c.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val t = c.agg(count(lit(1)).as("T"))
+    c.join(f, "w1").join(bk, "w2").crossJoin(broadcast(t))
+      .select(col("w1"), col("w2"), col("c").as("c_bigram"),
+        ((col("c") * 4 - 3) * col("T") + col("n1f") * col("n1b") * 3).as("p_num"),
+        (col("cw1") * col("T") * 4).as("p_den"))
+      .withColumn("p_kn", r6(col("p_num").cast("double") / col("p_den")))
+      .orderBy(col("c_bigram").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  val qKneserNeySql: String =
+    """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+      |b AS (SELECT tk[CAST(i AS INT)] AS w1, tk[CAST(i+1 AS INT)] AS w2
+      |      FROM t, UNNEST(range(1, len(tk))) AS u(i)),
+      |c AS (SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |f AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1, COUNT(*) AS n1f FROM c GROUP BY 1),
+      |bk AS (SELECT w2, COUNT(*) AS n1b FROM c GROUP BY 1),
+      |tt AS (SELECT COUNT(*) AS T FROM c)
+      |SELECT c.w1, c.w2, c.c AS c_bigram,
+      |  CAST((4*c.c - 3)*T + 3*f.n1f*bk.n1b AS BIGINT) AS p_num,
+      |  CAST(4*f.cw1*T AS BIGINT) AS p_den,
+      |  ROUND(CAST((4*c.c - 3)*T + 3*f.n1f*bk.n1b AS DOUBLE) / (4*f.cw1*T), 6) AS p_kn
+      |FROM c JOIN f USING (w1) JOIN bk USING (w2), tt
+      |ORDER BY c_bigram DESC, w1, w2 LIMIT 30""".stripMargin
+
+  // -------------------------------------------------------- Gram matrix --
+
+  /** Exact upper-triangular Gram matrix Xᵀ X of the embedding corpus — the
+    * covariance/PCA building block (d×d fits on the driver; the power
+    * iteration that follows it is O(d²) local work). Spark-first shape:
+    * each row expands to its OWN d(d+1)/2 products via nested transform +
+    * one explode — NO self-join, no shuffle except the final d²-key
+    * groupBy (map-side combined: every partition reduces to ≤2080 cells
+    * before the exchange — at 100 TB the shuffle still carries only
+    * #partitions × d² rows). Products are computed in double (engine-
+    * identical IEEE) then decimal-accumulated (order-independent), the
+    * qCentroids algebra. The oracle spells the same sum as an explicit
+    * position self-join.
+    */
+  def qGramMatrix(s: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(s, dir)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(embedding)-1), i ->
+          |  transform(sequence(i, size(embedding)-1), j ->
+          |    named_struct('i', i, 'j', j,
+          |      'p', CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)
+          |              AS DECIMAL(28,14))))))""".stripMargin)).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(r6(sum(col("t.p")).cast("double")).as("gram"))
+  }
+
+  val qGramMatrixSql: String =
+    """WITH x AS (SELECT vec_id, i - 1 AS i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS xi
+      |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i))
+      |SELECT a.i AS i, b.i AS j,
+      |  ROUND(CAST(SUM(CAST(a.xi * b.xi AS DECIMAL(28,14))) AS DOUBLE), 6) AS gram
+      |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------- k-means step --
+
+  /** One Lloyd iteration (Lloyd 1982) with deterministic init (centroids =
+    * the k=8 lowest vec_ids): assign every vector to its nearest centroid
+    * under exact decimal-accumulated squared distance (per-term (x-y)² in
+    * double — engine-identical — then DECIMAL(28,14) sum, the Ann
+    * exactArith algebra), argmin tie-broken by centroid id, then report
+    * per-cluster size, exact mean of dim 0 (the new-centroid algebra), and
+    * mean assignment distance. Spark shape: the k×d centroid table is
+    * BROADCAST (8 rows), assignment is a narrow map over the corpus — the
+    * only shuffle is the k-key final groupBy. That plan is exactly the
+    * 100 TB shape: Lloyd scales because the shuffle carries k rows per
+    * partition, never the corpus.
+    */
+  def qKmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val dist = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(embedding, ce, (x, y) ->
+          |    CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+          |       * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(28,14))),
+          |  CAST(0 AS DECIMAL(28,14)), (acc, v) -> CAST(acc + v AS DECIMAL(28,14)))""".stripMargin))
+    val assigned = dist
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+      .filter(col("rn") === 1)
+    assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        r6(dMean14(expr("embedding[0]"))).as("mean_dim0"),
+        r6(sum(col("dist")).cast("double") / count(lit(1))).as("mean_dist"))
+  }
+
+  val qKmeansStepSql: String =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+      |d AS (SELECT v.vec_id, c.cid,
+      |        SUM(CAST((CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.ce[CAST(i AS INT)] AS DOUBLE))
+      |               * (CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.ce[CAST(i AS INT)] AS DOUBLE))
+      |            AS DECIMAL(28,14))) AS dist
+      |      FROM embeddings v, c, UNNEST(range(1, len(v.embedding) + 1)) AS u(i)
+      |      GROUP BY 1, 2),
+      |a AS (SELECT vec_id, cid, dist,
+      |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)
+      |SELECT a.cid, COUNT(*) AS n_members,
+      |  ROUND(CAST(SUM(CAST(CAST(e.embedding[1] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 6) AS mean_dim0,
+      |  ROUND(CAST(SUM(a.dist) AS DOUBLE) / COUNT(*), 6) AS mean_dist
+      |FROM a JOIN embeddings e USING (vec_id) WHERE a.rn = 1
+      |GROUP BY a.cid""".stripMargin
+
+  // ------------------------------------------------------------ registry --
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_bpe_merges" -> ((qBpeMerges _, Some(qBpeMergesSql))),
+    "q_kneser_ney" -> ((qKneserNey _, Some(qKneserNeySql))),
+    "q_gram_matrix" -> ((qGramMatrix _, Some(qGramMatrixSql))),
+    "q_kmeans_step" -> ((qKmeansStep _, Some(qKmeansStepSql)))
+  )
+}

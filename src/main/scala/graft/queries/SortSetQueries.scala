@@ -27,6 +27,30 @@ object SortSetQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin
 
+  /** Keyset-style pagination page: multi-key ORDER BY with an explicit
+    * NULLS LAST position on a null-bearing key (NULLIF turns status 'O'
+    * into NULL, so both engines must agree on null placement, not just
+    * value order), then LIMIT 20 OFFSET 100. The final o_orderkey key
+    * makes the page deterministic. Scale note: OFFSET pagination is
+    * driver-merged top-(offset+limit) — fine for page-sized offsets;
+    * deep pagination at 100 TB should switch to keyset predicates
+    * (WHERE (k1,k2) > (last_seen...)), which this ordering supports.
+    */
+  def qSortPaginate(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("O")).as("status_key"),
+        col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("status_key").asc_nulls_last, col("o_totalprice").desc, col("o_orderkey"))
+      .offset(100)
+      .limit(20)
+  }
+
+  val qSortPaginateSql: String =
+    """SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_key, o_totalprice, o_orderdate
+      |FROM orders
+      |ORDER BY status_key ASC NULLS LAST, o_totalprice DESC, o_orderkey
+      |LIMIT 20 OFFSET 100""".stripMargin
+
   /** Set ops in one result: nations that have customers vs suppliers —
     * INTERSECT, EXCEPT both ways, UNION, tagged so one frame carries all
     * four (R11). Scale: each leg aggregates to ≤25 keys before the set op,
@@ -263,6 +287,7 @@ object SortSetQueries {
     "q_argmax" -> ((qArgmax _, Some(qArgmaxSql))),
     "q_approx_distinct" -> ((qApproxDistinct _, Some(qApproxDistinctSql))),
     "q_topk" -> ((qTopK _, Some(qTopKSql))),
+    "q_sort_paginate" -> ((qSortPaginate _, Some(qSortPaginateSql))),
     "q_set_ops" -> ((qSetOps _, Some(qSetOpsSql))),
     "q_rollup" -> ((qRollup _, Some(qRollupSql))),
     "q_cube" -> ((qCube _, Some(qCubeSql))),

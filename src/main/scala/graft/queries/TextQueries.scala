@@ -499,6 +499,76 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Gopher-style repetition filters (Rae et al. 2021, Table A1): the
+    * fraction of document CHARACTERS covered by the single most frequent
+    * word n-gram, for n = 2, 3, 4 (count × gram length / doc chars — the
+    * published top-n-gram simplification; the duplicate-n-gram variant
+    * with overlap-free occupancy needs interval union and is not
+    * SQL-expressible on either engine). Top gram per (doc, n) is argmax by
+    * count with lexicographic tie-break — fully deterministic. Flags use
+    * the paper's thresholds (0.20 / 0.18 / 0.16) compared in INTEGER
+    * cross-multiplication, so the pass/fail verdicts are exact, not
+    * float-dependent. Per-doc narrow work + doc-key aggregations; no
+    * corpus-wide shuffle beyond the per-doc gram counts.
+    */
+  def qGopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir)
+      .filter(size(toks) >= 4)
+      .select(col("doc_id"), col("n_chars"), toks.as("tk"))
+    def topGramChars(n: Int): DataFrame = base
+      .select(col("doc_id"), explode(ngrams("tk", n)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("g"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), (col("cnt") * length(col("g"))).as(s"top${n}_chars"))
+    base.select(col("doc_id"), col("n_chars"))
+      .join(topGramChars(2), "doc_id")
+      .join(topGramChars(3), "doc_id")
+      .join(topGramChars(4), "doc_id")
+      .select(col("doc_id"), col("n_chars"),
+        r6(col("top2_chars").cast("double") / col("n_chars")).as("top2_frac"),
+        r6(col("top3_chars").cast("double") / col("n_chars")).as("top3_frac"),
+        r6(col("top4_chars").cast("double") / col("n_chars")).as("top4_frac"),
+        (col("top2_chars") * 100 > col("n_chars") * 20).as("flag_top2"),
+        (col("top3_chars") * 100 > col("n_chars") * 18).as("flag_top3"),
+        (col("top4_chars") * 100 > col("n_chars") * 16).as("flag_top4"))
+      .orderBy(col("top2_frac").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  val qGopherRepetitionSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 4),
+      |grams AS (
+      |  SELECT doc_id, 2 AS n, UNNEST(list_transform(range(1, len(tk)),
+      |           i -> tk[i] || ' ' || tk[i+1])) AS g FROM base
+      |  UNION ALL
+      |  SELECT doc_id, 3, UNNEST(list_transform(range(1, len(tk) - 1),
+      |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) FROM base
+      |  UNION ALL
+      |  SELECT doc_id, 4, UNNEST(list_transform(range(1, len(tk) - 2),
+      |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) FROM base),
+      |tg AS (
+      |  SELECT doc_id, n, cnt * length(g) AS top_chars FROM (
+      |    SELECT doc_id, n, g, COUNT(*) AS cnt,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY COUNT(*) DESC, g) AS rn
+      |    FROM grams GROUP BY doc_id, n, g) WHERE rn = 1)
+      |SELECT b.doc_id, b.n_chars,
+      |  ROUND(CAST(t2.top_chars AS DOUBLE) / b.n_chars, 6) AS top2_frac,
+      |  ROUND(CAST(t3.top_chars AS DOUBLE) / b.n_chars, 6) AS top3_frac,
+      |  ROUND(CAST(t4.top_chars AS DOUBLE) / b.n_chars, 6) AS top4_frac,
+      |  t2.top_chars * 100 > b.n_chars * 20 AS flag_top2,
+      |  t3.top_chars * 100 > b.n_chars * 18 AS flag_top3,
+      |  t4.top_chars * 100 > b.n_chars * 16 AS flag_top4
+      |FROM base b
+      |JOIN tg t2 ON t2.doc_id = b.doc_id AND t2.n = 2
+      |JOIN tg t3 ON t3.doc_id = b.doc_id AND t3.n = 3
+      |JOIN tg t4 ON t4.doc_id = b.doc_id AND t4.n = 4
+      |ORDER BY top2_frac DESC, b.doc_id LIMIT 25""".stripMargin
+
   val qRepetitionSql: String =
     """WITH g AS (
       |  SELECT doc_id, list_transform(range(1, len(tk) - 1),
@@ -855,6 +925,7 @@ object TextQueries {
     "q_redact" -> ((qRedact _, Some(qRedactSql))),
     "q_tfidf" -> ((qTfidf _, Some(qTfidfSql))),
     "q_repetition" -> ((qRepetition _, Some(qRepetitionSql))),
+    "q_gopher_repetition" -> ((qGopherRepetition _, Some(qGopherRepetitionSql))),
     "q_normalized_dedup" -> ((qNormalizedDedup _, Some(qNormalizedDedupSql))),
     "q_contamination" -> ((qContamination _, Some(qContaminationSql))),
     "q_bloom_decontaminate" -> ((qBloomDecontaminate _, Some(qBloomDecontaminateSql))),

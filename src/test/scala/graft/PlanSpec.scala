@@ -25,7 +25,14 @@ class PlanSpec extends SparkSpec {
   private val bnljAllowed =
     Set("q_range_join", "q_cosine_topk", "q_ann_ivf", "q_ann_ivf_kernel",
       "q_ann_fullprobe", "q_vocab_coverage", "q_pack", "q_embedding_neardup",
-      "q_gapfill", "q_source_drift")
+      "q_gapfill", "q_source_drift",
+      // deliberate broadcast-cross/theta joins against O(k)/O(1)-row
+      // tables: the 8-row centroid table (Lloyd assignment), the 1-row
+      // bigram-type total, the 1-row corpus-max scalar (weighted sample),
+      // the 100-row rank theta self-join (Zipf fit), the 1-row dangling
+      // -mass scalar (PageRank), and the 1-row min/max bounds (quantize)
+      "q_kmeans_step", "q_kneser_ney", "q_weighted_sample",
+      "q_zipf", "q_pagerank", "q_quantize")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
@@ -33,13 +40,14 @@ class PlanSpec extends SparkSpec {
       "q_stream_custom_state", "q_stream_join", "q_stream_enrich")
 
   test("no query plans a CartesianProduct; BNLJ only where designed") {
-    for ((name, _) <- SparkEntry.queries if !skipped(name)) {
+    val bad = (for ((name, _) <- SparkEntry.queries.toSeq if !skipped(name)) yield {
       val plan = planOf(name)
-      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
-      if (!bnljAllowed(name))
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"$name plans an unexpected nested-loop join")
-    }
+      if (plan.contains("CartesianProduct")) Some(s"$name: cartesian product")
+      else if (!bnljAllowed(name) && plan.contains("BroadcastNestedLoopJoin"))
+        Some(s"$name: unexpected nested-loop join")
+      else None
+    }).flatten
+    assert(bad.isEmpty, bad.mkString("; "))
   }
 
   test("q1_agg pushes the shipdate filter into the parquet scan") {
