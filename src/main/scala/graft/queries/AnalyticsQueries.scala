@@ -417,6 +417,70 @@ object AnalyticsQueries {
       .select(col("token"), r6(col("rank")).as("pagerank"))
   }
 
+  /** Distributed triangle counting over the undirected token co-occurrence
+    * graph (edges = distinct adjacent-token pairs), using the classic
+    * degree-ordered edge orientation (Cohen 2009 / Suri-Vassilvitskii
+    * "Counting triangles and the curse of the last reducer"): each edge
+    * points from its lower (degree, name) endpoint to the higher, so every
+    * triangle is found exactly once from its lowest-degree corner and the
+    * wedge fan-out per node is bounded by O(√m) even on power-law graphs —
+    * THE skew defense that makes this shape survive 100 TB. Wedges close
+    * via one equi-join back to the edge set; per-node counts explode the 3
+    * corners. The degree table is vocabulary-sized and broadcast.
+    */
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val tkDf = Tables.documents(s, dir).select(split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val e = tkDf
+      .select(expr("explode(transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS w1, tk[i+1] AS w2)))").as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "" && col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("a"), greatest(col("w1"), col("w2")).as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val o = e
+      .join(broadcast(deg.as("da")), col("a") === col("da.v"))
+      .join(broadcast(deg.as("db")), col("b") === col("db.v"))
+      .select(
+        when(struct(col("da.d"), col("a")) < struct(col("db.d"), col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(struct(col("da.d"), col("a")) < struct(col("db.d"), col("b")), col("b"))
+          .otherwise(col("a")).as("dst"),
+        when(struct(col("da.d"), col("a")) < struct(col("db.d"), col("b")), col("db.d"))
+          .otherwise(col("da.d")).as("dd"))
+    val tri = o.as("o1")
+      .join(o.as("o2"), col("o1.src") === col("o2.src") &&
+        struct(col("o1.dd"), col("o1.dst")) < struct(col("o2.dd"), col("o2.dst")))
+      .join(e.as("ec"),
+        col("ec.a") === least(col("o1.dst"), col("o2.dst")) &&
+        col("ec.b") === greatest(col("o1.dst"), col("o2.dst")))
+      .select(col("o1.src").as("x"), col("o1.dst").as("y"), col("o2.dst").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("token"))
+      .limit(15)
+  }
+
+  val qTrianglesSql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      |b AS (SELECT tk[CAST(i AS INT)] AS w1, tk[CAST(i+1 AS INT)] AS w2
+      |      FROM t, UNNEST(range(1, len(tk))) AS u(i)),
+      |e AS (SELECT DISTINCT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b FROM b
+      |      WHERE w1 <> w2 AND w1 <> '' AND w2 <> ''),
+      |deg AS (SELECT v, COUNT(*) AS d FROM (
+      |          SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+      |o AS (SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+      |             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst,
+      |             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dd
+      |      FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+      |tri AS (SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+      |        FROM o o1 JOIN o o2 ON o1.src = o2.src AND (o1.dd, o1.dst) < (o2.dd, o2.dst)
+      |        JOIN e ec ON ec.a = LEAST(o1.dst, o2.dst) AND ec.b = GREATEST(o1.dst, o2.dst))
+      |SELECT v AS token, COUNT(*) AS n_triangles FROM (
+      |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+      |GROUP BY v ORDER BY n_triangles DESC, token LIMIT 15""".stripMargin
+
   val qPagerankSql: String = {
     val iters = (1 to 5).map { k =>
       val prev = if (k == 1) "r0" else s"r${k - 1}"
@@ -485,6 +549,7 @@ object AnalyticsQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_sequence_mining" -> ((qSequenceMining _, Some(qSequenceMiningSql))),
     "q_pagerank" -> ((qPagerank _, Some(qPagerankSql))),
+    "q_triangles" -> ((qTriangles _, Some(qTrianglesSql))),
     "q_source_drift" -> ((qSourceDrift _, Some(qSourceDriftSql))),
     "q_token_entropy" -> ((qTokenEntropy _, Some(qTokenEntropySql))),
     "q_interval_join" -> ((qIntervalJoin _, Some(qIntervalJoinSql))),

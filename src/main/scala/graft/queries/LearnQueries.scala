@@ -196,6 +196,57 @@ object LearnQueries {
       |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------- PCA power method --
+
+  /** Two power-method iterations toward the dominant eigenpair of the Gram
+    * matrix (the PCA first component): v1 = G·1, v2 = G·v1, v3 = G·v2,
+    * with per-dim Rayleigh-style ratios v3/v2 converging to λ_max. Each
+    * matrix-vector product is one equi-join (G row key × vector key) + a
+    * d-key groupBy — the Spark-native spelling of distributed linear
+    * algebra; the vector is d rows, so at 100 TB only the ONE Gram build
+    * touches the corpus and every iteration after it is metadata-scale.
+    * Numerics: iterates on the r6'd gram (the gated artifact), every sum
+    * decimal-accumulated (order-independent), per-term products in double
+    * (engine-identical); v1 is exact, deeper iterates r6'd.
+    */
+  def qPcaPower(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val g = qGramMatrix(s, dir)
+    val full = g.union(
+      g.filter(col("i") < col("j")).select(col("j").as("i"), col("i").as("j"), col("gram")))
+    def matVec(v: DataFrame, vCol: String, outCol: String): DataFrame =
+      full.join(v.select(col("dim").as("i"), col(vCol)), "i")
+        .groupBy(col("j").as("dim"))
+        .agg(sum((col("gram") * col(vCol)).cast(DecimalType(28, 14)))
+          .cast("double").as(outCol))
+    val v1 = full.groupBy(col("j").as("dim"))
+      .agg(sum(col("gram").cast(DecimalType(20, 6))).cast("double").as("v1"))
+    val v2 = matVec(v1, "v1", "v2")
+    val v3 = matVec(v2, "v2", "v3")
+    v1.join(v2, "dim").join(v3, "dim")
+      .select(col("dim"), col("v1"), r6(col("v2")).as("v2_r6"),
+        r6(col("v3") / col("v2")).as("eig_ratio"))
+      .orderBy(col("dim"))
+  }
+
+  val qPcaPowerSql: String =
+    """WITH x AS (SELECT vec_id, i - 1 AS i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS xi
+      |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |g AS (SELECT a.i AS i, b.i AS j,
+      |        ROUND(CAST(SUM(CAST(a.xi * b.xi AS DECIMAL(28,14))) AS DOUBLE), 6) AS gram
+      |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+      |full_g AS (SELECT i, j, gram FROM g
+      |           UNION ALL SELECT j AS i, i AS j, gram FROM g WHERE i < j),
+      |v1 AS (SELECT j AS dim, CAST(SUM(CAST(gram AS DECIMAL(20,6))) AS DOUBLE) AS v1
+      |       FROM full_g GROUP BY 1),
+      |v2 AS (SELECT f.j AS dim, CAST(SUM(CAST(f.gram * v1.v1 AS DECIMAL(28,14))) AS DOUBLE) AS v2
+      |       FROM full_g f JOIN v1 ON v1.dim = f.i GROUP BY 1),
+      |v3 AS (SELECT f.j AS dim, CAST(SUM(CAST(f.gram * v2.v2 AS DECIMAL(28,14))) AS DOUBLE) AS v3
+      |       FROM full_g f JOIN v2 ON v2.dim = f.i GROUP BY 1)
+      |SELECT v1.dim AS dim, v1.v1, ROUND(v2.v2, 6) AS v2_r6, ROUND(v3.v3 / v2.v2, 6) AS eig_ratio
+      |FROM v1 JOIN v2 ON v1.dim = v2.dim JOIN v3 ON v1.dim = v3.dim
+      |ORDER BY v1.dim""".stripMargin
+
   // ------------------------------------------------------- k-means step --
 
   /** One Lloyd iteration (Lloyd 1982) with deterministic init (centroids =
@@ -253,6 +304,7 @@ object LearnQueries {
     "q_bpe_merges" -> ((qBpeMerges _, Some(qBpeMergesSql))),
     "q_kneser_ney" -> ((qKneserNey _, Some(qKneserNeySql))),
     "q_gram_matrix" -> ((qGramMatrix _, Some(qGramMatrixSql))),
+    "q_pca_power" -> ((qPcaPower _, Some(qPcaPowerSql))),
     "q_kmeans_step" -> ((qKmeansStep _, Some(qKmeansStepSql)))
   )
 }

@@ -118,6 +118,57 @@ class LearnSpec extends SparkSpec {
     }
   }
 
+  test("q_triangles matches in-JVM brute-force triangle enumeration") {
+    val rows = Tables.documents(spark, sfDir).select("text").collect().map(_.getString(0))
+    val edges = (for {
+      t <- rows.toSeq
+      tk = t.split(' ')
+      (a, b) <- tk.zip(tk.drop(1))
+      if a.nonEmpty && b.nonEmpty && a != b
+    } yield (if (a < b) (a, b) else (b, a))).toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val tris = for {
+      (a, b) <- edges
+      c <- adj(a) intersect adj(b)
+    } yield Seq(a, b, c).sorted
+    val perNode = tris.toSeq.distinct.flatten.groupBy(identity)
+      .map { case (v, xs) => v -> xs.length.toLong }
+    val expected = perNode.toSeq.sortBy { case (v, n) => (-n, v) }.take(15)
+    val got = AnalyticsQueries.qTriangles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == expected)
+  }
+
+  test("q_pca_power replicates in-JVM power iterations on the rounded Gram") {
+    val out = LearnQueries.qPcaPower(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val vecs = Tables.embeddings(spark, sfDir).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = 64
+    val g = Array.tabulate(d, d) { (i, j) =>
+      BigDecimal(vecs.map(v => v(i) * v(j)).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble // r6 is HALF_UP
+    }
+    val v1 = Array.tabulate(d)(j => (0 until d).map(i => g(i)(j)).sum)
+    val v2 = Array.tabulate(d)(j => (0 until d).map(i => g(i)(j) * v1(i)).sum)
+    val v3 = Array.tabulate(d)(j => (0 until d).map(i => g(i)(j) * v2(i)).sum)
+    for (((dim, gv1, gv2, ratio), k) <- out.zipWithIndex) {
+      assert(dim == k)
+      assert(math.abs(gv1 - v1(k)) < 1e-4, s"v1($k)")
+      assert(math.abs(gv2 - v2(k)) < 1e-2, s"v2($k)")
+      assert(math.abs(ratio - v3(k) / v2(k)) < 1e-4, s"ratio($k)")
+    }
+    // the TRUE Rayleigh quotient (v3·v2)/(v2·v2) is bounded by λ_max,
+    // itself bounded by the max absolute row sum (per-component ratios
+    // v3_j/v2_j are NOT so bounded — they can overshoot near small v2_j)
+    val rayleigh = v3.zip(v2).map { case (a, b) => a * b }.sum /
+      v2.map(x => x * x).sum
+    val bound = (0 until d).map(i => (0 until d).map(j => math.abs(g(i)(j))).sum).max
+    assert(rayleigh <= bound + 1e-6 && rayleigh > 0)
+  }
+
   test("q_sort_paginate returns exactly rows 101-120 of the full sort") {
     val page = SortSetQueries.qSortPaginate(spark, sfDir).collect()
       .map(_.getLong(0)).toSeq
