@@ -212,7 +212,79 @@ object DedupQueries {
       |  ('props','min',p_min), ('props','max',p_max)
       |) AS r("column", metric, "value")""".stripMargin
 
+  /** Exact substring-duplication coverage (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * criterion): a span is duplicated if its K=10-token window appears
+    * verbatim in ANOTHER document. Positional shingles replace the paper's
+    * suffix array — same duplicated-span set, but built from a groupBy
+    * (doc-distinct shingle counts) instead of a global sort, so it
+    * distributes: the only corpus-wide shuffle carries (shingle, doc)
+    * pairs. Overlapping duplicated windows are merged into maximal islands
+    * per doc with the running-max interval-union window (partitioned by
+    * doc — no global window), and the report is per-doc duplicated-token
+    * coverage: integers end-to-end, ratio r6'd last.
+    */
+  def qSubstringDup(s: SparkSession, dir: String): DataFrame = {
+    val K = 10
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= K)
+    val sh = t.select(col("doc_id"), explode(expr(
+      s"transform(sequence(0, size(tk)-$K), i -> struct(CAST(i AS BIGINT) AS pos, concat_ws(' ', slice(tk, i+1, $K)) AS g))")).as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.g").as("g"))
+    val dup = sh.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") >= 2)
+      .select(col("g"))
+    val pos = sh.join(dup, "g")
+      .select(col("doc_id"), col("pos").as("st"), (col("pos") + K - 1).as("en"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("st"), col("en"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("st"), col("en"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = pos
+      .withColumn("brk",
+        when(col("st") > coalesce(max(col("en")).over(wPrev), lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("st")).as("s0"), max(col("en")).as("e0"))
+    val agg = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("e0") - col("s0") + 1).as("dup_tokens"))
+    t.join(agg, "doc_id")
+      .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        col("n_spans"), col("dup_tokens"),
+        r6(col("dup_tokens").cast("double") / size(col("tk"))).as("dup_ratio"))
+      .orderBy(col("dup_ratio").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  val qSubstringDupSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 10),
+      |sh AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+      |         array_to_string(tk[CAST(i AS INT):CAST(i+9 AS INT)], ' ') AS g
+      |       FROM t, UNNEST(range(1, len(tk) - 10 + 2)) AS u(i)),
+      |dup AS (SELECT g FROM sh GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+      |pos AS (SELECT s.doc_id, s.pos AS st, s.pos + 9 AS en FROM sh s JOIN dup USING (g)),
+      |isl AS (SELECT doc_id, st, en,
+      |          CASE WHEN st > COALESCE(MAX(en) OVER (PARTITION BY doc_id ORDER BY st, en
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |               THEN 1 ELSE 0 END AS brk
+      |        FROM pos),
+      |isl2 AS (SELECT doc_id, st, en,
+      |           SUM(brk) OVER (PARTITION BY doc_id ORDER BY st, en
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |         FROM isl),
+      |spans AS (SELECT doc_id, island, MIN(st) AS s0, MAX(en) AS e0
+      |          FROM isl2 GROUP BY doc_id, island),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+      |          CAST(SUM(e0 - s0 + 1) AS BIGINT) AS dup_tokens FROM spans GROUP BY doc_id)
+      |SELECT t.doc_id, len(t.tk) AS n_tokens, a.n_spans, a.dup_tokens,
+      |  ROUND(CAST(a.dup_tokens AS DOUBLE) / len(t.tk), 6) AS dup_ratio
+      |FROM t JOIN agg a USING (doc_id)
+      |ORDER BY dup_ratio DESC, t.doc_id LIMIT 25""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_substring_dup" -> ((qSubstringDup _, Some(qSubstringDupSql))),
     "q_validate" -> ((qValidate _, Some(qValidateSql))),
     "q_profile" -> ((qProfile _, Some(qProfileSql))),
     "q_dedup_exact" -> ((qDedupExact _, Some(qDedupExactSql))),

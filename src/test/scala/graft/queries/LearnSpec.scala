@@ -169,6 +169,39 @@ class LearnSpec extends SparkSpec {
     assert(rayleigh <= bound + 1e-6 && rayleigh > 0)
   }
 
+  test("q_substring_dup matches in-JVM shingle + interval-union reference") {
+    val k = 10
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ').toVector)
+      .filter(_._2.length >= k).toMap
+    val shingleDocs = scala.collection.mutable.Map[String, Set[Long]]()
+    for ((d, tk) <- docs; i <- 0 to tk.length - k) {
+      val g = tk.slice(i, i + k).mkString(" ")
+      shingleDocs(g) = shingleDocs.getOrElse(g, Set.empty) + d
+    }
+    val dupSet = shingleDocs.collect { case (g, ds) if ds.size >= 2 => g }.toSet
+    val expected = (for ((d, tk) <- docs.toSeq) yield {
+      val ivs = (0 to tk.length - k)
+        .filter(i => dupSet(tk.slice(i, i + k).mkString(" ")))
+        .map(i => (i.toLong, (i + k - 1).toLong))
+      if (ivs.isEmpty) None else {
+        val merged = ivs.sorted.foldLeft(List.empty[(Long, Long)]) {
+          case (acc @ ((s0, e0) :: rest), (s, e)) =>
+            if (s <= e0) (s0, math.max(e0, e)) :: rest else (s, e) :: acc
+          case (Nil, iv) => iv :: Nil
+        }
+        val dupTokens = merged.map { case (s, e) => e - s + 1 }.sum
+        Some((d, tk.length.toLong, merged.length.toLong, dupTokens,
+          BigDecimal(dupTokens.toDouble / tk.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }).flatten.sortBy { case (d, _, _, _, ratio) => (-ratio, d) }.take(25)
+    val got = DedupQueries.qSubstringDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(got == expected)
+  }
+
   test("q_sort_paginate returns exactly rows 101-120 of the full sort") {
     val page = SortSetQueries.qSortPaginate(spark, sfDir).collect()
       .map(_.getLong(0)).toSeq
