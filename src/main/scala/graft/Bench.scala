@@ -108,7 +108,8 @@ object Bench {
       "q_dedup_exact", "q_minhash_lsh", "q_embedding_neardup", "q_cosine_topk",
       "q_ann_fullprobe", "q_text_stats", "q_tfidf", "q_stream_tumbling",
       "q_dedup_clusters", "q_range_join", "q_edit_distance", "q_interval_join",
-      "q_ann_ivf_kernel")
+      "q_ann_ivf_kernel", "q_bpe_merges", "q_substring_dup", "q_triangles",
+      "q_pca_power")
     val picked = {
       val head = headliners.filter(timings.contains)
       if (head.nonEmpty) head else timings.keys.toVector
