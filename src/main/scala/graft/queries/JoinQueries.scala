@@ -271,7 +271,57 @@ object JoinQueries {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand""".stripMargin
 
+  /** Typed cogroup (KeyValueGroupedDataset.cogroup) — the last member of
+    * the typed-Dataset surface (SURVEY §2.8 U1) not yet demonstrated:
+    * both sides shuffle ONCE on the key, then a single function sees the
+    * two per-key iterators together — the Spark-native shape for merge
+    * logic a join+agg can't express (here it CAN, deliberately, so the
+    * declarative outer-join oracle gates the typed path bit-for-bit).
+    * Per-customer order history: count, exact decimal spend (BigDecimal
+    * accumulation inside the function — order-independent), first/last
+    * order timestamp; customers with no orders surface with NULL spend.
+    * Scale: one hash shuffle per side, streaming iterators per key — no
+    * per-key materialization beyond the order list of ONE customer.
+    */
+  def qCogroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as[Long], col("c_name").as[String])
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey").as[Long], col("o_totalprice").as[Double],
+        col("o_orderdate").as[java.sql.Timestamp])
+    val merged = c.groupByKey(_._1).cogroup(o.groupByKey(_._1)) { (k, cs, os) =>
+      val cl = cs.toList
+      if (cl.isEmpty) Iterator.empty // orphan orders: none under TPC-H FK
+      else {
+        val ol = os.toList
+        val n = ol.size.toLong
+        val spend =
+          if (n == 0) None
+          else Some(ol.foldLeft(java.math.BigDecimal.ZERO) { (acc, r) =>
+            // money values are 2dp; scale-4 decimal is value-preserving
+            acc.add(java.math.BigDecimal.valueOf(r._2)
+              .setScale(4, java.math.RoundingMode.HALF_UP))
+          }.doubleValue)
+        val times = ol.map(_._3.getTime)
+        val first = if (n == 0) None else Some(new java.sql.Timestamp(times.min))
+        val last = if (n == 0) None else Some(new java.sql.Timestamp(times.max))
+        Iterator((k, cl.head._2, n, spend, first, last))
+      }
+    }.toDF("c_custkey", "c_name", "n_orders", "total_spent", "first_order", "last_order")
+    merged.orderBy(col("total_spent").desc_nulls_last, col("c_custkey")).limit(25)
+  }
+
+  val qCogroupSql: String =
+    """SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_spent,
+      |  MIN(o.o_orderdate) AS first_order, MAX(o.o_orderdate) AS last_order
+      |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_custkey, c.c_name
+      |ORDER BY total_spent DESC NULLS LAST, c.c_custkey LIMIT 25""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_cogroup" -> ((qCogroup _, Some(qCogroupSql))),
     "q_skew_join" -> ((qSkewJoin _, Some(qSkewJoinSql))),
     "q3_join" -> ((q3Join _, Some(q3JoinSql))),
     "q10_returns" -> ((q10Returns _, Some(q10ReturnsSql))),

@@ -202,6 +202,35 @@ class LearnSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_cogroup (typed) matches the declarative left-join+agg spelling") {
+    // Row.get returns java.time.LocalDateTime for the declarative plan but
+    // java.sql.Timestamp from the tuple-encoder typed plan — same instant,
+    // different box; canonicalize before comparing
+    def canonTs(r: Seq[Any]): Seq[Any] = r.map {
+      case t: java.sql.Timestamp => t.toLocalDateTime.toString
+      case t: java.time.LocalDateTime => t.toString
+      case x => x
+    }
+    val typed = JoinQueries.qCogroup(spark, sfDir).collect().map(r => canonTs(r.toSeq)).toSeq
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    val declarative = c.join(o, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,4)")).cast("double").as("total_spent"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"))
+      .orderBy(col("total_spent").desc_nulls_last, col("c_custkey")).limit(25)
+      .collect().map(r => canonTs(r.toSeq)).toSeq
+    assert(typed == declarative)
+    // the typed path must also surface zero-order customers as NULL spend
+    // when any exist at this scale (not silently drop them)
+    val zeroOrder = c.join(o, col("o_custkey") === col("c_custkey"), "left_anti").count()
+    val nullSpendShown = typed.count(r => r(3) == null)
+    assert(zeroOrder == 0 || nullSpendShown > 0 || typed.size == 25)
+  }
+
   test("q_sort_paginate returns exactly rows 101-120 of the full sort") {
     val page = SortSetQueries.qSortPaginate(spark, sfDir).collect()
       .map(_.getLong(0)).toSeq
