@@ -94,6 +94,24 @@ class PlanSpec extends SparkSpec {
       s"LM tables not broadcast:\n$plan")
   }
 
+  test("q_gram_matrix partial-aggregates the exploded products before the exchange") {
+    // the d² outer-product explosion must map-side combine down to ≤2080
+    // cells per partition BEFORE shuffling — without the partial
+    // HashAggregate the exchange would carry rows × d²(≈2080) tuples
+    val plan = planOf("q_gram_matrix")
+    val exchangeIdx = plan.indexOf("Exchange")
+    val partialIdx = plan.indexOf("partial_sum")
+    assert(partialIdx >= 0, s"no partial aggregation:\n$plan")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      "partial agg must sit below (after in printed order) the exchange")
+  }
+
+  test("q_triangles broadcasts the degree table; wedge close is an equi-join") {
+    val plan = planOf("q_triangles")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"degree table not broadcast:\n$plan")
+  }
+
   test("q5_multi_join broadcasts the dimension tables") {
     val plan = planOf("q5_multi_join")
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
