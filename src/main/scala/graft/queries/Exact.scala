@@ -114,12 +114,15 @@ object Exact {
     * arithmetic). Keep n <= 15 nibbles so the value stays in a BIGINT.
     */
   def md5IntExpr(inner: String, start: Int, n: Int): String =
+    // BIGINT seed: Spark types the nibble arithmetic INT and would
+    // overflow (ANSI error) past 7 nibbles without it; the value is
+    // unchanged (0*16+x = x), so existing oracles are unaffected
     (start until start + n)
       .map(k => s"(instr('0123456789abcdef', substring(md5($inner), $k, 1)) - 1)")
-      .reduceLeft((acc, nx) => s"($acc * 16 + $nx)")
+      .foldLeft("CAST(0 AS BIGINT)")((acc, nx) => s"($acc * 16 + $nx)")
 
   def md5IntSql(inner: String, start: Int, n: Int): String =
     (start until start + n)
       .map(k => s"(strpos('0123456789abcdef', substr(md5($inner), $k, 1)) - 1)")
-      .reduceLeft((acc, nx) => s"($acc * 16 + $nx)")
+      .foldLeft("CAST(0 AS BIGINT)")((acc, nx) => s"($acc * 16 + $nx)")
 }

@@ -62,7 +62,7 @@ object LearnQueries {
       var cur = words.select(col("freq"), col("sym"))
       val out = Seq.newBuilder[(Int, String, String, String, Long)]
       for (it <- 1 to 3) {
-        val top = cur
+        val tops = cur
           .withColumn("li", expr("filter(split(sym, '\\\\|\\\\|'), x -> x <> '')"))
           .filter(size(col("li")) >= 2) // sequence(0,-1) would run DESCENDING
           .select(col("freq"), explode(expr(
@@ -71,7 +71,10 @@ object LearnQueries {
           .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
           .agg(sum(col("freq")).as("cnt"))
           .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
-          .limit(1).collect()(0)
+          .limit(1).collect()
+        require(tops.nonEmpty,
+          s"BPE round $it: no adjacent symbol pairs left to merge (degenerate corpus)")
+        val top = tops(0)
         val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
         // the corpus is plain words; fail loudly rather than build a
         // malformed replace pattern if that ever changes

@@ -780,6 +780,41 @@ object SimilarityQueries {
        |      FROM documents) t
        |GROUP BY 1, 2""".stripMargin
 
+  /** Weighted sampling WITHOUT replacement via sequential Poisson sampling
+    * (Ohlsson 1998; the PPS-approximate scheme used for audit sampling):
+    * priority q_i = u_i / w_i with u_i a deterministic hash-uniform in
+    * (0,1], keep the k smallest — heavier docs (w = n_chars) get smaller
+    * priorities and over-surface, giving inclusion probability ≈ k·w/Σw.
+    * Complements q_weighted_sample (Bernoulli thinning, random SIZE) with
+    * a FIXED-size weighted draw. Engine-exactness is by construction: u/w
+    * is pure IEEE division (no transcendental in the sort key — an
+    * exponential-key Efraimidis-Spirakis draw would order by ln(), which
+    * differs at the last ulp between libm implementations and flips
+    * near-ties), so both engines rank identical doubles. Plan shape:
+    * TakeOrderedAndProject over a narrow map — no shuffle at all beyond
+    * the k-row driver merge, the only correct top-k shape at 100 TB.
+    */
+  def qPpsSample(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("u",
+        expr(Exact.md5IntExpr("CAST(doc_id AS STRING)", 1, 12)).cast("double") /
+          lit(281474976710656.0)) // 16^12: u in (0,1]
+      .withColumn("priority", col("u") / col("n_chars"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("n_chars"), r6(col("priority")).as("priority"))
+  }
+
+  val qPpsSampleSql: String = {
+    val h = Exact.md5IntSql("CAST(doc_id AS VARCHAR)", 1, 12)
+    s"""WITH keyed AS (
+       |  SELECT doc_id, n_chars,
+       |    (CAST($h AS DOUBLE) / 281474976710656) / n_chars AS priority
+       |  FROM documents)
+       |SELECT doc_id, n_chars, ROUND(priority, 6) AS priority
+       |FROM keyed ORDER BY keyed.priority, doc_id LIMIT 50""".stripMargin
+  }
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_quantize" -> ((qQuantize _, Some(qQuantizeSql))),
     "q_split" -> ((qSplit _, Some(qSplitSql))),
@@ -787,6 +822,7 @@ object SimilarityQueries {
     "q_mixture_sample" -> ((qMixtureSample _, Some(qMixtureSampleSql))),
     "q_stratified_sample" -> ((qStratifiedSample _, Some(qStratifiedSampleSql))),
     "q_centroids" -> ((qCentroids _, Some(qCentroidsSql))),
+    "q_pps_sample" -> ((qPpsSample _, Some(qPpsSampleSql))),
     "q_hash_sample" -> ((qHashSample _, Some(qHashSampleSql))),
     "q_minhash_lsh" -> ((qMinhashLsh _, Some(qMinhashLshSql))),
     "q_dedup_clusters" -> ((qDedupClusters _, Some(qDedupClustersSql))),

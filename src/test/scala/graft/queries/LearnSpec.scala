@@ -202,6 +202,28 @@ class LearnSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_pps_sample matches an in-JVM sequential-Poisson reference draw") {
+    def md5Hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Tables.documents(spark, sfDir).select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val m = 281474976710656.0 // 16^12
+    val ref = rows.map { case (d, w) =>
+      val h = java.lang.Long.parseLong(md5Hex(d.toString).take(12), 16)
+      (d, w, h.toDouble / m / w)
+    }.sortBy { case (d, _, p) => (p, d) }.take(50)
+      .map { case (d, w, p) =>
+        (d, w, BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq
+    val got = SimilarityQueries.qPpsSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == ref)
+    // weighting sanity: the PPS draw must skew toward longer docs
+    val sampleMean = got.map(_._2).sum.toDouble / got.size
+    val corpusMean = rows.map(_._2).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean, s"sample mean $sampleMean <= corpus mean $corpusMean")
+  }
+
   test("q_cogroup (typed) matches the declarative left-join+agg spelling") {
     // Row.get returns java.time.LocalDateTime for the declarative plan but
     // java.sql.Timestamp from the tuple-encoder typed plan — same instant,
