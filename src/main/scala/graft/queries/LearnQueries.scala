@@ -214,7 +214,12 @@ object LearnQueries {
     */
   def qPcaPower(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val g = qGramMatrix(s, dir)
+    // cache: the symmetric expansion references the Gram aggregate from
+    // two union branches and each mat-vec joins it again — without the
+    // cache, exchange-reuse-off regimes would re-run the CORPUS pass per
+    // reference (the one cost that matters at scale). The cached table is
+    // d(d+1)/2 rows.
+    val g = qGramMatrix(s, dir).cache()
     val full = g.union(
       g.filter(col("i") < col("j")).select(col("j").as("i"), col("i").as("j"), col("gram")))
     def matVec(v: DataFrame, vCol: String, outCol: String): DataFrame =
