@@ -28,7 +28,8 @@ object SparkEntry {
       StreamingQueries.all,
       NorthStarQueries.all,
       AnalyticsQueries.all,
-      LearnQueries.all
+      LearnQueries.all,
+      EvalQueries.all
     )
 
   private val merged: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = {

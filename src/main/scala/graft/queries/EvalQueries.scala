@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.PrefixSum
+import graft.queries.Exact._
+
+/** Model-evaluation and data-selection operators — the measurement half of
+  * a training-data pipeline (the production half is DedupQueries/
+  * TextQueries/SimilarityQueries). Five classics, each in its scalable
+  * Spark shape and each DuckDB-oracle-gated with exact arithmetic:
+  *
+  *  - DSIR importance weights (Xie et al. 2023): per-document target/corpus
+  *    unigram log-likelihood ratio — THE data-selection score for steering
+  *    a pretraining mixture toward a target domain.
+  *  - ROC AUC as the Mann-Whitney U statistic — threshold-free quality of
+  *    any numeric score against a binary label; tie-correct (average
+  *    ranks), no per-row global sort: counts aggregate per DISTINCT score
+  *    and the cumulative pass runs over that (small) table via
+  *    [[graft.ops.PrefixSum]], so no unpartitioned Window node exists at
+  *    any scale.
+  *  - Per-class precision/recall/F1 from a confusion matrix (here: the
+  *    q_lang_id heuristic vs the labeled lang column) — classifier QA.
+  *  - Two-sample Kolmogorov–Smirnov distance between per-source document
+  *    length distributions — distribution drift as a max-of-ECDF-gaps,
+  *    complementing q_source_drift's KL divergence. Integer-exact via
+  *    cross-multiplication: D's numerator max|ca·nb − cb·na| never divides.
+  *  - One batch perceptron epoch (Rosenblatt rule) over int8-quantized
+  *    embeddings — integer end-to-end, so the learning step itself (not a
+  *    float approximation of it) is what the oracle gates.
+  *
+  * None of these exist in the reference (no aggregation surface at all —
+  * /root/reference/bert/etl/functools.py memoizes single values; SURVEY
+  * §2.9 documents the verified absence); they are north-star additions in
+  * the sense of SURVEY §2.9 R14.
+  */
+object EvalQueries {
+
+  /** DSIR-style importance weight per document: log of the unigram
+    * likelihood ratio P_target(doc)/P_corpus(doc), target = the English
+    * slice, both models Laplace(+1)-smoothed over the SHARED corpus
+    * vocabulary (so the ratio is defined for every token). Every log is
+    * LN of an integer count — per-term doubles are engine-identical, each
+    * term is cast to DECIMAL(28,14) and summed (order-independent): the
+    * q_perplexity exactness recipe. Scale: the vocabulary LM table is
+    * corpus-frequency sparse (broadcast here, shuffle join keyed on the
+    * token at web scale); the scalar totals ride the vocab table as ONE
+    * broadcast row, and the corpus-sized join carries a single decimal
+    * column.
+    */
+  def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val cc = tok.groupBy(col("tok")).agg(count(lit(1)).as("cc"))
+    val ct = tok.filter(col("lang") === "en")
+      .groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    val lm = cc.join(ct, Seq("tok"), "left").na.fill(0L, Seq("ct"))
+    val scal = lm.agg(sum(col("cc")).cast("bigint").as("nc"),
+      sum(col("ct")).cast("bigint").as("nt"), count(lit(1)).as("v"))
+    val lm2 = lm.crossJoin(broadcast(scal)).withColumn("term", expr(
+      """CAST(CAST(LN(CAST(ct + 1 AS DOUBLE)) - LN(CAST(nt + v AS DOUBLE))
+        |     - LN(CAST(cc + 1 AS DOUBLE)) + LN(CAST(nc + v AS DOUBLE)) AS DOUBLE)
+        |  AS DECIMAL(28,14))""".stripMargin))
+      .select(col("tok"), col("term"))
+    tok.join(broadcast(lm2), "tok")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("term")).cast("double").as("lw"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        r6(col("lw")).as("log_weight"))
+  }
+
+  val qDsirWeightsSql: String =
+    """WITH tok AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+      |             FROM documents),
+      |cc AS (SELECT tok, COUNT(*) AS cc FROM tok GROUP BY tok),
+      |ct AS (SELECT tok, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY tok),
+      |lm AS (SELECT tok, cc, COALESCE(ct, 0) AS ct FROM cc LEFT JOIN ct USING (tok)),
+      |sc AS (SELECT CAST(SUM(cc) AS BIGINT) AS nc, CAST(SUM(ct) AS BIGINT) AS nt,
+      |              COUNT(*) AS v FROM lm),
+      |t AS (SELECT tok,
+      |        CAST(CAST(LN(CAST(ct + 1 AS DOUBLE)) - LN(CAST(nt + v AS DOUBLE))
+      |             - LN(CAST(cc + 1 AS DOUBLE)) + LN(CAST(nc + v AS DOUBLE)) AS DOUBLE)
+      |          AS DECIMAL(28,14)) AS term
+      |      FROM lm, sc)
+      |SELECT doc_id, lang, COUNT(*) AS n_tokens,
+      |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS log_weight
+      |FROM tok JOIN t USING (tok) GROUP BY doc_id, lang""".stripMargin
+
+  /** ROC AUC of a score column against a binary label, as the (tie-
+    * corrected) Mann-Whitney U: with per-distinct-score positive/negative
+    * counts (np, nn) and cnn = cumulative negatives up to and including
+    * this score, 2U = Σ np·(2·(cnn − nn) + nn) — concordant pairs count 2,
+    * tied pairs 1 — and AUC = 2U / (2·n_pos·n_neg). The numerator is
+    * gated as an exact BIGINT; the only division is the final one. Score =
+    * first embedding dimension, label = class < 5 (a deliberately weak
+    * signal: AUC lands near 0.5 with plenty of distinct-score ties).
+    * Scale: one corpus hash-aggregate to distinct scores, then the
+    * cumulative pass over the aggregated table via PrefixSum — no
+    * unpartitioned window, no per-row rank.
+    */
+  def qAuc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(
+      expr("CAST(element_at(embedding, 1) AS DOUBLE)").as("score"),
+      when(col("label") < 5, 1L).otherwise(0L).as("is_pos"))
+    val g = e.groupBy(col("score")).agg(
+      sum(col("is_pos")).as("np"), sum(lit(1L) - col("is_pos")).as("nn"))
+    val c = PrefixSum.cumsum(g, col("nn"), Seq(col("score")), "cnn")
+    c.agg(sum(col("np")).cast("bigint").as("n_pos"),
+        sum(col("nn")).cast("bigint").as("n_neg"),
+        sum(col("np") * (lit(2L) * (col("cnn") - col("nn")) + col("nn")))
+          .cast("bigint").as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        expr("""ROUND(CAST(u2 AS DOUBLE) /
+               |  (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)""".stripMargin)
+          .as("auc"))
+  }
+
+  val qAucSql: String =
+    """WITH e AS (SELECT CAST(embedding[1] AS DOUBLE) AS score,
+      |        CASE WHEN label < 5 THEN 1 ELSE 0 END AS is_pos FROM embeddings),
+      |g AS (SELECT score, SUM(is_pos) AS np, SUM(1 - is_pos) AS nn
+      |      FROM e GROUP BY score),
+      |c AS (SELECT np, nn,
+      |        SUM(nn) OVER (ORDER BY score
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnn
+      |      FROM g)
+      |SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+      |  CAST(SUM(np * (2 * (cnn - nn) + nn)) AS BIGINT) AS u2,
+      |  ROUND(CAST(SUM(np * (2 * (cnn - nn) + nn)) AS DOUBLE) /
+      |    (2.0 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE)), 6) AS auc
+      |FROM c""".stripMargin
+
+  /** Per-class precision / recall / F1 of the q_lang_id stopword heuristic
+    * against the labeled lang column — the confusion-matrix rollup every
+    * classifier-in-the-loop pipeline (quality filters, lang routers) needs
+    * next to its raw confusion counts. tp/fp/fn are exact BIGINTs; each
+    * metric is one final IEEE division (F1 via the division-free identity
+    * 2tp/(2tp+fp+fn), so no previously-rounded value feeds another). A
+    * class never predicted gets NULL precision (0/0), not a fake 0.
+    */
+  def qClassifierMetrics(s: SparkSession, dir: String): DataFrame = {
+    val en = "'the','and','of','is'"
+    val de = "'der','die','und','ist'"
+    val fr = "'le','la','et','est'"
+    val es = "'el','la','y','es'"
+    val p = Tables.documents(s, dir)
+      .select(col("lang"),
+        expr(s"size(filter(split(text,' '), x -> x IN ($en)))").as("s_en"),
+        expr(s"size(filter(split(text,' '), x -> x IN ($de)))").as("s_de"),
+        expr(s"size(filter(split(text,' '), x -> x IN ($fr)))").as("s_fr"),
+        expr(s"size(filter(split(text,' '), x -> x IN ($es)))").as("s_es"))
+      .withColumn("predicted",
+        when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+          .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+    val conf = p.groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+    val a = conf.groupBy(col("lang").as("cls")).agg(
+      sum(when(col("predicted") === col("lang"), col("n")).otherwise(0L)).as("tp"),
+      sum(when(col("predicted") =!= col("lang"), col("n")).otherwise(0L)).as("fn"))
+    val b = conf.filter(col("predicted") =!= col("lang"))
+      .groupBy(col("predicted").as("cls")).agg(sum(col("n")).as("fp"))
+    a.join(b, Seq("cls"), "full_outer").na.fill(0L, Seq("tp", "fn", "fp"))
+      .select(col("cls"),
+        col("tp").cast("bigint").as("tp"),
+        col("fp").cast("bigint").as("fp"),
+        col("fn").cast("bigint").as("fn"),
+        expr("""CASE WHEN tp + fp = 0 THEN NULL
+               |  ELSE ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END""".stripMargin)
+          .as("precision"),
+        expr("""CASE WHEN tp + fn = 0 THEN NULL
+               |  ELSE ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END""".stripMargin)
+          .as("recall"),
+        expr("""CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+               |  ELSE ROUND(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) END""".stripMargin)
+          .as("f1"))
+  }
+
+  val qClassifierMetricsSql: String =
+    """WITH scored AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('the','and','of','is'))) AS s_en,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('der','die','und','ist'))) AS s_de,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','est'))) AS s_fr,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('el','la','y','es'))) AS s_es
+      |  FROM documents),
+      |p AS (SELECT lang,
+      |    CASE WHEN s_en >= GREATEST(s_de, s_fr, s_es) THEN 'en'
+      |         WHEN s_de >= GREATEST(s_fr, s_es) THEN 'de'
+      |         WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted
+      |  FROM scored),
+      |conf AS (SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2),
+      |a AS (SELECT lang AS cls,
+      |    CAST(SUM(CASE WHEN predicted = lang THEN n ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN predicted <> lang THEN n ELSE 0 END) AS BIGINT) AS fn
+      |  FROM conf GROUP BY 1),
+      |b AS (SELECT predicted AS cls, CAST(SUM(n) AS BIGINT) AS fp
+      |  FROM conf WHERE predicted <> lang GROUP BY 1),
+      |j AS (SELECT cls, COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp,
+      |        COALESCE(fn, 0) AS fn
+      |  FROM a FULL OUTER JOIN b USING (cls))
+      |SELECT cls, tp, fp, fn,
+      |  CASE WHEN tp + fp = 0 THEN NULL
+      |    ELSE ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+      |  CASE WHEN tp + fn = 0 THEN NULL
+      |    ELSE ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+      |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+      |    ELSE ROUND(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1
+      |FROM j""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov distance between the English and German
+    * document-length distributions: D = max_x |ECDF_en(x) − ECDF_de(x)|,
+    * the standard drift alarm between two corpus slices (ingestion today
+    * vs yesterday, source A vs B). Integer-exact: both ECDFs are
+    * cumulative counts over the UNION of observed lengths, the max runs
+    * over |cca·nb − ccb·na| (BIGINT — cross-multiplied, never divided),
+    * and only the final reported D divides. Scale: per-length counts are
+    * one corpus hash-aggregate; the cumulative pass runs over the distinct
+    * -lengths table via PrefixSum (no unpartitioned window); the two
+    * scalar totals join as ONE broadcast row.
+    */
+  def qKsTest(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).filter(col("lang").isin("en", "de"))
+    val g = d.groupBy(col("n_chars")).agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("lang") === "de", 1L).otherwise(0L)).as("cb"))
+    val c1 = PrefixSum.cumsum(g, col("ca"), Seq(col("n_chars")), "cca")
+    val c2 = PrefixSum.cumsum(c1, col("cb"), Seq(col("n_chars")), "ccb")
+    val scal = g.agg(sum(col("ca")).cast("bigint").as("na"),
+      sum(col("cb")).cast("bigint").as("nb"))
+    c2.crossJoin(broadcast(scal))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        max(abs(col("cca") * col("nb") - col("ccb") * col("na")))
+          .cast("bigint").as("d_numer"))
+      .select(col("na"), col("nb"), col("d_numer"),
+        expr("""ROUND(CAST(d_numer AS DOUBLE) /
+               |  (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)""".stripMargin)
+          .as("ks_d"))
+  }
+
+  val qKsTestSql: String =
+    """WITH d AS (SELECT n_chars, lang FROM documents WHERE lang IN ('en', 'de')),
+      |g AS (SELECT n_chars,
+      |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+      |        SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS cb
+      |      FROM d GROUP BY n_chars),
+      |c AS (SELECT ca, cb,
+      |        SUM(ca) OVER (ORDER BY n_chars
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+      |        SUM(cb) OVER (ORDER BY n_chars
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
+      |      FROM g),
+      |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      |      FROM g)
+      |SELECT na, nb,
+      |  CAST(MAX(ABS(cca * nb - ccb * na)) AS BIGINT) AS d_numer,
+      |  ROUND(CAST(MAX(ABS(cca * nb - ccb * na)) AS DOUBLE) /
+      |    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_d
+      |FROM c, t GROUP BY na, nb""".stripMargin
+
+  /** One batch perceptron epoch over int8-quantized embeddings (y = ±1 for
+    * label < 5): w1 = Σ y·x (the first batch update from w0 = 0, where
+    * every margin is 0 ≤ 0 i.e. misclassified), then w2 = w1 +
+    * Σ_{y·(w1·x) ≤ 0} y·x — the Rosenblatt rule with the whole batch
+    * applied at once. Quantization reuses q_quantize's proven
+    * engine-identical ROUND(x·127/maxabs) spelling, so every weight,
+    * margin, and update is INTEGER arithmetic end-to-end — the oracle
+    * gates the learning step itself, not a float echo of it. Scale: two
+    * corpus passes (one per epoch); the d-row weight vector broadcasts;
+    * per-dimension partial sums are map-side combined; nothing but the
+    * d-row weight table ever sits on the driver side of a broadcast.
+    */
+  def qPerceptronStep(s: SparkSession, dir: String): DataFrame = {
+    val maxabs =
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+    val qvec =
+      s"""transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) *
+         |  (CASE WHEN ($maxabs) = 0.0D THEN 0.0D ELSE 127.0D / ($maxabs) END), 0) AS INT))""".stripMargin
+    val ex = Tables.embeddings(s, dir)
+      .withColumn("y", when(col("label") < 5, 1).otherwise(-1))
+      .select(col("vec_id"), col("y"), posexplode(expr(qvec)).as(Seq("i", "v")))
+    val w1 = ex.groupBy(col("i")).agg(sum(col("y") * col("v")).cast("bigint").as("w1"))
+    val margins = ex.join(broadcast(w1), "i")
+      .groupBy(col("vec_id"), col("y"))
+      .agg(sum(col("w1") * col("v")).cast("bigint").as("dot"))
+    val mis = margins.filter(col("y") * col("dot") <= 0).select(col("vec_id"))
+    val dw = ex.join(mis, "vec_id")
+      .groupBy(col("i")).agg(sum(col("y") * col("v")).cast("bigint").as("dw"))
+    w1.join(dw, Seq("i"), "left").na.fill(0L, Seq("dw"))
+      .select(col("i"), col("w1"), (col("w1") + col("dw")).as("w2"))
+  }
+
+  val qPerceptronStepSql: String =
+    """WITH m AS (SELECT vec_id, CASE WHEN label < 5 THEN 1 ELSE -1 END AS y,
+      |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma,
+      |        embedding
+      |      FROM embeddings),
+      |q AS (SELECT vec_id, y,
+      |        list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) *
+      |          (CASE WHEN ma = 0.0 THEN 0.0 ELSE 127.0 / ma END), 0) AS INT)) AS qv
+      |      FROM m),
+      |e AS (SELECT vec_id, y, CAST(i - 1 AS INT) AS i, qv[CAST(i AS INT)] AS v
+      |      FROM q, UNNEST(range(1, len(qv) + 1)) AS u(i)),
+      |w1 AS (SELECT i, CAST(SUM(y * v) AS BIGINT) AS w1 FROM e GROUP BY i),
+      |mg AS (SELECT e.vec_id, e.y, CAST(SUM(w1.w1 * e.v) AS BIGINT) AS dot
+      |       FROM e JOIN w1 USING (i) GROUP BY e.vec_id, e.y),
+      |mis AS (SELECT vec_id FROM mg WHERE y * dot <= 0),
+      |dw AS (SELECT i, CAST(SUM(y * v) AS BIGINT) AS dw
+      |       FROM e JOIN mis USING (vec_id) GROUP BY i)
+      |SELECT i, w1, w1 + COALESCE(dw, 0) AS w2
+      |FROM w1 LEFT JOIN dw USING (i)""".stripMargin
+
+  def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_dsir_weights" -> ((qDsirWeights _, Some(qDsirWeightsSql))),
+    "q_auc" -> ((qAuc _, Some(qAucSql))),
+    "q_classifier_metrics" -> ((qClassifierMetrics _, Some(qClassifierMetricsSql))),
+    "q_ks_test" -> ((qKsTest _, Some(qKsTestSql))),
+    "q_perceptron_step" -> ((qPerceptronStep _, Some(qPerceptronStepSql)))
+  )
+}

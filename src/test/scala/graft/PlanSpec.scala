@@ -32,7 +32,12 @@ class PlanSpec extends SparkSpec {
       // the 100-row rank theta self-join (Zipf fit), the 1-row dangling
       // -mass scalar (PageRank), and the 1-row min/max bounds (quantize)
       "q_kmeans_step", "q_kneser_ney", "q_weighted_sample",
-      "q_zipf", "q_pagerank", "q_quantize")
+      "q_zipf", "q_pagerank", "q_quantize",
+      // PrefixSum's triangular offsets join (numPartitions rows) and/or a
+      // 1-row scalar-totals broadcast-cross: AUC's cumulative-negatives
+      // pass, KS's two ECDF passes + (na, nb) totals row, DSIR's
+      // (nc, nt, v) totals row riding the vocab-sized LM table
+      "q_auc", "q_ks_test", "q_dsir_weights")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =

@@ -1,0 +1,147 @@
+package graft.queries
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Engine-internal ground truths for the evaluation/data-selection
+  * queries — each checked against an independent plain-Scala reference
+  * over the same collected rows, so the distributed formulation (PrefixSum
+  * cumulative passes, per-dimension partial sums, confusion rollups) is
+  * cross-validated by something the DuckDB oracle cannot provide: a
+  * different ALGORITHM, not just a different engine running the same one.
+  */
+class EvalSpec extends SparkSpec {
+
+  test("q_auc's 2U equals the brute-force pair count (2·concordant + ties)") {
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(expr("CAST(element_at(embedding, 1) AS DOUBLE)").as("s"),
+        (col("label") < 5).as("p")).collect()
+      .map(r => (r.getDouble(0), r.getBoolean(1)))
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    var u2 = 0L
+    for (sp <- pos; sn <- neg)
+      u2 += (if (sp > sn) 2L else if (sp == sn) 1L else 0L)
+    val got = EvalQueries.qAuc(spark, sfDir).collect().head
+    assert(got.getLong(0) == pos.length.toLong)
+    assert(got.getLong(1) == neg.length.toLong)
+    assert(got.getLong(2) == u2, "tie-corrected Mann-Whitney 2U mismatch")
+  }
+
+  test("q_ks_test's numerator equals the brute-force max ECDF gap") {
+    val rows = Tables.documents(spark, sfDir)
+      .filter(col("lang").isin("en", "de"))
+      .select(col("n_chars"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val a = rows.filter(_._2 == "en").map(_._1)
+    val b = rows.filter(_._2 == "de").map(_._1)
+    val numer = (a ++ b).distinct.map { x =>
+      math.abs(a.count(_ <= x).toLong * b.length - b.count(_ <= x).toLong * a.length)
+    }.max
+    val got = EvalQueries.qKsTest(spark, sfDir).collect().head
+    assert(got.getLong(0) == a.length.toLong && got.getLong(1) == b.length.toLong)
+    assert(got.getLong(2) == numer, "KS cross-multiplied numerator mismatch")
+  }
+
+  test("q_perceptron_step matches a sequential in-JVM perceptron batch update") {
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("embedding"), col("label")).collect()
+      .map(r => (r.getSeq[Float](0).toArray, r.getAs[Number](1).longValue))
+    // reference quantization: same ROUND half-up the queries use
+    def quant(v: Array[Float]): Array[Int] = {
+      val ma = v.map(x => math.abs(x.toDouble)).max
+      v.map { x =>
+        val d = x.toDouble * (if (ma == 0.0) 0.0 else 127.0 / ma)
+        new JBigDecimal(d).setScale(0, RoundingMode.HALF_UP).intValueExact()
+      }
+    }
+    val data = rows.map { case (v, l) => (quant(v), if (l < 5) 1 else -1) }
+    val d = data.head._1.length
+    val w1 = Array.fill(d)(0L)
+    for ((x, y) <- data; i <- 0 until d) w1(i) += y.toLong * x(i)
+    val w2 = w1.clone()
+    for ((x, y) <- data) {
+      val dot = (0 until d).map(i => w1(i) * x(i)).sum
+      if (y * dot <= 0) for (i <- 0 until d) w2(i) += y.toLong * x(i)
+    }
+    val got = EvalQueries.qPerceptronStep(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == d)
+    for (i <- 0 until d)
+      assert(got(i) == (w1(i), w2(i)), s"dimension $i weight mismatch")
+  }
+
+  test("q_classifier_metrics matches a recomputed in-JVM confusion matrix") {
+    val stop = Map(
+      "en" -> Set("the", "and", "of", "is"), "de" -> Set("der", "die", "und", "ist"),
+      "fr" -> Set("le", "la", "et", "est"), "es" -> Set("el", "la", "y", "es"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val pred = docs.map { case (lang, text) =>
+      val tk = text.split(" ", -1)
+      val s = Map("en" -> tk.count(stop("en")), "de" -> tk.count(stop("de")),
+        "fr" -> tk.count(stop("fr")), "es" -> tk.count(stop("es")))
+      val p = if (s("en") >= Seq(s("de"), s("fr"), s("es")).max) "en"
+        else if (s("de") >= Seq(s("fr"), s("es")).max) "de"
+        else if (s("fr") >= s("es")) "fr" else "es"
+      (lang, p)
+    }
+    val classes = (pred.map(_._1) ++ pred.map(_._2)).distinct
+    val expected = classes.map { c =>
+      val tp = pred.count { case (l, p) => l == c && p == c }.toLong
+      val fp = pred.count { case (l, p) => l != c && p == c }.toLong
+      val fn = pred.count { case (l, p) => l == c && p != c }.toLong
+      c -> ((tp, fp, fn))
+    }.toMap
+    val got = EvalQueries.qClassifierMetrics(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // F1 identity: the emitted f1 equals 2pr/(p+r) within rounding noise
+    for (r <- EvalQueries.qClassifierMetrics(spark, sfDir).collect()
+         if !r.isNullAt(4) && !r.isNullAt(5) && !r.isNullAt(6)) {
+      val (p, rec, f1) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      if (p + rec > 0)
+        assert(math.abs(f1 - 2 * p * rec / (p + rec)) < 2e-6,
+          s"${r.getString(0)}: f1 != harmonic mean of rounded p/r")
+    }
+  }
+
+  test("q_dsir_weights matches an in-JVM likelihood-ratio reference and " +
+       "ranks the target slice above the rest on average") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.map { case (id, lang, t) => (id, lang, t.split(" ", -1).toSeq) }
+    val cc = toks.flatMap(_._3).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ct = toks.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nc = cc.values.sum; val nt = ct.values.sum; val v = cc.size.toLong
+    // replicate the term-by-term DECIMAL(28,14) rounding, then 6-dp output
+    def term(tok: String): JBigDecimal = {
+      val d = math.log(ct.getOrElse(tok, 0L).toDouble + 1) - math.log((nt + v).toDouble) -
+        math.log(cc(tok).toDouble + 1) + math.log((nc + v).toDouble)
+      new JBigDecimal(d).setScale(14, RoundingMode.HALF_UP)
+    }
+    val got = EvalQueries.qDsirWeights(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    for ((id, _, tk) <- toks.take(25)) {
+      val lw = tk.map(term).reduce(_.add(_))
+      val expected = new JBigDecimal(lw.doubleValue())
+        .setScale(6, RoundingMode.HALF_UP).doubleValue()
+      assert(got(id)._1 == tk.length.toLong, s"doc $id token count")
+      assert(got(id)._2 == expected, s"doc $id log weight")
+    }
+    // directional sanity: per-token average weight favors the en slice
+    val byLang = docs.map { case (id, lang, _) => (lang, got(id)) }
+    def avgPerTok(sel: ((String, (Long, Double))) => Boolean): Double = {
+      val xs = byLang.filter(sel)
+      xs.map(_._2._2).sum / xs.map(_._2._1).sum.toDouble
+    }
+    assert(avgPerTok(_._1 == "en") > avgPerTok(_._1 != "en"),
+      "target slice does not out-score the rest per token")
+  }
+}
