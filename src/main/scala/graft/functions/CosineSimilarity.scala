@@ -100,6 +100,18 @@ object GraftFunctions {
     "_FUNC_(a, b) - dot product of two float arrays (codegen'd fused loop).",
     "")
 
+  private val decDotInfo = new ExpressionInfo(
+    classOf[DecimalDot].getName, null, "decimal_dot",
+    "_FUNC_(a, b) - DECIMAL(28,14)-exact dot product of two float arrays " +
+      "(fused form of the oracle-arithmetic HOF fold; bit-identical).",
+    "")
+
+  private val decSqInfo = new ExpressionInfo(
+    classOf[DecimalSqDist].getName, null, "decimal_sqdist",
+    "_FUNC_(a, b) - DECIMAL(28,14)-exact squared euclidean distance of two " +
+      "float arrays (fused form of the oracle-arithmetic HOF fold; bit-identical).",
+    "")
+
   private def build(children: Seq[Expression]): Expression = {
     require(children.size == 2, "cosine_similarity takes exactly 2 arguments")
     CosineSimilarity(children(0), children(1))
@@ -108,6 +120,16 @@ object GraftFunctions {
   private def buildDot(children: Seq[Expression]): Expression = {
     require(children.size == 2, "dot_product takes exactly 2 arguments")
     DotProduct(children(0), children(1))
+  }
+
+  private def buildDecDot(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "decimal_dot takes exactly 2 arguments")
+    DecimalDot(children(0), children(1))
+  }
+
+  private def buildDecSq(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "decimal_sqdist takes exactly 2 arguments")
+    DecimalSqDist(children(0), children(1))
   }
 
   /** Idempotent runtime registration on a live session: the SQL functions
@@ -119,6 +141,10 @@ object GraftFunctions {
       FunctionIdentifier("hamming_distance"), HammingDistance.info, HammingDistance.build _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_product"), dotInfo, buildDot _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("decimal_dot"), decDotInfo, buildDecDot _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("decimal_sqdist"), decSqInfo, buildDecSq _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("edit_distance_within"), edwInfo, buildEdw _)
     spark.sessionState.functionRegistry.registerFunction(
@@ -186,6 +212,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("decimal_dot"),
+      new ExpressionInfo(classOf[DecimalDot].getName, "decimal_dot"),
+      (children: Seq[Expression]) => DecimalDot(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("decimal_sqdist"),
+      new ExpressionInfo(classOf[DecimalSqDist].getName, "decimal_sqdist"),
+      (children: Seq[Expression]) => DecimalSqDist(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("edit_distance_within"),
       new ExpressionInfo(classOf[EditDistanceWithin].getName, "edit_distance_within"),
       (children: Seq[Expression]) => EditDistanceWithin(children(0), children(1), children(2))))

@@ -60,14 +60,13 @@ object Ann {
     * exact-arithmetic IVF run can be hash-compared across engines.
     */
   private def decimalCosineExpr(a: String, b: String) = expr(
+    // the fused exact-decimal kernel (functions.DecimalDot): bit-identical
+    // to the declarative aggregate(zip_with(...)) DECIMAL(28,14) fold
+    // (FunctionsSpec pins this) without the interpreted lambda eval that
+    // otherwise dominates an exact-arithmetic corpus scan
     s"""round(
-       |  CAST(aggregate(zip_with($a, $b, (x, y) ->
-       |    CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,14))),
-       |    CAST(0 AS DECIMAL(28,14)), (acc, v) -> CAST(acc + v AS DECIMAL(28,14))) AS DOUBLE)
-       |  / (SQRT(CAST(aggregate($a, CAST(0 AS DECIMAL(28,14)), (acc, x) ->
-       |      CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)) AS DECIMAL(28,14))) AS DOUBLE))
-       |   * SQRT(CAST(aggregate($b, CAST(0 AS DECIMAL(28,14)), (acc, x) ->
-       |      CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)) AS DECIMAL(28,14))) AS DOUBLE))), 6)""".stripMargin)
+       |  decimal_dot($a, $b)
+       |  / (SQRT(decimal_dot($a, $a)) * SQRT(decimal_dot($b, $b))), 6)""".stripMargin)
 
   /** Top-k cosine neighbors per query, probing `nprobe` cells.
     * queries: (qIdCol, embCol); corpus: (idCol, embCol, cellCol).
@@ -87,6 +86,10 @@ object Ann {
       embCol: String = "embedding",
       cellCol: String = "label",
       exactArith: Boolean = false): DataFrame = {
+    // BEFORE any DataFrame that references the kernels: Datasets analyze
+    // eagerly at construction, so a later register() call is too late for
+    // the probe-assignment plan built a few lines down
+    graft.functions.GraftFunctions.register(spark)
     val cents = broadcast(centroids(corpus, cellCol, embCol, exactArith))
     // assign each query its nprobe nearest cells. In exactArith mode the
     // cell score is the ROUNDED decimal cosine with a cell tie-break, so
@@ -103,7 +106,6 @@ object Ann {
         .filter(col("cell_rank") <= nprobe)
         .select(col(qIdCol), col("q_emb"), col("cell")))
     // score only within probed cells — native codegen'd kernel
-    graft.functions.GraftFunctions.register(spark)
     val wTop = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))
     val score =
       if (exactArith) decimalCosineExpr("q_emb", embCol)

@@ -87,7 +87,12 @@ object LearnQueries {
     } finally words.unpersist()
   }
 
-  val qBpeMergesSql: String =
+  /** The 3-round merge-learning CTE chain, shared verbatim between the
+    * qBpeMerges oracle and the qBpeEncode oracle (the qDedupClusters "one
+    * source of truth" pattern: a parameter change cannot desynchronize the
+    * learner from the encoder).
+    */
+  private val bpeLearnCtes: String =
     """WITH wf AS (
       |  SELECT w, COUNT(*) AS freq FROM (
       |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
@@ -106,11 +111,54 @@ object LearnQueries {
       |l2 AS (SELECT freq, list_filter(string_split(sym, '||'), x -> x <> '') AS li FROM w2),
       |p3 AS (SELECT li[CAST(i AS INT)] AS lhs, li[CAST(i+1 AS INT)] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
       |       FROM l2, UNNEST(range(1, len(li))) AS u(i) GROUP BY 1, 2),
-      |m3 AS (SELECT * FROM p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1)
+      |m3 AS (SELECT * FROM p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1)""".stripMargin
+
+  val qBpeMergesSql: String =
+    bpeLearnCtes + """
       |SELECT 1 AS iter, lhs, rhs, lhs||rhs AS merged, cnt AS pair_count FROM m1
       |UNION ALL SELECT 2, lhs, rhs, lhs||rhs, cnt FROM m2
       |UNION ALL SELECT 3, lhs, rhs, lhs||rhs, cnt FROM m3
       |ORDER BY iter""".stripMargin
+
+  /** BPE ENCODING — applying the learned vocabulary (the other half of the
+    * tokenizer lifecycle; qBpeMerges is the training half): re-segment the
+    * corpus's word table with the 3 learned merges and report the top of
+    * the resulting token distribution. The merge list is driver-side by
+    * construction (it IS the 3-row argmax output); application is a narrow
+    * per-row replace chain over the vocab-sized word-frequency table —
+    * at 100 TB the corpus contributes only word COUNTS (one map-side-
+    * combined aggregate); everything after is vocabulary-scale.
+    * Oracle: the SAME learning CTEs as q_bpe_merges, plus the encode step.
+    */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = qBpeMerges(s, dir).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("sym", symCol)
+    val encoded = merges.foldLeft(words) { case (df, (l, r)) =>
+      df.withColumn("sym", expr(s"replace(sym, '|$l||$r|', '|$l$r|')"))
+    }
+    encoded
+      .select(col("freq"), explode(expr(
+        "filter(split(sym, '\\\\|\\\\|'), x -> x <> '')")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("freq")).cast("bigint").as("n_occ"))
+      .orderBy(col("n_occ").desc, col("token"))
+      .limit(30)
+      .select(col("token"), length(col("token")).as("tok_len"), col("n_occ"))
+  }
+
+  val qBpeEncodeSql: String =
+    bpeLearnCtes + """,
+      |w3 AS (SELECT freq, replace(sym, '|'||m3.lhs||'||'||m3.rhs||'|', '|'||m3.lhs||m3.rhs||'|') AS sym FROM w2, m3),
+      |tok AS (SELECT freq, UNNEST(list_filter(string_split(sym, '||'), x -> x <> '')) AS token FROM w3)
+      |SELECT token, CAST(length(token) AS INT) AS tok_len, CAST(SUM(freq) AS BIGINT) AS n_occ
+      |FROM tok GROUP BY token
+      |ORDER BY n_occ DESC, token LIMIT 30""".stripMargin
 
   // --------------------------------------------------------- Kneser-Ney --
 
@@ -310,6 +358,7 @@ object LearnQueries {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_bpe_merges" -> ((qBpeMerges _, Some(qBpeMergesSql))),
+    "q_bpe_encode" -> ((qBpeEncode _, Some(qBpeEncodeSql))),
     "q_kneser_ney" -> ((qKneserNey _, Some(qKneserNeySql))),
     "q_gram_matrix" -> ((qGramMatrix _, Some(qGramMatrixSql))),
     "q_pca_power" -> ((qPcaPower _, Some(qPcaPowerSql))),

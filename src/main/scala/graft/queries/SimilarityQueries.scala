@@ -434,15 +434,12 @@ object SimilarityQueries {
       .where(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    val pairDot =
-      """CAST(aggregate(zip_with(ea, eb, (a, b) ->
-        |  CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,14))),
-        |  CAST(0 AS DECIMAL(28,14)), (acc, x) -> CAST(acc + x AS DECIMAL(28,14))) AS DOUBLE)""".stripMargin
-    val normSq =
-      """SQRT(CAST(aggregate(embedding, CAST(0 AS DECIMAL(28,14)), (acc, x) ->
-        |  CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)) AS DECIMAL(28,14))) AS DOUBLE))""".stripMargin
+    // verify stage: fused exact-decimal kernel, bit-identical to the
+    // declarative DECIMAL(28,14) fold (FunctionsSpec pins it)
+    graft.functions.GraftFunctions.register(s)
+    val pairDot = "decimal_dot(ea, eb)"
     val emb = Tables.embeddings(s, dir)
-      .withColumn("nrm", expr(normSq))
+      .withColumn("nrm", expr("SQRT(decimal_dot(embedding, embedding))"))
     cand
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         col("nrm").as("na")), Seq("vec_a"))
@@ -493,13 +490,12 @@ object SimilarityQueries {
     * variant is measured against. See graft.ops.Ann for the bucketed path.
     */
   def qCosineTopk(s: SparkSession, dir: String): DataFrame = {
-    val dot =
-      """CAST(aggregate(zip_with(q_emb, embedding, (a, b) ->
-        |  CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,14))),
-        |  CAST(0 AS DECIMAL(28,14)), (acc, x) -> CAST(acc + x AS DECIMAL(28,14))) AS DOUBLE)""".stripMargin
-    def normSq(c: String) =
-      s"""SQRT(CAST(aggregate($c, CAST(0 AS DECIMAL(28,14)), (acc, x) ->
-         |  CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)) AS DECIMAL(28,14))) AS DOUBLE))""".stripMargin
+    // fused exact-decimal kernel — bit-identical to the declarative
+    // DECIMAL(28,14) HOF fold (FunctionsSpec pins it) minus interpreted
+    // lambda eval on the corpus × queries scan
+    graft.functions.GraftFunctions.register(s)
+    val dot = "decimal_dot(q_emb, embedding)"
+    def normSq(c: String) = s"SQRT(decimal_dot($c, $c))"
     // Norms are per-VECTOR, so compute them once per side before the join —
     // not per pair (which would redo the corpus norm #queries times).
     // Identical double values either way, so the oracle (which inlines the
@@ -815,7 +811,118 @@ object SimilarityQueries {
        |FROM keyed ORDER BY keyed.priority, doc_id LIMIT 50""".stripMargin
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication = cluster the
+    * embedding space, then find near-duplicate PAIRS only within each
+    * cluster — the clustering bounds the quadratic pair join to
+    * Σ_c |c|² instead of n², which is the entire reason the method scales
+    * (the paper runs it on LAION at 10⁸+ rows with k in the thousands).
+    * Here: 64 deterministic seed centroids (vec_id < 64), exact-decimal
+    * nearest-centroid assignment (the q_kmeans_step spelling), within-
+    * cluster exact-decimal cosine ≥ 0.35 as the duplicate predicate
+    * (the synthetic embeddings are near-orthogonal — 0.97 on real data),
+    * connected components over the duplicate edges, and a per-cluster
+    * dedup report: members, edges, duplicate groups, rows a keep-one
+    * policy would remove, and the keep rate. Scale: the centroid table
+    * broadcasts (k rows); the pair join is an equi-join ON CLUSTER;
+    * components run in O(log diameter) rounds over edges only.
+    */
+  def qSemdedup(s: SparkSession, dir: String): DataFrame = {
+    // exact-decimal kernels (decimal_sqdist / decimal_dot): bit-identical
+    // to the HOF spellings (FunctionsSpec pins this) minus the interpreted
+    // lambda eval that would otherwise dominate the pair scan
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val cents = e.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", expr("decimal_sqdist(embedding, ce)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+      .localCheckpoint() // referenced by pairs (twice), members, and the
+                         // component→cluster lookup; without materializing,
+                         // the 64-way assignment crossJoin re-runs per ref
+    val emb = e.withColumn("nrm", expr("SQRT(decimal_dot(embedding, embedding))"))
+    val side = assigned.join(emb.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+    val edges = side.select(col("cid"), col("vec_id").as("va"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      .join(side.select(col("cid"), col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("cid"))
+      .where(col("va") < col("vb"))
+      .select(col("cid"), col("va"), col("vb"),
+        (expr("decimal_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= 0.35)
+      .select(col("cid"), col("va"), col("vb"))
+      .localCheckpoint() // the pair join is the expensive stage and is
+                         // referenced twice (components + per-cluster edge
+                         // counts); materialized it is |edges| rows
+    val comp = graft.ops.ConnectedComponents.run(edges, "va", "vb")
+    val gstat = comp.join(assigned.select(col("vec_id").as("node"), col("cid")), "node")
+      .groupBy(col("cid"), col("component")).agg(count(lit(1)).as("sz"))
+    val gagg = gstat.groupBy(col("cid")).agg(
+      count(lit(1)).as("n_groups"), sum(col("sz") - 1).cast("bigint").as("n_removed"))
+    val estat = edges.groupBy(col("cid")).agg(count(lit(1)).as("n_edges"))
+    val cstat = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    cstat.join(estat, Seq("cid"), "left").join(gagg, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_edges", "n_groups", "n_removed"))
+      .select(col("cid"), col("n_members"), col("n_edges"),
+        col("n_groups"), col("n_removed"),
+        expr("""ROUND(CAST(n_members - n_removed AS DOUBLE) /
+               |  CAST(n_members AS DOUBLE), 6)""".stripMargin).as("keep_rate"))
+  }
+
+  val qSemdedupSql: String =
+    """WITH RECURSIVE
+      |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 64),
+      |d AS (SELECT v.vec_id, c.cid,
+      |        SUM(CAST((CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.ce[CAST(i AS INT)] AS DOUBLE))
+      |               * (CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.ce[CAST(i AS INT)] AS DOUBLE))
+      |            AS DECIMAL(28,14))) AS dist
+      |      FROM embeddings v, c, UNNEST(range(1, len(v.embedding) + 1)) AS u(i)
+      |      GROUP BY 1, 2),
+      |a AS (SELECT vec_id, cid FROM (
+      |        SELECT vec_id, cid,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |        FROM d) t WHERE rn = 1),
+      |nrm AS (SELECT vec_id,
+      |        SQRT(CAST(SUM(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+      |                    * CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
+      |      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+      |      GROUP BY vec_id),
+      |p AS (SELECT a1.cid, a1.vec_id AS va, a2.vec_id AS vb,
+      |        CAST(SUM(CAST(CAST(e1.embedding[CAST(i AS INT)] AS DOUBLE)
+      |                    * CAST(e2.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+      |      FROM a a1 JOIN a a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+      |        JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+      |        JOIN embeddings e2 ON e2.vec_id = a2.vec_id,
+      |        UNNEST(range(1, len(e1.embedding) + 1)) AS u(i)
+      |      GROUP BY 1, 2, 3),
+      |edges0 AS (SELECT p.cid, p.va, p.vb
+      |      FROM p JOIN nrm x ON x.vec_id = p.va JOIN nrm y ON y.vec_id = p.vb
+      |      WHERE p.dot / (x.nrm * y.nrm) >= 0.35),
+      |edges AS (SELECT va AS a, vb AS b FROM edges0
+      |          UNION SELECT vb, va FROM edges0),
+      |reach(node, lbl) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+      |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+      |gstat AS (SELECT a.cid, comp.component, COUNT(*) AS sz
+      |      FROM comp JOIN a ON a.vec_id = comp.node GROUP BY 1, 2),
+      |gagg AS (SELECT cid, COUNT(*) AS n_groups,
+      |        CAST(SUM(sz - 1) AS BIGINT) AS n_removed FROM gstat GROUP BY cid),
+      |estat AS (SELECT cid, COUNT(*) AS n_edges FROM edges0 GROUP BY cid),
+      |cstat AS (SELECT cid, COUNT(*) AS n_members FROM a GROUP BY cid)
+      |SELECT cid, n_members, COALESCE(n_edges, 0) AS n_edges,
+      |  COALESCE(n_groups, 0) AS n_groups, COALESCE(n_removed, 0) AS n_removed,
+      |  ROUND(CAST(n_members - COALESCE(n_removed, 0) AS DOUBLE) /
+      |    CAST(n_members AS DOUBLE), 6) AS keep_rate
+      |FROM cstat LEFT JOIN estat USING (cid) LEFT JOIN gagg USING (cid)""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_semdedup" -> ((qSemdedup _, Some(qSemdedupSql))),
     "q_quantize" -> ((qQuantize _, Some(qQuantizeSql))),
     "q_split" -> ((qSplit _, Some(qSplitSql))),
     "q_weighted_sample" -> ((qWeightedSample _, Some(qWeightedSampleSql))),

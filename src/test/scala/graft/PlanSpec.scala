@@ -37,7 +37,10 @@ class PlanSpec extends SparkSpec {
       // 1-row scalar-totals broadcast-cross: AUC's cumulative-negatives
       // pass, KS's two ECDF passes + (na, nb) totals row, DSIR's
       // (nc, nt, v) totals row riding the vocab-sized LM table
-      "q_auc", "q_ks_test", "q_dsir_weights")
+      "q_auc", "q_ks_test", "q_dsir_weights",
+      // SemDeDup's nearest-centroid assignment: 64-row centroid table
+      // broadcast-crossed against the corpus (the q_kmeans_step shape)
+      "q_semdedup")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =

@@ -183,4 +183,57 @@ class FunctionsSpec extends SparkSpec {
       "SELECT cosine_similarity(array(1.0F, 2.0F), array(1.0F, 2.0F)) AS c").collect().head
     assert(math.abs(ok.getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("decimal_dot / decimal_sqdist ≡ the decimal HOF spellings on the real corpus") {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.GraftFunctions.register(spark)
+    val dotHof =
+      """CAST(aggregate(zip_with(ea, eb, (a, b) ->
+        |  CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,14))),
+        |  CAST(0 AS DECIMAL(28,14)), (acc, x) -> CAST(acc + x AS DECIMAL(28,14))) AS DOUBLE)""".stripMargin
+    // sqdist keeps the exact DECIMAL(28,14) (consumers order by it)
+    val sqHof =
+      """aggregate(zip_with(ea, eb, (x, y) ->
+        |    CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+        |       * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(28,14))),
+        |  CAST(0 AS DECIMAL(28,14)), (acc, v) -> CAST(acc + v AS DECIMAL(28,14)))""".stripMargin
+    val e = graft.Tables.embeddings(spark, sfDir)
+    // adjacent-id pairs: every corpus vector participates on both sides
+    val pairs = e.select(col("vec_id"), col("embedding").as("ea"))
+      .join(e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("eb")), "vec_id")
+    val both = pairs.select(
+      expr(dotHof).as("dot_hof"), expr("decimal_dot(ea, eb)").as("dot_k"),
+      expr(sqHof).as("sq_hof"), expr("decimal_sqdist(ea, eb)").as("sq_k"),
+      expr("decimal_dot(ea, ea)").as("self_k"),
+      expr(
+        """CAST(aggregate(ea, CAST(0 AS DECIMAL(28,14)), (acc, x) ->
+          |  CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)) AS DECIMAL(28,14))) AS DOUBLE)""".stripMargin)
+        .as("self_hof"))
+      .collect()
+    assert(both.nonEmpty)
+    for (r <- both) {
+      // bit-identity, not within-epsilon: compare raw IEEE bits
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"dot mismatch: $r")
+      assert(r.getDecimal(2) == r.getDecimal(3), s"sqdist mismatch: $r")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(4)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(5)), s"self-dot mismatch: $r")
+    }
+    // NULL parity: NULL array / NULL element / length mismatch → NULL;
+    // empty arrays → 0.0 (the fold's decimal zero)
+    val edge = spark.sql(
+      """SELECT decimal_dot(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)) AS a,
+        |       decimal_dot(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F)) AS b,
+        |       decimal_dot(array(1.0F), array(1.0F, 2.0F)) AS c,
+        |       decimal_dot(CAST(array() AS ARRAY<FLOAT>), CAST(array() AS ARRAY<FLOAT>)) AS d,
+        |       decimal_sqdist(array(1.0F), array(1.0F, 2.0F)) AS e""".stripMargin).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2) && edge.isNullAt(4))
+    assert(edge.getDouble(3) == 0.0)
+    // long fixed-point overflow falls back to the BigDecimal loop with the
+    // same result (terms near the scale-14 long limit)
+    val big = spark.sql(
+      """SELECT decimal_dot(array(60000.0F, 60000.0F, 60000.0F),
+        |                   array(1.0F, 1.0F, 1.0F)) AS v""".stripMargin).collect().head
+    assert(big.getDouble(0) == 180000.0)
+  }
 }

@@ -42,6 +42,40 @@ class LearnSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_bpe_encode's token histogram matches the in-JVM BPE segmentation") {
+    // same reference BPE as the merges test, but keep the segmented words
+    // and roll up the token histogram after all 3 merges
+    val wf = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w")).filter(col("w") =!= "")
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var words: Map[Vector[String], Long] =
+      wf.groupBy { case (w, _) => w.map(_.toString).toVector }
+        .map { case (k, vs) => k -> vs.values.sum }
+    for (_ <- 1 to 3) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- words; Seq(a, b) <- syms.sliding(2))
+        pc((a, b)) = pc.getOrElse((a, b), 0L) + f
+      val ((l, r), _) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      words = words.groupBy { case (syms, _) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += l + r; i += 2 }
+          else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }.map { case (k, vs) => k -> vs.values.sum }
+    }
+    val hist = scala.collection.mutable.Map[String, Long]()
+    for ((syms, f) <- words; t <- syms) hist(t) = hist.getOrElse(t, 0L) + f
+    val expected = hist.toSeq.sortBy { case (t, n) => (-n, t) }.take(30)
+      .map { case (t, n) => (t, t.length, n) }
+    val got = LearnQueries.qBpeEncode(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("q_kneser_ney is a proper distribution: Σ_w2 P_KN(w2|w1) = 1") {
     // rebuild the integer count tables in-engine, then check the mass
     // identity exactly in BigDecimal for the three largest w1 contexts
