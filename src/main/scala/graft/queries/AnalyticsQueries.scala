@@ -546,7 +546,49 @@ object AnalyticsQueries {
       |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
       |GROUP BY 1 ORDER BY n_occurrences DESC, pattern LIMIT 20""".stripMargin
 
+  /** Mutual information between two categorical corpus facets (lang ×
+    * source) — the dependence screen for mixture design ("does source
+    * composition leak language?") and for categorical feature selection.
+    * I(X;Y) = Σ_xy p(xy)·ln(p(xy)/(p(x)p(y))) spelled over integer counts
+    * as (Σ_xy n_xy·[ln(n_xy·N) − ln(n_x·n_y)]) / N so every logarithm is
+    * LN of an integer (products stay far under 2^53 at verify scale);
+    * per-cell terms cast to DECIMAL(28,14) and decimal-summed — the
+    * q_perplexity exactness recipe. Output: N, the number of contingency
+    * cells, and MI in nats. Scale: ONE corpus hash-aggregate builds the
+    * contingency table; everything after is #cells-sized, with the
+    * marginals broadcast.
+    */
+  def qMutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val conf = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_xy"))
+    val rx = conf.groupBy(col("lang")).agg(sum(col("n_xy")).cast("bigint").as("n_x"))
+    val cy = conf.groupBy(col("source")).agg(sum(col("n_xy")).cast("bigint").as("n_y"))
+    val scal = conf.agg(sum(col("n_xy")).cast("bigint").as("n"))
+    conf.join(broadcast(rx), "lang").join(broadcast(cy), "source")
+      .crossJoin(broadcast(scal))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_cells"),
+        sum(expr(
+          """CAST(CAST(n_xy * (LN(CAST(n_xy * n AS DOUBLE)) - LN(CAST(n_x * n_y AS DOUBLE)))
+            |  AS DOUBLE) AS DECIMAL(28,14))""".stripMargin))
+          .cast("double").as("mi_num"))
+      .select(col("n"), col("n_cells"),
+        r6(col("mi_num") / col("n")).as("mi_nats"))
+  }
+
+  val qMutualInfoSql: String =
+    """WITH conf AS (SELECT lang, source, COUNT(*) AS n_xy
+      |              FROM documents GROUP BY lang, source),
+      |rx AS (SELECT lang, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM conf GROUP BY lang),
+      |cy AS (SELECT source, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM conf GROUP BY source),
+      |sc AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM conf)
+      |SELECT MAX(n) AS n, COUNT(*) AS n_cells,
+      |  ROUND(CAST(SUM(
+      |    CAST(CAST(n_xy * (LN(CAST(n_xy * n AS DOUBLE)) - LN(CAST(n_x * n_y AS DOUBLE)))
+      |      AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / MAX(n), 6) AS mi_nats
+      |FROM conf JOIN rx USING (lang) JOIN cy USING (source), sc""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_mutual_info" -> ((qMutualInfo _, Some(qMutualInfoSql))),
     "q_sequence_mining" -> ((qSequenceMining _, Some(qSequenceMiningSql))),
     "q_pagerank" -> ((qPagerank _, Some(qPagerankSql))),
     "q_triangles" -> ((qTriangles _, Some(qTrianglesSql))),

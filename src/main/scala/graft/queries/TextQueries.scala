@@ -914,7 +914,64 @@ object TextQueries {
        |FROM est ORDER BY est DESC, bigram LIMIT 15""".stripMargin
   }
 
+  /** PMI collocation extraction — the classic corpus-linguistics signal for
+    * multiword expressions (Church & Hanks 1990; also the association
+    * measure word2vec's SGNS implicitly factorizes, Levy & Goldberg 2014):
+    * PMI(w1,w2) = ln P(w1w2)/(P(w1)P(w2)), spelled over integer counts as
+    * ln c12 + 2·ln N − ln T − ln c1 − ln c2 (N = token instances, T =
+    * bigram instances) so every logarithm is LN of an integer — the
+    * engine-exactness recipe of q_perplexity. A min-count filter (c12 ≥ 5)
+    * suppresses the low-frequency PMI blow-up, the standard practice.
+    * Ranking is on the ROUNDED pmi with a bigram tie-break (house rule:
+    * a last-ulp difference can never reorder the LIMIT). Scale: two
+    * vocabulary-sized hash aggregates; unigram counts broadcast-join onto
+    * the bigram table (shuffle join keyed on the word at web scale); the
+    * two scalar totals ride as ONE broadcast row.
+    */
+  def qPmi(s: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(s, dir)
+      .withColumn("tk", toks)
+    val uni = tk.select(explode(col("tk")).as("w"))
+    val n1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = tk.filter(size(col("tk")) >= 2)
+      .select(explode(ngrams("tk", 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val scal = tk.agg(
+      sum(size(col("tk"))).cast("bigint").as("n_tok"),
+      sum(greatest(size(col("tk")) - 1, lit(0))).cast("bigint").as("t_bi"))
+    bi.join(broadcast(n1.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(n1.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(scal))
+      .select(col("bigram"), col("c12"), col("c1"), col("c2"),
+        expr("""ROUND(LN(CAST(c12 AS DOUBLE)) + 2.0 * LN(CAST(n_tok AS DOUBLE))
+               |  - LN(CAST(t_bi AS DOUBLE)) - LN(CAST(c1 AS DOUBLE))
+               |  - LN(CAST(c2 AS DOUBLE)), 6)""".stripMargin).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val qPmiSql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      |uni AS (SELECT UNNEST(tk) AS w FROM t),
+      |n1 AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+      |bi AS (SELECT tk[i] || ' ' || tk[i+1] AS bigram
+      |       FROM t, UNNEST(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2),
+      |bc AS (SELECT bigram, COUNT(*) AS c12 FROM bi GROUP BY bigram HAVING COUNT(*) >= 5),
+      |sc AS (SELECT CAST(SUM(len(tk)) AS BIGINT) AS n_tok,
+      |              CAST(SUM(GREATEST(len(tk) - 1, 0)) AS BIGINT) AS t_bi FROM t)
+      |SELECT bigram, c12, a.c AS c1, b.c AS c2,
+      |  ROUND(LN(CAST(c12 AS DOUBLE)) + 2.0 * LN(CAST(n_tok AS DOUBLE))
+      |    - LN(CAST(t_bi AS DOUBLE)) - LN(CAST(a.c AS DOUBLE))
+      |    - LN(CAST(b.c AS DOUBLE)), 6) AS pmi
+      |FROM bc JOIN n1 a ON a.w = string_split(bigram, ' ')[1]
+      |        JOIN n1 b ON b.w = string_split(bigram, ' ')[2], sc
+      |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_pmi" -> ((qPmi _, Some(qPmiSql))),
     "q_heavy_hitters" -> ((qHeavyHitters _, Some(qHeavyHittersSql))),
     "q_boilerplate" -> ((qBoilerplate _, Some(qBoilerplateSql))),
     "q_zipf" -> ((qZipf _, Some(qZipfSql))),

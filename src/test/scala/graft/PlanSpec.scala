@@ -40,7 +40,10 @@ class PlanSpec extends SparkSpec {
       "q_auc", "q_ks_test", "q_dsir_weights",
       // SemDeDup's nearest-centroid assignment: 64-row centroid table
       // broadcast-crossed against the corpus (the q_kmeans_step shape)
-      "q_semdedup")
+      "q_semdedup",
+      // 1-row scalar-totals broadcast-cross: PMI's (n_tok, t_bi) pair on
+      // the bigram table, MI's grand total on the contingency table
+      "q_pmi", "q_mutual_info")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =

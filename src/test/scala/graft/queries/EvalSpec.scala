@@ -110,6 +110,50 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("q_mutual_info matches the in-JVM contingency MI and its bounds") {
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toDouble
+    val nxy = rows.groupBy(identity).map { case (k, v) => k -> v.length }
+    val nx = rows.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val ny = rows.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val mi = nxy.map { case ((x, y), c) =>
+      c * (math.log(c.toDouble * n) - math.log(nx(x).toDouble * ny(y)))
+    }.sum / n
+    val got = AnalyticsQueries.qMutualInfo(spark, sfDir).collect().head
+    assert(got.getLong(0) == rows.length.toLong)
+    assert(got.getLong(1) == nxy.size.toLong)
+    assert(math.abs(got.getDouble(2) - mi) < 1e-4, s"MI ${got.getDouble(2)} vs $mi")
+    // information-theoretic bounds: 0 <= I(X;Y) <= min(H(X), H(Y))
+    def h(m: Map[String, Int]): Double =
+      m.values.map { c => val p = c / n; -p * math.log(p) }.sum
+    assert(got.getDouble(2) >= 0.0 && got.getDouble(2) <= math.min(h(nx), h(ny)) + 1e-9)
+  }
+
+  test("q_pmi matches the in-JVM collocation scores") {
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+    val toks = texts.map(_.split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bi = toks.filter(_.length >= 2)
+      .flatMap(t => t.sliding(2).map(p => p.head + " " + p(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 5)
+    val nTok = toks.map(_.length.toLong).sum
+    val tBi = toks.map(t => math.max(t.length - 1, 0).toLong).sum
+    def r6d(d: Double) = new JBigDecimal(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    val expected = bi.toSeq.map { case (b, c12) =>
+      val Array(w1, w2) = b.split(" ", 2)
+      val pmi = r6d(math.log(c12.toDouble) + 2.0 * math.log(nTok.toDouble) -
+        math.log(tBi.toDouble) - math.log(uni(w1).toDouble) - math.log(uni(w2).toDouble))
+      (b, c12, uni(w1), uni(w2), pmi)
+    }.sortBy { case (b, _, _, _, p) => (-p, b) }.take(20)
+    val got = TextQueries.qPmi(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+  }
+
   test("q_dsir_weights matches an in-JVM likelihood-ratio reference and " +
        "ranks the target slice above the rest on average") {
     val docs = Tables.documents(spark, sfDir)
