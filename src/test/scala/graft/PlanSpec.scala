@@ -145,6 +145,23 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("exact-similarity queries run the fused decimal kernels, not interpreted HOF folds") {
+    // a regression back to the aggregate(zip_with(...)) spelling would be
+    // bit-identical but pay per-element interpreted lambda eval on every
+    // scored pair — the classic silent 5× on an exact-arithmetic corpus scan
+    // (q_semdedup's kernels sit behind localCheckpoint lineage cuts, so its
+    // printed plan cannot witness them — its spellings are shared with the
+    // queries below, and the FunctionsSpec pin covers the kernels themselves)
+    for (q <- Seq("q_cosine_topk", "q_embedding_neardup",
+                  "q_ann_fullprobe", "q_ann_ivf")) {
+      val plan = planOf(q)
+      assert(plan.contains("decimal_dot"),
+        s"$q does not use the fused decimal_dot kernel")
+      assert(!plan.contains("zip_with"),
+        s"$q still evaluates an interpreted zip_with fold")
+    }
+  }
+
   test("shuffle joins get a runtime bloom filter from a selective build side") {
     // The non-partitioned analog of dynamic partition pruning: when the
     // fact is NOT laid out on the join key and the join is too big to
