@@ -58,8 +58,59 @@ object PipelineQueries {
       |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
       |GROUP BY o_orderstatus""".stripMargin
 
+  /** The LLM-corpus curation chain as Pipeline stages — the realistic
+    * composition every training-data pipeline runs nightly, end-to-end as
+    * ONE gated query: quality gate (length + token floor) → language gate
+    * (target mixture) → exact dedup on the normalized text (keep the
+    * lowest doc_id per canonical form — window per hash, never a global
+    * sort) → deterministic 75% hash sample (content-addressed: a doc's
+    * fate never changes when the corpus grows) → per-language rollup.
+    * Every stage is a narrow filter or a partitioned window over one hash
+    * shuffle; Catalyst fuses the filters into the scan.
+    */
+  def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = sha2(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "), 256)
+    Pipeline(Tables.documents(s, dir))
+      .stage("quality_gate")(df => df
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .filter(col("n_chars") >= 50 && col("n_tokens") >= 10))
+      .stage("lang_gate")(df => df.filter(col("lang").isin("en", "de", "fr", "es")))
+      .stage("exact_dedup")(df => df
+        .withColumn("norm_hash", norm)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1))
+      .stage("hash_sample")(df => df
+        .filter(expr(Exact.md5IntExpr("CAST(doc_id AS STRING)", 1, 2)) < 192))
+      .stage("rollup")(df => df.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"),
+        sum(col("n_tokens")).cast("bigint").as("total_tokens")))
+      .plan
+  }
+
+  val qCurationPipelineSql: String =
+    s"""WITH q AS (SELECT doc_id, lang, n_chars, text,
+       |        len(string_split(text, ' ')) AS n_tokens
+       |      FROM documents
+       |      WHERE n_chars >= 50 AND len(string_split(text, ' ')) >= 10
+       |        AND lang IN ('en', 'de', 'fr', 'es')),
+       |d AS (SELECT *, ROW_NUMBER() OVER (
+       |        PARTITION BY sha256(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
+       |        ORDER BY doc_id) AS rn
+       |      FROM q),
+       |sam AS (SELECT * FROM d WHERE rn = 1
+       |        AND ${Exact.md5IntSql("CAST(doc_id AS VARCHAR)", 1, 2)} < 192)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM sam GROUP BY lang""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_pipeline_chain" -> ((qPipelineChain _, Some(qPipelineChainSql))),
-    "q_pipeline_relational" -> ((qPipelineRelational _, Some(qPipelineRelationalSql)))
+    "q_pipeline_relational" -> ((qPipelineRelational _, Some(qPipelineRelationalSql))),
+    "q_curation_pipeline" -> ((qCurationPipeline _, Some(qCurationPipelineSql)))
   )
 }

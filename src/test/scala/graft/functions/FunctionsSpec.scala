@@ -184,6 +184,30 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(ok.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("property: decimal kernels equal an independent BigDecimal fold on random floats") {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // genuinely independent reference: scala-side fold, not the SQL HOF
+    def ref(x: Seq[Float], y: Seq[Float], term: (Double, Double) => Double): JBD =
+      x.zip(y).foldLeft(JBD.ZERO) { case (acc, (a, b)) =>
+        acc.add(JBD.valueOf(term(a.toDouble, b.toDouble)).setScale(14, RM.HALF_UP))
+      }
+    val genVec = Gen.chooseNum(1, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100.0f, 100.0f)))
+    val gen = for { x <- genVec; y <- Gen.listOfN(x.length, Gen.chooseNum(-100.0f, 100.0f)) } yield (x, y)
+    val prop = Prop.forAllNoShrink(gen) { case (x, y) =>
+      val row = Seq((x, y)).toDF("x", "y")
+        .selectExpr("decimal_dot(x, y) AS d", "decimal_sqdist(x, y) AS s")
+        .collect().head
+      row.getDouble(0) == ref(x, y, _ * _).doubleValue() &&
+        row.getDecimal(1).compareTo(ref(x, y, (a, b) => (a - b) * (a - b))) == 0
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("decimal_dot / decimal_sqdist ≡ the decimal HOF spellings on the real corpus") {
     import org.apache.spark.sql.functions.{col, expr}
     graft.functions.GraftFunctions.register(spark)
