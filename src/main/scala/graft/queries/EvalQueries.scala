@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -312,7 +313,86 @@ object EvalQueries {
       |SELECT i, w1, w1 + COALESCE(dw, 0) AS w2
       |FROM w1 LEFT JOIN dw USING (i)""".stripMargin
 
+  /** NDCG@10 of the exact cosine ranking against class-membership
+    * relevance (neighbor relevant ⟺ same label as the query) — the
+    * standard retrieval-quality metric (Järvelin & Kekäläinen 2002),
+    * grading the ANN/similarity stack's RANKING quality where q_auc
+    * grades a scalar score. DCG terms are rel/log2(rank+1), spelled
+    * rel·LN(2)/LN(rank+1) so every logarithm is LN of a small integer (or
+    * the literal 2.0) — engine-identical doubles — and both the DCG and
+    * the ideal-DCG sums accumulate in DECIMAL(28,14) (the q_perplexity
+    * recipe). IDCG uses min(n_rel, 10) ideal hits. Ranking reuses the
+    * q_cosine_topk algebra: fused decimal_dot cosine ROUNDED to 6 dp with
+    * a vec_id tie-break, so both engines rank identically. Scale: queries
+    * broadcast; the corpus streams through one scan; everything after the
+    * top-k is #queries-sized.
+    */
+  def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .withColumn("nrm", expr("SQRT(decimal_dot(embedding, embedding))"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_norm"), col("label").as("q_label"))
+    val scored = broadcast(queries).crossJoin(e)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        r6(expr("decimal_dot(q_emb, embedding)") / (col("q_norm") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val top = scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+      .withColumn("rel", when(col("label") === col("q_label"), 1L).otherwise(0L))
+    val dcg = top.groupBy(col("q_id"), col("q_label")).agg(
+      sum(col("rel")).cast("bigint").as("hits_at_10"),
+      sum(expr(
+        """CAST(CAST(CAST(rel AS DOUBLE) * LN(2.0) / LN(CAST(rnk + 1 AS DOUBLE)) AS DOUBLE)
+          |  AS DECIMAL(28,14))""".stripMargin)).cast("double").as("dcg"))
+    val nRel = scored.filter(col("label") === col("q_label"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_rel"))
+    dcg.join(nRel, "q_id")
+      .withColumn("idcg", expr(
+        """CAST(aggregate(transform(sequence(1, CAST(LEAST(n_rel, 10) AS INT)),
+          |    i -> CAST(CAST(LN(2.0) / LN(CAST(i + 1 AS DOUBLE)) AS DOUBLE) AS DECIMAL(28,14))),
+          |  CAST(0 AS DECIMAL(28,14)), (acc, v) -> CAST(acc + v AS DECIMAL(28,14))) AS DOUBLE)""".stripMargin))
+      .select(col("q_id"), col("n_rel"), col("hits_at_10"),
+        r6(col("dcg")).as("dcg_at_10"),
+        r6(col("dcg") / col("idcg")).as("ndcg_at_10"))
+  }
+
+  val qNdcgSql: String =
+    """WITH nr AS (SELECT vec_id,
+      |        SQRT(CAST(list_sum(list_transform(embedding, x ->
+      |          CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE)) AS nrm,
+      |        embedding, label
+      |      FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_norm, label AS q_label
+      |      FROM nr WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q_id, q_label, c.vec_id, c.label,
+      |    ROUND(
+      |      CAST(list_sum(list_transform(range(1, len(q_emb) + 1), i ->
+      |        CAST(CAST(q_emb[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE)
+      |      / (q_norm * c.nrm), 6) AS cosine
+      |  FROM q CROSS JOIN nr c WHERE q_id <> c.vec_id),
+      |top AS (SELECT q_id, q_label, label,
+      |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+      |      FROM scored QUALIFY rnk <= 10),
+      |dcg AS (SELECT q_id, q_label,
+      |        CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10,
+      |        CAST(SUM(CAST(CAST(CAST(CASE WHEN label = q_label THEN 1 ELSE 0 END AS DOUBLE)
+      |            * LN(2.0) / LN(CAST(rnk + 1 AS DOUBLE)) AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dcg
+      |      FROM top GROUP BY q_id, q_label),
+      |rel AS (SELECT q_id, COUNT(*) AS n_rel FROM scored WHERE label = q_label GROUP BY q_id),
+      |idcg AS (SELECT q_id,
+      |        CAST(list_sum(list_transform(range(1, LEAST(n_rel, 10) + 1), i ->
+      |          CAST(CAST(LN(2.0) / LN(CAST(i + 1 AS DOUBLE)) AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE) AS idcg
+      |      FROM rel)
+      |SELECT q_id, n_rel, hits_at_10,
+      |  ROUND(dcg, 6) AS dcg_at_10,
+      |  ROUND(dcg / idcg, 6) AS ndcg_at_10
+      |FROM dcg JOIN rel USING (q_id) JOIN idcg USING (q_id)""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_ndcg" -> ((qNdcg _, Some(qNdcgSql))),
     "q_dsir_weights" -> ((qDsirWeights _, Some(qDsirWeightsSql))),
     "q_auc" -> ((qAuc _, Some(qAucSql))),
     "q_classifier_metrics" -> ((qClassifierMetrics _, Some(qClassifierMetricsSql))),

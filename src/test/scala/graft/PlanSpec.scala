@@ -43,7 +43,9 @@ class PlanSpec extends SparkSpec {
       "q_semdedup",
       // 1-row scalar-totals broadcast-cross: PMI's (n_tok, t_bi) pair on
       // the bigram table, MI's grand total on the contingency table
-      "q_pmi", "q_mutual_info")
+      "q_pmi", "q_mutual_info",
+      // the broadcast-queries exact cosine scan (q_cosine_topk's shape)
+      "q_ndcg")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =

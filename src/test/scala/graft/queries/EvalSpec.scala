@@ -110,6 +110,40 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("q_ndcg matches an in-JVM NDCG@10 over the same rounded-cosine ranking") {
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getAs[Number](2).longValue))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => BigDecimal(p * q).setScale(14, BigDecimal.RoundingMode.HALF_UP) }.sum
+      (dot(a, b) / BigDecimal(math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble)))
+        .toDouble
+    }
+    def r6d(d: Double) = new JBigDecimal(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    val got = EvalQueries.qNdcg(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    for ((qid, qe, ql) <- rows.filter(_._1 < 10)) {
+      val scored = rows.filter(_._1 != qid).map { case (id, e, l) =>
+        // the query rounds the cosine before ranking; replicate that
+        val c = r6d(BigDecimal(cos(qe, e)).toDouble)
+        (id, l, c)
+      }
+      val top = scored.sortBy { case (id, _, c) => (-c, id) }.take(10)
+      val nRel = scored.count(_._2 == ql).toLong
+      val dcg = top.zipWithIndex.map { case ((_, l, _), i) =>
+        if (l == ql) math.log(2.0) / math.log((i + 2).toDouble) else 0.0
+      }.sum
+      val idcg = (1 to math.min(nRel, 10L).toInt).map(i =>
+        math.log(2.0) / math.log((i + 1).toDouble)).sum
+      val (gotNRel, gotHits, gotNdcg) = got(qid)
+      assert(gotNRel == nRel, s"q$qid n_rel")
+      assert(gotHits == top.count(_._2 == ql).toLong, s"q$qid hits")
+      assert(math.abs(gotNdcg - dcg / idcg) < 1e-4, s"q$qid ndcg $gotNdcg vs ${dcg / idcg}")
+    }
+  }
+
   test("q_mutual_info matches the in-JVM contingency MI and its bounds") {
     val rows = Tables.documents(spark, sfDir)
       .select(col("lang"), col("source")).collect()
