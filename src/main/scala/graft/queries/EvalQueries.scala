@@ -391,8 +391,47 @@ object EvalQueries {
       |  ROUND(dcg / idcg, 6) AS ndcg_at_10
       |FROM dcg JOIN rel USING (q_id) JOIN idcg USING (q_id)""".stripMargin
 
+  /** Per-(label, dim) feature standardization statistics — the fit half of
+    * a z-score normalizer (the transform half is one broadcast join +
+    * (v − mean)/std away), the feature-engineering prerequisite for any
+    * distance-based model over raw embeddings. Exact decimal moment sums
+    * (the qCentroids scale-14 algebra, one hash aggregate with map-side
+    * partials); the standard deviation is the only nonlinear step and is
+    * spelled identically in both engines then rounded. Output bounded to
+    * the first 8 dimensions (the stats shape is identical per dim).
+    */
+  def qFeatureScaling(s: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .filter(col("dim") < 8)
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("double").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
+          .cast("double").as("ssum"),
+        sum(expr(
+          "CAST(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(28,14)) AS DECIMAL(28,14))"))
+          .cast("double").as("ssq"))
+      .select(col("label"), col("dim"), col("n"),
+        expr("ROUND(ssum / n, 6)").as("mean_v"),
+        expr("ROUND(SQRT(ssq / n - (ssum / n) * (ssum / n)), 6)").as("std_v"))
+  }
+
+  val qFeatureScalingSql: String =
+    """WITH e AS (SELECT label, CAST(i - 1 AS INT) AS dim, embedding[CAST(i AS INT)] AS v
+      |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+      |           WHERE i - 1 < 8),
+      |m AS (SELECT label, dim, COUNT(*) AS n,
+      |        CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS ssum,
+      |        CAST(SUM(CAST(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(28,14)) AS DECIMAL(28,14))) AS DOUBLE) AS ssq
+      |      FROM e GROUP BY label, dim)
+      |SELECT label, dim, n,
+      |  ROUND(ssum / n, 6) AS mean_v,
+      |  ROUND(SQRT(ssq / n - (ssum / n) * (ssum / n)), 6) AS std_v
+      |FROM m""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_ndcg" -> ((qNdcg _, Some(qNdcgSql))),
+    "q_feature_scaling" -> ((qFeatureScaling _, Some(qFeatureScalingSql))),
     "q_dsir_weights" -> ((qDsirWeights _, Some(qDsirWeightsSql))),
     "q_auc" -> ((qAuc _, Some(qAucSql))),
     "q_classifier_metrics" -> ((qClassifierMetrics _, Some(qClassifierMetricsSql))),

@@ -144,6 +144,24 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("q_feature_scaling matches in-JVM per-dimension moments") {
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getSeq[Float](1).toArray))
+    val got = EvalQueries.qFeatureScaling(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    for (label <- rows.map(_._1).distinct; dim <- 0 until 8) {
+      val vs = rows.filter(_._1 == label).map(_._2(dim).toDouble)
+      val mean = vs.sum / vs.length
+      val std = math.sqrt(vs.map(v => v * v).sum / vs.length - mean * mean)
+      val (n, gm, gs) = got((label, dim))
+      assert(n == vs.length.toLong)
+      assert(math.abs(gm - mean) < 1e-4, s"($label,$dim) mean")
+      assert(math.abs(gs - std) < 1e-4, s"($label,$dim) std")
+    }
+  }
+
   test("q_mutual_info matches the in-JVM contingency MI and its bounds") {
     val rows = Tables.documents(spark, sfDir)
       .select(col("lang"), col("source")).collect()
