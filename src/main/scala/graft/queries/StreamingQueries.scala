@@ -259,7 +259,52 @@ object StreamingQueries {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_nationkey""".stripMargin
 
+  /** The curation chain's streaming twin (q_curation_pipeline is the batch
+    * flagship): documents arrive as a file stream, pass the same quality +
+    * language gates, and a streaming (lang, canonical-form) aggregate
+    * carries the dedup state; the drained complete-mode table then rolls
+    * up per language — distinct canonical forms, gated docs, and the
+    * duplicate count a keep-one policy would drop. The rollup is over the
+    * (lang, hash) COUNTS, which are arrival-order INVARIANT — gating a
+    * survivor-dependent attribute (a particular doc's n_chars) would make
+    * the streaming result depend on file order, which is exactly the
+    * nondeterminism a correctness gate must not encode. Scale: dedup
+    * state is one row per distinct canonical form (the minimum any exact
+    * streaming dedup carries); gates are stateless and fuse into the scan.
+    */
+  def qStreamCuration(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val docs = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val norm = sha2(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "), 256)
+    val perForm = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(col("n_chars") >= 50 && col("n_tokens") >= 10)
+      .filter(col("lang").isin("en", "de", "fr", "es"))
+      .withColumn("norm_hash", norm)
+      .groupBy(col("lang"), col("norm_hash"))
+      .agg(count(lit(1)).as("c"))
+    drainToMemory(perForm, "graft_stream_curation", "complete")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_forms"),
+        sum(col("c")).cast("bigint").as("n_docs"),
+        (sum(col("c")) - count(lit(1))).cast("bigint").as("n_dups"))
+  }
+
+  val qStreamCurationSql: String =
+    """WITH q AS (SELECT lang,
+      |        sha256(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_hash
+      |      FROM documents
+      |      WHERE n_chars >= 50 AND len(string_split(text, ' ')) >= 10
+      |        AND lang IN ('en', 'de', 'fr', 'es')),
+      |g AS (SELECT lang, norm_hash, COUNT(*) AS c FROM q GROUP BY 1, 2)
+      |SELECT lang, COUNT(*) AS n_forms, CAST(SUM(c) AS BIGINT) AS n_docs,
+      |  CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dups
+      |FROM g GROUP BY lang""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_stream_curation" -> ((qStreamCuration _, Some(qStreamCurationSql))),
     "q_stream_enrich" -> ((qStreamEnrich _, Some(qStreamEnrichSql))),
     "q_stream_join" -> ((qStreamJoin _, Some(qStreamJoinSql))),
     "q_stream_tumbling" -> ((qStreamTumbling _, Some(qStreamTumblingSql))),
