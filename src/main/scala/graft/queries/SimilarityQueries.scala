@@ -921,8 +921,107 @@ object SimilarityQueries {
       |    CAST(n_members AS DOUBLE), 6) AS keep_rate
       |FROM cstat LEFT JOIN estat USING (cid) LEFT JOIN gagg USING (cid)""".stripMargin
 
+  /** Sketch-accuracy audit for the MinHash pipeline: for every LSH
+    * candidate pair, the ESTIMATED Jaccard (fraction of agreeing minhash
+    * components — the unbiased MinHash estimator) next to the EXACT
+    * shingle Jaccard and the estimator error. This is the diagnostic that
+    * tells you whether 8 hashes / 4×2 banding is enough for the corpus at
+    * hand before the thresholded dedup runs — q_approx_distinct's
+    * "audit the sketch against truth" pattern applied to MinHash. Both
+    * columns are integer ratios (agreeing components / 8, intersection /
+    * union), so the gate is exact. Same signature/banding spellings as
+    * q_minhash_lsh. Scale: identical to q_minhash_lsh — the exact column
+    * is computed only for LSH candidates, never all pairs.
+    */
+  def qMinhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val numHashes = 8
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).cache()
+    val bandKeys = (0 until numHashes / 2).map { b =>
+      concat(col(s"h${b * 2}"), col(s"h${b * 2 + 1}"))
+    }
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sigA = sig.select(col("doc_id").as("doc_a") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"a$i")): _*)
+    val sigB = sig.select(col("doc_id").as("doc_b") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"b$i")): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = broadcast(cand)
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    broadcast(cand)
+      .join(sigA, "doc_a").join(sigB, "doc_b")
+      .withColumn("n_match", matches)
+      .select(col("doc_a"), col("doc_b"), col("n_match"))
+      .join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("inter"))
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        expr("ROUND(CAST(n_match AS DOUBLE) / 8.0, 6)").as("est_jaccard"),
+        expr("""ROUND(CAST(inter AS DOUBLE) /
+               |  CAST(za.n_sh + zb.n_sh - inter AS DOUBLE), 6)""".stripMargin)
+          .as("exact_jaccard"),
+        expr("""ROUND(ABS(CAST(n_match AS DOUBLE) / 8.0 - CAST(inter AS DOUBLE) /
+               |  CAST(za.n_sh + zb.n_sh - inter AS DOUBLE)), 6)""".stripMargin)
+          .as("abs_err"))
+  }
+
+  val qMinhashEstimateSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+      |       FROM t, UNNEST(range(1, len(tk)-1)) AS u(i)),
+      |sig AS (SELECT doc_id,
+      |  min(md5('0:' || shingle)) AS h0,  min(md5('1:' || shingle)) AS h1,
+      |  min(md5('2:' || shingle)) AS h2,  min(md5('3:' || shingle)) AS h3,
+      |  min(md5('4:' || shingle)) AS h4,  min(md5('5:' || shingle)) AS h5,
+      |  min(md5('6:' || shingle)) AS h6,  min(md5('7:' || shingle)) AS h7
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, h0||h1 AS bkey FROM sig UNION ALL
+      |  SELECT doc_id, 1, h2||h3 FROM sig UNION ALL
+      |  SELECT doc_id, 2, h4||h5 FROM sig UNION ALL
+      |  SELECT doc_id, 3, h6||h7 FROM sig),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+      |         WHERE x.doc_id < y.doc_id),
+      |m AS (SELECT doc_a, doc_b,
+      |        CAST((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END) + (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END) + (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END) + (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END) + (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS n_match
+      |      FROM cand JOIN sig a ON a.doc_id = doc_a JOIN sig b ON b.doc_id = doc_b),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |ints AS (SELECT doc_a, doc_b, COUNT(*) AS inter
+      |        FROM cand JOIN sh sa ON sa.doc_id = doc_a
+      |                  JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+      |        GROUP BY doc_a, doc_b)
+      |SELECT doc_a, doc_b, n_match,
+      |  ROUND(CAST(n_match AS DOUBLE) / 8.0, 6) AS est_jaccard,
+      |  ROUND(CAST(COALESCE(inter, 0) AS DOUBLE) /
+      |    CAST(za.n_sh + zb.n_sh - COALESCE(inter, 0) AS DOUBLE), 6) AS exact_jaccard,
+      |  ROUND(ABS(CAST(n_match AS DOUBLE) / 8.0 - CAST(COALESCE(inter, 0) AS DOUBLE) /
+      |    CAST(za.n_sh + zb.n_sh - COALESCE(inter, 0) AS DOUBLE)), 6) AS abs_err
+      |FROM m LEFT JOIN ints USING (doc_a, doc_b)
+      |  JOIN sizes za ON za.doc_id = doc_a
+      |  JOIN sizes zb ON zb.doc_id = doc_b""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_semdedup" -> ((qSemdedup _, Some(qSemdedupSql))),
+    "q_minhash_est" -> ((qMinhashEstimate _, Some(qMinhashEstimateSql))),
     "q_quantize" -> ((qQuantize _, Some(qQuantizeSql))),
     "q_split" -> ((qSplit _, Some(qSplitSql))),
     "q_weighted_sample" -> ((qWeightedSample _, Some(qWeightedSampleSql))),
