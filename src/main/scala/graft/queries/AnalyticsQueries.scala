@@ -587,8 +587,127 @@ object AnalyticsQueries {
       |      AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / MAX(n), 6) AS mi_nats
       |FROM conf JOIN rx USING (lang) JOIN cy USING (source), sc""".stripMargin
 
+  /** Winsorization (percentile clipping) per event type — the robust-stats
+    * outlier treatment every metrics/feature pipeline applies before
+    * means: clip values to the [p05, p95] DISCRETE percentiles. The
+    * bounds are rank-defined data values (rank ⌈p·n⌉ under a per-group
+    * sort), NOT interpolated — so both engines derive bit-identical
+    * bounds by construction, the clip comparisons are exact, and the
+    * clipped sum stays on the money-scale decimal path (clipped values
+    * are actual 2-dp data values). Ties in `value` leave rank-r's VALUE
+    * well-defined regardless of tie order, so row_number needs no
+    * tie-break. Scale: one partitioned window (per event type) + one
+    * broadcast of the #types×2 bounds table; no global sort.
+    */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val counts = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val bounds = ev.withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === expr("(5 * n + 99) DIV 100"), col("value"))).as("p05"),
+        max(when(col("rn") === expr("(95 * n + 99) DIV 100"), col("value"))).as("p95"))
+    ev.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        r6(max(col("p05"))).as("p05"),
+        r6(max(col("p95"))).as("p95"),
+        sum(when(col("value") < col("p05"), 1L).otherwise(0L)).cast("bigint").as("n_clip_lo"),
+        sum(when(col("value") > col("p95"), 1L).otherwise(0L)).cast("bigint").as("n_clip_hi"),
+        dsum(least(greatest(col("value"), col("p05")), col("p95"))).as("sum_clipped"))
+  }
+
+  val qWinsorizeSql: String =
+    """WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+      |r AS (SELECT event_type, value,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn
+      |      FROM events),
+      |b AS (SELECT r.event_type,
+      |        MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN value END) AS p05,
+      |        MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS p95
+      |      FROM r JOIN c USING (event_type) GROUP BY r.event_type)
+      |SELECT event_type, COUNT(*) AS n,
+      |  ROUND(MAX(p05), 6) AS p05, ROUND(MAX(p95), 6) AS p95,
+      |  CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+      |  CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+      |  CAST(SUM(CAST(LEAST(GREATEST(value, p05), p95) AS DECIMAL(12,4))) AS DOUBLE) AS sum_clipped
+      |FROM events JOIN b USING (event_type) GROUP BY event_type""".stripMargin
+
+  /** Spearman rank correlation between value and the JSON payload metric
+    * per event type — the robust (monotonic, outlier-insensitive)
+    * companion to q_correlation's Pearson r. Tie-corrected via AVERAGE
+    * ranks, carried as the INTEGER 2·rank (R2 = 2·cnt_below + cnt_at + 1),
+    * so every moment sum (n, Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT
+    * and the only nonlinear step is the final Pearson-on-ranks division,
+    * rounded with one shared spelling. Ranks come from per-type DISTINCT-
+    * value tables (a partitioned window over #distinct rows, never the
+    * corpus), joined back — the scalable rank shape.
+    */
+  def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .filter(col("k").isNotNull)
+    def ranks(c: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.groupBy(col("event_type"), col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .select(col("event_type"), col(c),
+          (lit(2L) * col("cum") - col("cnt") + 1L).as(out))
+    }
+    val withRanks = ev
+      .join(ranks("value", "r2x"), Seq("event_type", "value"))
+      .join(ranks("k", "r2y"), Seq("event_type", "k"))
+    val rho =
+      """ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)""".stripMargin
+    withRanks.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r2x")).cast("bigint").as("sx"),
+        sum(col("r2y")).cast("bigint").as("sy"),
+        sum(col("r2x") * col("r2y")).cast("bigint").as("sxy"),
+        sum(col("r2x") * col("r2x")).cast("bigint").as("sxx"),
+        sum(col("r2y") * col("r2y")).cast("bigint").as("syy"))
+      .select(col("event_type"), col("n"), expr(rho).as("spearman_rho"))
+  }
+
+  val qSpearmanSql: String =
+    """WITH ev AS (SELECT event_type, value, CAST(props->>'$.k' AS BIGINT) AS k
+      |            FROM events WHERE props->>'$.k' IS NOT NULL),
+      |rx AS (SELECT event_type, value, 2 * SUM(COUNT(*)) OVER (
+      |          PARTITION BY event_type ORDER BY value
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |        - COUNT(*) + 1 AS r2x
+      |      FROM ev GROUP BY event_type, value),
+      |ry AS (SELECT event_type, k, 2 * SUM(COUNT(*)) OVER (
+      |          PARTITION BY event_type ORDER BY k
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |        - COUNT(*) + 1 AS r2y
+      |      FROM ev GROUP BY event_type, k),
+      |j AS (SELECT ev.event_type, r2x, r2y
+      |      FROM ev JOIN rx USING (event_type, value) JOIN ry USING (event_type, k)),
+      |m AS (SELECT event_type, COUNT(*) AS n,
+      |        CAST(SUM(r2x) AS BIGINT) AS sx, CAST(SUM(r2y) AS BIGINT) AS sy,
+      |        CAST(SUM(r2x * r2y) AS BIGINT) AS sxy,
+      |        CAST(SUM(r2x * r2x) AS BIGINT) AS sxx,
+      |        CAST(SUM(r2y * r2y) AS BIGINT) AS syy
+      |      FROM j GROUP BY event_type)
+      |SELECT event_type, n,
+      |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS spearman_rho
+      |FROM m""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_mutual_info" -> ((qMutualInfo _, Some(qMutualInfoSql))),
+    "q_winsorize" -> ((qWinsorize _, Some(qWinsorizeSql))),
+    "q_spearman" -> ((qSpearman _, Some(qSpearmanSql))),
     "q_sequence_mining" -> ((qSequenceMining _, Some(qSequenceMiningSql))),
     "q_pagerank" -> ((qPagerank _, Some(qPagerankSql))),
     "q_triangles" -> ((qTriangles _, Some(qTrianglesSql))),

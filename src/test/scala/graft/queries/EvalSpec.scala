@@ -206,6 +206,53 @@ class EvalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_spearman matches an in-JVM tie-corrected rank correlation") {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .filter(col("k").isNotNull).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    def avgRanks[T](xs: Seq[T])(implicit ord: Ordering[T]): Map[T, Double] = {
+      val sorted = xs.sorted
+      xs.distinct.map { v =>
+        val below = sorted.count(ord.lt(_, v)); val at = sorted.count(ord.equiv(_, v))
+        v -> (below + (at + 1) / 2.0)
+      }.toMap
+    }
+    val got = AnalyticsQueries.qSpearman(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    for (t <- rows.map(_._1).distinct) {
+      val g = rows.filter(_._1 == t)
+      val rx = avgRanks(g.map(_._2).toSeq); val ry = avgRanks(g.map(_._3).toSeq)
+      val xs = g.map(e => rx(e._2)); val ys = g.map(e => ry(e._3))
+      val n = g.length.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val rho = cov / math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum *
+        ys.map(b => (b - my) * (b - my)).sum)
+      assert(math.abs(got(t) - rho) < 1e-4, s"$t: ${got(t)} vs $rho")
+    }
+  }
+
+  test("q_winsorize clips to in-JVM rank-percentile bounds") {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val got = AnalyticsQueries.qWinsorize(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    def r6d(d: Double) = new JBigDecimal(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    for (t <- rows.map(_._1).distinct) {
+      val vs = rows.filter(_._1 == t).map(_._2).sorted
+      val n = vs.length
+      val p05 = vs((5 * n + 99) / 100 - 1); val p95 = vs((95 * n + 99) / 100 - 1)
+      val (gn, g05, g95, glo, ghi) = got(t)
+      assert(gn == n.toLong)
+      assert(g05 == r6d(p05) && g95 == r6d(p95), s"$t bounds")
+      assert(glo == vs.count(_ < p05).toLong && ghi == vs.count(_ > p95).toLong, s"$t clips")
+    }
+  }
+
   test("q_dsir_weights matches an in-JVM likelihood-ratio reference and " +
        "ranks the target slice above the rest on average") {
     val docs = Tables.documents(spark, sfDir)
