@@ -704,7 +704,98 @@ object AnalyticsQueries {
       |       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS spearman_rho
       |FROM m""".stripMargin
 
+  /** OHLC time-bar resampling — collapse the event stream into hourly
+    * bars per event type: open/close = first/last value in the bar
+    * (deterministic tie-break on event_id), high/low = max/min, volume =
+    * decimal-exact sum. The classic downsampling shape for any metered
+    * stream (ticks → candles, telemetry → rollups). Open/close are picked
+    * by a per-bar window row_number in BOTH engines — not arg_min/max,
+    * whose tie rules differ across engines; the window's (ts, event_id)
+    * order is total, so the pick is unique. Scale: windows and the
+    * aggregate are all partitioned by (event_type, bar) — one hash
+    * shuffle, per-partition sorts bounded by bar occupancy, no global
+    * anything.
+    */
+  def qOhlc(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("bar", date_trunc("hour", col("ts")))
+    val wAsc = Window.partitionBy(col("event_type"), col("bar"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy(col("event_type"), col("bar"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val picked = ev
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+    picked.groupBy(col("event_type"), col("bar"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        dsum(col("value")).as("volume"))
+  }
+
+  val qOhlcSql: String =
+    """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS bar, ts, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |                       ORDER BY ts ASC, event_id ASC) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |SELECT event_type, bar, COUNT(*) AS n,
+      |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS volume
+      |FROM e GROUP BY 1, 2""".stripMargin
+
+  /** Mergeable-sketch algebra: per-event-type Datasketches HLL sketches of
+    * the distinct user population, unioned across types and compared with
+    * (a) the sketch built over the whole stream in one pass and (b) the
+    * exact distinct count. THE 100 TB pattern this demonstrates is
+    * re-aggregability: per-partition/per-day sketches can be stored small
+    * and combined later without touching raw data — union-then-estimate
+    * must land where build-once does. Like q_approx_distinct, the sketch
+    * VALUE is engine-specific, so the gate checks the CONTRACT: exact
+    * counts as BIGINTs plus verdicts that each estimate sits within ±3%
+    * (lgK=12 → RSE ≈ 1.6%, 2σ) and that the union estimate stays within
+    * 1% of the one-pass global estimate. Scale: sketch build is one
+    * map-side-combinable aggregate; the union folds k sketch rows.
+    */
+  def qHllMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val per = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val unioned = per.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("union_est"))
+    val global = ev.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("global_est"),
+      count_distinct(col("user_id")).as("exact_all"))
+    val perType = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_n"))
+      .join(per.select(col("event_type"),
+        expr("hll_sketch_estimate(sk)").as("est")), "event_type")
+      .select(col("event_type"), col("exact_n").cast("bigint").as("exact_n"),
+        (abs(col("est") - col("exact_n")) <= col("exact_n") * 0.03).as("est_ok"))
+    val totals = global.crossJoin(broadcast(unioned))
+      .select(lit("ALL").as("event_type"),
+        col("exact_all").cast("bigint").as("exact_n"),
+        (abs(col("global_est") - col("exact_all")) <= col("exact_all") * 0.03 &&
+          abs(col("union_est") - col("global_est")) <= col("global_est") * 0.01)
+          .as("est_ok"))
+    perType.unionByName(totals)
+  }
+
+  val qHllMergeSql: String =
+    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_n,
+      |  TRUE AS est_ok
+      |FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_ohlc" -> ((qOhlc _, Some(qOhlcSql))),
+    "q_hll_merge" -> ((qHllMerge _, Some(qHllMergeSql))),
     "q_mutual_info" -> ((qMutualInfo _, Some(qMutualInfoSql))),
     "q_winsorize" -> ((qWinsorize _, Some(qWinsorizeSql))),
     "q_spearman" -> ((qSpearman _, Some(qSpearmanSql))),

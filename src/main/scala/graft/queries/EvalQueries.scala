@@ -429,7 +429,116 @@ object EvalQueries {
       |  ROUND(SQRT(ssq / n - (ssum / n) * (ssum / n)), 6) AS std_v
       |FROM m""".stripMargin
 
+  /** Cohen's kappa of the q_lang_id stopword heuristic vs the labeled lang
+    * column — chance-corrected agreement, the companion number to
+    * q_classifier_metrics' per-class P/R/F1 (accuracy alone flatters a
+    * classifier on this skewed 44%-en corpus; kappa subtracts what marginal
+    * guessing would score). Integer-exact end-to-end:
+    * kappa = (N·Σdiag − Σ_c row_c·col_c) / (N² − Σ_c row_c·col_c), both
+    * numerator and denominator gated as BIGINTs, one final IEEE division.
+    * Scale: the confusion matrix is classes²-sized — everything after the
+    * one corpus aggregate is arithmetic over a handful of rows.
+    */
+  def qCohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val en = "'the','and','of','is'"
+    val de = "'der','die','und','ist'"
+    val fr = "'le','la','et','est'"
+    val es = "'el','la','y','es'"
+    val conf = Tables.documents(s, dir)
+      .select(col("lang"),
+        expr(s"size(filter(split(text,' '), x -> x IN ($en)))").as("s_en"),
+        expr(s"size(filter(split(text,' '), x -> x IN ($de)))").as("s_de"),
+        expr(s"size(filter(split(text,' '), x -> x IN ($fr)))").as("s_fr"),
+        expr(s"size(filter(split(text,' '), x -> x IN ($es)))").as("s_es"))
+      .withColumn("predicted",
+        when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+          .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+    val tot = conf.agg(sum(col("n")).cast("bigint").as("n_total"),
+      sum(when(col("lang") === col("predicted"), col("n")).otherwise(0L))
+        .cast("bigint").as("diag"))
+    val rows = conf.groupBy(col("lang").as("cls")).agg(sum(col("n")).as("row_n"))
+    val cols = conf.groupBy(col("predicted").as("cls")).agg(sum(col("n")).as("col_n"))
+    val chance = rows.join(cols, "cls")
+      .agg(coalesce(sum(col("row_n") * col("col_n")), lit(0L)).cast("bigint").as("chance"))
+    tot.crossJoin(broadcast(chance))
+      .select(col("n_total"), col("diag"), col("chance"),
+        (col("n_total") * col("diag") - col("chance")).as("kappa_num"),
+        (col("n_total") * col("n_total") - col("chance")).as("kappa_den"),
+        r6(((col("n_total") * col("diag") - col("chance")).cast("double")) /
+          ((col("n_total") * col("n_total") - col("chance")).cast("double"))).as("kappa"))
+  }
+
+  val qCohensKappaSql: String =
+    """WITH scored AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('the','and','of','is'))) AS s_en,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('der','die','und','ist'))) AS s_de,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','est'))) AS s_fr,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('el','la','y','es'))) AS s_es
+      |  FROM documents),
+      |conf AS (SELECT lang,
+      |    CASE WHEN s_en >= GREATEST(s_de, s_fr, s_es) THEN 'en'
+      |         WHEN s_de >= GREATEST(s_fr, s_es) THEN 'de'
+      |         WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted,
+      |    COUNT(*) AS n
+      |  FROM scored GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+      |          CAST(SUM(CASE WHEN lang = predicted THEN n ELSE 0 END) AS BIGINT) AS diag
+      |        FROM conf),
+      |r AS (SELECT lang AS cls, SUM(n) AS row_n FROM conf GROUP BY 1),
+      |c AS (SELECT predicted AS cls, SUM(n) AS col_n FROM conf GROUP BY 1),
+      |ch AS (SELECT CAST(COALESCE(SUM(row_n * col_n), 0) AS BIGINT) AS chance
+      |       FROM r JOIN c USING (cls))
+      |SELECT n_total, diag, chance,
+      |  n_total * diag - chance AS kappa_num,
+      |  n_total * n_total - chance AS kappa_den,
+      |  ROUND(CAST(n_total * diag - chance AS DOUBLE) /
+      |        CAST(n_total * n_total - chance AS DOUBLE), 6) AS kappa
+      |FROM tot, ch""".stripMargin
+
+  /** Calibration / reliability diagram of the q_auc score against the
+    * binary label: 10 equal-width bins over the score's global range, per
+    * bin the mean predicted score vs the empirical positive rate — the
+    * standard diagnostic for whether a quality-filter score can be read as
+    * a probability. Bin edges derive from global min/max (two exact double
+    * comparisons — engine-identical), the bin index is FLOOR on identical
+    * doubles, the mean score is dMean14 decimal accumulation, and the
+    * positive rate is one final exact-integer division. Scale: one
+    * min/max pass (broadcast as a single row), one hash aggregate.
+    */
+  def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(
+      expr("CAST(element_at(embedding, 1) AS DOUBLE)").as("score"),
+      when(col("label") < 5, 1L).otherwise(0L).as("is_pos"))
+    val mm = e.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    e.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        least(lit(9L), floor((col("score") - col("lo")) / (col("hi") - col("lo")) * 10))
+          .cast("bigint"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("is_pos")).cast("bigint").as("n_pos"),
+        dMean14(col("score")).as("m"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        r6(col("m")).as("mean_score"),
+        r6(col("n_pos").cast("double") / col("n")).as("pos_rate"))
+  }
+
+  val qCalibrationSql: String =
+    """WITH e AS (SELECT CAST(embedding[1] AS DOUBLE) AS score,
+      |        CASE WHEN label < 5 THEN 1 ELSE 0 END AS is_pos FROM embeddings),
+      |mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM e)
+      |SELECT LEAST(9, CAST(FLOOR((score - lo) / (hi - lo) * 10) AS BIGINT)) AS bin,
+      |  COUNT(*) AS n, CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+      |  ROUND(CAST(SUM(CAST(score AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 6) AS mean_score,
+      |  ROUND(CAST(SUM(is_pos) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+      |FROM e, mm GROUP BY 1""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_cohens_kappa" -> ((qCohensKappa _, Some(qCohensKappaSql))),
+    "q_calibration" -> ((qCalibration _, Some(qCalibrationSql))),
     "q_ndcg" -> ((qNdcg _, Some(qNdcgSql))),
     "q_feature_scaling" -> ((qFeatureScaling _, Some(qFeatureScalingSql))),
     "q_dsir_weights" -> ((qDsirWeights _, Some(qDsirWeightsSql))),

@@ -1019,7 +1019,56 @@ object SimilarityQueries {
       |  JOIN sizes za ON za.doc_id = doc_a
       |  JOIN sizes zb ON zb.doc_id = doc_b""".stripMargin
 
+  /** Exact Jaccard similarity self-join at threshold 0.6 over word-3-
+    * shingle sets, via [[graft.ops.PrefixFilterJoin]] (AllPairs prefix
+    * filtering — Bayardo et al. WWW'07). Unlike q_ngram_jaccard's df-cap
+    * blocking (which trades recall for candidate-set size) and
+    * q_minhash_lsh (probabilistic recall), prefix filtering is EXACT with
+    * pruning: the output equals brute-force all-pairs, proven
+    * differentially in PrefixFilterJoinSpec; the oracle replicates the
+    * pruning CTE-for-CTE so the gate checks the whole pipeline (df ranking
+    * → prefix → length filter → verify). Shingle sets, not word sets: this
+    * corpus's small shared vocabulary makes word-SET similarity degenerate
+    * (≥0.6 for half of all pairs), while shingle similarity separates the
+    * planted near-dups (≈0.99) from everything else (≈0) — the same reason
+    * the MinHash family shingles first. All pruning comparisons are
+    * integer cross-multiplications — no float boundary exists anywhere.
+    */
+  def qJaccardJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.ops.PrefixFilterJoin
+      .jaccardSelfJoin(shingles(s, dir).withColumnRenamed("shingle", "tok"),
+        "doc_id", "tok", 6, 10)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("inter"), (col("n_a") + col("n_b") - col("inter")).as("union_sz"),
+        r6(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+          .as("jaccard"))
+  }
+
+  val qJaccardJoinSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |p AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS tok
+      |      FROM t, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM p GROUP BY doc_id),
+      |dfx AS (SELECT tok, COUNT(*) AS df FROM p GROUP BY tok),
+      |rk AS (SELECT p.doc_id, p.tok, n,
+      |         row_number() OVER (PARTITION BY p.doc_id ORDER BY df, p.tok) AS pos
+      |       FROM p JOIN dfx USING (tok) JOIN sz USING (doc_id)),
+      |pref AS (SELECT * FROM rk WHERE pos <= n - ((6 * n + 9) // 10) + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                a.n AS na, b.n AS nb
+      |         FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |         WHERE 10 * LEAST(a.n, b.n) >= 6 * GREATEST(a.n, b.n)),
+      |iv AS (SELECT doc_a, doc_b, na, nb, COUNT(*) AS inter
+      |       FROM cand JOIN p pa ON doc_a = pa.doc_id
+      |       JOIN p pb ON doc_b = pb.doc_id AND pa.tok = pb.tok
+      |       GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b, inter, na + nb - inter AS union_sz,
+      |  ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+      |FROM iv WHERE 10 * inter >= 6 * (na + nb - inter)""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_jaccard_join" -> ((qJaccardJoin _, Some(qJaccardJoinSql))),
     "q_semdedup" -> ((qSemdedup _, Some(qSemdedupSql))),
     "q_minhash_est" -> ((qMinhashEstimate _, Some(qMinhashEstimateSql))),
     "q_quantize" -> ((qQuantize _, Some(qQuantizeSql))),

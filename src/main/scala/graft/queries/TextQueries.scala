@@ -970,7 +970,44 @@ object TextQueries {
       |        JOIN n1 b ON b.w = string_split(bigram, ' ')[2], sc
       |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin
 
+  /** k-anonymity audit over the quasi-identifier (lang, source,
+    * 100-char length bucket): every equivalence class smaller than k=3 is
+    * a re-identification risk — the privacy-release companion to
+    * q_redact's content scrubbing (redaction hides WHAT a document says;
+    * k-anonymity measures whether its metadata alone singles it out).
+    * Emits each class with its size, the at-risk flag, and the share of
+    * the corpus it puts at risk (exact integer ratio, rounded once).
+    * Scale: one hash aggregate over the quasi-identifier (map-side
+    * partials); the total rides a single broadcast row.
+    */
+  def qKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val cls = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"),
+        (floor(col("n_chars") / 100) * 100).cast("bigint").as("len_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+    val tot = cls.agg(sum(col("class_size")).cast("bigint").as("n_total"))
+    cls.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("len_bucket"), col("class_size"),
+        (col("class_size") < k).as("at_risk"),
+        r6(when(col("class_size") < k, col("class_size")).otherwise(0L)
+          .cast("double") / col("n_total")).as("risk_share"))
+  }
+
+  val qKAnonymitySql: String =
+    """WITH cls AS (SELECT lang, source,
+      |         CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS len_bucket,
+      |         COUNT(*) AS class_size
+      |       FROM documents GROUP BY 1, 2, 3),
+      |tot AS (SELECT CAST(SUM(class_size) AS BIGINT) AS n_total FROM cls)
+      |SELECT lang, source, len_bucket, class_size,
+      |  class_size < 3 AS at_risk,
+      |  ROUND(CAST(CASE WHEN class_size < 3 THEN class_size ELSE 0 END AS DOUBLE)
+      |        / n_total, 6) AS risk_share
+      |FROM cls, tot""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_k_anonymity" -> ((qKAnonymity _, Some(qKAnonymitySql))),
     "q_pmi" -> ((qPmi _, Some(qPmiSql))),
     "q_heavy_hitters" -> ((qHeavyHitters _, Some(qHeavyHittersSql))),
     "q_boilerplate" -> ((qBoilerplate _, Some(qBoilerplateSql))),

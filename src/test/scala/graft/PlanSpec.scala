@@ -45,7 +45,13 @@ class PlanSpec extends SparkSpec {
       // the bigram table, MI's grand total on the contingency table
       "q_pmi", "q_mutual_info",
       // the broadcast-queries exact cosine scan (q_cosine_topk's shape)
-      "q_ndcg")
+      "q_ndcg",
+      // 1-row scalar broadcast-crosses: kappa's chance-agreement scalar,
+      // calibration's global (lo, hi) bounds row, k-anonymity's corpus
+      // total riding the class table
+      "q_cohens_kappa", "q_calibration", "q_k_anonymity",
+      // two 1-row sketch/estimate scalars crossed for the ALL verdict row
+      "q_hll_merge")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =

@@ -287,4 +287,56 @@ class EvalSpec extends SparkSpec {
     assert(avgPerTok(_._1 == "en") > avgPerTok(_._1 != "en"),
       "target slice does not out-score the rest per token")
   }
+
+  test("q_cohens_kappa matches a sequential confusion-matrix reference") {
+    val stop = Map(
+      "en" -> Set("the", "and", "of", "is"), "de" -> Set("der", "die", "und", "ist"),
+      "fr" -> Set("le", "la", "et", "est"), "es" -> Set("el", "la", "y", "es"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def predict(text: String): String = {
+      val tk = text.split(" ", -1)
+      val s = Seq("en", "de", "fr", "es").map(l => l -> tk.count(stop(l))).toMap
+      // same tie order as the query: en ≥ de ≥ fr ≥ es
+      if (s("en") >= Seq("de", "fr", "es").map(s).max) "en"
+      else if (s("de") >= Seq("fr", "es").map(s).max) "de"
+      else if (s("fr") >= s("es")) "fr" else "es"
+    }
+    val pairs = docs.map { case (lang, text) => (lang, predict(text)) }
+    val n = pairs.length.toLong
+    val diag = pairs.count { case (a, p) => a == p }.toLong
+    val rowN = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colN = pairs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val chance = rowN.keySet.intersect(colN.keySet)
+      .toSeq.map(c => rowN(c) * colN(c)).sum
+    val got = EvalQueries.qCohensKappa(spark, sfDir).collect().head
+    assert(got.getLong(0) == n && got.getLong(1) == diag)
+    assert(got.getLong(2) == chance, "chance-agreement term mismatch")
+    assert(got.getLong(3) == n * diag - chance, "kappa numerator")
+    assert(got.getLong(4) == n * n - chance, "kappa denominator")
+  }
+
+  test("q_calibration bins match a sequential reference and rates are exact") {
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(expr("CAST(element_at(embedding, 1) AS DOUBLE)").as("s"),
+        (col("label") < 5).as("p")).collect()
+      .map(r => (r.getDouble(0), r.getBoolean(1)))
+    val lo = rows.map(_._1).min; val hi = rows.map(_._1).max
+    val ref = rows.groupBy { case (s, _) =>
+      math.min(9L, math.floor((s - lo) / (hi - lo) * 10).toLong)
+    }.view.mapValues(xs => (xs.length.toLong, xs.count(_._2).toLong)).toMap
+    val got = EvalQueries.qCalibration(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(got.keySet == ref.keySet, "bin sets differ")
+    for ((bin, (n, np)) <- ref) {
+      assert(got(bin)._1 == n, s"bin $bin count")
+      assert(got(bin)._2 == np, s"bin $bin positives")
+      assert(got(bin)._3 == new JBigDecimal(np.toDouble / n)
+        .setScale(6, RoundingMode.HALF_UP).doubleValue(), s"bin $bin rate")
+    }
+    // the extremes should bracket the middle if the score carries any
+    // monotone signal — NOT asserted: the q_auc score is deliberately
+    // weak; this test pins arithmetic, not signal quality.
+  }
 }
