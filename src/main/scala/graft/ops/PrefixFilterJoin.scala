@@ -50,9 +50,12 @@ object PrefixFilterJoin {
       tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
     val id = col(idCol); val tok = col(tokCol)
-    val sizes = postings.groupBy(id).agg(count(lit(1)).as("__n"))
-    val dfTab = postings.groupBy(tok).agg(count(lit(1)).as("__df"))
-    val ranked = postings
+    // the postings feed four consumers (sizes, df, ranking, verify×2);
+    // without a cache each re-runs the upstream tokenization/shingling
+    val p = postings.cache()
+    val sizes = p.groupBy(id).agg(count(lit(1)).as("__n"))
+    val dfTab = p.groupBy(tok).agg(count(lit(1)).as("__df"))
+    val ranked = p
       .join(broadcast(dfTab), Seq(tokCol))
       .join(sizes, Seq(idCol))
       .withColumn("__pos",
@@ -67,12 +70,20 @@ object PrefixFilterJoin {
         least(col("n_a"), col("n_b")) * tDen >= greatest(col("n_a"), col("n_b")) * tNum)
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .distinct()
+    // Verification by array intersection, not a postings re-join: joining
+    // candidates back to the postings multiplies every candidate pair by
+    // its record length before the count (|cand|·avg_len shuffle rows —
+    // ~50× the candidate count on this corpus). Materializing each
+    // record's token set ONCE and intersecting per pair keeps the verify
+    // stage at |cand| rows; the per-pair intersect is bounded by record
+    // length, and postings are distinct so array_intersect counts set
+    // intersection exactly.
+    val docArr = p.groupBy(id).agg(collect_list(tok).as("__toks"))
     cand
-      .join(postings.as("pa"), col("id_a") === col(s"pa.$idCol"))
-      .join(postings.as("pb"),
-        col("id_b") === col(s"pb.$idCol") && col(s"pa.$tokCol") === col(s"pb.$tokCol"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(docArr.select(id.as("id_a"), col("__toks").as("__ta"))), Seq("id_a"))
+      .join(broadcast(docArr.select(id.as("id_b"), col("__toks").as("__tb"))), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
       .filter(col("inter") * tDen >= (col("n_a") + col("n_b") - col("inter")) * tNum)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("inter"))
   }
 }
