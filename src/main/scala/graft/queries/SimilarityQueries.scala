@@ -1067,7 +1067,96 @@ object SimilarityQueries {
       |  ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
       |FROM iv WHERE 10 * inter >= 6 * (na + nb - inter)""".stripMargin
 
+  /** LSH candidate-quality audit: recall and precision of the MinHash
+    * banding candidate set (q_minhash_lsh's 4×2 scheme, BEFORE its exact
+    * verify) against the TRUE ≥0.6-Jaccard pair set computed exactly by
+    * [[graft.ops.PrefixFilterJoin]] — the companion to q_minhash_est
+    * (which audits the ESTIMATOR; this audits the CANDIDATE GENERATOR).
+    * With exact ground truth now cheap (prefix filtering), the
+    * recall/precision of a probabilistic blocking scheme becomes a
+    * measurable, gateable quantity instead of a formula on a slide: the
+    * counts are exact BIGINTs, the two ratios are one IEEE division each.
+    * Scale: both pair-producers are equi-joins (band key / rare-prefix
+    * token); the audit join is pair-keyed; the three scalar counts ride
+    * 1-row frames.
+    */
+  def qLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    // band candidates — q_minhash_lsh's derivation, stopped before verify
+    val numHashes = 8; val rowsPerBand = 2
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bandKeys = (0 until numHashes / rowsPerBand).map { b =>
+      concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+    }
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct().cache()
+    val exact = graft.ops.PrefixFilterJoin
+      .jaccardSelfJoin(sh.withColumnRenamed("shingle", "tok"), "doc_id", "tok", 6, 10)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")).cache()
+    val tp = cand.join(exact, Seq("doc_a", "doc_b"), "left_semi")
+    val exN = exact.agg(count(lit(1)).as("n_exact"))
+    val cdN = cand.agg(count(lit(1)).as("n_candidates"))
+    val tpN = tp.agg(count(lit(1)).as("n_true_pos"))
+    exN.crossJoin(broadcast(cdN)).crossJoin(broadcast(tpN))
+      .select(col("n_exact"), col("n_candidates"), col("n_true_pos"),
+        r6(col("n_true_pos").cast("double") / col("n_exact")).as("recall"),
+        r6(col("n_true_pos").cast("double") / col("n_candidates")).as("precision"))
+  }
+
+  val qLshRecallSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+      |       FROM t, UNNEST(range(1, len(tk)-1)) AS u(i)),
+      |sig AS (SELECT doc_id,
+      |  min(md5('0:' || shingle)) AS h0,  min(md5('1:' || shingle)) AS h1,
+      |  min(md5('2:' || shingle)) AS h2,  min(md5('3:' || shingle)) AS h3,
+      |  min(md5('4:' || shingle)) AS h4,  min(md5('5:' || shingle)) AS h5,
+      |  min(md5('6:' || shingle)) AS h6,  min(md5('7:' || shingle)) AS h7
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, h0||h1 AS bkey FROM sig UNION ALL
+      |  SELECT doc_id, 1, h2||h3 FROM sig UNION ALL
+      |  SELECT doc_id, 2, h4||h5 FROM sig UNION ALL
+      |  SELECT doc_id, 3, h6||h7 FROM sig),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+      |         WHERE x.doc_id < y.doc_id),
+      |psz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pdf AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+      |prk AS (SELECT sh.doc_id, sh.shingle, n,
+      |          row_number() OVER (PARTITION BY sh.doc_id ORDER BY df, sh.shingle) AS pos
+      |        FROM sh JOIN pdf USING (shingle) JOIN psz USING (doc_id)),
+      |ppref AS (SELECT * FROM prk WHERE pos <= n - ((6 * n + 9) // 10) + 1),
+      |pcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                 a.n AS na, b.n AS nb
+      |          FROM ppref a JOIN ppref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          WHERE 10 * LEAST(a.n, b.n) >= 6 * GREATEST(a.n, b.n)),
+      |piv AS (SELECT doc_a, doc_b, na, nb, COUNT(*) AS inter
+      |        FROM pcand JOIN sh pa ON doc_a = pa.doc_id
+      |        JOIN sh pb ON doc_b = pb.doc_id AND pa.shingle = pb.shingle
+      |        GROUP BY 1, 2, 3, 4),
+      |exact AS (SELECT doc_a, doc_b FROM piv
+      |          WHERE 10 * inter >= 6 * (na + nb - inter)),
+      |tp AS (SELECT cand.doc_a, cand.doc_b FROM cand
+      |       WHERE EXISTS (SELECT 1 FROM exact e
+      |                     WHERE e.doc_a = cand.doc_a AND e.doc_b = cand.doc_b))
+      |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+      |  (SELECT COUNT(*) FROM cand) AS n_candidates,
+      |  (SELECT COUNT(*) FROM tp) AS n_true_pos,
+      |  ROUND(CAST((SELECT COUNT(*) FROM tp) AS DOUBLE) /
+      |        (SELECT COUNT(*) FROM exact), 6) AS recall,
+      |  ROUND(CAST((SELECT COUNT(*) FROM tp) AS DOUBLE) /
+      |        (SELECT COUNT(*) FROM cand), 6) AS precision""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_lsh_recall" -> ((qLshRecall _, Some(qLshRecallSql))),
     "q_jaccard_join" -> ((qJaccardJoin _, Some(qJaccardJoinSql))),
     "q_semdedup" -> ((qSemdedup _, Some(qSemdedupSql))),
     "q_minhash_est" -> ((qMinhashEstimate _, Some(qMinhashEstimateSql))),

@@ -51,7 +51,9 @@ class PlanSpec extends SparkSpec {
       // total riding the class table
       "q_cohens_kappa", "q_calibration", "q_k_anonymity",
       // two 1-row sketch/estimate scalars crossed for the ALL verdict row
-      "q_hll_merge")
+      "q_hll_merge",
+      // three 1-row count scalars crossed for the recall/precision row
+      "q_lsh_recall")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
