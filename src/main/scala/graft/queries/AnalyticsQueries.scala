@@ -793,7 +793,100 @@ object AnalyticsQueries {
       |UNION ALL
       |SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events""".stripMargin
 
+  /** Theta-sketch set algebra over the click/purchase user populations —
+    * the capability HLL cannot offer: sketches that INTERSECT and
+    * SUBTRACT, not just union. |A|, |B|, |A∩B|, |A∪B|, |A\B| are each
+    * estimated from the two per-type sketches and audited against exact
+    * distinct counts as contract verdicts (lgK=12 keeps the sketch in
+    * exact mode far beyond the verify cardinalities, so ±3% is generous;
+    * like q_approx_distinct/q_hll_merge the sketch VALUE is
+    * engine-specific and the CONTRACT is what gates). The 100 TB story:
+    * audience-overlap questions answered from kilobyte sketches without
+    * re-scanning either population. Scale: two map-side-combinable
+    * sketch aggregates + one exact-distinct pass for the audit.
+    */
+  def qThetaOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("event_type").isin("click", "purchase"))
+    // ONE partition for the 2-row sketch table: theta_intersection_agg's
+    // partial buffers cannot serialize EMPTY (an empty intersection is the
+    // infinite set — datasketches throws), and a global aggregate runs one
+    // partial per input partition, so any empty input partition (e.g. 13
+    // shuffle partitions under the hostile sweep) would crash the job.
+    val sk = ev.groupBy(col("event_type"))
+      .agg(expr("theta_sketch_agg(user_id, 12)").as("sk"))
+      .repartition(1)
+    val est = sk.agg(
+      expr("theta_sketch_estimate(theta_union_agg(sk, 12))").as("e_union"),
+      expr("theta_sketch_estimate(theta_intersection_agg(sk))").as("e_inter"))
+      .crossJoin(broadcast(sk.agg(expr(
+        """theta_sketch_estimate(theta_difference(
+          |  max_by(sk, event_type = 'click'),
+          |  max_by(sk, event_type = 'purchase')))""".stripMargin).as("e_diff"))))
+    val exact = ev.agg(
+      count_distinct(when(col("event_type") === "click", col("user_id"))).as("n_click"),
+      count_distinct(when(col("event_type") === "purchase", col("user_id"))).as("n_purchase"),
+      count_distinct(col("user_id")).as("n_union"))
+      .select(col("n_click"), col("n_purchase"), col("n_union"),
+        (col("n_click") + col("n_purchase") - col("n_union")).as("n_inter"),
+        (col("n_union") - col("n_purchase")).as("n_click_only"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_click").cast("bigint").as("n_click"),
+        col("n_purchase").cast("bigint").as("n_purchase"),
+        col("n_union").cast("bigint").as("n_union"),
+        col("n_inter").cast("bigint").as("n_inter"),
+        col("n_click_only").cast("bigint").as("n_click_only"),
+        (abs(col("e_union") - col("n_union")) <= col("n_union") * 0.03).as("union_ok"),
+        (abs(col("e_inter") - col("n_inter")) <= col("n_inter") * 0.03).as("inter_ok"),
+        (abs(col("e_diff") - col("n_click_only")) <= col("n_click_only") * 0.03)
+          .as("diff_ok"))
+  }
+
+  val qThetaOpsSql: String =
+    """WITH e AS (SELECT event_type, user_id FROM events
+      |           WHERE event_type IN ('click', 'purchase'))
+      |SELECT
+      |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS BIGINT) AS n_click,
+      |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS n_purchase,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_union,
+      |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+      |     + COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+      |     - COUNT(DISTINCT user_id) AS BIGINT) AS n_inter,
+      |  CAST(COUNT(DISTINCT user_id)
+      |     - COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS n_click_only,
+      |  TRUE AS union_ok, TRUE AS inter_ok, TRUE AS diff_ok
+      |FROM e""".stripMargin
+
+  /** Frequent-items sketch (Datasketches approx_top_k) audited against
+    * the exact token counts: the corpus vocabulary fits far inside
+    * maxItemsTracked=8192, so every tracked count is EXACT — the verdict
+    * demands the exact top-5 tokens (deterministic (count desc, token)
+    * order) each appear in the sketch's top-20 with their exact count.
+    * The one-pass mergeable alternative to q_heavy_hitters' exact
+    * two-pass groupBy when the item domain explodes. Scale: the sketch
+    * aggregate is map-side combinable; only the k-row audit joins it.
+    */
+  def qApproxTopk(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sk = tok.agg(expr("approx_top_k(tok, 20, 8192)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("tok"), col("e.count").as("sk_count"))
+    val exact = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(5)
+    exact.join(broadcast(sk), Seq("tok"), "left")
+      .select(col("tok"), col("n"),
+        (col("sk_count").isNotNull && col("sk_count") === col("n")).as("sketch_ok"))
+  }
+
+  val qApproxTopkSql: String =
+    """WITH t AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok
+      |      ORDER BY n DESC, tok LIMIT 5)
+      |SELECT tok, n, TRUE AS sketch_ok FROM c""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_theta_ops" -> ((qThetaOps _, Some(qThetaOpsSql))),
+    "q_approx_topk" -> ((qApproxTopk _, Some(qApproxTopkSql))),
     "q_ohlc" -> ((qOhlc _, Some(qOhlcSql))),
     "q_hll_merge" -> ((qHllMerge _, Some(qHllMergeSql))),
     "q_mutual_info" -> ((qMutualInfo _, Some(qMutualInfoSql))),

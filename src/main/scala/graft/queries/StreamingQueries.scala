@@ -303,7 +303,45 @@ object StreamingQueries {
       |  CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dups
       |FROM g GROUP BY lang""".stripMargin
 
+  /** Streaming OHLC bars — q_ohlc's STREAMING twin: hourly open/high/low/
+    * close/volume per event type as a complete-mode windowed aggregate.
+    * Open/close use min_by/max_by over the TOTAL (ts, event_id) struct
+    * order, which makes the final state arrival-order-INVARIANT — any
+    * micro-batch slicing folds to the same extremes (the batch query picks
+    * the same rows via window row_number; both are the unique order
+    * minimum/maximum). Volume is the same decimal accumulation as every
+    * batch sum. Gated against the IDENTICAL batch oracle as q_ohlc.
+    */
+  def qStreamOhlc(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "graft_stream_ohlc", "complete") { events =>
+      events
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          dsum(col("value")).as("volume"))
+        .select(col("event_type"), col("w.start").as("bar"), col("n"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"))
+    }
+
+  val qStreamOhlcSql: String =
+    """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS bar, ts, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |                       ORDER BY ts ASC, event_id ASC) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |SELECT event_type, bar, COUNT(*) AS n,
+      |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS volume
+      |FROM e GROUP BY 1, 2""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_stream_ohlc" -> ((qStreamOhlc _, Some(qStreamOhlcSql))),
     "q_stream_curation" -> ((qStreamCuration _, Some(qStreamCurationSql))),
     "q_stream_enrich" -> ((qStreamEnrich _, Some(qStreamEnrichSql))),
     "q_stream_join" -> ((qStreamJoin _, Some(qStreamJoinSql))),

@@ -53,12 +53,15 @@ class PlanSpec extends SparkSpec {
       // two 1-row sketch/estimate scalars crossed for the ALL verdict row
       "q_hll_merge",
       // three 1-row count scalars crossed for the recall/precision row
-      "q_lsh_recall")
+      "q_lsh_recall",
+      // 1-row sketch-estimate scalars crossed with the 1-row exact audit
+      "q_theta_ops")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
     Set("q_stream_tumbling", "q_stream_dedup", "q_stream_sliding", "q_stream_session",
-      "q_stream_custom_state", "q_stream_join", "q_stream_enrich", "q_stream_curation")
+      "q_stream_custom_state", "q_stream_join", "q_stream_enrich", "q_stream_curation",
+      "q_stream_ohlc")
 
   test("no query plans a CartesianProduct; BNLJ only where designed") {
     val bad = (for ((name, _) <- SparkEntry.queries.toSeq if !skipped(name)) yield {
