@@ -884,7 +884,48 @@ object AnalyticsQueries {
       |      ORDER BY n DESC, tok LIMIT 5)
       |SELECT tok, n, TRUE AS sketch_ok FROM c""".stripMargin
 
+  /** Robust outlier detection via median absolute deviation — the
+    * companion to q_zscore_outliers that a heavy-tailed value column
+    * actually needs (mean/std are themselves dragged by the outliers they
+    * are supposed to flag; median/MAD have a 50% breakdown point). Flag =
+    * |v − median| > 3·1.4826·MAD (1.4826 ≈ 1/Φ⁻¹(3/4) rescales MAD to a
+    * Gaussian σ). Both the median and the MAD are interpolated
+    * percentiles ROUNDED to 6dp before any downstream use — the two
+    * engines' interpolations can differ in the last ulp, so the contract
+    * is defined on the rounded statistics (the q_percentiles lesson
+    * applied to DERIVED statistics, not just reported ones). Scale: two
+    * percentile passes per group + one counting pass, all keyed on
+    * event_type.
+    */
+  def qAnomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(r6(expr("percentile(value, 0.5)")).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), col("med"))
+      .agg(r6(expr("percentile(abs(value - med), 0.5)")).as("mad"))
+    ev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("med")) > col("mad") * 4.4478, 1L)
+          .otherwise(0L)).cast("bigint").as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med"), col("mad"), col("n_outliers"))
+  }
+
+  val qAnomalyMadSql: String =
+    """WITH med AS (SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+      |             FROM events GROUP BY 1),
+      |mad AS (SELECT e.event_type, med,
+      |          ROUND(quantile_cont(abs(value - med), 0.5), 6) AS mad
+      |        FROM events e JOIN med USING (event_type) GROUP BY 1, 2)
+      |SELECT e.event_type, COUNT(*) AS n, med, mad,
+      |  CAST(SUM(CASE WHEN abs(value - med) > mad * 4.4478 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM events e JOIN mad USING (event_type)
+      |GROUP BY 1, 3, 4""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_anomaly_mad" -> ((qAnomalyMad _, Some(qAnomalyMadSql))),
     "q_theta_ops" -> ((qThetaOps _, Some(qThetaOpsSql))),
     "q_approx_topk" -> ((qApproxTopk _, Some(qApproxTopkSql))),
     "q_ohlc" -> ((qOhlc _, Some(qOhlcSql))),

@@ -1006,7 +1006,68 @@ object TextQueries {
       |        / n_total, 6) AS risk_share
       |FROM cls, tot""".stripMargin
 
+  /** BM25 document ranking for a fixed query — the retrieval scorer
+    * (Robertson/Spärck Jones) that q_tfidf's tf·idf weights feed in every
+    * search stack; here with k1=1.2, b=0.75 and the Lucene-style
+    * non-negative idf ln(1 + (N−df+0.5)/(df+0.5)). Query = {dup, query,
+    * hash} ('dup' is the planted-duplicate marker and the only rare term
+    * — BM25's idf weighting is visible in the output, not just decoration).
+    * Exactness: every LN argument is one double division of integer-
+    * valued doubles (engine-identical), per-term scores are cast to
+    * DECIMAL(28,14) and summed order-independently (the q_perplexity
+    * recipe), rank order uses the ROUNDED score with doc_id tie-break —
+    * total order, so both engines select the same top 50. Scale: the df
+    * table is vocabulary-sized (broadcast), doc lengths and the N/S
+    * scalars ride one broadcast row; one corpus aggregate, one top-k.
+    */
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("dup", "query", "hash")
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("tok")) // duplicates kept: true tf
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val scal = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val df_ = tf.filter(col("tok").isin(qTerms: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.filter(col("tok").isin(qTerms: _*))
+      .join(broadcast(df_), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scal))
+      .withColumn("term", expr(
+        """CAST(CAST(
+          |  LN(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+          |  * (CAST(tf AS DOUBLE) * 2.2)
+          |  / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+          |       * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))
+          |AS DOUBLE) AS DECIMAL(28,14))""".stripMargin))
+    scored.groupBy(col("doc_id"), col("dl"))
+      .agg(r6(sum(col("term")).cast("double")).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val qBm25Sql: String =
+    """WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM
+      |              (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      |            GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |scal AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      |dfx AS (SELECT tok, COUNT(*) AS df FROM tf
+      |        WHERE tok IN ('dup', 'query', 'hash') GROUP BY 1),
+      |t AS (SELECT tf.doc_id, dl.dl,
+      |        CAST(CAST(
+      |          LN(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |          * (CAST(tf AS DOUBLE) * 2.2)
+      |          / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |               * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))
+      |        AS DOUBLE) AS DECIMAL(28,14)) AS term
+      |      FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id), scal)
+      |SELECT doc_id, dl, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS bm25
+      |FROM t GROUP BY 1, 2
+      |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_bm25" -> ((qBm25 _, Some(qBm25Sql))),
     "q_k_anonymity" -> ((qKAnonymity _, Some(qKAnonymitySql))),
     "q_pmi" -> ((qPmi _, Some(qPmiSql))),
     "q_heavy_hitters" -> ((qHeavyHitters _, Some(qHeavyHittersSql))),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import Exact._
@@ -169,7 +170,45 @@ object WindowQueries {
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |) t WHERE rn = 3""".stripMargin
 
+  /** Time-weighted average value per user — the irregular-sampling mean
+    * every metering/pricing pipeline needs (a plain AVG over-weights busy
+    * intervals): each observation holds until the next one, so its weight
+    * is the gap to the successor, TWA = Σ value·Δt / Σ Δt. Δt is exact
+    * integer micros from a per-user lead(); the value·Δt products
+    * accumulate as decimals (the momentSums sxy pattern), the duration sum
+    * is a BIGINT, and the one division rounds once. The last observation
+    * per user has no successor and carries zero weight — emitted as
+    * n_weighted vs n_obs so the contract is visible. Scale: one per-user
+    * window (hash shuffle on user_id) + one hash aggregate; no global
+    * anything.
+    */
+  def qTwa(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("dt", unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_obs"),
+        count(col("dt")).as("n_weighted"),
+        sum(col("dt")).cast("bigint").as("total_us"),
+        sum((dec(col("value")) * col("dt")).cast(DecimalType(28, 4)))
+          .cast("double").as("vw_sum"))
+      .select(col("user_id"), col("n_obs"), col("n_weighted"), col("total_us"),
+        r6(col("vw_sum") / col("total_us")).as("twa_value"))
+  }
+
+  val qTwaSql: String =
+    """WITH e AS (SELECT user_id, value,
+      |    epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |      - epoch_us(ts) AS dt
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_obs, COUNT(dt) AS n_weighted,
+      |  CAST(SUM(dt) AS BIGINT) AS total_us,
+      |  ROUND(CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * dt AS DECIMAL(28,4))) AS DOUBLE)
+      |        / CAST(SUM(dt) AS BIGINT), 6) AS twa_value
+      |FROM e GROUP BY user_id""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_twa" -> ((qTwa _, Some(qTwaSql))),
     "q_window_navigation" -> ((qWindowNavigation _, Some(qWindowNavigationSql))),
     "q_window_rank" -> ((qWindowRank _, Some(qWindowRankSql))),
     "q_window_running" -> ((qWindowRunning _, Some(qWindowRunningSql))),

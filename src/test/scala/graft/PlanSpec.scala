@@ -55,7 +55,9 @@ class PlanSpec extends SparkSpec {
       // three 1-row count scalars crossed for the recall/precision row
       "q_lsh_recall",
       // 1-row sketch-estimate scalars crossed with the 1-row exact audit
-      "q_theta_ops")
+      "q_theta_ops",
+      // BM25's (n_docs, sum_dl) corpus scalars ride one broadcast row
+      "q_bm25")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
