@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1066,7 +1067,95 @@ object TextQueries {
       |FROM t GROUP BY 1, 2
       |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the hybrid-search
+    * combiner: fuse a LEXICAL ranking (q_bm25's top-50) with a VECTOR
+    * ranking (exact decimal cosine against a fixed query embedding,
+    * top-50) into one list via RRF(d) = Σ_r 1/(60 + rank_r(d)). Documents
+    * pair with embeddings by id (synthetic corpus convention); a doc
+    * retrieved by only one ranker contributes that one term — the
+    * standard union semantics. Exactness: ranks are integers from
+    * total-order (rounded score, id) windows, each 1/(60+rank) is one
+    * double division cast to DECIMAL(28,14), the fusion sum is decimal,
+    * the final order is (rounded rrf desc, doc_id). Scale: both rankers
+    * are top-k (TakeOrdered); the fusion windows run over the two 50-row
+    * lists — metadata-scale by construction.
+    */
+  def qRrf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val lex = qBm25(s, dir)
+      .withColumn("rank_lex",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_lex"))
+    val e = Tables.embeddings(s, dir)
+      .withColumn("nrm", expr("SQRT(decimal_dot(embedding, embedding))"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_norm"))
+    val vec = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        r6(expr("decimal_dot(q_emb, embedding)") / (col("q_norm") * col("nrm")))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id")).limit(50)
+      .withColumn("rank_vec",
+        row_number().over(Window.orderBy(col("cosine").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", expr(
+        """CAST(COALESCE(CAST(CAST(1.0 / (60 + rank_lex) AS DOUBLE) AS DECIMAL(28,14)), 0)
+          |   + COALESCE(CAST(CAST(1.0 / (60 + rank_vec) AS DOUBLE) AS DECIMAL(28,14)), 0)
+          | AS DECIMAL(28,14))""".stripMargin))
+      .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+        r6(col("rrf").cast("double")).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
+  }
+
+  val qRrfSql: String =
+    """WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM
+      |              (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      |            GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |scal AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      |dfx AS (SELECT tok, COUNT(*) AS df FROM tf
+      |        WHERE tok IN ('dup', 'query', 'hash') GROUP BY 1),
+      |t AS (SELECT tf.doc_id, dl.dl,
+      |        CAST(CAST(
+      |          LN(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |          * (CAST(tf AS DOUBLE) * 2.2)
+      |          / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |               * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))
+      |        AS DOUBLE) AS DECIMAL(28,14)) AS term
+      |      FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id), scal),
+      |bm AS (SELECT doc_id, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS bm25
+      |       FROM t GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 50),
+      |lex AS (SELECT doc_id,
+      |          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+      |        FROM bm),
+      |nrm AS (SELECT vec_id, embedding,
+      |          SQRT(CAST(list_sum(list_transform(embedding,
+      |            x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14))))
+      |            AS DOUBLE)) AS nrm
+      |        FROM embeddings),
+      |qv AS (SELECT embedding AS q_emb, nrm AS q_norm FROM nrm WHERE vec_id = 0),
+      |cos AS (SELECT vec_id AS doc_id,
+      |          ROUND(CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+      |            i -> CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+      |                    * CAST(q_emb[CAST(i AS INT)] AS DOUBLE)
+      |                  AS DECIMAL(28,14)))) AS DOUBLE) / (q_norm * nrm), 6) AS cosine
+      |        FROM nrm, qv WHERE vec_id <> 0
+      |        ORDER BY cosine DESC, doc_id LIMIT 50),
+      |vec AS (SELECT doc_id,
+      |          row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank_vec
+      |        FROM cos),
+      |f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, rank_lex, rank_vec,
+      |        CAST(COALESCE(CAST(CAST(1.0 / (60 + rank_lex) AS DOUBLE) AS DECIMAL(28,14)), 0)
+      |           + COALESCE(CAST(CAST(1.0 / (60 + rank_vec) AS DOUBLE) AS DECIMAL(28,14)), 0)
+      |         AS DECIMAL(28,14)) AS rrf
+      |      FROM lex FULL OUTER JOIN vec USING (doc_id))
+      |SELECT doc_id, rank_lex, rank_vec,
+      |  ROUND(CAST(rrf AS DOUBLE), 6) AS rrf_score
+      |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_rrf" -> ((qRrf _, Some(qRrfSql))),
     "q_bm25" -> ((qBm25 _, Some(qBm25Sql))),
     "q_k_anonymity" -> ((qKAnonymity _, Some(qKAnonymitySql))),
     "q_pmi" -> ((qPmi _, Some(qPmiSql))),

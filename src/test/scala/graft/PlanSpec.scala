@@ -57,7 +57,9 @@ class PlanSpec extends SparkSpec {
       // 1-row sketch-estimate scalars crossed with the 1-row exact audit
       "q_theta_ops",
       // BM25's (n_docs, sum_dl) corpus scalars ride one broadcast row
-      "q_bm25")
+      "q_bm25",
+      // the 1-row query-embedding broadcast-cross (q_cosine_topk's shape)
+      "q_rrf")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
