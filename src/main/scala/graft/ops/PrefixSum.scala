@@ -38,11 +38,39 @@ object PrefixSum {
     * parallelism.
     */
   def cumsum(df: DataFrame, value: Column, order: Seq[Column], out: String,
-             partitions: Int = 0): DataFrame = {
+             partitions: Int = 0): DataFrame =
+    scanAgg(df, value, order, out, partitions, sum(_),
+      // a left-of-everything partition contributes no offset: 0 for sum
+      (local, off) => local + coalesce(off, lit(0)))
+
+  /** Running minimum / maximum under a total order — the same two-phase
+    * scan with min/max as the (associative, commutative) combine. The
+    * partition-offset merge uses least/greatest, which SKIP a null offset
+    * (the first partition has no predecessors), so no identity element is
+    * needed.
+    */
+  def cummin(df: DataFrame, value: Column, order: Seq[Column], out: String,
+             partitions: Int = 0): DataFrame =
+    scanAgg(df, value, order, out, partitions, min(_), (l, o) => least(l, o))
+
+  def cummax(df: DataFrame, value: Column, order: Seq[Column], out: String,
+             partitions: Int = 0): DataFrame =
+    scanAgg(df, value, order, out, partitions, max(_), (l, o) => greatest(l, o))
+
+  /** The shared two-phase scan: `agg` is the running aggregate (must be
+    * associative + commutative so per-partition partials combine in any
+    * grouping), `merge(local, offset)` folds the strictly-earlier
+    * partitions' combined value (NULL when there are none) into the local
+    * running value.
+    */
+  private def scanAgg(df: DataFrame, value: Column, order: Seq[Column],
+                      out: String, partitions: Int,
+                      agg: Column => Column,
+                      merge: (Column, Column) => Column): DataFrame = {
     val n = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
     // materialize ONCE (localCheckpoint, eager): BOTH branches below
-    // (local cumsum, per-partition totals) read `ranged`, and correctness
+    // (local scan, per-partition totals) read `ranged`, and correctness
     // requires them to see the SAME partition boundaries. Without
     // materialization that only holds while Catalyst reuses the exchange —
     // repartitionByRange's boundary sampling is seeded per-RDD, so two
@@ -56,22 +84,23 @@ object PrefixSum {
       .localCheckpoint()
     val local = Window.partitionBy(col("__ps_pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val summed = ranged.withColumn("__ps_local", sum(value).over(local))
+    val scanned = ranged.withColumn("__ps_local", agg(value).over(local))
 
-    val totals = ranged.groupBy(col("__ps_pid")).agg(sum(value).as("__ps_tot"))
-    val totType = totals.schema("__ps_tot").dataType
-    // offsets: exclusive running sum of the per-partition totals, via a
-    // triangular self-join instead of a window — the totals table is one
-    // row per partition (metadata scale), so numPartitions² pairs is
-    // trivial and the plan stays free of unpartitioned Window nodes.
+    val totals = ranged.groupBy(col("__ps_pid")).agg(agg(value).as("__ps_tot"))
+    // offsets: exclusive running aggregate of the per-partition totals,
+    // via a triangular self-join instead of a window — the totals table is
+    // one row per partition (metadata scale), so numPartitions² pairs is
+    // trivial and the plan stays free of unpartitioned Window nodes. A
+    // partition with no predecessors gets a NULL offset; `merge` decides
+    // the identity.
     val earlier = totals.select(col("__ps_pid").as("__ps_pid2"), col("__ps_tot"))
     val offsets = totals.select(col("__ps_pid"))
       .join(earlier, col("__ps_pid2") < col("__ps_pid"), "left")
       .groupBy(col("__ps_pid"))
-      .agg(coalesce(sum(col("__ps_tot")), lit(0).cast(totType)).as("__ps_off"))
+      .agg(agg(col("__ps_tot")).as("__ps_off"))
 
-    summed.join(broadcast(offsets), "__ps_pid")
-      .withColumn(out, col("__ps_local") + col("__ps_off"))
+    scanned.join(broadcast(offsets), "__ps_pid")
+      .withColumn(out, merge(col("__ps_local"), col("__ps_off")))
       .drop("__ps_pid", "__ps_local", "__ps_off")
   }
 }

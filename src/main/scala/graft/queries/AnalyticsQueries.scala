@@ -924,7 +924,48 @@ object AnalyticsQueries {
       |FROM events e JOIN mad USING (event_type)
       |GROUP BY 1, 3, 4""".stripMargin
 
+  /** 2-D skyline (Pareto frontier): customers not dominated in (total
+    * spend, order count) — q dominates p iff q ≥ p in both and > in one.
+    * The naive formulation is a quadratic NOT-EXISTS theta self-join (the
+    * oracle spells exactly that, brute force); the Spark shape is the
+    * sort-scan identity: group points by spend, take each group's max
+    * count, and a point is dominated iff the running max of counts over
+    * STRICTLY-larger spends reaches its count, or a same-spend point
+    * strictly beats it. The running max is [[graft.ops.PrefixSum.cummax]]
+    * — the generalized distributed scan, no unpartitioned window, no
+    * pairwise product anywhere; the strictly-larger-spend max comes from
+    * joining each group to its predecessor rank (rank = cumsum of 1).
+    * Scale: two range-partitioned scans + two equi-joins, all balanced.
+    */
+  def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(dsum(col("o_totalprice")).as("spend"), count(lit(1)).as("n"))
+    val g = pts.groupBy(col("spend")).agg(max(col("n")).as("gmax_n"))
+    val ranked = graft.ops.PrefixSum.cumsum(g, lit(1L), Seq(col("spend").desc), "rn")
+    val scanned = graft.ops.PrefixSum.cummax(
+      ranked, col("gmax_n"), Seq(col("spend").desc), "cm")
+    // exclusive (strictly-larger-spend) running max = predecessor's cm
+    val excl = scanned.select((col("rn") + 1).as("rn"), col("cm").as("excl_max"))
+    val gx = scanned.join(excl, Seq("rn"), "left")
+    pts.join(gx.select(col("spend"), col("gmax_n"), col("excl_max")), "spend")
+      .filter(!(coalesce(col("excl_max") >= col("n"), lit(false)) ||
+        col("gmax_n") > col("n")))
+      .select(col("custkey"), col("spend"), col("n"))
+  }
+
+  val qSkylineSql: String =
+    """WITH pts AS (SELECT o_custkey AS custkey,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS spend,
+      |         COUNT(*) AS n
+      |       FROM orders GROUP BY 1)
+      |SELECT custkey, spend, n FROM pts p
+      |WHERE NOT EXISTS (SELECT 1 FROM pts q
+      |  WHERE q.spend >= p.spend AND q.n >= p.n
+      |    AND (q.spend > p.spend OR q.n > p.n))""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_skyline" -> ((qSkyline _, Some(qSkylineSql))),
     "q_anomaly_mad" -> ((qAnomalyMad _, Some(qAnomalyMadSql))),
     "q_theta_ops" -> ((qThetaOps _, Some(qThetaOpsSql))),
     "q_approx_topk" -> ((qApproxTopk _, Some(qApproxTopkSql))),

@@ -59,7 +59,9 @@ class PlanSpec extends SparkSpec {
       // BM25's (n_docs, sum_dl) corpus scalars ride one broadcast row
       "q_bm25",
       // the 1-row query-embedding broadcast-cross (q_cosine_topk's shape)
-      "q_rrf")
+      "q_rrf",
+      // PrefixSum's triangular offsets join (numPartitions rows), twice
+      "q_skyline")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =

@@ -83,6 +83,26 @@ class PrefixSumSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("cummin/cummax match sequential scans across random partitionings") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val gen = for {
+      vals <- Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L))
+      parts <- Gen.chooseNum(1, 8)
+    } yield (vals, parts)
+    val prop = Prop.forAllNoShrink(gen) { case (vals, parts) =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("k", "v")
+      val gotMin = PrefixSum.cummin(df, col("v"), Seq(col("k")), "cm", partitions = parts)
+        .orderBy("k").collect().map(_.getAs[Long]("cm")).toSeq
+      val gotMax = PrefixSum.cummax(df, col("v"), Seq(col("k")), "cm", partitions = parts)
+        .orderBy("k").collect().map(_.getAs[Long]("cm")).toSeq
+      gotMin == vals.scanLeft(Long.MaxValue)(math.min).tail &&
+        gotMax == vals.scanLeft(Long.MinValue)(math.max).tail
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("q_vocab_coverage plans no unpartitioned window") {
     val plan = graft.queries.TextQueries.qVocabCoverage(spark, sfDir)
       .queryExecution.optimizedPlan
