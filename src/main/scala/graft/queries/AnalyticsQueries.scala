@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.queries.Exact._
@@ -964,7 +965,87 @@ object AnalyticsQueries {
       |  WHERE q.spend >= p.spend AND q.n >= p.n
       |    AND (q.spend > p.spend OR q.n > p.n))""".stripMargin
 
+  /** Weighted median — the sampling-weights quantile (survey estimation,
+    * importance-weighted corpora): per return flag, the smallest price
+    * whose cumulative quantity weight reaches half the total. NO
+    * interpolation and NO floats in the selection: the pick is the first
+    * row where 2·cumw ≥ totw, an integer cross-multiplication over exact
+    * BIGINT weights, so unlike percentile() there is no engine
+    * interpolation to round away. The cumulative weight is a window
+    * cumsum PARTITIONED by the group (no global window); the pick is
+    * min_by over the qualifying rows.
+    */
+  def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("w"))
+    val wspec = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("price")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = li.groupBy(col("l_returnflag")).agg(sum(col("w")).as("totw"))
+    li.withColumn("cumw", sum(col("w")).over(wspec))
+      .join(broadcast(tot), "l_returnflag")
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("l_returnflag"), col("totw"))
+      .agg(min(col("price")).as("weighted_median"))
+      .select(col("l_returnflag"), col("totw").cast("bigint").as("total_weight"),
+        col("weighted_median"))
+  }
+
+  val qWeightedMedianSql: String =
+    """WITH li AS (SELECT l_returnflag, l_extendedprice AS price,
+      |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |       FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT l_returnflag, price, w,
+      |        SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |        SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+      |      FROM li)
+      |SELECT l_returnflag, CAST(totw AS BIGINT) AS total_weight,
+      |  MIN(price) AS weighted_median
+      |FROM c WHERE cumw * 2 >= totw GROUP BY 1, 2""".stripMargin
+
+  /** Gini coefficient of customer spend — the concentration metric every
+    * corpus/source-mix audit wants (how unequal is the contribution
+    * distribution?): G = (2·Σ rank·x)/(n·Σx) − (n+1)/n over ascending
+    * spend. Ranks come from [[graft.ops.PrefixSum.cumsum]] of 1 under the
+    * total (spend, custkey) order — no unpartitioned window at any scale —
+    * and Σ rank·x accumulates as DECIMAL(28,4) (rank is an exact BIGINT,
+    * x an exact money decimal), so both engines hand the same integers to
+    * the one final expression. Scale: one aggregate to points, one
+    * range-partitioned scan, one 1-row fold.
+    */
+  def qGini(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("spend"))
+    val ranked = graft.ops.PrefixSum.cumsum(
+      pts, lit(1L), Seq(col("spend"), col("o_custkey")), "rnk")
+    ranked.agg(count(lit(1)).as("n"),
+        sum(dec(col("spend"))).cast("double").as("sx"),
+        sum((col("rnk") * dec(col("spend"))).cast(DecimalType(28, 4)))
+          .cast("double").as("srx"))
+      .select(col("n"), r6(col("sx")).as("total_spend"),
+        r6(lit(2.0) * col("srx") / (col("n") * col("sx"))
+          - (col("n") + lit(1.0)) / col("n")).as("gini"))
+  }
+
+  val qGiniSql: String =
+    """WITH pts AS (SELECT o_custkey,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS spend
+      |       FROM orders GROUP BY 1),
+      |r AS (SELECT spend,
+      |        row_number() OVER (ORDER BY spend, o_custkey) AS rnk
+      |      FROM pts)
+      |SELECT COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(spend AS DECIMAL(12,4))) AS DOUBLE), 6) AS total_spend,
+      |  ROUND(2.0 * CAST(SUM(CAST(rnk * CAST(spend AS DECIMAL(12,4)) AS DECIMAL(28,4))) AS DOUBLE)
+      |        / (COUNT(*) * CAST(SUM(CAST(spend AS DECIMAL(12,4))) AS DOUBLE))
+      |      - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+      |FROM r""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_weighted_median" -> ((qWeightedMedian _, Some(qWeightedMedianSql))),
+    "q_gini" -> ((qGini _, Some(qGiniSql))),
     "q_skyline" -> ((qSkyline _, Some(qSkylineSql))),
     "q_anomaly_mad" -> ((qAnomalyMad _, Some(qAnomalyMadSql))),
     "q_theta_ops" -> ((qThetaOps _, Some(qThetaOpsSql))),

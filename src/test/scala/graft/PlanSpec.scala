@@ -61,7 +61,9 @@ class PlanSpec extends SparkSpec {
       // the 1-row query-embedding broadcast-cross (q_cosine_topk's shape)
       "q_rrf",
       // PrefixSum's triangular offsets join (numPartitions rows), twice
-      "q_skyline")
+      "q_skyline",
+      // PrefixSum's triangular offsets join (rank assignment)
+      "q_gini")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
