@@ -85,4 +85,52 @@ class InvariantsSpec extends SparkSpec {
     val total = Tables.documents(spark, sfDir).count()
     assert(a.values.sum < total && a.values.sum > 0)
   }
+
+  test("skyline is exactly the non-dominated set (in-JVM brute force)") {
+    val pts = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(Exact.dsum(col("o_totalprice")).as("spend"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def dominates(q: (Long, Double, Long), p: (Long, Double, Long)): Boolean =
+      q._2 >= p._2 && q._3 >= p._3 && (q._2 > p._2 || q._3 > p._3)
+    val expected = pts.filter(p => !pts.exists(q => dominates(q, p)))
+      .map(_._1).toSet
+    val got = AnalyticsQueries.qSkyline(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"missing ${expected -- got}, extra ${got -- expected}")
+  }
+
+  test("weighted median satisfies both cumulative-weight inequalities") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getAs[Number](2).longValue))
+    val got = AnalyticsQueries.qWeightedMedian(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    for ((flag, m) <- got) {
+      val grp = rows.filter(_._1 == flag)
+      val tot = grp.map(_._3).sum
+      val below = grp.filter(_._2 < m).map(_._3).sum   // strictly below
+      val upTo = grp.filter(_._2 <= m).map(_._3).sum   // at or below
+      assert(2 * upTo >= tot, s"$flag: median too low")
+      assert(2 * below < tot, s"$flag: median too high")
+    }
+  }
+
+  test("RRF output is ranked consistently with its component ranks") {
+    val rows = TextQueries.qRrf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Integer]("rank_lex")),
+        Option(r.getAs[Integer]("rank_vec")), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // every row retrieved by at least one ranker; scores non-increasing
+    assert(rows.forall { case (_, l, v, _) => l.isDefined || v.isDefined })
+    val scores = rows.map(_._4).toSeq
+    assert(scores == scores.sorted.reverse, "rrf_score not non-increasing")
+    // a doc in both lists must outscore a doc appearing in neither list
+    // position better than 60+rank identity: spot-check the score formula
+    for ((_, l, v, s) <- rows.take(5)) {
+      val expect = l.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        v.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(s - expect) < 1e-6)
+    }
+  }
 }
