@@ -536,7 +536,73 @@ object EvalQueries {
       |  ROUND(CAST(SUM(is_pos) AS DOUBLE) / COUNT(*), 6) AS pos_rate
       |FROM e, mm GROUP BY 1""".stripMargin
 
+  /** Two-proportion z-test (A/B experiment readout): users split into
+    * variants by parity of user_id (deterministic — a hash split in
+    * production, see q_split), metric = did the user ever make a
+    * high-value (>150) purchase — chosen because EVERY user purchases
+    * something, which would pool to p=1 and a zero-variance z. The
+    * conversion counts are exact BIGINTs; the pooled-variance z statistic
+    * is one closed-form expression over those integers (identical double
+    * trees both engines, rounded once), plus a |z| > 1.96 significance
+    * verdict — the decision a reader actually wants. Scale: one distinct
+    * aggregate keyed on user, one 2-row rollup.
+    */
+  def qAbTest(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("variant", (col("user_id") % 2).cast("bigint"))
+    val arms = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).cast("bigint").as("conv"))
+    val wide = arms.agg(
+      max(when(col("variant") === 0, col("n"))).as("n_a"),
+      max(when(col("variant") === 0, col("conv"))).as("conv_a"),
+      max(when(col("variant") === 1, col("n"))).as("n_b"),
+      max(when(col("variant") === 1, col("conv"))).as("conv_b"))
+    wide.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        r6(col("conv_a").cast("double") / col("n_a")).as("rate_a"),
+        r6(col("conv_b").cast("double") / col("n_b")).as("rate_b"),
+        expr("""ROUND(
+                |  (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+                |  SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                |     * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                |     * (1.0 / n_a + 1.0 / n_b)), 6)""".stripMargin).as("z"),
+        expr("""ABS((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+                |  SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                |     * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                |     * (1.0 / n_a + 1.0 / n_b))) > 1.96""".stripMargin).as("significant"))
+  }
+
+  val qAbTestSql: String =
+    """WITH u AS (SELECT user_id,
+      |         MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted,
+      |         user_id % 2 AS variant
+      |       FROM events GROUP BY user_id),
+      |arms AS (SELECT variant, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+      |         FROM u GROUP BY 1),
+      |w AS (SELECT
+      |    MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+      |    MAX(CASE WHEN variant = 0 THEN conv END) AS conv_a,
+      |    MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+      |    MAX(CASE WHEN variant = 1 THEN conv END) AS conv_b
+      |  FROM arms)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+      |  ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+      |  ROUND(
+      |    (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+      |    SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+      |       * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+      |       * (1.0 / n_a + 1.0 / n_b)), 6) AS z,
+      |  ABS((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+      |    SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+      |       * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+      |       * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+      |FROM w""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_ab_test" -> ((qAbTest _, Some(qAbTestSql))),
     "q_cohens_kappa" -> ((qCohensKappa _, Some(qCohensKappaSql))),
     "q_calibration" -> ((qCalibration _, Some(qCalibrationSql))),
     "q_ndcg" -> ((qNdcg _, Some(qNdcgSql))),

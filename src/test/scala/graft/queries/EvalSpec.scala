@@ -317,6 +317,25 @@ class EvalSpec extends SparkSpec {
     assert(got.getLong(4) == n * n - chance, "kappa denominator")
   }
 
+  test("q_ab_test matches a sequential two-proportion reference") {
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        (col("event_type") === "purchase" && col("value") > 150).as("p")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+      .groupBy(_._1).view.mapValues(_.exists(_._2)).toMap
+    val (a, b) = users.partition(_._1 % 2 == 0)
+    val (na, ca) = (a.size.toLong, a.count(_._2).toLong)
+    val (nb, cb) = (b.size.toLong, b.count(_._2).toLong)
+    val got = EvalQueries.qAbTest(spark, sfDir).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      == ((na, ca, nb, cb)))
+    val p = (ca + cb).toDouble / (na + nb)
+    val z = (ca.toDouble / na - cb.toDouble / nb) /
+      math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    assert(got.getBoolean(7) == (math.abs(z) > 1.96))
+    assert(math.abs(got.getDouble(6) - z) < 1e-6)
+  }
+
   test("q_calibration bins match a sequential reference and rates are exact") {
     val rows = Tables.embeddings(spark, sfDir)
       .select(expr("CAST(element_at(embedding, 1) AS DOUBLE)").as("s"),
