@@ -1154,7 +1154,59 @@ object TextQueries {
       |  ROUND(CAST(rrf AS DOUBLE), 6) AS rrf_score
       |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** FIM (fill-in-the-middle) transform — the pretraining data op that
+    * teaches infilling (Bavarian et al. 2022): split each document at two
+    * DETERMINISTIC hash-derived character offsets into prefix/middle/
+    * suffix and re-emit in PSM order. Both cut points are md5-derived
+    * integers (the [[Exact.md5IntExpr]] primitive — no RNG, so reruns and
+    * both engines agree bit-for-bit), bounded to thirds of the document so
+    * all three spans are non-empty. The gate hashes the reassembled PSM
+    * string, so the whole character surgery — offsets, substring bounds,
+    * separator placement — is what is checked, not just the lengths.
+    * Scale: pure per-row narrow transform; nothing shuffles but the
+    * verify sink.
+    */
+  def qFim(s: SparkSession, dir: String): DataFrame = {
+    val third = "CAST(n_chars DIV 3 AS BIGINT)"
+    Tables.documents(s, dir)
+      .filter(col("n_chars") >= 30)
+      .withColumn("cut1", expr(
+        s"1 + ${Exact.md5IntExpr("CONCAT('fim1:', CAST(doc_id AS STRING))", 1, 7)} % $third"))
+      .withColumn("cut2", expr(
+        s"n_chars - 1 - ${Exact.md5IntExpr("CONCAT('fim2:', CAST(doc_id AS STRING))", 1, 7)} % $third"))
+      .withColumn("prefix", expr("substring(text, 1, CAST(cut1 AS INT))"))
+      .withColumn("middle", expr("substring(text, CAST(cut1 AS INT) + 1, CAST(cut2 - cut1 AS INT))"))
+      .withColumn("suffix", expr("substring(text, CAST(cut2 AS INT) + 1)"))
+      .select(col("doc_id"), col("cut1"), col("cut2"),
+        length(col("prefix")).cast("bigint").as("len_prefix"),
+        length(col("middle")).cast("bigint").as("len_middle"),
+        length(col("suffix")).cast("bigint").as("len_suffix"),
+        sha2(concat(lit("<PRE>"), col("prefix"), lit("<SUF>"), col("suffix"),
+          lit("<MID>"), col("middle")), 256).as("psm_sha"))
+  }
+
+  val qFimSql: String = {
+    val c1 = Exact.md5IntSql("CONCAT('fim1:', CAST(doc_id AS VARCHAR))", 1, 7)
+    val c2 = Exact.md5IntSql("CONCAT('fim2:', CAST(doc_id AS VARCHAR))", 1, 7)
+    s"""WITH c AS (SELECT doc_id, text, n_chars,
+       |        1 + $c1 % CAST(n_chars // 3 AS BIGINT) AS cut1,
+       |        n_chars - 1 - $c2 % CAST(n_chars // 3 AS BIGINT) AS cut2
+       |      FROM documents WHERE n_chars >= 30),
+       |p AS (SELECT doc_id, cut1, cut2,
+       |        substr(text, 1, CAST(cut1 AS INT)) AS pre,
+       |        substr(text, CAST(cut1 AS INT) + 1, CAST(cut2 - cut1 AS INT)) AS mid,
+       |        substr(text, CAST(cut2 AS INT) + 1) AS suf
+       |      FROM c)
+       |SELECT doc_id, cut1, cut2,
+       |  CAST(length(pre) AS BIGINT) AS len_prefix,
+       |  CAST(length(mid) AS BIGINT) AS len_middle,
+       |  CAST(length(suf) AS BIGINT) AS len_suffix,
+       |  sha256('<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid) AS psm_sha
+       |FROM p""".stripMargin
+  }
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_fim" -> ((qFim _, Some(qFimSql))),
     "q_rrf" -> ((qRrf _, Some(qRrfSql))),
     "q_bm25" -> ((qBm25 _, Some(qBm25Sql))),
     "q_k_anonymity" -> ((qKAnonymity _, Some(qKAnonymitySql))),

@@ -59,6 +59,34 @@ class PrefixFilterJoinSpec extends SparkSpec {
     assert(pruned(p, 1, 1) === Set((1L, 2L, 2L)))
   }
 
+  test("property: pruned ≡ in-JVM brute force on random set families") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val gen = for {
+      nDocs <- Gen.chooseNum(2, 12)
+      vocab <- Gen.chooseNum(3, 10)
+      sets <- Gen.listOfN(nDocs, Gen.nonEmptyListOf(Gen.chooseNum(0, 100))
+        .map(_.map(i => s"t${i % vocab}").distinct))
+      t <- Gen.oneOf((1, 2), (6, 10), (3, 4), (1, 1))
+    } yield (sets, t)
+    val prop = Prop.forAllNoShrink(gen) { case (sets, (tn, td)) =>
+      val postings = sets.zipWithIndex
+        .flatMap { case (tk, i) => tk.map(tok => (i.toLong, tok)) }
+      val expected = (for {
+        (a, i) <- sets.zipWithIndex; (b, j) <- sets.zipWithIndex if i < j
+        inter = a.toSet.intersect(b.toSet).size
+        if inter * td >= (a.size + b.size - inter) * tn
+      } yield (i.toLong, j.toLong, inter.toLong)).toSet
+      val got = PrefixFilterJoin
+        .jaccardSelfJoin(postings.toDF("doc_id", "tok"), "doc_id", "tok", tn, td)
+        .select(col("id_a"), col("id_b"), col("inter"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      got == expected
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("invalid thresholds are rejected") {
     import spark.implicits._
     val p = Seq((1L, "a")).toDF("doc_id", "tok")
