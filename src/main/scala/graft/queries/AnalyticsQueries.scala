@@ -1043,7 +1043,54 @@ object AnalyticsQueries {
       |      - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
       |FROM r""".stripMargin
 
+  /** Incremental aggregate maintenance — the pattern that keeps a 100 TB
+    * rollup fresh without nightly full recomputes: the event stream splits
+    * into a "yesterday" batch and a "today" delta (here: by event_id
+    * parity — any deterministic split works, the algebra is what's under
+    * test), each is aggregated INDEPENDENTLY, and the two partial states
+    * merge by the re-aggregation algebra (counts and decimal sums add,
+    * min/max fold, avg recomposes from merged sums — never from partial
+    * avgs). The gate compares the MERGED state against the oracle's
+    * single-pass aggregate over everything, so what is verified is
+    * exactly the claim that merge(agg(A), agg(B)) = agg(A ∪ B). Decimal
+    * accumulation makes the sums associative for real, not just in exact
+    * arithmetic on paper. Scale: two independent aggregates + a
+    * #groups-row merge join.
+    */
+  def qDeltaAgg(s: SparkSession, dir: String): DataFrame = {
+    def part(pred: org.apache.spark.sql.Column) =
+      Tables.events(s, dir).filter(pred)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).as("sv"),
+          min(col("value")).as("mn"),
+          max(col("value")).as("mx"))
+    val old = part(col("event_id") % 2 === 0)
+      .select(col("event_type"), col("n").as("n1"), col("sv").as("sv1"),
+        col("mn").as("mn1"), col("mx").as("mx1"))
+    val delta = part(col("event_id") % 2 === 1)
+      .select(col("event_type"), col("n").as("n2"), col("sv").as("sv2"),
+        col("mn").as("mn2"), col("mx").as("mx2"))
+    old.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n"),
+        (coalesce(col("sv1"), lit(0).cast(D)) + coalesce(col("sv2"), lit(0).cast(D)))
+          .cast("double").as("sum_value"),
+        least(col("mn1"), col("mn2")).as("min_value"),
+        greatest(col("mx1"), col("mx2")).as("max_value"))
+      .withColumn("avg_value", r6(col("sum_value") / col("n")))
+  }
+
+  val qDeltaAggSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
+      |  MIN(value) AS min_value, MAX(value) AS max_value,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6)
+      |    AS avg_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_delta_agg" -> ((qDeltaAgg _, Some(qDeltaAggSql))),
     "q_weighted_median" -> ((qWeightedMedian _, Some(qWeightedMedianSql))),
     "q_gini" -> ((qGini _, Some(qGiniSql))),
     "q_skyline" -> ((qSkyline _, Some(qSkylineSql))),
