@@ -234,7 +234,44 @@ object FunctionQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Spark 4 VARIANT path for semi-structured data — parse the props JSON
+    * once into a VARIANT and extract typed fields with variant_get (the
+    * shredded lakehouse alternative to per-field get_json_object
+    * re-parsing, cf. q_json_fns). Exercises: typed extraction (bigint),
+    * try_variant_get on a missing path (NULL, not an error),
+    * schema_of_variant inference. DuckDB has no VARIANT, so the schema
+    * string and missing-path behavior gate as contract verdicts; the
+    * extracted VALUES gate exactly against json_extract. Scale: one
+    * parse per row instead of one per field — the reason VARIANT exists.
+    */
+  def qVariant(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("v", expr("parse_json(props)"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'string')").as("miss"),
+        expr("schema_of_variant(v)").as("sch"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).cast("bigint").as("sum_k"),
+        min(col("k")).cast("bigint").as("min_k"),
+        max(col("k")).cast("bigint").as("max_k"),
+        (count(lit(1)) - count(col("miss"))).cast("bigint").as("n_missing"),
+        (count_distinct(col("sch")) === 1 &&
+          max(col("sch")) === "OBJECT<k: BIGINT>").as("schema_ok"))
+  }
+
+  val qVariantSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      |  COUNT(*) AS n_missing,
+      |  TRUE AS schema_ok
+      |FROM events GROUP BY event_type""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_variant" -> ((qVariant _, Some(qVariantSql))),
     "q_date_arith" -> ((qDateArith _, Some(qDateArithSql))),
     "q_date_trunc" -> ((qDateTrunc _, Some(qDateTruncSql))),
     "q_scalar_fns" -> ((qScalarFns _, Some(qScalarFnsSql))),
