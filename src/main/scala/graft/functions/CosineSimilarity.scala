@@ -148,6 +148,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("edit_distance_within"), edwInfo, buildEdw _)
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("damerau_levenshtein"), dlInfo, buildDl _)
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("srp_fingerprint"), SrpFingerprint.info, SrpFingerprint.build _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bloom_filter_agg"), bloomAggInfo, buildBloomAgg _)
@@ -184,6 +186,17 @@ object GraftFunctions {
     require(children.size == 2, "might_contain takes exactly 2 arguments")
     org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
       children(0), children(1))
+  }
+
+  private val dlInfo = new ExpressionInfo(
+    classOf[DamerauLevenshtein].getName, null, "damerau_levenshtein",
+    "_FUNC_(a, b) - full Damerau-Levenshtein distance (adjacent transposition " +
+      "= 1 edit, alphabet table; matches DuckDB's damerau_levenshtein).",
+    "")
+
+  private def buildDl(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "damerau_levenshtein takes exactly 2 arguments")
+    DamerauLevenshtein(children(0), children(1))
   }
 
   private val edwInfo = new ExpressionInfo(

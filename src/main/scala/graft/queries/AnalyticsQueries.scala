@@ -101,6 +101,55 @@ object AnalyticsQueries {
       |  CAST(SUM(dist) AS BIGINT) AS sum_dist
       |FROM pr WHERE dist > 0 AND dist <= 4 GROUP BY brand""".stripMargin
 
+  /** Typo-tolerant fuzzy matching with transpositions scored as ONE edit:
+    * the custom codegen'd [[graft.functions.DamerauLevenshtein]] (full
+    * Lowrance-Wagner variant, alphabet table) vs plain levenshtein on the
+    * same brand-blocked pair frame as q_edit_distance. The oracle runs
+    * DuckDB's independent `damerau_levenshtein` implementation, so every
+    * pair's distance is cross-validated engine-vs-engine as exact BIGINTs
+    * — including the transposition-win count, which is exactly the rows
+    * where the two metrics disagree. A 10%-of-keys hash sample keeps the
+    * quadratic-per-brand pair count bounded (the full DL matrix cannot be
+    * banded two-row like EditDistanceWithin's kernel, so per-pair cost is
+    * O(n·m) with the whole matrix); the blocking join, not the corpus,
+    * owns the quadratic. Scale: broadcast self-join, per-row probe,
+    * map-side-combinable rollup.
+    */
+  def qDamerau(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val p = Tables.part(s, dir)
+      .filter(pmod(col("p_partkey"), lit(10)) === 0)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    p.as("a").join(broadcast(p.as("b")),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_brand").as("brand"),
+        expr("damerau_levenshtein(a.p_name, b.p_name)").as("dl"),
+        expr("levenshtein(a.p_name, b.p_name)").as("lev"))
+      .filter(col("dl") > 0 && col("dl") <= 6)
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("dl")).cast("bigint").as("min_dl"),
+        sum(col("dl")).cast("bigint").as("sum_dl"),
+        sum(when(col("dl") < col("lev"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_transposition_wins"))
+  }
+
+  val qDamerauSql: String =
+    """WITH pr AS (
+      |  SELECT a.p_brand AS brand,
+      |    damerau_levenshtein(a.p_name, b.p_name) AS dl,
+      |    levenshtein(a.p_name, b.p_name) AS lev
+      |  FROM part a JOIN part b
+      |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |  WHERE a.p_partkey % 10 = 0 AND b.p_partkey % 10 = 0)
+      |SELECT brand, COUNT(*) AS n_pairs,
+      |  CAST(MIN(dl) AS BIGINT) AS min_dl,
+      |  CAST(SUM(dl) AS BIGINT) AS sum_dl,
+      |  CAST(SUM(CASE WHEN dl < lev THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_transposition_wins
+      |FROM pr WHERE dl > 0 AND dl <= 6 GROUP BY brand""".stripMargin
+
   /** Calendar gap-fill + forward fill — the time-series densification every
     * metrics pipeline needs: build the full (event_type × day) spine with
     * sequence()/explode, left-join sparse daily aggregates (high-value
@@ -794,6 +843,72 @@ object AnalyticsQueries {
       |UNION ALL
       |SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events""".stripMargin
 
+  /** Mergeable QUANTILE sketches — the distribution-shaped sibling of
+    * q_hll_merge's cardinality algebra: per-event-type Datasketches KLL
+    * sketches of `value` (k=200), merged across types and compared with
+    * the sketch built over the whole stream in one pass. Same 100 TB
+    * re-aggregability story: per-day/per-partition kilobyte sketches
+    * answer later percentile questions without re-scanning raw data, the
+    * thing exact percentile computation fundamentally cannot do (it needs
+    * a global sort per question). The sketch VALUE is seed/engine-
+    * specific, so the gate checks the CONTRACT, with every audit computed
+    * EXACTLY on the real data: each estimated quantile's true rank must
+    * sit within ±3% of its target (k=200 → normalized rank error ≈1.65%
+    * at 99% confidence), the merged union must agree with the one-pass
+    * global the same way, and the sketch's item count must equal COUNT(*)
+    * exactly (KLL counts n losslessly). Scale: sketch build is one
+    * map-side-combinable aggregate; the union folds k tiny sketch rows;
+    * the audit is one broadcast join + counting pass.
+    */
+  def qKllQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val per = ev.groupBy(col("event_type"))
+      .agg(expr("kll_sketch_agg_double(value, 200)").as("sk"))
+      // one partition for the k-row sketch table (theta-discipline: a
+      // global merge otherwise runs one partial per partition, and empty
+      // partials are where sketch-buffer edge cases live)
+      .repartition(1)
+    val perEst = per.select(col("event_type"),
+      expr("kll_sketch_get_quantile_double(sk, 0.5)").as("est_p50"),
+      expr("kll_sketch_get_quantile_double(sk, 0.9)").as("est_p90"),
+      expr("kll_sketch_get_n_double(sk)").as("sk_n"))
+    val perType = ev.join(broadcast(perEst), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(col("value")).as("exact_n"),
+        sum(when(col("value") <= col("est_p50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("value") <= col("est_p90"), 1L).otherwise(0L)).as("r90"),
+        max(col("sk_n")).as("sk_n"))
+      .select(col("event_type"), col("exact_n").cast("bigint").as("exact_n"),
+        (abs(col("r50") - col("exact_n") * 0.5) <= col("exact_n") * 0.03 &&
+          abs(col("r90") - col("exact_n") * 0.9) <= col("exact_n") * 0.03).as("rank_ok"),
+        (col("sk_n") === col("exact_n")).as("n_ok"))
+    val mergedEst = per.agg(
+      expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)").as("m_p50"),
+      expr("kll_sketch_get_n_double(kll_merge_agg_double(sk))").as("m_n"))
+    val onePass = ev.agg(
+      expr("kll_sketch_get_quantile_double(kll_sketch_agg_double(value, 200), 0.5)").as("g_p50"),
+      count(col("value")).as("exact_all"))
+    // exact ranks of BOTH global estimates in one audit pass
+    val audit = ev.crossJoin(broadcast(onePass.crossJoin(broadcast(mergedEst))))
+      .agg(count(col("value")).as("exact_all"),
+        sum(when(col("value") <= col("m_p50"), 1L).otherwise(0L)).as("rm"),
+        sum(when(col("value") <= col("g_p50"), 1L).otherwise(0L)).as("rg"),
+        max(col("m_n")).as("m_n"))
+      .select(lit("ALL").as("event_type"),
+        col("exact_all").cast("bigint").as("exact_n"),
+        (abs(col("rm") - col("exact_all") * 0.5) <= col("exact_all") * 0.03 &&
+          abs(col("rg") - col("exact_all") * 0.5) <= col("exact_all") * 0.03).as("rank_ok"),
+        (col("m_n") === col("exact_all")).as("n_ok"))
+    perType.unionByName(audit)
+  }
+
+  val qKllQuantilesSql: String =
+    """SELECT event_type, CAST(COUNT(value) AS BIGINT) AS exact_n,
+      |  TRUE AS rank_ok, TRUE AS n_ok
+      |FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT 'ALL', CAST(COUNT(value) AS BIGINT), TRUE, TRUE FROM events""".stripMargin
+
   /** Theta-sketch set algebra over the click/purchase user populations —
     * the capability HLL cannot offer: sketches that INTERSECT and
     * SUBTRACT, not just union. |A|, |B|, |A∩B|, |A∪B|, |A\B| are each
@@ -1099,6 +1214,7 @@ object AnalyticsQueries {
     "q_approx_topk" -> ((qApproxTopk _, Some(qApproxTopkSql))),
     "q_ohlc" -> ((qOhlc _, Some(qOhlcSql))),
     "q_hll_merge" -> ((qHllMerge _, Some(qHllMergeSql))),
+    "q_kll_quantiles" -> ((qKllQuantiles _, Some(qKllQuantilesSql))),
     "q_mutual_info" -> ((qMutualInfo _, Some(qMutualInfoSql))),
     "q_winsorize" -> ((qWinsorize _, Some(qWinsorizeSql))),
     "q_spearman" -> ((qSpearman _, Some(qSpearmanSql))),
@@ -1111,6 +1227,7 @@ object AnalyticsQueries {
     "q_snapshot_diff" -> ((qSnapshotDiff _, Some(qSnapshotDiffSql))),
     "q_regression" -> ((qRegression _, Some(qRegressionSql))),
     "q_edit_distance" -> ((qEditDistance _, Some(qEditDistanceSql))),
+    "q_damerau" -> ((qDamerau _, Some(qDamerauSql))),
     "q_gapfill" -> ((qGapfill _, Some(qGapfillSql))),
     "q_set_ops_all" -> ((qSetOpsAll _, Some(qSetOpsAllSql))),
     "q_unpivot" -> ((qUnpivot _, Some(qUnpivotSql)))

@@ -207,7 +207,48 @@ object WindowQueries {
       |        / CAST(SUM(dt) AS BIGINT), 6) AS twa_value
       |FROM e GROUP BY user_id""".stripMargin
 
+  /** Exponentially-decayed average of each user's most recent events —
+    * the recency-weighted engagement score every feature store keeps,
+    * spelled so NO float recursion exists: the half-life weights are
+    * dyadic (2^(13-k) for the k-th most recent event, k ≤ 13), so the
+    * weighted numerator is an EXACT decimal sum of value × integer and
+    * the normalizer an exact BIGINT — the only IEEE operation is the
+    * final division, rounded to 6 dp. A recursive s_t = αx + (1−α)s
+    * formulation would accumulate engine-specific rounding at every
+    * step; truncating the kernel at 14 taps (weight < 2⁻¹³ of the
+    * newest) makes the fixed-point spelling exact instead. Scale: one
+    * shuffle on user_id; the rank window sorts per user and the
+    * window-group-limit keeps only 14 rows per user past the filter.
+    */
+  def qDecaySum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("k", row_number().over(w) - 1)
+      .filter(col("k") <= 13)
+      .withColumn("wt", expr("shiftleft(1L, 13 - k)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_used"),
+        sum(col("wt")).cast("bigint").as("norm"),
+        sum((dec(col("value")) * col("wt")).cast(DecimalType(28, 4))).as("num"))
+      .select(col("user_id"), col("n_used"), col("norm"),
+        col("num").cast("double").as("decayed_sum"),
+        r6(col("num").cast("double") / col("norm")).as("ewma"))
+  }
+
+  val qDecaySumSql: String =
+    """WITH o AS (SELECT user_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) - 1 AS k
+      |  FROM events),
+      |t AS (SELECT user_id, value, 1::BIGINT << (13 - k) AS wt FROM o WHERE k <= 13)
+      |SELECT user_id, COUNT(*) AS n_used, CAST(SUM(wt) AS BIGINT) AS norm,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * wt AS DECIMAL(28,4))) AS DOUBLE)
+      |    AS decayed_sum,
+      |  ROUND(CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * wt AS DECIMAL(28,4))) AS DOUBLE)
+      |        / CAST(SUM(wt) AS BIGINT), 6) AS ewma
+      |FROM t GROUP BY user_id""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_decay_sum" -> ((qDecaySum _, Some(qDecaySumSql))),
     "q_twa" -> ((qTwa _, Some(qTwaSql))),
     "q_window_navigation" -> ((qWindowNavigation _, Some(qWindowNavigationSql))),
     "q_window_rank" -> ((qWindowRank _, Some(qWindowRankSql))),

@@ -52,6 +52,8 @@ class PlanSpec extends SparkSpec {
       "q_cohens_kappa", "q_calibration", "q_k_anonymity",
       // two 1-row sketch/estimate scalars crossed for the ALL verdict row
       "q_hll_merge",
+      // two 1-row quantile-estimate scalars crossed onto the audit pass
+      "q_kll_quantiles",
       // three 1-row count scalars crossed for the recall/precision row
       "q_lsh_recall",
       // 1-row sketch-estimate scalars crossed with the 1-row exact audit

@@ -104,6 +104,44 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("damerau_levenshtein: full-variant known values, bounds, non-ASCII") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // the full-vs-OSA discriminator: CA→ABC is 2 under Lowrance-Wagner
+    // (transpose then insert), 3 under restricted/OSA — DuckDB returns 2
+    val known = spark.sql(
+      """SELECT damerau_levenshtein('CA', 'ABC'),
+        |  damerau_levenshtein('ab', 'ba'),
+        |  damerau_levenshtein('MARTHA', 'MARHTA'),
+        |  damerau_levenshtein('kitten', 'sitting'),
+        |  damerau_levenshtein('abc', 'abc'),
+        |  damerau_levenshtein('', 'abcd'),
+        |  damerau_levenshtein('abcd', ''),
+        |  damerau_levenshtein('żółć', 'żőłć'),
+        |  damerau_levenshtein('żółć', 'óżłć')""".stripMargin).collect().head
+    assert(Seq(2, 1, 1, 3, 0, 4, 4, 1, 1) ==
+      (0 until 9).map(known.getInt), s"got $known")
+    // null propagation
+    assert(spark.sql("SELECT damerau_levenshtein(NULL, 'x')").collect().head.isNullAt(0))
+    // invariants vs the built-in levenshtein on transposition-rich random
+    // pairs: symmetric, 0 iff equal, and ceil(lev/2) <= dl <= lev (each
+    // transposition replaces at most two substitutions)
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(300) {
+      def mk = Seq.fill(rnd.nextInt(7))("ab".charAt(rnd.nextInt(2))).mkString
+      (mk, mk)
+    }
+    val viol = pairs.toDF("a", "b").selectExpr(
+        "a", "b",
+        "damerau_levenshtein(a, b) AS dl",
+        "damerau_levenshtein(b, a) AS dl_sym",
+        "levenshtein(a, b) AS lev")
+      .filter($"dl" =!= $"dl_sym" || $"dl" > $"lev" || $"dl" * 2 < $"lev" ||
+        ($"dl" === 0) =!= ($"a" === $"b"))
+      .count()
+    assert(viol == 0)
+  }
+
   test("srp_fingerprint kernel ≡ the decimal HOF spelling on the real corpus") {
     import org.apache.spark.sql.functions.{col, expr, typedLit}
     graft.functions.GraftFunctions.register(spark)
