@@ -150,6 +150,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("damerau_levenshtein"), dlInfo, buildDl _)
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("jaro_winkler"), jwInfo, buildJw _)
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("srp_fingerprint"), SrpFingerprint.info, SrpFingerprint.build _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bloom_filter_agg"), bloomAggInfo, buildBloomAgg _)
@@ -186,6 +188,17 @@ object GraftFunctions {
     require(children.size == 2, "might_contain takes exactly 2 arguments")
     org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
       children(0), children(1))
+  }
+
+  private val jwInfo = new ExpressionInfo(
+    classOf[JaroWinkler].getName, null, "jaro_winkler",
+    "_FUNC_(a, b) - Jaro-Winkler similarity (standard params: window " +
+      "max/2-1, prefix<=4, scale 0.1, boost>0.7; matches DuckDB).",
+    "")
+
+  private def buildJw(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "jaro_winkler takes exactly 2 arguments")
+    JaroWinkler(children(0), children(1))
   }
 
   private val dlInfo = new ExpressionInfo(

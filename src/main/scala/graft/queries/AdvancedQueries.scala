@@ -380,6 +380,54 @@ object AdvancedQueries {
       |  AND c_nationkey IN (SELECT c_nationkey FROM customer
       |                      WHERE c_acctbal > 9000)""".stripMargin
 
+  /** NOT IN under three-valued logic — the null-aware anti join. The
+    * classic silent-wrong: `x NOT IN (subquery)` is NULL (not TRUE) for
+    * EVERY x as soon as the subquery produces one NULL, so the whole
+    * filter collapses to empty — semantics an ordinary anti join cannot
+    * express, which is why Catalyst plans a broadcast null-aware anti
+    * join for it. Three variants through the gate: a null-free inner set
+    * (ordinary NAAJ result, outer NULLs excluded), a null-poisoned inner
+    * set (count MUST be 0), and IN against the same poisoned set (members
+    * still match — the asymmetry that trips people). Scale: the inner
+    * sets are dimension-sized and broadcast; the outer side streams with
+    * no shuffle.
+    */
+  def qNotInNulls(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_nin")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_nin")
+    s.sql(
+      """SELECT 'not_in_clean' AS variant, COUNT(*) AS n
+        |FROM events_nin
+        |WHERE nullif(user_id, 7) NOT IN
+        |  (SELECT c_custkey FROM customer_nin WHERE c_acctbal < 0)
+        |UNION ALL
+        |SELECT 'not_in_poisoned', COUNT(*)
+        |FROM events_nin
+        |WHERE user_id NOT IN
+        |  (SELECT nullif(c_custkey, 3) FROM customer_nin WHERE c_acctbal IS NOT NULL)
+        |UNION ALL
+        |SELECT 'in_poisoned', COUNT(*)
+        |FROM events_nin
+        |WHERE user_id IN
+        |  (SELECT nullif(c_custkey, 3) FROM customer_nin WHERE c_acctbal IS NOT NULL)""".stripMargin)
+  }
+
+  val qNotInNullsSql: String =
+    """SELECT 'not_in_clean' AS variant, COUNT(*) AS n
+      |FROM events
+      |WHERE nullif(user_id, 7) NOT IN
+      |  (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      |UNION ALL
+      |SELECT 'not_in_poisoned', COUNT(*)
+      |FROM events
+      |WHERE user_id NOT IN
+      |  (SELECT nullif(c_custkey, 3) FROM customer WHERE c_acctbal IS NOT NULL)
+      |UNION ALL
+      |SELECT 'in_poisoned', COUNT(*)
+      |FROM events
+      |WHERE user_id IN
+      |  (SELECT nullif(c_custkey, 3) FROM customer WHERE c_acctbal IS NOT NULL)""".stripMargin
+
   /** NULL semantics corner cases through the gate: nullable keys produced
     * by NULLIF, the single NULL group in GROUP BY, null-safe equality
     * (Spark `<=>` ≡ SQL IS NOT DISTINCT FROM), and COALESCE fallback —
@@ -675,6 +723,7 @@ object AdvancedQueries {
     "q_funnel" -> ((qFunnel _, Some(qFunnelSql))),
     "q_scalar_subquery" -> ((qScalarSubquery _, Some(qScalarSubquerySql))),
     "q_exists_subquery" -> ((qExistsSubquery _, Some(qExistsSubquerySql))),
+    "q_not_in_nulls" -> ((qNotInNulls _, Some(qNotInNullsSql))),
     "q_correlation" -> ((qCorrelation _, Some(qCorrelationSql))),
     "q_null_semantics" -> ((qNullSemantics _, Some(qNullSemanticsSql))),
     "q_having" -> ((qHaving _, Some(qHavingSql))),

@@ -843,6 +843,174 @@ object AnalyticsQueries {
       |UNION ALL
       |SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events""".stripMargin
 
+  /** Lag-k autocorrelation of the hourly value series per event type —
+    * the time-series diagnostic (seasonality/persistence detection) that
+    * decides resampling grain and feature windows in event pipelines.
+    * Two-stage exactness: the hourly series is an exact BIGINT (cent-
+    * scaled sums), lagged pairs come from an equi-join on hour+lag (gap-
+    * proof — missing hours simply pair nothing, no window contiguity
+    * assumption), and r is Pearson over exact integer moment sums —
+    * q_correlation's proven spelling, one IEEE expression at the end.
+    * Scale: the hourly rollup is map-side-combinable and shrinks 100 TB
+    * of events to #types × #hours rows; everything after runs on the
+    * rollup, and the lag join shuffles only that.
+    */
+  def qAcf(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(FLOOR(unix_timestamp(ts) / 3600) AS BIGINT)").as("h"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(sum(col("cents")).as("x"))
+    val a = hourly.withColumn("lag", explode(array(lit(1L), lit(2L), lit(3L))))
+    val pairs = a.as("a").join(hourly.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.h") === col("a.h") + col("a.lag"))
+      .select(col("a.event_type").as("event_type"), col("a.lag").as("lag"),
+        col("a.x").as("x"), col("b.x").as("y"))
+    pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        r6((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
+            (col("n_pairs") * col("syy") - col("sy") * col("sy")))).as("acf"))
+  }
+
+  val qAcfSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS h,
+      |    SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type, l.lag, a.x AS x, b.x AS y
+      |  FROM hourly a CROSS JOIN (VALUES (1), (2), (3)) l(lag)
+      |  JOIN hourly b ON a.event_type = b.event_type AND b.h = a.h + l.lag),
+      |m AS (
+      |  SELECT event_type, CAST(lag AS BIGINT) AS lag, COUNT(*) AS n_pairs,
+      |    CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+      |    CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT event_type, lag, n_pairs,
+      |  ROUND((n_pairs * sxy - sx * sy) /
+      |    SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)), 6) AS acf
+      |FROM m""".stripMargin
+
+  /** Benford first-digit audit — the fraud/data-quality screen for
+    * "does this numeric column look organically generated": observed
+    * first-significant-digit counts of o_totalprice vs the Benford
+    * expectation n·log10(1+1/d), with a χ² statistic. First digits come
+    * from exact integer cents (never float formatting); expectations use
+    * LN on integer-valued doubles (the q_pmi integer-LN discipline) and
+    * are ROUND(6)ed BEFORE the χ² terms reuse them, so no unrounded
+    * double chains between engines; the χ² total is an exact decimal sum
+    * of the rounded per-digit terms. Scale: the digit histogram is a
+    * 9-row map-side-combinable aggregate; everything after is
+    * metadata-scale.
+    */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.orders(s, dir)
+      .select(substring(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+        .cast("string"), 1, 1).cast("int").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).cast("bigint").as("n"))
+    val per = obs.crossJoin(broadcast(tot))
+      .withColumn("exp6", expr(
+        """CAST(ROUND(n * (LN(CAST(d + 1 AS DOUBLE)) - LN(CAST(d AS DOUBLE)))
+          |  / LN(CAST(10 AS DOUBLE)), 6) AS DECIMAL(18,6))""".stripMargin))
+      .withColumn("term6", expr(
+        """CAST(ROUND(POW(CAST(n_obs AS DOUBLE) - CAST(exp6 AS DOUBLE), 2)
+          |  / CAST(exp6 AS DOUBLE), 6) AS DECIMAL(18,6))""".stripMargin))
+    val rows = per.select(col("d").cast("string").as("digit"),
+      col("n_obs").cast("bigint").as("n_obs"),
+      col("exp6").cast("double").as("expected"),
+      col("term6").cast("double").as("chi2_term"))
+    val all = per.agg(sum(col("n_obs")).cast("bigint").as("n_obs"),
+        sum(col("exp6")).cast(DecimalType(18, 6)).cast("double").as("expected"),
+        sum(col("term6")).cast(DecimalType(18, 6)).cast("double").as("chi2_term"))
+      .select(lit("ALL").as("digit"), col("n_obs"), col("expected"), col("chi2_term"))
+    rows.unionByName(all)
+  }
+
+  val qBenfordSql: String =
+    """WITH obs AS (
+      |  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      |                          AS VARCHAR), 1, 1) AS INT) AS d,
+      |    COUNT(*) AS n_obs
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+      |per AS (
+      |  SELECT d, n_obs,
+      |    CAST(ROUND(n * (LN(CAST(d + 1 AS DOUBLE)) - LN(CAST(d AS DOUBLE)))
+      |      / LN(CAST(10 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS exp6
+      |  FROM obs CROSS JOIN tot),
+      |t AS (
+      |  SELECT d, n_obs, exp6,
+      |    CAST(ROUND(POW(CAST(n_obs AS DOUBLE) - CAST(exp6 AS DOUBLE), 2)
+      |      / CAST(exp6 AS DOUBLE), 6) AS DECIMAL(18,6)) AS term6
+      |  FROM per)
+      |SELECT CAST(d AS VARCHAR) AS digit, CAST(n_obs AS BIGINT) AS n_obs,
+      |  CAST(exp6 AS DOUBLE) AS expected, CAST(term6 AS DOUBLE) AS chi2_term
+      |FROM t
+      |UNION ALL
+      |SELECT 'ALL', CAST(SUM(n_obs) AS BIGINT),
+      |  CAST(CAST(SUM(exp6) AS DECIMAL(18,6)) AS DOUBLE),
+      |  CAST(CAST(SUM(term6) AS DECIMAL(18,6)) AS DOUBLE)
+      |FROM t""".stripMargin
+
+  /** Record-linkage scoring with the census-standard metric: the custom
+    * codegen'd [[graft.functions.JaroWinkler]] on the q_damerau pair
+    * frame, cross-validated per-pair against DuckDB's INDEPENDENT
+    * `jaro_winkler_similarity` implementation through the oracle — two
+    * codebases, same standard parameterization, every similarity value
+    * equal to 6 dp. Per-pair scores are rounded then decimal-cast BEFORE
+    * the sum so the rollup is exact (a raw double SUM would be
+    * accumulation-order-dependent across engines). High-similarity pair
+    * counts use a 0.93 threshold on the ROUNDED value — both engines
+    * compare the same 6-dp decimal, so no raw-IEEE boundary exists in
+    * the gate. Scale: q_edit_distance's shape — broadcast blocked
+    * self-join, codegen'd per-pair kernel, map-side-combinable rollup.
+    */
+  def qJaro(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val p = Tables.part(s, dir)
+      .filter(pmod(col("p_partkey"), lit(10)) === 0)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    p.as("a").join(broadcast(p.as("b")),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_brand").as("brand"),
+        round(expr("jaro_winkler(a.p_name, b.p_name)"), 6)
+          .cast(DecimalType(10, 6)).as("jw"))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jw")).cast(DecimalType(18, 6)).cast("double").as("sum_jw"),
+        max(col("jw")).cast("double").as("max_jw"),
+        sum(when(col("jw") >= 0.93, 1L).otherwise(0L)).cast("bigint")
+          .as("n_high"))
+  }
+
+  val qJaroSql: String =
+    """WITH pr AS (
+      |  SELECT a.p_brand AS brand,
+      |    CAST(ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+      |         AS DECIMAL(10,6)) AS jw
+      |  FROM part a JOIN part b
+      |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |  WHERE a.p_partkey % 10 = 0 AND b.p_partkey % 10 = 0)
+      |SELECT brand, COUNT(*) AS n_pairs,
+      |  CAST(CAST(SUM(jw) AS DECIMAL(18,6)) AS DOUBLE) AS sum_jw,
+      |  CAST(MAX(jw) AS DOUBLE) AS max_jw,
+      |  CAST(SUM(CASE WHEN jw >= 0.93 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      |FROM pr GROUP BY brand""".stripMargin
+
   /** Mergeable QUANTILE sketches — the distribution-shaped sibling of
     * q_hll_merge's cardinality algebra: per-event-type Datasketches KLL
     * sketches of `value` (k=200), merged across types and compared with
@@ -1228,6 +1396,9 @@ object AnalyticsQueries {
     "q_regression" -> ((qRegression _, Some(qRegressionSql))),
     "q_edit_distance" -> ((qEditDistance _, Some(qEditDistanceSql))),
     "q_damerau" -> ((qDamerau _, Some(qDamerauSql))),
+    "q_jaro" -> ((qJaro _, Some(qJaroSql))),
+    "q_acf" -> ((qAcf _, Some(qAcfSql))),
+    "q_benford" -> ((qBenford _, Some(qBenfordSql))),
     "q_gapfill" -> ((qGapfill _, Some(qGapfillSql))),
     "q_set_ops_all" -> ((qSetOpsAll _, Some(qSetOpsAllSql))),
     "q_unpivot" -> ((qUnpivot _, Some(qUnpivotSql)))

@@ -54,6 +54,8 @@ class PlanSpec extends SparkSpec {
       "q_hll_merge",
       // two 1-row quantile-estimate scalars crossed onto the audit pass
       "q_kll_quantiles",
+      // the 1-row digit-histogram total crossed onto the 9-row histogram
+      "q_benford",
       // three 1-row count scalars crossed for the recall/precision row
       "q_lsh_recall",
       // 1-row sketch-estimate scalars crossed with the 1-row exact audit

@@ -142,6 +142,37 @@ class FunctionsSpec extends SparkSpec {
     assert(viol == 0)
   }
 
+  test("jaro_winkler: standard-parameter known values, bounds, symmetry") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT jaro_winkler('MARTHA', 'MARHTA'),
+        |  jaro_winkler('DWAYNE', 'DUANE'),
+        |  jaro_winkler('abc', ''),
+        |  jaro_winkler('', ''),
+        |  jaro_winkler('same', 'same'),
+        |  jaro_winkler('abcd', 'dcba')""".stripMargin).collect().head
+    // canonical textbook values (also DuckDB's): MARTHA/MARHTA boosted
+    // 0.9611..., DWAYNE/DUANE boosted 0.84
+    assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 0.84) < 1e-12)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    assert(spark.sql("SELECT jaro_winkler(NULL, 'x')").collect().head.isNullAt(0))
+    // random pairs: symmetric, in [0,1], 1 iff equal (non-empty alphabet)
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(300) {
+      def mk = Seq.fill(rnd.nextInt(8))("abz".charAt(rnd.nextInt(3))).mkString
+      (mk, mk)
+    }
+    val viol = pairs.toDF("a", "b").selectExpr(
+        "a", "b", "jaro_winkler(a, b) AS jw", "jaro_winkler(b, a) AS jw_sym")
+      .filter($"jw" =!= $"jw_sym" || $"jw" < 0.0 || $"jw" > 1.0 ||
+        ($"jw" === 1.0) =!= ($"a" === $"b"))
+      .count()
+    assert(viol == 0)
+  }
+
   test("srp_fingerprint kernel ≡ the decimal HOF spelling on the real corpus") {
     import org.apache.spark.sql.functions.{col, expr, typedLit}
     graft.functions.GraftFunctions.register(spark)
