@@ -270,8 +270,50 @@ object FunctionQueries {
       |  TRUE AS schema_ok
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Generator/UDTF surface (SURVEY §2.8 U1 / §2.3 D2 — the 1→N emit
+    * family beyond plain explode): three generators folded into one
+    * (key, kind, pos, val) stream — stack() for columns→rows unpivot
+    * pairs, posexplode() for position-tagged array expansion, and
+    * explode(sequence()) for range generation. The oracle replays each
+    * with DuckDB's UNNEST idioms (VALUES lateral for stack, range-index
+    * for posexplode, range() for sequence), so generator ROW SETS —
+    * including positions — are cross-engine-gated, not just counts.
+    * Scale: generators are narrow (no shuffle); output volume is input ×
+    * fan-out, the 1→N contract of the reference's queue emit
+    * (bert/binding.py stage bodies yielding multiple items).
+    */
+  def qGenerators(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val st = n.select(col("n_nationkey").as("key"), lit("attr").as("kind"),
+      expr("""stack(2, 0L, n_name, 1L, CAST(n_regionkey AS STRING))""")
+        .as(Seq("pos", "val")))
+      .select(col("key"), col("kind"), col("pos"), col("val"))
+    val pe = n.select(col("n_nationkey").as("key"), lit("split").as("kind"),
+      posexplode(split(col("n_name"), "A")).as(Seq("pos", "val")))
+      .select(col("key"), col("kind"), col("pos").cast("long").as("pos"), col("val"))
+    val sq = n.select(col("n_nationkey").as("key"), lit("seq").as("kind"),
+      posexplode(sequence(lit(1L), col("n_regionkey") + 1)).as(Seq("pos", "num")))
+      .select(col("key"), col("kind"), col("pos").cast("long").as("pos"),
+        col("num").cast("string").as("val"))
+    st.unionByName(pe).unionByName(sq)
+  }
+
+  val qGeneratorsSql: String =
+    """SELECT n_nationkey AS key, 'attr' AS kind, v.pos, v.val
+      |FROM nation, LATERAL (VALUES (CAST(0 AS BIGINT), n_name),
+      |                             (1, CAST(n_regionkey AS VARCHAR))) v(pos, val)
+      |UNION ALL
+      |SELECT n_nationkey, 'split', CAST(i - 1 AS BIGINT),
+      |  string_split(n_name, 'A')[CAST(i AS INT)]
+      |FROM nation, UNNEST(range(1, len(string_split(n_name, 'A')) + 1)) AS u(i)
+      |UNION ALL
+      |SELECT n_nationkey, 'seq', CAST(i AS BIGINT),
+      |  CAST(i + 1 AS VARCHAR)
+      |FROM nation, UNNEST(range(0, n_regionkey + 1)) AS u(i)""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_variant" -> ((qVariant _, Some(qVariantSql))),
+    "q_generators" -> ((qGenerators _, Some(qGeneratorsSql))),
     "q_date_arith" -> ((qDateArith _, Some(qDateArithSql))),
     "q_date_trunc" -> ((qDateTrunc _, Some(qDateTruncSql))),
     "q_scalar_fns" -> ((qScalarFns _, Some(qScalarFnsSql))),

@@ -921,6 +921,69 @@ object SimilarityQueries {
       |    CAST(n_members AS DOUBLE), 6) AS keep_rate
       |FROM cstat LEFT JOIN estat USING (cid) LEFT JOIN gagg USING (cid)""".stripMargin
 
+  /** Product quantization (Jégou et al. TPAMI 2011) — THE memory-
+    * compression scheme behind billion-scale ANN (FAISS IVF-PQ): split
+    * the 64-dim space into m=4 16-dim subspaces, quantize each
+    * subvector against a per-subspace codebook of k=4 seed centroids
+    * (vectors vec_id<4, the q_semdedup seeding convention), and encode
+    * every vector as 4 one-byte codes — 64 floats → 4 bytes, with the
+    * per-subspace quantization error measuring what the compression
+    * costs. Assignment is exact-decimal sqdist (the fused decimal_sqdist
+    * kernel; ties break to the lowest code), so code assignments — not
+    * just counts — are engine-deterministic, and the oracle replays the
+    * whole thing per-dimension in SQL. Output: per (subspace, code)
+    * population + exact-decimal total error, the codebook-balance /
+    * distortion diagnostic a PQ index build emits. Scale: the codebook
+    * broadcasts (m·k tiny rows); assignment is one narrow pass over the
+    * vectors (m·k kernel calls per row, no shuffle before the rollup);
+    * at 100 TB this is exactly the FAISS build loop as a Spark job.
+    */
+  def qPq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val subs = array((0 until 4).map(i => lit(i.toLong)): _*)
+    val cb = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code"), col("embedding").as("cemb"))
+      .withColumn("s", explode(subs))
+      .select(col("s"), col("code"),
+        expr("slice(cemb, CAST(s * 16 + 1 AS INT), 16)").as("csub"))
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .withColumn("s", explode(subs))
+      .withColumn("sub", expr("slice(embedding, CAST(s * 16 + 1 AS INT), 16)"))
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("dist", expr("decimal_sqdist(sub, csub)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("s"))
+          .orderBy(col("dist"), col("code"))))
+      .filter(col("rn") === 1)
+    assigned.groupBy(col("s"), col("code"))
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(col("dist")).cast(org.apache.spark.sql.types.DecimalType(38, 14))
+          .cast("double").as("sq_error"))
+      .select(col("s").as("subspace"), col("code"), col("n_assigned"),
+        r6(col("sq_error")).as("sq_error"))
+  }
+
+  val qPqSql: String =
+    """WITH sub AS (SELECT CAST(s AS BIGINT) AS s FROM UNNEST([0, 1, 2, 3]) u(s)),
+      |cb AS (SELECT sub.s, vec_id AS code, embedding AS cemb
+      |       FROM embeddings, sub WHERE vec_id < 4),
+      |d AS (SELECT v.vec_id, cb.s, cb.code,
+      |        SUM(CAST((CAST(v.embedding[CAST(cb.s * 16 + i AS INT)] AS DOUBLE)
+      |                   - CAST(cb.cemb[CAST(cb.s * 16 + i AS INT)] AS DOUBLE))
+      |                * (CAST(v.embedding[CAST(cb.s * 16 + i AS INT)] AS DOUBLE)
+      |                   - CAST(cb.cemb[CAST(cb.s * 16 + i AS INT)] AS DOUBLE))
+      |              AS DECIMAL(28,14))) AS dist
+      |      FROM embeddings v, cb, UNNEST(range(1, 17)) AS u(i)
+      |      GROUP BY 1, 2, 3),
+      |a AS (SELECT vec_id, s, code, dist FROM (
+      |        SELECT vec_id, s, code, dist,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+      |        FROM d) t WHERE rn = 1)
+      |SELECT s AS subspace, code, COUNT(*) AS n_assigned,
+      |  ROUND(CAST(CAST(SUM(dist) AS DECIMAL(38,14)) AS DOUBLE), 6) AS sq_error
+      |FROM a GROUP BY 1, 2""".stripMargin
+
   /** Sketch-accuracy audit for the MinHash pipeline: for every LSH
     * candidate pair, the ESTIMATED Jaccard (fraction of agreeing minhash
     * components — the unbiased MinHash estimator) next to the EXACT
@@ -1159,6 +1222,7 @@ object SimilarityQueries {
     "q_lsh_recall" -> ((qLshRecall _, Some(qLshRecallSql))),
     "q_jaccard_join" -> ((qJaccardJoin _, Some(qJaccardJoinSql))),
     "q_semdedup" -> ((qSemdedup _, Some(qSemdedupSql))),
+    "q_pq" -> ((qPq _, Some(qPqSql))),
     "q_minhash_est" -> ((qMinhashEstimate _, Some(qMinhashEstimateSql))),
     "q_quantize" -> ((qQuantize _, Some(qQuantizeSql))),
     "q_split" -> ((qSplit _, Some(qSplitSql))),
