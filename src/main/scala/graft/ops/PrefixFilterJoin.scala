@@ -78,10 +78,16 @@ object PrefixFilterJoin {
     // stage at |cand| rows; the per-pair intersect is bounded by record
     // length, and postings are distinct so array_intersect counts set
     // intersection exactly.
+    // NO broadcast hint on docArr: it is CORPUS-sized (every record's full
+    // token array) — forcing a broadcast would ship the whole corpus to
+    // every executor, which caps the operator at driver memory. Unhinted,
+    // AQE broadcasts it when it happens to be small (this corpus) and
+    // shuffle-joins on the id key when it isn't (100 TB) — the only shape
+    // that scales, since candidates and arrays co-partition by id.
     val docArr = p.groupBy(id).agg(collect_list(tok).as("__toks"))
     cand
-      .join(broadcast(docArr.select(id.as("id_a"), col("__toks").as("__ta"))), Seq("id_a"))
-      .join(broadcast(docArr.select(id.as("id_b"), col("__toks").as("__tb"))), Seq("id_b"))
+      .join(docArr.select(id.as("id_a"), col("__toks").as("__ta")), Seq("id_a"))
+      .join(docArr.select(id.as("id_b"), col("__toks").as("__tb")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
       .filter(col("inter") * tDen >= (col("n_a") + col("n_b") - col("inter")) * tNum)
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("inter"))

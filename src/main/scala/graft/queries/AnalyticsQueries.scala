@@ -1011,6 +1011,96 @@ object AnalyticsQueries {
       |  CAST(SUM(CASE WHEN jw >= 0.93 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
       |FROM pr GROUP BY brand""".stripMargin
 
+  /** Entity resolution end-to-end — the composite the string metrics
+    * exist FOR: brand-blocked candidate pairs, a 2-of-3 similarity vote
+    * (levenshtein ≤ 4, damerau_levenshtein ≤ 4, rounded jaro_winkler ≥
+    * 0.90 — transposition-aware and prefix-weighted metrics outvote the
+    * plain one on typo-shaped variation), transitive closure over the
+    * matched edges, and a per-brand entity census: records, edges,
+    * resolved entities (matched clusters + singletons), largest cluster,
+    * and records merged away. The oracle replays scoring with DuckDB's
+    * independent metric implementations and resolves components with a
+    * recursive CTE — different algorithm, same fixpoint (the
+    * q_dedup_clusters discipline). The jw vote compares the ROUND(6)
+    * value on both engines, so no raw-IEEE boundary gates. Scale:
+    * blocking bounds the quadratic per brand; components run
+    * O(log diameter) rounds over matched edges only; the census is
+    * map-side-combinable.
+    */
+  def qEntityResolution(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val p = Tables.part(s, dir)
+      .filter(pmod(col("p_partkey"), lit(10)) === 0)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val pairs = p.as("a").join(broadcast(p.as("b")),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_brand").as("brand"),
+        col("a.p_partkey").as("ka"), col("b.p_partkey").as("kb"),
+        expr("levenshtein(a.p_name, b.p_name)").as("lev"),
+        expr("damerau_levenshtein(a.p_name, b.p_name)").as("dl"),
+        round(expr("jaro_winkler(a.p_name, b.p_name)"), 6).as("jw"))
+      .withColumn("votes",
+        when(col("lev") <= 4, 1).otherwise(0) +
+          when(col("dl") <= 4, 1).otherwise(0) +
+          when(col("jw") >= 0.90, 1).otherwise(0))
+      .filter(col("votes") >= 2)
+      .select(col("brand"), col("ka"), col("kb"))
+    val comp = graft.ops.ConnectedComponents.run(
+      pairs.select(col("ka"), col("kb")), "ka", "kb")
+    val labeled = p.select(col("p_brand").as("brand"), col("p_partkey").as("node"))
+      .join(comp, Seq("node"), "left")
+      .withColumn("ent", coalesce(col("component"), col("node")))
+    val sizes = labeled.groupBy(col("brand"), col("ent"))
+      .agg(count(lit(1)).as("sz"))
+    val census = sizes.groupBy(col("brand"))
+      .agg(sum(col("sz")).cast("bigint").as("n_records"),
+        count(lit(1)).as("n_entities"),
+        max(col("sz")).cast("bigint").as("max_entity_size"),
+        (sum(col("sz")) - count(lit(1))).cast("bigint").as("n_merged"))
+    val edgeCounts = pairs.groupBy(col("brand")).agg(count(lit(1)).as("n_edges"))
+    census.join(edgeCounts, Seq("brand"), "left")
+      .na.fill(0L, Seq("n_edges"))
+      .select(col("brand"), col("n_records"), col("n_edges").cast("bigint").as("n_edges"),
+        col("n_entities"), col("max_entity_size"), col("n_merged"))
+  }
+
+  val qEntityResolutionSql: String =
+    """WITH RECURSIVE pr AS (
+      |  SELECT a.p_brand AS brand, a.p_partkey AS ka, b.p_partkey AS kb,
+      |    levenshtein(a.p_name, b.p_name) AS lev,
+      |    damerau_levenshtein(a.p_name, b.p_name) AS dl,
+      |    ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      |  FROM part a JOIN part b
+      |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |  WHERE a.p_partkey % 10 = 0 AND b.p_partkey % 10 = 0),
+      |m AS (SELECT brand, ka, kb FROM pr
+      |      WHERE (CASE WHEN lev <= 4 THEN 1 ELSE 0 END)
+      |          + (CASE WHEN dl <= 4 THEN 1 ELSE 0 END)
+      |          + (CASE WHEN jw >= 0.90 THEN 1 ELSE 0 END) >= 2),
+      |edges AS (SELECT ka AS a, kb AS b FROM m
+      |          UNION SELECT kb, ka FROM m),
+      |reach(node, lbl) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+      |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+      |rec AS (SELECT p_brand AS brand, p_partkey AS node FROM part
+      |        WHERE p_partkey % 10 = 0),
+      |lab AS (SELECT rec.brand, rec.node,
+      |          COALESCE(comp.component, rec.node) AS ent
+      |        FROM rec LEFT JOIN comp ON comp.node = rec.node),
+      |sizes AS (SELECT brand, ent, COUNT(*) AS sz FROM lab GROUP BY 1, 2),
+      |census AS (SELECT brand, CAST(SUM(sz) AS BIGINT) AS n_records,
+      |    COUNT(*) AS n_entities, CAST(MAX(sz) AS BIGINT) AS max_entity_size,
+      |    CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_merged
+      |  FROM sizes GROUP BY brand),
+      |ec AS (SELECT brand, COUNT(*) AS n_edges FROM m GROUP BY brand)
+      |SELECT census.brand, n_records,
+      |  CAST(COALESCE(n_edges, 0) AS BIGINT) AS n_edges,
+      |  n_entities, max_entity_size, n_merged
+      |FROM census LEFT JOIN ec ON ec.brand = census.brand""".stripMargin
+
   /** Mergeable QUANTILE sketches — the distribution-shaped sibling of
     * q_hll_merge's cardinality algebra: per-event-type Datasketches KLL
     * sketches of `value` (k=200), merged across types and compared with
@@ -1399,6 +1489,7 @@ object AnalyticsQueries {
     "q_jaro" -> ((qJaro _, Some(qJaroSql))),
     "q_acf" -> ((qAcf _, Some(qAcfSql))),
     "q_benford" -> ((qBenford _, Some(qBenfordSql))),
+    "q_entity_resolution" -> ((qEntityResolution _, Some(qEntityResolutionSql))),
     "q_gapfill" -> ((qGapfill _, Some(qGapfillSql))),
     "q_set_ops_all" -> ((qSetOpsAll _, Some(qSetOpsAllSql))),
     "q_unpivot" -> ((qUnpivot _, Some(qUnpivotSql)))
