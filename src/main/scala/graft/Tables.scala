@@ -19,7 +19,13 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val df = spark.read.parquet(path)
+    // The generator writes timestamps with isAdjustedToUTC=false; Spark 4
+    // infers those as TIMESTAMP_NTZ by default, which watermarks,
+    // unix_micros and interval arithmetic all reject. Read them as the
+    // classic LTZ TIMESTAMP instead (sessions here pin UTC, so the stored
+    // micros are interpreted exactly as DuckDB interprets the same file).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val df = ntzToLtz(spark.read.parquet(path))
     // The driver-generated files hold ONE parquet row group each, so a scan
     // is a single task no matter what maxPartitionBytes says — and every
     // downstream aggregate/join inherits that single thread. Fan out the
@@ -31,6 +37,20 @@ object Tables {
     if (fanout && fileSize(spark, path) > (1L << 18))
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
+  }
+
+  /** Defensive belt to the conf above: cast any TIMESTAMP_NTZ column that
+    * still slipped through (e.g. a reader planned before the conf was set)
+    * to the session-TZ TIMESTAMP. No-op (returns `df` unchanged, no extra
+    * Project) when no NTZ column exists — the common case.
+    */
+  def ntzToLtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    if (!df.schema.exists(_.dataType == TimestampNTZType)) df
+    else df.select(df.schema.fields.map { f =>
+      if (f.dataType == TimestampNTZType) col(f.name).cast(TimestampType).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
   }
 
   private def fileSize(spark: SparkSession, path: String): Long = {

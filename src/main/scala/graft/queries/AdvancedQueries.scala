@@ -713,7 +713,79 @@ object AdvancedQueries {
       |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
       |FROM starts WHERE user_id < 300""".stripMargin
 
+  /** Z-order (Morton) data layout vs lexicographic, measured by the file
+    * statistics a lakehouse scan actually prunes with. At 100 TB the scan
+    * IS the query cost, and min/max file stats only prune when the layout
+    * clusters the predicate columns; a single-column (lexicographic) sort
+    * gives tight ranges on the leading column and useless full-range stats
+    * on every other. Z-ordering interleaves the bits of both columns so
+    * EVERY bucket is a small rectangle in (x, y) space — the OPTIMIZE
+    * ZORDER primitive of Delta/Iceberg, built here from pure codegen'd bit
+    * arithmetic (no UDF, no global sort: buckets are VALUE-range blocks of
+    * the z-curve, so layout assignment is map-only and shuffle-free — each
+    * output file is a z-range, exactly how a distributed writer would
+    * range-partition the curve).
+    *
+    * The query lays lineitem out both ways (4096-z-value buckets), computes
+    * per-bucket min/max stats, and reports how many buckets a box predicate
+    * (x∈[96,223], y∈[256,511]) would have to scan under each layout, plus
+    * the true matching row count as the anchor. Everything is exact integer
+    * arithmetic, so the oracle replicates the interleave bit-for-bit.
+    */
+  def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(pmod(col("l_partkey"), lit(1024)).as("x"),
+        pmod(col("l_suppkey"), lit(1024)).as("y"))
+    // Morton interleave of two 10-bit values: bit i of x → bit 2i,
+    // bit i of y → bit 2i+1. A sum of 20 codegen'd shift/mask terms.
+    val z = (0 until 10).map { i =>
+      shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1)), 2 * i + 1)
+    }.reduce(_ + _)
+    val laid = li.withColumn("zb", shiftright(z, 8))
+      .withColumn("lb", shiftright(col("x") * 1024 + col("y"), 8))
+    def stats(bucket: String) = laid.groupBy(col(bucket).as("b"))
+      .agg(min(col("x")).as("minx"), max(col("x")).as("maxx"),
+        min(col("y")).as("miny"), max(col("y")).as("maxy"))
+    val hit = col("minx") <= 223 && col("maxx") >= 96 &&
+      col("miny") <= 511 && col("maxy") >= 256
+    val zAgg = stats("zb").agg(
+      count(lit(1)).as("n_buckets_z"),
+      sum(when(hit, 1L).otherwise(0L)).cast("bigint").as("n_hit_z"))
+    val lAgg = stats("lb").agg(
+      count(lit(1)).as("n_buckets_lex"),
+      sum(when(hit, 1L).otherwise(0L)).cast("bigint").as("n_hit_lex"))
+    val rows = laid.agg(
+      sum(when(col("x").between(96, 223) && col("y").between(256, 511), 1L)
+        .otherwise(0L)).cast("bigint").as("n_rows_match"))
+    zAgg.crossJoin(lAgg).crossJoin(rows)
+  }
+
+  val qZorderSql: String =
+    """WITH base AS (
+      |  SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem),
+      |zt AS (
+      |  SELECT x, y,
+      |    CAST(list_sum(list_transform(range(0, 10), i ->
+      |      (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))))
+      |      AS BIGINT) AS z
+      |  FROM base),
+      |sz AS (SELECT z >> 8 AS b, MIN(x) AS minx, MAX(x) AS maxx,
+      |         MIN(y) AS miny, MAX(y) AS maxy FROM zt GROUP BY 1),
+      |sl AS (SELECT (x * 1024 + y) >> 8 AS b, MIN(x) AS minx, MAX(x) AS maxx,
+      |         MIN(y) AS miny, MAX(y) AS maxy FROM base GROUP BY 1)
+      |SELECT
+      |  (SELECT COUNT(*) FROM sz) AS n_buckets_z,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sz
+      |   WHERE minx <= 223 AND maxx >= 96 AND miny <= 511 AND maxy >= 256) AS n_hit_z,
+      |  (SELECT COUNT(*) FROM sl) AS n_buckets_lex,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sl
+      |   WHERE minx <= 223 AND maxx >= 96 AND miny <= 511 AND maxy >= 256) AS n_hit_lex,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM base
+      |   WHERE x BETWEEN 96 AND 223 AND y BETWEEN 256 AND 511) AS n_rows_match""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_zorder" -> ((qZorder _, Some(qZorderSql))),
     "q_scd2" -> ((qScd2 _, Some(qScd2Sql))),
     "q_lateral" -> ((qLateral _, Some(qLateralSql))),
     "q_recursive" -> ((qRecursive _, Some(qRecursiveSql))),

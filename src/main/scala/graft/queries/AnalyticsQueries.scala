@@ -72,16 +72,31 @@ object AnalyticsQueries {
     graft.functions.GraftFunctions.register(s)
     val p = Tables.part(s, dir)
       .select(col("p_partkey"), col("p_name"), col("p_brand"))
-    // Broadcast the (small) right side: a sort-merge self-join on a
-    // 25-value key buffers each duplicate-key group quadratically AND caps
-    // parallelism at #brands; the broadcast hash join probes per LEFT row,
-    // so work spreads across every partition. Per-pair distance uses the
-    // codegen'd edit_distance_within (byte-banded DP, early exit, -1 when
-    // > 4) — identical results to levenshtein(a, b, 4), ~10× cheaper on
-    // the ASCII hot path (see functions.EditDistanceWithin).
-    p.as("a").join(broadcast(p.as("b")),
+      .withColumn("len", length(col("p_name")))
+    // Block on (brand × name-length band), a pure equi-join key, instead
+    // of broadcasting the whole table (r5 verdict: a build side that grows
+    // with the corpus is a scale-killer at 100×). Edit distance ≤ 4
+    // implies |len(a)-len(b)| ≤ 4, so band = len DIV 8 with the probe side
+    // exploding to the (≤2) bands covering [len-4, len+4] loses no
+    // qualifying pair; each pair meets in exactly ONE block (the build
+    // row's single band). The fine key shuffles/partitions across
+    // #brands × #bands instead of capping at #brands, and AQE is free to
+    // pick broadcast when the build side is genuinely small (it is at
+    // bench sf; at 100 TB this runs as a well-partitioned shuffle join).
+    // Per-pair distance uses the codegen'd edit_distance_within
+    // (byte-banded DP, early exit, -1 when > 4) — identical results to
+    // levenshtein(a, b, 4), ~10× cheaper on the ASCII hot path.
+    val bandW = 8
+    val build = p.withColumn("band", (col("len") / bandW).cast("int"))
+    val probe = p.withColumn("band",
+      explode(sequence(
+        (greatest(col("len") - 4, lit(0)) / bandW).cast("int"),
+        ((col("len") + 4) / bandW).cast("int"))))
+    probe.as("a").join(build.as("b"),
         col("a.p_brand") === col("b.p_brand") &&
-          col("a.p_partkey") < col("b.p_partkey"))
+          col("a.band") === col("b.band") &&
+          col("a.p_partkey") < col("b.p_partkey") &&
+          abs(col("a.len") - col("b.len")) <= 4)
       .select(col("a.p_brand").as("brand"),
         expr("edit_distance_within(a.p_name, b.p_name, 4)").as("dist"))
       .filter(col("dist") > 0)
@@ -120,9 +135,22 @@ object AnalyticsQueries {
     val p = Tables.part(s, dir)
       .filter(pmod(col("p_partkey"), lit(10)) === 0)
       .select(col("p_partkey"), col("p_name"), col("p_brand"))
-    p.as("a").join(broadcast(p.as("b")),
+      .withColumn("len", length(col("p_name")))
+    // Same (brand × length-band) equi-blocking as q_edit_distance (no
+    // whole-table broadcast): dl ≤ 6 implies |len(a)-len(b)| ≤ 6, band
+    // width 8 with probe side exploded over [len-6, len+6] keeps every
+    // qualifying pair, each met in exactly one block (build's own band).
+    val bandW = 8
+    val build = p.withColumn("band", (col("len") / bandW).cast("int"))
+    val probe = p.withColumn("band",
+      explode(sequence(
+        (greatest(col("len") - 6, lit(0)) / bandW).cast("int"),
+        ((col("len") + 6) / bandW).cast("int"))))
+    probe.as("a").join(build.as("b"),
         col("a.p_brand") === col("b.p_brand") &&
-          col("a.p_partkey") < col("b.p_partkey"))
+          col("a.band") === col("b.band") &&
+          col("a.p_partkey") < col("b.p_partkey") &&
+          abs(col("a.len") - col("b.len")) <= 6)
       .select(col("a.p_brand").as("brand"),
         expr("damerau_levenshtein(a.p_name, b.p_name)").as("dl"),
         expr("levenshtein(a.p_name, b.p_name)").as("lev"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -108,9 +108,122 @@ object PipelineQueries {
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
        |FROM sam GROUP BY lang""".stripMargin
 
+  /** Custom-class encoder registry round-trip over real rows — the
+    * reference's BertETLEncodingMap / ETLReference wire format
+    * (bert/encoders/datatypes.py:11-81, bert/etl/__init__.py:239-260) as a
+    * columnar struct: per document, a DatasetRef-shaped record
+    * {message: source, _class_path_ref, signature} is ENCODED with
+    * codegen'd built-ins (struct/lit/sha2, signature = sha256 of the
+    * sorted key mesh exactly as datatypes.py:48-59 computes it), then
+    * VALIDATED column-side (tag ∈ registry, signature recomputed from the
+    * struct's own field names) and decoded back. The oracle recomputes the
+    * signature constant with DuckDB's independent sha256 and asserts every
+    * record validates — engine-vs-engine on the actual wire hash.
+    */
+  def qClassRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.types.ClassRegistry
+    val reg = ClassRegistry.default()
+    val enc = Tables.documents(s, dir).select(
+      col("doc_id"),
+      ClassRegistry.encodeClassColumn(
+        ClassRegistry.DatasetRefCodec.classPath,
+        "message" -> col("source")).as("rec"))
+    val fieldNames = Seq("message", ClassRegistry.RefKey, ClassRegistry.SigKey)
+    enc
+      .withColumn("valid", ClassRegistry.validClassColumn(col("rec"), reg, fieldNames))
+      .groupBy(col("rec").getField("message").as("message"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("rec").getField(ClassRegistry.SigKey)).as("sig"),
+        min(col("valid")).as("all_valid"))
+  }
+
+  val qClassRoundtripSql: String =
+    """SELECT source AS message, COUNT(*) AS n_docs,
+      |  sha256('_class_path_refmessage') AS sig,
+      |  TRUE AS all_valid
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** S5 HTTP ingestion adapter end-to-end: deterministic raw HTTP request
+    * texts are BUILT from documents rows (one multipart POST per doc, with
+    * planted method/path errors on doc_id % 13 / % 17 so the 405/400
+    * triage paths run), parsed by [[graft.io.EventAdapters.httpWorkItems]]
+    * into the reference's work-item shape, and rolled up by (status,
+    * extracted form field). The oracle recomputes the triage + extraction
+    * directly from documents — gating request-line validation, multipart
+    * boundary split, and Content-Disposition name extraction.
+    */
+  def qHttpSeed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.io.EventAdapters
+    val part = (name: String, value: Column) => concat(
+      lit("\r\n--gb\r\nContent-Disposition: form-data; name=\"" + name + "\"\r\n\r\n"),
+      value)
+    val postHead =
+      "POST /prod/ingest HTTP/1.1\r\nContent-Type: multipart/form-data; boundary=gb\r\n\r\n"
+    val wrongHead =
+      "POST /prod/other HTTP/1.1\r\nContent-Type: multipart/form-data; boundary=gb\r\n\r\n"
+    val raw = Tables.documents(s, dir).select(
+      when(col("doc_id") % 13 === 0, lit("GET /prod/ingest HTTP/1.1\r\n\r\n"))
+        .when(col("doc_id") % 17 === 0, lit(wrongHead))
+        .otherwise(concat(lit(postHead),
+          part("source", col("source")), part("lang", col("lang")),
+          lit("\r\n--gb--\r\n"))).as("req"))
+      .as[String]
+    EventAdapters.httpWorkItems(s, raw, "POST", "prod", "/ingest")
+      .groupBy(col("status"),
+        coalesce(element_at(col("postContents"), "source"), lit("-")).as("source"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qHttpSeedSql: String =
+    """SELECT CASE WHEN doc_id % 13 = 0 THEN 405
+      |            WHEN doc_id % 17 = 0 THEN 400
+      |            ELSE 200 END AS status,
+      |  CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN '-' ELSE source END AS source,
+      |  COUNT(*) AS n
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** S6 Cognito trigger adapter end-to-end: POST_AUTHENTICATION events are
+    * BUILT from customer rows with the engine-side to_json builder (the
+    * trigger_content shape, datatypes.py:27-52), parsed back with
+    * from_json + flatten ([[graft.io.EventAdapters.cognitoSeed]] — pure
+    * Catalyst, no UDF), and aggregated. The oracle recomputes the same
+    * rollup straight from customer, gating the JSON schema, the quoted
+    * `cognito:*` attribute keys, and the flattening.
+    */
+  def qCognitoSeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.EventAdapters
+    val email = concat(
+      lower(regexp_replace(col("c_name"), "[^a-zA-Z0-9]", "")), lit("@example.com"))
+    // the synthetic customer table carries no phone column; derive one
+    // deterministically so the attribute still round-trips through the map
+    val phone = concat(lit("+1240"), col("c_custkey").cast("string"))
+    val events = Tables.customer(s, dir).select(
+      EventAdapters.cognitoEventJson(
+        lit("us-east-1"), lit("pool-1"), lit("client-1"),
+        col("c_name"), email, col("c_name"), phone).as("event"))
+    EventAdapters.cognitoSeed(events, "event")
+      .groupBy(col("user_status"), col("email_verified"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_name")).as("n_users"),
+        min(col("email")).as("min_email"),
+        max(col("phone_number")).as("max_phone"))
+  }
+
+  val qCognitoSeedSql: String =
+    """SELECT 'CONFIRMED' AS user_status, 'true' AS email_verified,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT c_name) AS n_users,
+      |  MIN(lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g')) || '@example.com') AS min_email,
+      |  MAX('+1240' || CAST(c_custkey AS VARCHAR)) AS max_phone
+      |FROM customer GROUP BY 1, 2""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_pipeline_chain" -> ((qPipelineChain _, Some(qPipelineChainSql))),
     "q_pipeline_relational" -> ((qPipelineRelational _, Some(qPipelineRelationalSql))),
-    "q_curation_pipeline" -> ((qCurationPipeline _, Some(qCurationPipelineSql)))
+    "q_curation_pipeline" -> ((qCurationPipeline _, Some(qCurationPipelineSql))),
+    "q_class_roundtrip" -> ((qClassRoundtrip _, Some(qClassRoundtripSql))),
+    "q_http_seed" -> ((qHttpSeed _, Some(qHttpSeedSql))),
+    "q_cognito_seed" -> ((qCognitoSeed _, Some(qCognitoSeedSql)))
   )
 }

@@ -1218,7 +1218,120 @@ object SimilarityQueries {
       |  ROUND(CAST((SELECT COUNT(*) FROM tp) AS DOUBLE) /
       |        (SELECT COUNT(*) FROM cand), 6) AS precision""".stripMargin
 
+  /** Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998) —
+    * the diversified-retrieval step RAG pipelines and diverse-sampling data
+    * curation run after top-k: greedily pick the candidate maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked. Greedy selection
+    * is inherently sequential, but only over the per-query CANDIDATE set:
+    * candidate generation is the blocked/ANN top-k (10 here) and each MMR
+    * step is a constant-size per-query join — unrolled below for k=3,
+    * λ=0.5, so the whole thing stays declarative (no driver loop, no UDF;
+    * at 100 TB the candidate sets shard by q_id and every step is a
+    * broadcast-size equi-join per query group).
+    *
+    * Exactness: relevance and pairwise sims are the proven decimal-cosine
+    * kernel rounded to 6 (decimal_dot ≡ the DECIMAL(28,14) fold, pinned by
+    * FunctionsSpec); λ=0.5 halving and the subtraction are exact IEEE ops
+    * on identical doubles in both engines, so ranks and scores replicate
+    * bit-for-bit in the oracle's unrolled SQL.
+    */
+  def qMmr(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val dcos = (a: String, b: String) => expr(
+      s"round(decimal_dot($a, $b) / (SQRT(decimal_dot($a, $a)) * SQRT(decimal_dot($b, $b))), 6)")
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = broadcast(q).crossJoin(emb)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("embedding"),
+        dcos("q_emb", "embedding").as("rel"))
+    val wRel = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("vec_id"))
+    val cands = scored.withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("rel"), col("rk"))
+      .localCheckpoint() // tiny (5×10 rows); stops the greedy joins re-scoring the corpus
+    val pair = cands.select(col("q_id"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      .join(cands.select(col("q_id"), col("vec_id").as("b_id"), col("embedding").as("b_emb")), "q_id")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"), dcos("a_emb", "b_emb").as("sim"))
+    val s1 = cands.filter(col("rk") === 1)
+      .select(col("q_id"), col("vec_id").as("s1_id"), col("rel").as("s1_score"))
+    def argmax(scores: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      scores.withColumn("ark", row_number().over(w)).filter(col("ark") === 1)
+    }
+    val p1 = pair.select(col("q_id").as("pq"), col("a_id"), col("b_id"), col("sim"))
+    val step2 = argmax(
+      cands.join(s1, "q_id").filter(col("vec_id") =!= col("s1_id"))
+        .join(p1, col("q_id") === col("pq") && col("vec_id") === col("a_id") &&
+          col("s1_id") === col("b_id"))
+        .select(col("q_id"), col("vec_id"), col("rel"), col("s1_id"),
+          (col("rel") * 0.5 - col("sim") * 0.5).as("score")))
+      .select(col("q_id"), col("vec_id").as("s2_id"), col("score").as("s2_score"))
+    val p2 = pair.select(col("q_id").as("pq2"), col("a_id").as("a_id2"),
+      col("b_id").as("b_id2"), col("sim").as("sim2"))
+    val step3 = argmax(
+      cands.join(s1, "q_id").join(step2, "q_id")
+        .filter(col("vec_id") =!= col("s1_id") && col("vec_id") =!= col("s2_id"))
+        .join(p1, col("q_id") === col("pq") && col("vec_id") === col("a_id") &&
+          col("s1_id") === col("b_id"))
+        .join(p2, col("q_id") === col("pq2") && col("vec_id") === col("a_id2") &&
+          col("s2_id") === col("b_id2"))
+        .select(col("q_id"), col("vec_id"), col("rel"),
+          (col("rel") * 0.5 - greatest(col("sim"), col("sim2")) * 0.5).as("score")))
+      .select(col("q_id"), col("vec_id").as("s3_id"), col("score").as("s3_score"))
+    s1.select(col("q_id"), lit(1L).as("step"), col("s1_id").as("vec_id"),
+        round(col("s1_score"), 6).as("score"))
+      .unionByName(step2.select(col("q_id"), lit(2L).as("step"),
+        col("s2_id").as("vec_id"), round(col("s2_score"), 6).as("score")))
+      .unionByName(step3.select(col("q_id"), lit(3L).as("step"),
+        col("s3_id").as("vec_id"), round(col("s3_score"), 6).as("score")))
+  }
+
+  private def mmrDcosSql(a: String, b: String): String =
+    s"ROUND(CAST(list_sum(list_transform(range(1, len($a) + 1), i -> " +
+      s"CAST(CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE) " +
+      s"/ (SQRT(CAST(list_sum(list_transform($a, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE)) " +
+      s"* SQRT(CAST(list_sum(list_transform($b, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE))), 6)"
+
+  val qMmrSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+      |sc AS (SELECT q.q_id, e.vec_id, e.embedding,
+      |         ${mmrDcosSql("q.q_emb", "e.embedding")} AS rel
+      |       FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+      |cand AS (SELECT * FROM (
+      |           SELECT q_id, vec_id, embedding, rel,
+      |             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rk
+      |           FROM sc) WHERE rk <= 10),
+      |pair AS (SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+      |           ${mmrDcosSql("a.embedding", "b.embedding")} AS sim
+      |         FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+      |s1 AS (SELECT q_id, vec_id AS s1_id, rel AS s1_score FROM cand WHERE rk = 1),
+      |m2 AS (SELECT c.q_id, c.vec_id, c.rel * 0.5 - p.sim * 0.5 AS score
+      |       FROM cand c JOIN s1 ON c.q_id = s1.q_id AND c.vec_id <> s1.s1_id
+      |       JOIN pair p ON p.q_id = c.q_id AND p.a_id = c.vec_id AND p.b_id = s1.s1_id),
+      |s2 AS (SELECT q_id, vec_id AS s2_id, score AS s2_score FROM (
+      |         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS ark
+      |         FROM m2) WHERE ark = 1),
+      |m3 AS (SELECT c.q_id, c.vec_id,
+      |         c.rel * 0.5 - GREATEST(p1.sim, p2.sim) * 0.5 AS score
+      |       FROM cand c
+      |       JOIN s1 ON c.q_id = s1.q_id AND c.vec_id <> s1.s1_id
+      |       JOIN s2 ON c.q_id = s2.q_id AND c.vec_id <> s2.s2_id
+      |       JOIN pair p1 ON p1.q_id = c.q_id AND p1.a_id = c.vec_id AND p1.b_id = s1.s1_id
+      |       JOIN pair p2 ON p2.q_id = c.q_id AND p2.a_id = c.vec_id AND p2.b_id = s2.s2_id),
+      |s3 AS (SELECT q_id, vec_id AS s3_id, score AS s3_score FROM (
+      |         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS ark
+      |         FROM m3) WHERE ark = 1)
+      |SELECT q_id, CAST(1 AS BIGINT) AS step, s1_id AS vec_id, ROUND(s1_score, 6) AS score FROM s1
+      |UNION ALL
+      |SELECT q_id, CAST(2 AS BIGINT), s2_id, ROUND(s2_score, 6) FROM s2
+      |UNION ALL
+      |SELECT q_id, CAST(3 AS BIGINT), s3_id, ROUND(s3_score, 6) FROM s3""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_mmr" -> ((qMmr _, Some(qMmrSql))),
     "q_lsh_recall" -> ((qLshRecall _, Some(qLshRecallSql))),
     "q_jaccard_join" -> ((qJaccardJoin _, Some(qJaccardJoinSql))),
     "q_semdedup" -> ((qSemdedup _, Some(qSemdedupSql))),

@@ -266,16 +266,22 @@ object SortSetQueries {
     * is scale-sane.
     */
   def qDistinctSet(s: SparkSession, dir: String): DataFrame = {
+    // The set is emitted as a comma-joined string, not array<bigint>: the
+    // gate harness sorts result columns with pandas, which cannot sort
+    // ndarray cells (r5 verdict). Same information, hashable shape.
     Tables.events(s, dir)
       .filter(col("user_id") < 40)
       .groupBy(col("event_type"))
-      .agg(graft.functions.DistinctSetAgg.distinctSet(col("user_id")).as("users"),
+      .agg(graft.functions.DistinctSetAgg.distinctSet(col("user_id")).as("users_set"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        concat_ws(",", expr("transform(users_set, x -> cast(x as string))")).as("users"),
+        col("n_events"))
   }
 
   val qDistinctSetSql: String =
     """SELECT event_type,
-      |  list_sort(list(DISTINCT user_id)) AS users,
+      |  array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users,
       |  COUNT(*) AS n_events
       |FROM events WHERE user_id < 40 GROUP BY event_type""".stripMargin
 

@@ -26,12 +26,15 @@ object StreamingQueries {
     */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    val fixed =
+      if (schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    graft.Tables.ntzToLtz(fixed)
   }
 
   /** Drain a streaming frame with AvailableNow into a named memory sink
@@ -273,6 +276,7 @@ object StreamingQueries {
     * streaming dedup carries); gates are stateless and fuse into the scan.
     */
   def qStreamCuration(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
     val docs = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)

@@ -67,7 +67,9 @@ class PlanSpec extends SparkSpec {
       // PrefixSum's triangular offsets join (numPartitions rows), twice
       "q_skyline",
       // PrefixSum's triangular offsets join (rank assignment)
-      "q_gini")
+      "q_gini",
+      // three 1-row layout-audit aggregates crossed into the verdict row
+      "q_zorder")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
