@@ -1490,7 +1490,75 @@ object AnalyticsQueries {
       |    AS avg_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Rendezvous (highest-random-weight) shard layout — the deterministic
+    * doc→shard assignment a distributed training-data writer uses, plus
+    * the property that makes HRW the right choice at 100 TB: growing the
+    * fleet from 8 to 9 shards moves only ~1/9 of the corpus (every other
+    * consistent-assignment scheme rebalances more). Per doc, weight(doc,
+    * shard) is the proven md5-nibble integer (no RNG — reruns and both
+    * engines agree bit-for-bit); the winner is the argmax with a
+    * lower-shard tie-break. The query assigns every document under 8 and
+    * 9 shards and reports, per shard: population under each fleet, bytes,
+    * and how many of its 9-shard docs ARRIVED from another shard — the
+    * exact movement count the minimal-disruption claim is about. Scale:
+    * 9 hashes per doc, one groupBy(doc) with a struct-max combiner (no
+    * window sort), then a shard-sized rollup — all map-side combinable.
+    */
+  def qShardLayout(s: SparkSession, dir: String): DataFrame = {
+    val wExpr = md5IntExpr(
+      "concat(cast(doc_id as string), '#', cast(shard as string))", 1, 12)
+    val weights = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(8))).as("shard"))
+      .withColumn("w", expr(wExpr))
+    // argmax via struct-max: (w, -shard) orders ties toward the LOWER shard
+    val picks = weights
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(
+        max(when(col("shard") < 8,
+          struct(col("w"), (col("shard") * -1).as("ns")))).as("m8"),
+        max(struct(col("w"), (col("shard") * -1).as("ns"))).as("m9"))
+      .select(col("doc_id"), col("n_chars"),
+        (col("m8").getField("ns") * -1).as("s8"),
+        (col("m9").getField("ns") * -1).as("s9"))
+    val a9 = picks.groupBy(col("s9").as("shard"))
+      .agg(count(lit(1)).as("n_docs9"),
+        sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_inbound_moved"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"))
+    val a8 = picks.groupBy(col("s8").as("shard"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs8"))
+    a9.join(a8, Seq("shard"), "left_outer")
+      .select(col("shard"), coalesce(col("n_docs8"), lit(0L)).as("n_docs8"),
+        col("n_docs9"), col("n_inbound_moved"), col("total_chars"))
+  }
+
+  val qShardLayoutSql: String = {
+    val w = md5IntSql(
+      "concat(CAST(doc_id AS VARCHAR), '#', CAST(shard AS VARCHAR))", 1, 12)
+    s"""WITH sh AS (SELECT doc_id, n_chars, shard
+      |            FROM documents, UNNEST(range(0, 9)) AS u(shard)),
+      |w AS (SELECT doc_id, n_chars, shard, $w AS w FROM sh),
+      |p8 AS (SELECT doc_id, shard AS s8 FROM (
+      |         SELECT doc_id, shard,
+      |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, shard) AS rk
+      |         FROM w WHERE shard < 8) WHERE rk = 1),
+      |p9 AS (SELECT doc_id, n_chars, shard AS s9 FROM (
+      |         SELECT doc_id, n_chars, shard,
+      |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, shard) AS rk
+      |         FROM w) WHERE rk = 1),
+      |a9 AS (SELECT s9 AS shard, COUNT(*) AS n_docs9,
+      |         CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT) AS n_inbound_moved,
+      |         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |       FROM p9 JOIN p8 USING (doc_id) GROUP BY 1),
+      |a8 AS (SELECT s8 AS shard, COUNT(*) AS n_docs8 FROM p8 GROUP BY 1)
+      |SELECT a9.shard, CAST(COALESCE(a8.n_docs8, 0) AS BIGINT) AS n_docs8,
+      |  n_docs9, n_inbound_moved, total_chars
+      |FROM a9 LEFT JOIN a8 ON a9.shard = a8.shard""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_shard_layout" -> ((qShardLayout _, Some(qShardLayoutSql))),
     "q_delta_agg" -> ((qDeltaAgg _, Some(qDeltaAggSql))),
     "q_weighted_median" -> ((qWeightedMedian _, Some(qWeightedMedianSql))),
     "q_gini" -> ((qGini _, Some(qGiniSql))),

@@ -151,6 +151,51 @@ object StreamingQueries {
       |SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
+  /** Dynamic-gap sessionization — session_window with a PER-ROW gap
+    * expression (clicks time out after 10 minutes, everything else after
+    * 45), the session-state shape fixed-gap windows cannot express and a
+    * real engine differentiator (per-event-class engagement timeouts).
+    * Run as a real streaming aggregate; the oracle replicates Spark's
+    * merge rule exactly — sort by start, union intervals [us, us+gap),
+    * break when a row's start is >= the running max end (touching windows
+    * do NOT merge) — in exact integer microseconds. Scale: state is one
+    * interval per open session per user, sharded by the groupBy key like
+    * any streaming aggregation.
+    */
+  def qStreamSessionDynamic(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "graft_stream_session_dyn", "complete") { events =>
+      events
+        .withWatermark("ts", "365 days")
+        .groupBy(session_window(col("ts"),
+          when(col("event_type") === "click", "10 minutes")
+            .otherwise("45 minutes")).as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w").getField("start")).as("session_start_us"),
+          unix_micros(col("w").getField("end")).as("session_end_us"),
+          col("n_events"))
+    }
+
+  val qStreamSessionDynamicSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+      |             us + CASE WHEN event_type = 'click' THEN 600000000
+      |                       ELSE 2700000000 END AS e_us
+      |           FROM events),
+      |g AS (SELECT user_id, event_id, us, e_us,
+      |        CASE WHEN MAX(e_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL THEN 1
+      |             WHEN us >= MAX(e_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1
+      |             ELSE 0 END AS brk
+      |      FROM e),
+      |sess AS (SELECT user_id, us, e_us,
+      |           SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |         FROM g)
+      |SELECT user_id, MIN(us) AS session_start_us, MAX(e_us) AS session_end_us,
+      |  COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
   /** Arbitrary keyed state via flatMapGroupsWithState — the general-state
     * primitive (per-user counters/models the built-in windows can't hold),
     * run as a REAL streaming job and gated by the batch oracle. Each
@@ -353,6 +398,7 @@ object StreamingQueries {
     "q_stream_dedup" -> ((qStreamDedup _, Some(qStreamDedupSql))),
     "q_stream_sliding" -> ((qStreamSliding _, Some(qStreamSlidingSql))),
     "q_stream_session" -> ((qStreamSession _, Some(qStreamSessionSql))),
+    "q_stream_session_dyn" -> ((qStreamSessionDynamic _, Some(qStreamSessionDynamicSql))),
     "q_stream_custom_state" -> ((qStreamCustomState _, Some(qStreamCustomStateSql)))
   )
 }

@@ -74,6 +74,7 @@ class PlanSpec extends SparkSpec {
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
     Set("q_stream_tumbling", "q_stream_dedup", "q_stream_sliding", "q_stream_session",
+      "q_stream_session_dyn",
       "q_stream_custom_state", "q_stream_join", "q_stream_enrich", "q_stream_curation",
       "q_stream_ohlc")
 
