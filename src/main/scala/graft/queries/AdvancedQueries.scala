@@ -784,8 +784,97 @@ object AdvancedQueries {
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM base
       |   WHERE x BETWEEN 96 AND 223 AND y BETWEEN 256 AND 511) AS n_rows_match""".stripMargin
 
+  /** CDC merge-apply — the MERGE INTO primitive every lakehouse table
+    * maintenance job runs: a change feed (inserts/updates/deletes derived
+    * from the event log: signup→upsert, purchase→upsert, error→delete) is
+    * applied onto a base snapshot (customer balances) with last-writer-wins
+    * ordering by (ts, event_id). The scale shape is the canonical one: the
+    * feed collapses to ONE winning op per key first (map-side-combinable
+    * window over the CDC shuffle — state is #keys, not #events), then a
+    * single full-outer equi-join against the snapshot applies it; no
+    * driver loop, no per-row point lookups. Complements q_scd2 (type-2
+    * history) and q_snapshot_diff (reconciliation): this is the type-1
+    * "current state" maintenance op.
+    */
+  def qMergeApply(s: SparkSession, dir: String): DataFrame = {
+    val cdc = Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase", "error") &&
+        col("user_id") < 2000)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"))
+    val wLast = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val last = cdc.withColumn("rk", row_number().over(wLast))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("op"), col("value"))
+    val snap = Tables.customer(s, dir)
+      .filter(col("c_custkey") < 2000)
+      .select(col("c_custkey").as("user_id"), col("c_acctbal").as("balance"))
+    last.join(snap, Seq("user_id"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "error") // delete wins → row gone
+      .select(col("user_id"),
+        when(col("op").isNull, "kept")
+          .when(col("balance").isNull, "inserted")
+          .otherwise("updated").as("status"),
+        when(col("op").isNull, col("balance")).otherwise(col("value")).as("balance"))
+  }
+
+  val qMergeApplySql: String =
+    """WITH cdc AS (
+      |  SELECT user_id, event_type, value, ts, event_id FROM events
+      |  WHERE event_type IN ('signup', 'purchase', 'error') AND user_id < 2000),
+      |last AS (
+      |  SELECT user_id, event_type AS op, value FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+      |    FROM cdc) WHERE rk = 1),
+      |snap AS (SELECT c_custkey AS user_id, c_acctbal AS balance
+      |         FROM customer WHERE c_custkey < 2000)
+      |SELECT COALESCE(l.user_id, s.user_id) AS user_id,
+      |  CASE WHEN l.op IS NULL THEN 'kept'
+      |       WHEN s.balance IS NULL THEN 'inserted'
+      |       ELSE 'updated' END AS status,
+      |  CASE WHEN l.op IS NULL THEN s.balance ELSE l.value END AS balance
+      |FROM last l FULL OUTER JOIN snap s ON l.user_id = s.user_id
+      |WHERE l.op IS NULL OR l.op <> 'error'""".stripMargin
+
+  /** Per-key quota enforcement — the ingestion guardrail (at most N events
+    * per user per hour; the rest are spilled to a quarantine count). Pure
+    * rank-within-(key, hour): deterministic admission by (ts, event_id)
+    * arrival order, no state beyond the partition sort, map-side
+    * combinable rollup. The per-hour bucketing is exactly how a 100 TB
+    * ingest shards this: the rank window never sees more than one (user,
+    * hour) group at once.
+    */
+  def qQuota(s: SparkSession, dir: String): DataFrame = {
+    val cap = 3
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        date_trunc("hour", col("ts")).as("hr"))
+    val w = Window.partitionBy(col("user_id"), col("hr"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("rk", row_number().over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("rk") <= cap, 1L).otherwise(0L)).cast("bigint").as("n_admitted"),
+        sum(when(col("rk") > cap, 1L).otherwise(0L)).cast("bigint").as("n_quarantined"))
+      .filter(col("n_quarantined") > 0)
+  }
+
+  val qQuotaSql: String =
+    """WITH r AS (
+      |  SELECT user_id, ROW_NUMBER() OVER (
+      |      PARTITION BY user_id, date_trunc('hour', ts)
+      |      ORDER BY ts, event_id) AS rk
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+      |  CAST(SUM(CASE WHEN rk > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
+      |FROM r GROUP BY user_id HAVING SUM(CASE WHEN rk > 3 THEN 1 ELSE 0 END) > 0""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_zorder" -> ((qZorder _, Some(qZorderSql))),
+    "q_merge_apply" -> ((qMergeApply _, Some(qMergeApplySql))),
+    "q_quota" -> ((qQuota _, Some(qQuotaSql))),
     "q_scd2" -> ((qScd2 _, Some(qScd2Sql))),
     "q_lateral" -> ((qLateral _, Some(qLateralSql))),
     "q_recursive" -> ((qRecursive _, Some(qRecursiveSql))),
