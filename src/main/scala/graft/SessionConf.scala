@@ -11,6 +11,16 @@ import org.apache.spark.sql.SparkSession
   */
 object SessionConf {
   def overlay(builder: SparkSession.Builder): SparkSession.Builder = {
+    // Graft base default, set BEFORE the env overlay so SPARK_GRAFT_CONF
+    // can still override it in sweeps: the driver-generated parquet holds
+    // isAdjustedToUTC=false timestamps, which Spark 4 would infer as
+    // TIMESTAMP_NTZ — a type watermarks, unix_micros and interval
+    // arithmetic reject. One visible session-level choice here replaces
+    // the old per-call mutation inside Tables.load (which silently
+    // disabled NTZ inference for unrelated readers created later);
+    // Tables.ntzToLtz stays as the local belt for externally-built
+    // sessions that skip this overlay.
+    builder.config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     sys.env.get("SPARK_GRAFT_CONF").foreach {
       _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
         kv.split("=", 2) match {

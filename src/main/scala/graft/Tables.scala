@@ -21,10 +21,10 @@ object Tables {
     val path = s"$sfDir/$name.parquet"
     // The generator writes timestamps with isAdjustedToUTC=false; Spark 4
     // infers those as TIMESTAMP_NTZ by default, which watermarks,
-    // unix_micros and interval arithmetic all reject. Read them as the
-    // classic LTZ TIMESTAMP instead (sessions here pin UTC, so the stored
-    // micros are interpreted exactly as DuckDB interprets the same file).
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // unix_micros and interval arithmetic all reject. Graft sessions
+    // disable NTZ inference once at build time (SessionConf.overlay);
+    // ntzToLtz below is the belt for sessions built elsewhere (UTC
+    // sessions make the cast byte-identical to reading as LTZ).
     val df = ntzToLtz(spark.read.parquet(path))
     // The driver-generated files hold ONE parquet row group each, so a scan
     // is a single task no matter what maxPartitionBytes says — and every

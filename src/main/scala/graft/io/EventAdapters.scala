@@ -80,7 +80,11 @@ object EventAdapters {
     }.toMap
     val fullPath = s"/$stage$route"
     if (method != expectMethod) HttpWorkItem(method, route, 405, Map.empty)
-    else if (path != fullPath) HttpWorkItem(method, route, 400, Map.empty)
+    // The reference lowercases the ENTIRE request line before comparing
+    // (handler.py:101), so 'POST /PROD/Ingest' routes when stage/route are
+    // lowercase; compare the lowercased incoming path against fullPath
+    // as constructed (an uppercase stage/route never matches there either).
+    else if (path.toLowerCase != fullPath) HttpWorkItem(method, route, 400, Map.empty)
     else if (method == "get") HttpWorkItem(method, route, 200, Map.empty)
     else {
       val ct = headers.getOrElse("Content-Type", "")
@@ -113,8 +117,11 @@ object EventAdapters {
                 props.get("name") match {
                   case Some(n) if props.contains("filename") =>
                     Seq(n -> pb) ++ phMap.get("Content-Type").map(t => s"$n.content-type" -> t)
-                  case Some(n) => Seq(n -> pb)
-                  case None => Seq.empty
+                  // Reference keeps a filename-less part only when name is
+                  // the SOLE Content-Disposition property (handler.py:145's
+                  // len(properties)==1); extra properties drop the part.
+                  case Some(n) if props.size == 1 => Seq(n -> pb)
+                  case _ => Seq.empty
                 }
               }
             case _ => Seq.empty

@@ -846,7 +846,12 @@ object AdvancedQueries {
     * hour) group at once.
     */
   def qQuota(s: SparkSession, dir: String): DataFrame = {
-    val cap = 3
+    // cap = 1 event per (user, hour): every second-or-later event in an
+    // hour quarantines, so the admission path fires at every sf (the old
+    // cap=3 + HAVING>0 shape returned 0 rows at small sf — both engines
+    // agreed on the empty frame, validating nothing). Report EVERY user
+    // (no post-filter) so the frame is non-empty at any scale.
+    val cap = 1
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("ts"),
         date_trunc("hour", col("ts")).as("hr"))
@@ -857,7 +862,6 @@ object AdvancedQueries {
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("rk") <= cap, 1L).otherwise(0L)).cast("bigint").as("n_admitted"),
         sum(when(col("rk") > cap, 1L).otherwise(0L)).cast("bigint").as("n_quarantined"))
-      .filter(col("n_quarantined") > 0)
   }
 
   val qQuotaSql: String =
@@ -867,9 +871,9 @@ object AdvancedQueries {
       |      ORDER BY ts, event_id) AS rk
       |  FROM events)
       |SELECT user_id, COUNT(*) AS n_events,
-      |  CAST(SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
-      |  CAST(SUM(CASE WHEN rk > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
-      |FROM r GROUP BY user_id HAVING SUM(CASE WHEN rk > 3 THEN 1 ELSE 0 END) > 0""".stripMargin
+      |  CAST(SUM(CASE WHEN rk <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+      |  CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
+      |FROM r GROUP BY user_id""".stripMargin
 
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_zorder" -> ((qZorder _, Some(qZorderSql))),

@@ -79,7 +79,10 @@ object SimilarityQueries {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = broadcast(cand)
+    // No broadcast hint on cand: the candidate-pair set grows with corpus
+    // size × duplication rate, so a forced broadcast OOMs at scale. Plain
+    // equi-join on doc_id; AQE broadcasts when cand is genuinely small.
+    val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
         col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
@@ -190,7 +193,8 @@ object SimilarityQueries {
         .as("gram"))
       .cache()
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_g"))
-    val inter = broadcast(cand)
+    // Corpus-dependent candidate set: no broadcast hint (see q_minhash_lsh).
+    val inter = cand
       .join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
       .join(grams.as("gb"),
         col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
@@ -1019,12 +1023,13 @@ object SimilarityQueries {
       .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = broadcast(cand)
+    // Corpus-dependent candidate set: no broadcast hint (see q_minhash_lsh).
+    val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
         col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    broadcast(cand)
+    cand
       .join(sigA, "doc_a").join(sigB, "doc_b")
       .withColumn("n_match", matches)
       .select(col("doc_a"), col("doc_b"), col("n_match"))
@@ -1140,8 +1145,8 @@ object SimilarityQueries {
     * measurable, gateable quantity instead of a formula on a slide: the
     * counts are exact BIGINTs, the two ratios are one IEEE division each.
     * Scale: both pair-producers are equi-joins (band key / rare-prefix
-    * token); the audit join is pair-keyed; the three scalar counts ride
-    * 1-row frames.
+    * token); the audit join is pair-keyed; all three counts fold out of
+    * one full-outer join in a single map-side-combinable aggregate.
     */
   def qLshRecall(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
@@ -1158,15 +1163,23 @@ object SimilarityQueries {
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct().cache()
+      .distinct()
     val exact = graft.ops.PrefixFilterJoin
       .jaccardSelfJoin(sh.withColumnRenamed("shingle", "tok"), "doc_id", "tok", 6, 10)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")).cache()
-    val tp = cand.join(exact, Seq("doc_a", "doc_b"), "left_semi")
-    val exN = exact.agg(count(lit(1)).as("n_exact"))
-    val cdN = cand.agg(count(lit(1)).as("n_candidates"))
-    val tpN = tp.agg(count(lit(1)).as("n_true_pos"))
-    exN.crossJoin(broadcast(cdN)).crossJoin(broadcast(tpN))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    // Single-pass audit: ONE full-outer join on the pair key labels every
+    // pair as candidate / exact / both, and ONE aggregate produces all
+    // three counts — each pair-producer executes exactly once. (The old
+    // shape ran three separate count aggregates over cached frames plus
+    // two crossJoins; at sf0.1 it cost 42 s against ~8 s of underlying
+    // work because the three actions serialized the DAG three times.)
+    cand.withColumn("is_cand", lit(1L))
+      .join(exact.withColumn("is_exact", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(col("is_exact")).as("n_exact"),
+        sum(col("is_cand")).as("n_candidates"),
+        sum(when(col("is_cand") === 1L && col("is_exact") === 1L, 1L)
+          .otherwise(0L)).as("n_true_pos"))
       .select(col("n_exact"), col("n_candidates"), col("n_true_pos"),
         r6(col("n_true_pos").cast("double") / col("n_exact")).as("recall"),
         r6(col("n_true_pos").cast("double") / col("n_candidates")).as("precision"))

@@ -68,7 +68,13 @@ object Codec {
     case _ if s.startsWith("int:") => BigInt(s.substring(4))
     case _ if s.startsWith("float:") => s.substring(6).toDouble
     case _ if s.startsWith("np.") && !s.startsWith("np.ndarray:") &&
-      s.indexOf(':') > 0 => decodeNpScalar(s)
+      s.indexOf(':') > 0 =>
+      // Total like the reference's decode fall-through (base.py:146-153):
+      // an 'np.<x>:<y>' look-alike with an unknown dtype, a non-base64
+      // payload, or a short buffer is NOT an error — it is an ordinary
+      // string that happens to resemble a tag, and comes back unchanged.
+      try decodeNpScalar(s)
+      catch { case scala.util.control.NonFatal(_) => s }
     case _ => s
   }
 

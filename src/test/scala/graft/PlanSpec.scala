@@ -56,8 +56,6 @@ class PlanSpec extends SparkSpec {
       "q_kll_quantiles",
       // the 1-row digit-histogram total crossed onto the 9-row histogram
       "q_benford",
-      // three 1-row count scalars crossed for the recall/precision row
-      "q_lsh_recall",
       // 1-row sketch-estimate scalars crossed with the 1-row exact audit
       "q_theta_ops",
       // BM25's (n_docs, sum_dl) corpus scalars ride one broadcast row
@@ -78,6 +76,71 @@ class PlanSpec extends SparkSpec {
       "q_stream_custom_state", "q_stream_join", "q_stream_enrich", "q_stream_curation",
       "q_stream_ohlc")
 
+  // ---------------------------------------------------------------------
+  // Broadcast-hint guard (r5/r7 verdict): a broadcast() HINT whose subtree
+  // scans a corpus-scale table is the classic 100-TB scale-killer — the
+  // build side grows with the data and a forced broadcast OOMs where AQE
+  // would have chosen correctly. Every hint below is individually audited:
+  // the hinted frame must be O(1) rows (a grouping-less aggregate), O(k)
+  // rows (a literal-bounded filter / k-row codebook), or vocabulary-sized
+  // (grows sublinearly and is the thing you'd persist as a model table).
+  // A NEW broadcast hint over documents/part/lineitem/orders/customer/
+  // events/embeddings fails this test until it is audited into the list —
+  // the r7 offenders (q_minhash_lsh, q_ngram_jaccard, q_minhash_est ×2 on
+  // candidate-pair sets; q_jaro / q_entity_resolution on a whole-table
+  // sample) are deliberately NOT here and must stay out.
+  private val corpusTables =
+    Set("documents", "part", "lineitem", "orders", "customer", "events", "embeddings")
+  private val corpusBroadcastAllowed: Map[String, String] = {
+    val scalar = "grouping-less aggregate: O(1)-row scalar totals/bounds"
+    val perType = "groupBy on bounded key (event_type/priority/flag): O(#types) rows"
+    val kRows = "literal-bounded query/centroid/codebook set: O(k) rows"
+    val vocab = "vocabulary-sized model table: sublinear growth, the frame you'd persist"
+    Map(
+      "q_weighted_sample" -> scalar, "q_zipf" -> scalar, "q_ks_test" -> scalar,
+      "q_cohens_kappa" -> scalar, "q_mutual_info" -> scalar, "q_pmi" -> scalar,
+      "q_vocab_coverage" -> scalar, "q_benford" -> scalar, "q_hll_merge" -> scalar,
+      "q_kll_quantiles" -> scalar, "q_theta_ops" -> scalar, "q_gapfill" -> scalar,
+      "q_k_anonymity" -> scalar, "q_weighted_median" -> scalar,
+      "q_quantize" -> (scalar + " + 16-row codebook"),
+      "q_winsorize" -> perType, "q_zscore_outliers" -> perType,
+      "q_anomaly_mad" -> perType, "q_approx_percentile" -> perType,
+      "q_heavy_hitters" -> (perType + " (sketch rows)"),
+      "q_approx_topk" -> (perType + " (sketch rows)"),
+      "q_cosine_topk" -> kRows, "q_ndcg" -> kRows, "q_rrf" -> kRows,
+      "q_ann_fullprobe" -> kRows, "q_ann_ivf" -> kRows, "q_ann_ivf_kernel" -> kRows,
+      "q_kmeans_step" -> kRows, "q_pq" -> kRows, "q_perceptron_step" -> kRows,
+      "q_calibration" -> (scalar + " (global lo/hi bounds)"),
+      "q_semdedup" -> kRows,
+      "q_bigram_lm" -> vocab, "q_perplexity" -> vocab, "q_kneser_ney" -> vocab,
+      "q_tfidf" -> vocab, "q_bm25" -> (vocab + " + corpus scalars"),
+      "q_simhash" -> (vocab + " (token→hyperplane votes)"),
+      "q_boilerplate" -> (vocab + " (df-capped line table)"),
+      "q_dsir_weights" -> (vocab + " + scalar totals"),
+      "q_source_drift" -> (vocab + " + scalar totals — the r7-flagged extreme-vocab watch item"),
+      "q_pagerank" -> (scalar + " (dangling-mass row) + vocab-scale degree"),
+      "q_triangles" -> "degree table: O(#nodes), sublinear in edges; the oriented-wedge design",
+      "q_jaccard_join" -> (vocab + " (PrefixFilterJoin df table)"),
+      "q_lsh_recall" -> (vocab + " (PrefixFilterJoin df table)"))
+  }
+
+  private def corpusBroadcastHints(name: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val analyzed = SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed
+    analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+        h.child.collectLeaves().flatMap {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.getName)
+              .filter(n => corpusTables.contains(n.stripSuffix(".parquet")))
+            case _ => Nil
+          }
+          case _ => Nil
+        }.distinct
+    }.filter(_.nonEmpty).map(_.mkString("+"))
+  }
+
   test("no query plans a CartesianProduct; BNLJ only where designed") {
     val bad = (for ((name, _) <- SparkEntry.queries.toSeq if !skipped(name)) yield {
       val plan = planOf(name)
@@ -87,6 +150,16 @@ class PlanSpec extends SparkSpec {
       else None
     }).flatten
     assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("broadcast hints over corpus-table scans only where audited") {
+    val offenders = (for {
+      name <- SparkEntry.queries.keys.toSeq.sorted if !skipped(name)
+      hinted = corpusBroadcastHints(name) if hinted.nonEmpty
+      if !corpusBroadcastAllowed.contains(name)
+    } yield s"$name: broadcast hint over ${hinted.mkString(", ")}")
+    assert(offenders.isEmpty,
+      s"un-audited broadcast hint(s) on corpus scans:\n${offenders.mkString("\n")}")
   }
 
   test("q1_agg pushes the shipdate filter into the parquet scan") {
