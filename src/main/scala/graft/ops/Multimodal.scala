@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * metadata stays prunable, and decode happens once, partition-local, next
   * to the data.
   *
-  * The decode kernels themselves are STUBS (clearly marked): this
-  * container ships no image/audio libraries, so `decodeStub` produces a
-  * deterministic fake feature vector from the bytes. The Spark-side
-  * contract — schema, batch iteration via mapPartitions, partition sizing,
-  * output shape — is real and tested; swapping the stub for a JNI/ffmpeg/
-  * turbojpeg call changes one function.
+  * Decode kernels: AUDIO decode is REAL — WAV/PCM through the JDK's own
+  * `javax.sound.sampled` (zero external deps), the reference's own tutorial
+  * use case (audio files → numpy arrays, README.md:25-34). Image/video
+  * decode remains a STUB (clearly marked): this container ships no
+  * image/video libraries, so `decodeStub` produces a deterministic fake
+  * feature vector from the bytes. The Spark-side contract — schema, batch
+  * iteration via mapPartitions, partition sizing, output shape — is real
+  * and tested for all three kinds; swapping the image stub for a
+  * JNI/ffmpeg/turbojpeg call changes one function.
   */
 object Multimodal {
 
@@ -55,6 +58,70 @@ object Multimodal {
     out
   }
 
+  /** REAL audio decode: WAV container → (sampleRate, channels, 16-bit PCM
+    * samples), via `javax.sound.sampled.AudioSystem` — the JDK's audio
+    * codec stack, no external libraries. Handles both endiannesses and
+    * rejects (loudly) anything that is not signed 16-bit PCM, the one
+    * profile the synthetic corpus and the reference tutorial use; a
+    * production build would transcode other profiles here.
+    */
+  def decodeWavPcm16(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+    val ais = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"unsupported audio encoding: ${fmt.getEncoding}")
+      require(fmt.getSampleSizeInBits == 16,
+        s"only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}")
+      val data = ais.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(data).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Short](data.length / 2)
+      bb.asShortBuffer().get(out)
+      (fmt.getSampleRate.toInt, fmt.getChannels, out)
+    } finally ais.close()
+  }
+
+  /** Encode mono 16-bit PCM as a canonical WAV file — the inverse of
+    * [[decodeWavPcm16]], also through `AudioSystem` (write path), used to
+    * synthesize test media so the decode gate exercises the REAL
+    * header/endianness/signedness parse, not a hand-rolled mirror of it.
+    */
+  def pcm16ToWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val byteData = new Array[Byte](samples.length * 2)
+    val bb = java.nio.ByteBuffer.wrap(byteData)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(byteData), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+
+  /** Audio feature kernel over DECODED samples: dim equal-width time
+    * buckets, each the sum of its samples / 32768 — exact dyadic doubles,
+    * so every downstream aggregate is order-independent and an integer
+    * oracle can replay the math from the generating samples.
+    */
+  def audioFeatures(bytes: Array[Byte], dim: Int): Array[Double] = {
+    val (_, _, samples) = decodeWavPcm16(bytes)
+    val out = new Array[Double](dim)
+    if (samples.isEmpty) return out
+    var i = 0
+    while (i < samples.length) {
+      out((i.toLong * dim / samples.length).toInt) += samples(i) / 32768.0
+      i += 1
+    }
+    out
+  }
+
   /** Batch feature extraction: one decoder instance per partition (the
     * expensive init happens once per task, not per row — the mapPartitions
     * shape every real codec needs), one output row per sampled frame.
@@ -73,9 +140,10 @@ object Multimodal {
       it.flatMap { m =>
         val frames = 0 until math.max(1, m.n_frames) by math.max(1, frameStride)
         frames.map { f =>
-          // real impl: decode frame f of m.bytes; stub mixes the frame index
-          val salted = m.bytes ++ Array(f.toByte)
-          MediaFeatures(m.media_id, f, decodeStub(salted, dim))
+          val feats =
+            if (m.kind == "audio") audioFeatures(m.bytes, dim) // REAL decode
+            else decodeStub(m.bytes ++ Array(f.toByte), dim) // stub + frame salt
+          MediaFeatures(m.media_id, f, feats)
         }
       }
     }

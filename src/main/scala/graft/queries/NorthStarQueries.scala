@@ -220,6 +220,55 @@ object NorthStarQueries {
       |  CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
       |FROM documents WHERE doc_id < 100 GROUP BY 1""".stripMargin
 
+  /** REAL audio decode, end-to-end oracle-gated (closes the r5/r7 "decode
+    * kernel is the one declared fake" item). One WAV clip per document:
+    * n = 100 + doc_id % 50 mono 16-bit samples with
+    * sample_i = (doc_id·7919 + i·104729) mod 65536 − 32768, encoded
+    * through `AudioSystem`'s WAV writer ([[Multimodal.pcm16ToWav]]). The
+    * side under test — [[Multimodal.decodeWavPcm16]] — runs the JDK's
+    * audio codec stack in reverse inside mapPartitions and reports
+    * per-clip integer sample statistics. The oracle replays the generator
+    * formula in pure integer SQL and never sees the container bytes, so a
+    * header / endianness / signedness / frame-length bug in the decode
+    * breaks the hash gate. Scale: decode is partition-local next to the
+    * bytes (the only shape that works when the bytes are 100 TB);
+    * statistics are per-row, the rollup map-side-combinable.
+    */
+  def qAudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = (100 + id % 50).toInt
+        val samples = Array.tabulate(n) { i =>
+          ((id * 7919 + i.toLong * 104729) % 65536 - 32768).toShort
+        }
+        Multimodal.Media(id, "audio", Multimodal.pcm16ToWav(samples, 16000),
+          0, 0, 16000, 1)
+      }
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (rate, ch, smp) = Multimodal.decodeWavPcm16(m.bytes)
+        var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+        smp.foreach { v => sum += v; if (v < mn) mn = v; if (v > mx) mx = v }
+        (m.media_id, rate.toLong, ch.toLong, smp.length.toLong, sum,
+          mn.toLong, mx.toLong)
+      }
+    }.toDF("media_id", "sample_rate", "channels", "n_samples", "sum_amp",
+      "min_amp", "max_amp")
+  }
+
+  val qAudioDecodeSql: String =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+      |s AS (SELECT doc_id, ((doc_id * 7919 + u.i * 104729) % 65536) - 32768 AS amp
+      |      FROM d, UNNEST(range(0, 100 + doc_id % 50)) AS u(i))
+      |SELECT doc_id AS media_id, CAST(16000 AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS channels, CAST(COUNT(*) AS BIGINT) AS n_samples,
+      |  CAST(SUM(amp) AS BIGINT) AS sum_amp, CAST(MIN(amp) AS BIGINT) AS min_amp,
+      |  CAST(MAX(amp) AS BIGINT) AS max_amp
+      |FROM s GROUP BY doc_id""".stripMargin
+
   /** Content-identity audit over every table row of documents using the
     * library Identity op (sha2 of canonical JSON). The hash VALUES can't be
     * oracle-compared (to_json field formatting differs between engines),
@@ -246,6 +295,7 @@ object NorthStarQueries {
     "q_ann_ivf_kernel" -> ((qAnnIvfKernel _, Some(qAnnIvfKernelSql))),
     "q_ann_fullprobe" -> ((qAnnFullprobe _, Some(qAnnFullprobeSql))),
     "q_multimodal" -> ((qMultimodal _, Some(qMultimodalSql))),
+    "q_audio_decode" -> ((qAudioDecode _, Some(qAudioDecodeSql))),
     "q_media_inventory" -> ((qMediaInventory _, Some(qMediaInventorySql))),
     "q_identity_audit" -> ((qIdentityAudit _, Some(qIdentityAuditSql)))
   )

@@ -112,4 +112,34 @@ class OpsSpec extends SparkSpec {
     val r = Multimodal.resize(spark, media, 64, 64).collect().head
     assert(r.width == 64 && r.height == 64)
   }
+
+  test("WAV round-trip: encode → decode recovers rate, channels, every sample") {
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(1, 7, 1000); rate <- Seq(8000, 16000, 44100)) {
+      val samples = Array.fill(n)(rnd.nextInt(65536).toShort)
+      // boundary values must survive the signed round-trip
+      samples(0) = Short.MinValue
+      if (n > 1) samples(1) = Short.MaxValue
+      val wav = Multimodal.pcm16ToWav(samples, rate)
+      val (r, ch, back) = Multimodal.decodeWavPcm16(wav)
+      assert(r == rate && ch == 1)
+      assert(back.sameElements(samples), s"samples differ at n=$n rate=$rate")
+    }
+  }
+
+  test("decodeWavPcm16 rejects non-PCM16 input loudly") {
+    intercept[Exception] { Multimodal.decodeWavPcm16("not a wav".getBytes) }
+  }
+
+  test("audio kind runs the REAL decode path in extractFeatures") {
+    import spark.implicits._
+    // a clip whose every sample is 32: each of the 4 buckets sums
+    // (n/4 samples × 32)/32768 exactly — dyadic, bit-exact
+    val samples = Array.fill(64)(32.toShort)
+    val media = Seq(Multimodal.Media(9L, "audio",
+      Multimodal.pcm16ToWav(samples, 16000), 0, 0, 16000, 1)).toDS()
+    val feats = Multimodal.extractFeatures(spark, media, dim = 4).collect()
+    assert(feats.length == 1)
+    assert(feats.head.features.toSeq == Seq.fill(4)(16 * 32 / 32768.0))
+  }
 }
