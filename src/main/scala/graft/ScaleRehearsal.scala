@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Scale-rehearsal harness (SCALE.md): run named registry queries against a
+  * data directory and print, per query, wall time, result rows, shuffle
+  * read/write bytes, and the FINAL (post-AQE) join-operator histogram.
+  * Diffing two runs — the bench sf vs a 10× synthetic — shows whether any
+  * join strategy flips or any shuffle grows super-linearly before a real
+  * cluster would find out.
+  *
+  * Usage: runMain graft.ScaleRehearsal <dataDir> <query> [query ...]
+  */
+object ScaleRehearsal {
+
+  private final class ShuffleMeter extends SparkListener {
+    @volatile var read = 0L
+    @volatile var written = 0L
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        read += m.shuffleReadMetrics.totalBytesRead
+        written += m.shuffleWriteMetrics.bytesWritten
+      }
+    }
+    def reset(): Unit = { read = 0L; written = 0L }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleRehearsal <dataDir> <query> [query ...]")
+    val dir = args(0)
+    val names = args.drop(1).toSeq
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SessionConf.overlay(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val joinOps = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct")
+    for (n <- names) {
+      meter.reset()
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(n)(spark, dir)
+      // collect() (not count()) so df's OWN plan executes and AQE
+      // finalizes its strategies; rehearsal queries return small frames
+      val rows = df.collect().length
+      val secs = (System.nanoTime() - t0) / 1e9
+      val plan = df.queryExecution.executedPlan.toString
+      val joins = joinOps.map(j => s"$j=${j.r.findAllIn(plan).size}")
+        .filterNot(_.endsWith("=0")).mkString(" ")
+      println(f"[rehearsal] $n rows=$rows secs=$secs%.2f " +
+        f"shuffleReadMB=${meter.read / 1e6}%.1f shuffleWriteMB=${meter.written / 1e6}%.1f " +
+        s"joins{${if (joins.isEmpty) "none" else joins}}")
+    }
+    spark.stop()
+  }
+}
