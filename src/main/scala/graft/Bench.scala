@@ -70,7 +70,17 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
 
+    // Load telemetry: the official r7/r8 artifacts were dominated by sandbox
+    // contention (q3_join "30.2 s" official vs 1.5 s idle). Recording the
+    // 1/5/15-min load averages at sweep start and end lets a consumer tell a
+    // loaded run from a code regression without access to the machine.
+    def loadavg(): String =
+      try Files.readString(Paths.get("/proc/loadavg")).trim.split(" ").take(3).mkString(" ")
+      catch { case scala.util.control.NonFatal(_) => "" }
+    val loadStart = loadavg()
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -79,25 +89,51 @@ object Bench {
       // left in place they accumulate across the 69-query sweep and the GC
       // pressure lands on whichever query runs when the heap fills (r2: one
       // 0.7s query measured at 24.6s). Each query is timed from a clean cache.
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try {
+      def once(): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
         fn(spark, sfDir).foreach(_ => ()) // full materialization, no collect
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        // Best-of-N: a single sample cannot distinguish machine load from a
+        // regression (r7/r8 lesson). Two runs for everything; a third for
+        // batch queries whose best is still >2s (the ones that dominate the
+        // total and so most need a trustworthy floor). Streaming queries stay
+        // at two runs — their cost is micro-batch trigger overhead, which
+        // repeats identically and doesn't shrink with retries.
+        val two = Vector(once(), once())
+        val runs =
+          if (two.min > 2.0 && !name.startsWith("q_stream")) two :+ once() else two
+        timings(name) = runs.min
+        spreads(name) = runs.max - runs.min
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
     }
+    val loadEnd = loadavg()
     def qsJson(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => s""""${esc(k)}":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
+    // Streaming queries pay a multi-second fixed micro-batch/trigger cost per
+    // run; lumping them into one total masks batch regressions. Split totals
+    // so each can be compared round-over-round on its own terms.
+    val streamingTotal = timings.collect { case (k, v) if k.startsWith("q_stream") => v }.sum
+    val batchTotal = total - streamingTotal
+    val meta =
+      s""""batch_total":${f"$batchTotal%.3f"},"streaming_total":${f"$streamingTotal%.3f"},""" +
+      s""""loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}""""
     def line(qs: collection.Map[String, Double]): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${qsJson(qs)},"errors":$errs,"sf":"${esc(sfDir)}","detail":"${esc(out)}"}"""
-    // Full detail → file (driver and humans can read it whole).
-    Files.writeString(Paths.get(out), line(timings) + "\n")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$meta,"queries":${qsJson(qs)},"errors":$errs,"sf":"${esc(sfDir)}","detail":"${esc(out)}"}"""
+    // Full detail → file (driver and humans can read it whole), including the
+    // per-query run-to-run spread (max-min over the best-of-N runs): a large
+    // spread marks a timing as load-contaminated.
+    val fileLine =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$meta,"queries":${qsJson(timings)},"variance":${qsJson(spreads)},"errors":$errs,"sf":"${esc(sfDir)}","detail":"${esc(out)}"}"""
+    Files.writeString(Paths.get(out), fileLine + "\n")
     // Stdout → compact headline subset, one per plan family, hard-capped so
     // the line survives the driver's 2000-char stdout tail. If headliners
     // are missing (e.g. a filtered dev run) fall back to whatever was timed,

@@ -138,12 +138,17 @@ object Multimodal {
     media.mapPartitions { it =>
       // real impl: initialize the native decoder HERE, once per partition
       it.flatMap { m =>
-        val frames = 0 until math.max(1, m.n_frames) by math.max(1, frameStride)
-        frames.map { f =>
-          val feats =
-            if (m.kind == "audio") audioFeatures(m.bytes, dim) // REAL decode
-            else decodeStub(m.bytes ++ Array(f.toByte), dim) // stub + frame salt
-          MediaFeatures(m.media_id, f, feats)
+        if (m.kind == "audio") {
+          // Audio has no frame axis: decode ONCE per row and emit exactly one
+          // row, regardless of n_frames — frame fan-out on audio would both
+          // re-decode the full WAV per frame and emit identical duplicates.
+          Iterator.single(MediaFeatures(m.media_id, 0, audioFeatures(m.bytes, dim)))
+        } else {
+          val frames = 0 until math.max(1, m.n_frames) by math.max(1, frameStride)
+          frames.iterator.map { f =>
+            MediaFeatures(m.media_id, f,
+              decodeStub(m.bytes ++ Array(f.toByte), dim)) // stub + frame salt
+          }
         }
       }
     }

@@ -1113,8 +1113,11 @@ object AnalyticsQueries {
       .select(col("brand"), col("ka"), col("kb"))
       // materialize the scored pair frame ONCE: ConnectedComponents and
       // the edge census both reference it, and the blocked join + three
-      // string kernels would otherwise execute per reference
-      .localCheckpoint()
+      // string kernels would otherwise execute per reference. persist (not
+      // localCheckpoint): construction stays lazy and lineage is kept, so on
+      // a real cluster an executor loss recomputes the partition instead of
+      // failing the query on a lost unreplicated block.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comp = graft.ops.ConnectedComponents.run(
       pairs.select(col("ka"), col("kb")), "ka", "kb")
     val labeled = p.select(col("p_brand").as("brand"), col("p_partkey").as("node"))

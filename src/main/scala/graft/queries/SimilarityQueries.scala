@@ -1176,10 +1176,13 @@ object SimilarityQueries {
     cand.withColumn("is_cand", lit(1L))
       .join(exact.withColumn("is_exact", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
       .agg(
-        sum(col("is_exact")).as("n_exact"),
-        sum(col("is_cand")).as("n_candidates"),
-        sum(when(col("is_cand") === 1L && col("is_exact") === 1L, 1L)
-          .otherwise(0L)).as("n_true_pos"))
+        // coalesce: sum over an empty/all-null side is NULL, but the contract
+        // (and the DuckDB oracle's COUNT(*)) is 0 on a degenerate corpus with
+        // no exact or candidate pairs
+        coalesce(sum(col("is_exact")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("is_cand")), lit(0L)).as("n_candidates"),
+        coalesce(sum(when(col("is_cand") === 1L && col("is_exact") === 1L, 1L)
+          .otherwise(0L)), lit(0L)).as("n_true_pos"))
       .select(col("n_exact"), col("n_candidates"), col("n_true_pos"),
         r6(col("n_true_pos").cast("double") / col("n_exact")).as("recall"),
         r6(col("n_true_pos").cast("double") / col("n_candidates")).as("precision"))

@@ -37,10 +37,21 @@ object StreamingQueries {
     graft.Tables.ntzToLtz(fixed)
   }
 
+  /** Analyzed logical plan of each drained streaming frame, keyed by sink
+    * name — recorded so PlanSpec can apply the corpus-broadcast-hint guard
+    * to streaming queries too (their registry fn returns a memory-table
+    * read, which carries no trace of the per-micro-batch join plan, and a
+    * forced corpus broadcast inside a stream would otherwise be the one
+    * un-guarded 100-TB scale-killer left).
+    */
+  val analyzedPlans =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
+
   /** Drain a streaming frame with AvailableNow into a named memory sink
     * and return the final table — ONE copy of the sink/checkpoint plumbing.
     */
   private def drainToMemory(df: DataFrame, name: String, outputMode: String): DataFrame = {
+    analyzedPlans(name) = df.queryExecution.analyzed
     val ckpt = java.nio.file.Files.createTempDirectory(s"${name}_ckpt").toString
     val q = df.writeStream
       .outputMode(outputMode)
@@ -285,18 +296,23 @@ object StreamingQueries {
 
   /** Stream-static enrichment join — the dimension-lookup shape every
     * streaming pipeline has (events stream ⋈ slowly-changing dim table):
-    * the static side is a batch DataFrame broadcast into every micro-batch,
+    * the static side is a batch DataFrame joined into every micro-batch,
     * no state store involved (unlike stream-stream joins), then a running
     * per-nation aggregate in complete mode. Gated against the plain batch
-    * join+aggregate in DuckDB. Scale: the stream side never shuffles for
-    * the join (broadcast hash join per micro-batch); only #nations rows of
-    * aggregate state persist.
+    * join+aggregate in DuckDB. Scale: NO broadcast hint on the static side
+    * — customer is a semi-fact (this repo refuses the same hint in
+    * q5_multi_join for the same reason), and a mandatory broadcast would
+    * OOM every micro-batch at 100 TB. The batch planner sizes the static
+    * side per micro-batch: below the autoBroadcastJoinThreshold it
+    * broadcasts on its own; above it, a shuffled join is the right call.
+    * PlanSpec's corpus-broadcast guard now covers streaming micro-batch
+    * plans, so this can't regress silently.
     */
   def qStreamEnrich(s: SparkSession, dir: String): DataFrame =
     runEventStream(s, dir, "graft_stream_enrich", "complete") { events =>
       val dim = graft.Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_nationkey"))
-      events.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      events.join(dim, col("user_id") === col("c_custkey"))
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
     }
