@@ -10,15 +10,17 @@ import org.apache.spark.sql.functions._
   * metadata stays prunable, and decode happens once, partition-local, next
   * to the data.
   *
-  * Decode kernels: AUDIO decode is REAL — WAV/PCM through the JDK's own
-  * `javax.sound.sampled` (zero external deps), the reference's own tutorial
-  * use case (audio files → numpy arrays, README.md:25-34). Image/video
-  * decode remains a STUB (clearly marked): this container ships no
-  * image/video libraries, so `decodeStub` produces a deterministic fake
-  * feature vector from the bytes. The Spark-side contract — schema, batch
-  * iteration via mapPartitions, partition sizing, output shape — is real
-  * and tested for all three kinds; swapping the image stub for a
-  * JNI/ffmpeg/turbojpeg call changes one function.
+  * Decode kernels: AUDIO and IMAGE decode are REAL — WAV/PCM through the
+  * JDK's own `javax.sound.sampled`, PNG/BMP/JPEG through `javax.imageio`
+  * (zero external deps either way), the reference's own tutorial use case
+  * (media files → numpy arrays, README.md:25-34). VIDEO decode remains a
+  * STUB (clearly marked): frame extraction legitimately needs an
+  * ffmpeg-class stack this container doesn't ship, so `decodeStub`
+  * produces a deterministic fake feature vector from the bytes. The
+  * Spark-side contract — schema, batch iteration via mapPartitions,
+  * partition sizing, frame sampling, output shape — is real and tested
+  * for all three kinds; swapping the video stub for a JNI/ffmpeg call
+  * changes one function.
   */
 object Multimodal {
 
@@ -38,8 +40,9 @@ object Multimodal {
       frame: Int,
       features: Array[Double])
 
-  /** STUB decode kernel: deterministic bytes → feature vector. Replace with
-    * a real decoder (libjpeg/ffmpeg) in production; everything downstream
+  /** STUB decode kernel — VIDEO ONLY (audio and image decode are real,
+    * below): deterministic bytes → feature vector. Replace with a real
+    * frame decoder (ffmpeg) in production; everything downstream
     * is indifferent. Deterministic so tests and reruns are stable.
     * Per-byte contributions are b/256 — exact dyadic doubles, so every sum
     * over them (bucket totals, cross-row aggregates) is order-independent
@@ -122,6 +125,79 @@ object Multimodal {
     out
   }
 
+  /** REAL image decode: PNG/BMP/JPEG container → (width, height, row-major
+    * RGB channel triples), via `javax.imageio.ImageIO` — the JDK's image
+    * codec stack, no external libraries. Channels come back as 0-255 ints
+    * regardless of the source color model (`getRGB` normalizes to sRGB),
+    * so downstream math is colorspace-stable.
+    */
+  def decodeImageRgb(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image bytes (no registered ImageIO reader matched)")
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Int](w * h * 3)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        out(i) = (rgb >> 16) & 0xff
+        out(i + 1) = (rgb >> 8) & 0xff
+        out(i + 2) = rgb & 0xff
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  /** Encode row-major RGB triples as PNG — the inverse of
+    * [[decodeImageRgb]], also through `ImageIO` (write path), used to
+    * synthesize test media so the decode gate exercises the REAL container
+    * parse (PNG is lossless, so the round-trip must be bit-exact), not a
+    * hand-rolled mirror of it.
+    */
+  def rgbToPng(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} channel values, got ${rgb.length}")
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (rgb(i) << 16) | (rgb(i + 1) << 8) | rgb(i + 2))
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image feature kernel over DECODED pixels: dim equal-width buckets over
+    * the row-major pixel sequence, each summing (r+g+b)/256 per pixel —
+    * exact dyadic doubles (the audioFeatures discipline), so downstream
+    * aggregates are order-independent and an integer oracle can replay the
+    * math from the generating pixel values.
+    */
+  def imageFeatures(bytes: Array[Byte], dim: Int): Array[Double] = {
+    val (w, h, rgb) = decodeImageRgb(bytes)
+    val out = new Array[Double](dim)
+    val n = w * h
+    var p = 0
+    while (p < n) {
+      out((p.toLong * dim / n).toInt) +=
+        (rgb(3 * p) + rgb(3 * p + 1) + rgb(3 * p + 2)) / 256.0
+      p += 1
+    }
+    out
+  }
+
   /** Batch feature extraction: one decoder instance per partition (the
     * expensive init happens once per task, not per row — the mapPartitions
     * shape every real codec needs), one output row per sampled frame.
@@ -138,12 +214,19 @@ object Multimodal {
     media.mapPartitions { it =>
       // real impl: initialize the native decoder HERE, once per partition
       it.flatMap { m =>
-        if (m.kind == "audio") {
-          // Audio has no frame axis: decode ONCE per row and emit exactly one
-          // row, regardless of n_frames — frame fan-out on audio would both
-          // re-decode the full WAV per frame and emit identical duplicates.
-          Iterator.single(MediaFeatures(m.media_id, 0, audioFeatures(m.bytes, dim)))
+        if (m.kind == "audio" || m.kind == "image") {
+          // Audio clips and still images have no frame axis: decode ONCE
+          // per row and emit exactly one row, regardless of n_frames —
+          // frame fan-out here would both re-decode the full payload per
+          // frame and emit identical duplicates. Both kernels are REAL
+          // (JDK codec stacks).
+          val feats =
+            if (m.kind == "audio") audioFeatures(m.bytes, dim)
+            else imageFeatures(m.bytes, dim)
+          Iterator.single(MediaFeatures(m.media_id, 0, feats))
         } else {
+          // video: frame sampling over the declared frame count; the frame
+          // decode itself is the one remaining stub (needs ffmpeg)
           val frames = 0 until math.max(1, m.n_frames) by math.max(1, frameStride)
           frames.iterator.map { f =>
             MediaFeatures(m.media_id, f,

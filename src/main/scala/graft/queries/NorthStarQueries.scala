@@ -139,15 +139,18 @@ object NorthStarQueries {
       |  FROM scored)
       |SELECT q_id, rnk, vec_id AS neighbor, cosine FROM ranked WHERE rnk <= 5""".stripMargin
 
-  /** Multimodal feature pipeline: documents' bytes as stand-in media →
-    * per-partition batched (stubbed) decode → feature stats per frame
-    * group. ORACLE-GATED despite the engine-side kernel: the stub's
-    * per-byte contributions are exact dyadics (b/256), so total feature
-    * mass per frame is (Σ byte values + frame salt)/256 in EXACT integer
-    * arithmetic — DuckDB recomputes it from the raw text bytes, gating the
-    * typed-Dataset construction, the mapPartitions batch decode, AND the
-    * frame-sampling plan end-to-end. (The corpus is ASCII, so UTF-8 bytes
-    * == code points; a multibyte corpus would gate on BLOB bytes instead.)
+  /** Multimodal feature pipeline: documents' bytes as stand-in VIDEO media
+    * (the one kind whose decode is still the declared stub — image and
+    * audio now route to real JDK codecs, so fake payload bytes must not
+    * reach them) → per-partition batched (stubbed) frame decode → feature
+    * stats per frame group. ORACLE-GATED despite the engine-side kernel:
+    * the stub's per-byte contributions are exact dyadics (b/256), so total
+    * feature mass per frame is (Σ byte values + frame salt)/256 in EXACT
+    * integer arithmetic — DuckDB recomputes it from the raw text bytes,
+    * gating the typed-Dataset construction, the mapPartitions batch
+    * decode, AND the frame-sampling plan end-to-end. (The corpus is ASCII,
+    * so UTF-8 bytes == code points; a multibyte corpus would gate on BLOB
+    * bytes instead.)
     */
   def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -157,7 +160,7 @@ object NorthStarQueries {
       .map { r =>
         Multimodal.Media(
           media_id = r.getLong(0),
-          kind = if (r.getLong(2) % 2 == 0) "image" else "video",
+          kind = "video",
           bytes = r.getString(1).getBytes("UTF-8"),
           width = 64, height = 64, sample_rate = 0,
           n_frames = if (r.getLong(2) % 2 == 0) 1 else 4)
@@ -269,6 +272,77 @@ object NorthStarQueries {
       |  CAST(MAX(amp) AS BIGINT) AS max_amp
       |FROM s GROUP BY doc_id""".stripMargin
 
+  /** REAL image decode, end-to-end oracle-gated (the q_audio_decode
+    * discipline applied to the second media kind — closes the r8 "image
+    * kernel is the one remaining fake" item). One PNG per document:
+    * w = 4 + doc_id % 5, h = 3 + doc_id % 4, pixel i (row-major) colored
+    * r = (doc_id·3 + i·7) mod 256, g = (doc_id·5 + i·11) mod 256,
+    * b = (doc_id·13 + i·17) mod 256, encoded through `ImageIO`'s PNG
+    * writer ([[Multimodal.rgbToPng]] — lossless, so decode must be
+    * bit-exact). The side under test — [[Multimodal.decodeImageRgb]] —
+    * runs the JDK's image codec stack in reverse inside mapPartitions and
+    * reports per-image integer channel statistics. The oracle replays the
+    * generator formula in pure integer SQL and never sees the container
+    * bytes, so a header / stride / channel-order / color-model bug in the
+    * decode breaks the hash gate. Scale: decode is partition-local next to
+    * the bytes; statistics are per-row, the rollup map-side-combinable.
+    */
+  def qImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val rgb = new Array[Int](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          rgb(3 * i) = ((id * 3 + i * 7) % 256).toInt
+          rgb(3 * i + 1) = ((id * 5 + i * 11) % 256).toInt
+          rgb(3 * i + 2) = ((id * 13 + i * 17) % 256).toInt
+          i += 1
+        }
+        Multimodal.Media(id, "image", Multimodal.rgbToPng(w, h, rgb),
+          w, h, 0, 1)
+      }
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, rgb) = Multimodal.decodeImageRgb(m.bytes)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var mn = Int.MaxValue; var mx = Int.MinValue
+        var p = 0
+        while (p < w * h) {
+          val r = rgb(3 * p); val g = rgb(3 * p + 1); val b = rgb(3 * p + 2)
+          sr += r; sg += g; sb += b
+          val lum = r + g + b
+          if (lum < mn) mn = lum
+          if (lum > mx) mx = lum
+          p += 1
+        }
+        (m.media_id, w.toLong, h.toLong, (w * h).toLong, sr, sg, sb,
+          mn.toLong, mx.toLong)
+      }
+    }.toDF("media_id", "width", "height", "n_pixels", "sum_r", "sum_g",
+      "sum_b", "min_lum", "max_lum")
+  }
+
+  val qImageDecodeSql: String =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+      |dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM d),
+      |px AS (SELECT doc_id, w, h,
+      |         (doc_id * 3 + u.i * 7) % 256 AS r,
+      |         (doc_id * 5 + u.i * 11) % 256 AS g,
+      |         (doc_id * 13 + u.i * 17) % 256 AS b
+      |       FROM dims, UNNEST(range(0, w * h)) AS u(i))
+      |SELECT doc_id AS media_id, CAST(MAX(w) AS BIGINT) AS width,
+      |  CAST(MAX(h) AS BIGINT) AS height, CAST(COUNT(*) AS BIGINT) AS n_pixels,
+      |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+      |  CAST(SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(MIN(r + g + b) AS BIGINT) AS min_lum,
+      |  CAST(MAX(r + g + b) AS BIGINT) AS max_lum
+      |FROM px GROUP BY doc_id""".stripMargin
+
   /** Content-identity audit over every table row of documents using the
     * library Identity op (sha2 of canonical JSON). The hash VALUES can't be
     * oracle-compared (to_json field formatting differs between engines),
@@ -296,6 +370,7 @@ object NorthStarQueries {
     "q_ann_fullprobe" -> ((qAnnFullprobe _, Some(qAnnFullprobeSql))),
     "q_multimodal" -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_audio_decode" -> ((qAudioDecode _, Some(qAudioDecodeSql))),
+    "q_image_decode" -> ((qImageDecode _, Some(qImageDecodeSql))),
     "q_media_inventory" -> ((qMediaInventory _, Some(qMediaInventorySql))),
     "q_identity_audit" -> ((qIdentityAudit _, Some(qIdentityAuditSql)))
   )

@@ -34,12 +34,34 @@ class JdbcSpec extends SparkSpec {
     assert(total == (1 to 100).map(_ * 1.5).sum)
   }
 
+  // A non-empty PushedFilters list naming `column` on a JDBCRelation scan —
+  // the proof the predicate compiles into the database-side WHERE clause
+  // instead of filtering post-fetch in Spark.
+  private def assertJdbcPushed(df: org.apache.spark.sql.DataFrame, column: String): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters: ["))
+    assert(pushed.isDefined, s"no PushedFilters on the JDBC scan:\n$plan")
+    assert(!pushed.get.contains("PushedFilters: []"),
+      s"pushed-filter list is EMPTY — predicate evaluated Spark-side:\n$plan")
+    assert(pushed.get.toLowerCase.contains(column.toLowerCase),
+      s"pushed filters don't mention $column: ${pushed.get}")
+  }
+
   test("predicate pushes into the remote query") {
     val df = Sources.jdbc(spark, url, "items").filter(col("id") <= 10)
     assert(df.count() == 10)
-    // JDBC relation reports pushed filters in its plan string
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") || df.count() == 10)
+    assertJdbcPushed(df, "id")
+  }
+
+  test("q_jdbc_pushdown's shape: filter pushes through a PARTITIONED jdbc read") {
+    // the registry query's exact scan shape (4 key-range partitions + an
+    // equality predicate on a non-partition column): the filter must reach
+    // every partition's Derby-side SELECT, and the whole aggregate over it
+    // must keep the pushed list non-empty — a fetch-all here is invisible
+    // to the correctness gate (same rows) but is the difference between
+    // shipping 1/5 of the table and all of it at scale
+    val q = graft.SparkEntry.queries("q_jdbc_pushdown")(spark, sfDir)
+    assertJdbcPushed(q, "n_regionkey")
   }
 
   test("jdbc sink round-trips: write then read back equals the input") {

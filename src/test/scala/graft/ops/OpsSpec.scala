@@ -67,13 +67,15 @@ class OpsSpec extends SparkSpec {
 
   test("multimodal: stub decode is deterministic, frame sampling shapes output") {
     import spark.implicits._
+    // video kind only: image/audio now route to REAL decoders that would
+    // (correctly) reject these fake payload bytes
     val media = Seq(
-      Multimodal.Media(1L, "image", "fake-jpeg-bytes".getBytes, 640, 480, 0, 1),
+      Multimodal.Media(1L, "video", "fake-clip-bytes".getBytes, 640, 480, 0, 1),
       Multimodal.Media(2L, "video", "fake-mp4-bytes".getBytes, 320, 240, 0, 10)
     ).toDS()
     val feats = Multimodal.extractFeatures(spark, media, dim = 16, frameStride = 3)
     val rows = feats.collect()
-    // image → frame 0; video frames 0,3,6,9
+    // single-frame video → frame 0; 10-frame video → frames 0,3,6,9
     assert(rows.count(_.media_id == 1L) == 1)
     assert(rows.filter(_.media_id == 2L).map(_.frame).sorted.toSeq == Seq(0, 3, 6, 9))
     assert(rows.forall(_.features.length == 16))
@@ -90,9 +92,9 @@ class OpsSpec extends SparkSpec {
   test("multimodal features flow into ANN similarity search end-to-end") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // 30 fake media items -> features -> brute-force top-3 neighbors
+    // 30 fake media items (video kind: stub decode) -> features -> top-3
     val media = (1L to 30L).map(i =>
-      Multimodal.Media(i, "image", s"payload-$i-${"x" * (i % 7).toInt}".getBytes, 64, 64, 0, 1)).toDS()
+      Multimodal.Media(i, "video", s"payload-$i-${"x" * (i % 7).toInt}".getBytes, 64, 64, 0, 1)).toDS()
     val feats = Multimodal.extractFeatures(spark, media, dim = 16)
     val corpus = Multimodal.withFeatureColumn(feats)
       .select(col("media_id").as("vec_id"),
@@ -129,6 +131,35 @@ class OpsSpec extends SparkSpec {
 
   test("decodeWavPcm16 rejects non-PCM16 input loudly") {
     intercept[Exception] { Multimodal.decodeWavPcm16("not a wav".getBytes) }
+  }
+
+  test("PNG round-trip: encode → decode recovers dims and every channel value") {
+    val rnd = new scala.util.Random(7)
+    for ((w, h) <- Seq((1, 1), (5, 3), (16, 16))) {
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256))
+      val png = Multimodal.rgbToPng(w, h, rgb)
+      // a real container came out, not a raw buffer: PNG magic bytes
+      assert(png.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+      val (dw, dh, back) = Multimodal.decodeImageRgb(png)
+      assert(dw == w && dh == h)
+      assert(back.sameElements(rgb), s"channels differ at ${w}x$h")
+    }
+  }
+
+  test("decodeImageRgb rejects non-image input loudly") {
+    intercept[Exception] { Multimodal.decodeImageRgb("not a png".getBytes) }
+  }
+
+  test("image kind runs the REAL decode path in extractFeatures") {
+    import spark.implicits._
+    // a 4x2 image whose every channel is 32: each of the 4 buckets sums
+    // (2 pixels × 3·32)/256 exactly — dyadic, bit-exact
+    val rgb = Array.fill(4 * 2 * 3)(32)
+    val media = Seq(Multimodal.Media(5L, "image",
+      Multimodal.rgbToPng(4, 2, rgb), 4, 2, 0, 1)).toDS()
+    val feats = Multimodal.extractFeatures(spark, media, dim = 4).collect()
+    assert(feats.length == 1)
+    assert(feats.head.features.toSeq == Seq.fill(4)(2 * 3 * 32 / 256.0))
   }
 
   test("audio kind runs the REAL decode path in extractFeatures") {
