@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** N× synthetic generator for the scale rehearsal (SCALE.md): unions N
+  * key-shifted, per-copy-salted copies of the tables the similarity family
+  * reads (documents, embeddings, part). The salting rules preserve
+  * INTRA-copy similarity structure exactly while preventing cross-copy
+  * collisions, so candidate-pair volume scales ~linearly with N — the way
+  * a genuinely N× corpus behaves — rather than quadratically, the artifact
+  * naive duplication would inject:
+  *
+  *  - documents: copy i>0 suffixes every whitespace token with "_ci", so
+  *    shingle sets of different copies are DISJOINT while Jaccard/minhash
+  *    relations within a copy stay isomorphic to the original; n_chars is
+  *    recomputed from the salted text.
+  *  - embeddings: copy i cyclically rotates the vector by i positions
+  *    (norms and intra-copy dot products exactly preserved; cross-copy
+  *    cosine decorrelates) and shifts the IVF/SemDeDup cluster label, so
+  *    cluster COUNT grows N× at constant cluster size.
+  *  - part: copy i suffixes p_brand with "#i", so the (brand × length-band)
+  *    blocking keys of the fuzzy-match family never collide across copies.
+  *
+  * Copy 0 is byte-identical to the source, keeping the rehearsal dir a
+  * strict superset of the bench dir.
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> [copies (default 10)]
+  */
+object ScaleUp {
+
+  private val KeyOffset = 10000000L
+
+  def documentsCopy(src: DataFrame, i: Int): DataFrame =
+    if (i == 0) src
+    else src.select(
+      (col("doc_id") + lit(i * KeyOffset)).as("doc_id"),
+      array_join(transform(split(col("text"), " "),
+        w => concat(w, lit(s"_c$i"))), " ").as("text"),
+      col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  def embeddingsCopy(src: DataFrame, i: Int): DataFrame =
+    if (i == 0) src
+    else src.select(
+      (col("vec_id") + lit(i * KeyOffset)).as("vec_id"),
+      expr(s"transform(sequence(0, size(embedding) - 1), j -> embedding[(j + $i) % size(embedding)])")
+        .as("embedding"),
+      (col("label") + lit(i * 100000)).cast("int").as("label"))
+
+  def partCopy(src: DataFrame, i: Int): DataFrame =
+    if (i == 0) src
+    else src.select(
+      (col("p_partkey") + lit(i * KeyOffset)).as("p_partkey"),
+      col("p_name"),
+      concat(col("p_brand"), lit(s"#$i")).as("p_brand"),
+      col("p_type"), col("p_size"), col("p_retailprice"))
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp <srcDir> <outDir> [copies]")
+    val (srcDir, outDir) = (args(0), args(1))
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SessionConf.overlay(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val gens: Seq[(String, (DataFrame, Int) => DataFrame)] = Seq(
+      "documents" -> documentsCopy,
+      "embeddings" -> embeddingsCopy,
+      "part" -> partCopy)
+    for ((table, gen) <- gens) {
+      val src = spark.read.parquet(s"$srcDir/$table.parquet")
+      val out = (0 until copies).map(gen(src, _)).reduce(_.unionAll(_))
+      out.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+      println(s"[scaleup] $table: ${src.count()} -> ${spark.read.parquet(s"$outDir/$table.parquet").count()} rows")
+    }
+    spark.stop()
+  }
+}
