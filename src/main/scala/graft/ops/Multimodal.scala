@@ -10,17 +10,16 @@ import org.apache.spark.sql.functions._
   * metadata stays prunable, and decode happens once, partition-local, next
   * to the data.
   *
-  * Decode kernels: AUDIO and IMAGE decode are REAL — WAV/PCM through the
-  * JDK's own `javax.sound.sampled`, PNG/BMP/JPEG through `javax.imageio`
-  * (zero external deps either way), the reference's own tutorial use case
-  * (media files → numpy arrays, README.md:25-34). VIDEO decode remains a
-  * STUB (clearly marked): frame extraction legitimately needs an
-  * ffmpeg-class stack this container doesn't ship, so `decodeStub`
-  * produces a deterministic fake feature vector from the bytes. The
-  * Spark-side contract — schema, batch iteration via mapPartitions,
-  * partition sizing, frame sampling, output shape — is real and tested
-  * for all three kinds; swapping the video stub for a JNI/ffmpeg call
-  * changes one function.
+  * Decode kernels: ALL THREE kinds run REAL in-JDK codecs — WAV/PCM audio
+  * through `javax.sound.sampled`, PNG/BMP/JPEG images through
+  * `javax.imageio`, and VIDEO through the one frame-sequence container
+  * the JDK ships a codec for: animated GIF (multi-frame parse + per-frame
+  * pixel extraction via `ImageIO`'s frame-indexed reader). Zero external
+  * dependencies; the reference's own tutorial use case is media files →
+  * numpy arrays (README.md:25-34). MP4/H.264 legitimately needs an
+  * ffmpeg-class stack this container doesn't ship — the GIF kernel is the
+  * documented swap point for it, and proves the real plumbing (container
+  * parse, frame indexing, frame sampling, per-frame features) end-to-end.
   */
 object Multimodal {
 
@@ -40,23 +39,97 @@ object Multimodal {
       frame: Int,
       features: Array[Double])
 
-  /** STUB decode kernel — VIDEO ONLY (audio and image decode are real,
-    * below): deterministic bytes → feature vector. Replace with a real
-    * frame decoder (ffmpeg) in production; everything downstream
-    * is indifferent. Deterministic so tests and reruns are stable.
-    * Per-byte contributions are b/256 — exact dyadic doubles, so every sum
-    * over them (bucket totals, cross-row aggregates) is order-independent
-    * and bit-exact: the whole fake-feature pipeline hash-gates against an
-    * integer-arithmetic oracle (q_multimodal).
+  /** REAL video decode: animated-GIF container → (width, height, one
+    * grayscale pixel array per frame), via `ImageIO`'s frame-indexed GIF
+    * reader — the JDK's only multi-frame codec, no external libraries.
+    * Pixels come back as 0-255 luminance ints (our writer stores an exact
+    * 256-gray palette, so the round-trip is lossless; arbitrary-source
+    * GIFs land on whatever their palette maps to, still 0-255 per
+    * channel — we take the blue channel, which equals the gray level for
+    * grayscale palettes). MP4/H.264 would swap in an ffmpeg call HERE;
+    * every caller is indifferent to the container.
     */
-  def decodeStub(bytes: Array[Byte], dim: Int): Array[Double] = {
+  def decodeGifFrames(bytes: Array[Byte]): (Int, Int, Vector[Array[Int]]) = {
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    require(readers.hasNext, "no GIF reader registered in this JDK")
+    val reader = readers.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true) // forces a full container scan
+      require(n > 0, "GIF container holds no frames")
+      val frames = (0 until n).map { i =>
+        val img = reader.read(i)
+        val w = img.getWidth
+        val h = img.getHeight
+        Array.tabulate(w * h)(p => img.getRGB(p % w, p / w) & 0xff)
+      }.toVector
+      (reader.getWidth(0), reader.getHeight(0), frames)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** Encode grayscale frames as an animated GIF — the inverse of
+    * [[decodeGifFrames]], also through `ImageIO` (sequence-write path),
+    * used to synthesize test media so the video gate exercises the REAL
+    * multi-frame container parse. Frames are written as raster indices
+    * into an exact 256-gray palette (no dithering, no quantization), so
+    * the round-trip is bit-lossless.
+    */
+  def grayFramesToGif(w: Int, h: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    val gray = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no GIF writer registered in this JDK")
+    val writer = writers.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      // interlace OFF: the JDK GIF writer defaults to interlaced output,
+      // and its interlace row schedule corrupts images shorter than the
+      // first pass stride (h < 5: rows land on the wrong scanlines and the
+      // last rows drop) — sequential row order is also simply the right
+      // call for machine-decoded frames
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      frames.foreach { px =>
+        require(px.length == w * h, s"frame needs ${w * h} pixels, got ${px.length}")
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        var p = 0
+        while (p < px.length) {
+          img.getRaster.setSample(p % w, p / w, 0, px(p))
+          p += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Video frame feature kernel over DECODED grayscale pixels: dim
+    * equal-width buckets, each summing 3·v/256 per pixel (v = luminance —
+    * the gray specialization of [[imageFeatures]]' (r+g+b)/256, so a gray
+    * frame and its RGB expansion produce identical features). Exact
+    * dyadic doubles; integer-oracle replayable.
+    */
+  def grayFrameFeatures(px: Array[Int], dim: Int): Array[Double] = {
     val out = new Array[Double](dim)
-    var h = 1125899906842597L // FNV-ish rolling hash
-    var i = 0
-    while (i < bytes.length) {
-      h = h * 31 + bytes(i)
-      out(math.abs((h % dim).toInt)) += (bytes(i) & 0xff) / 256.0
-      i += 1
+    val n = px.length
+    var p = 0
+    while (p < n) {
+      out((p.toLong * dim / n).toInt) += 3 * px(p) / 256.0
+      p += 1
     }
     out
   }
@@ -225,12 +298,13 @@ object Multimodal {
             else imageFeatures(m.bytes, dim)
           Iterator.single(MediaFeatures(m.media_id, 0, feats))
         } else {
-          // video: frame sampling over the declared frame count; the frame
-          // decode itself is the one remaining stub (needs ffmpeg)
-          val frames = 0 until math.max(1, m.n_frames) by math.max(1, frameStride)
-          frames.iterator.map { f =>
-            MediaFeatures(m.media_id, f,
-              decodeStub(m.bytes ++ Array(f.toByte), dim)) // stub + frame salt
+          // video: REAL animated-GIF decode, ONCE per row (one container
+          // parse yields every frame), then frame sampling over the
+          // ACTUAL container frame count — the n_frames metadata column
+          // is advisory and must not drive fan-out past the real frames
+          val (_, _, frames) = decodeGifFrames(m.bytes)
+          (0 until frames.length by math.max(1, frameStride)).iterator.map { f =>
+            MediaFeatures(m.media_id, f, grayFrameFeatures(frames(f), dim))
           }
         }
       }

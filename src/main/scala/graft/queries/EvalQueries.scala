@@ -601,7 +601,88 @@ object EvalQueries {
       |       * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
       |FROM w""".stripMargin
 
+  /** ROUGE-1/ROUGE-2 n-gram overlap between candidate/reference text
+    * pairs — the text-generation eval metric missing from the suite's
+    * score-based (AUC/NDCG) and label-based (kappa/F1) families. Pairs are
+    * deterministic (even doc_id = candidate, its successor = reference;
+    * both sides gated to ≥2 tokens so every denominator is positive), and
+    * the metric is the standard clipped-count form: overlap(n) =
+    * Σ_g min(count_cand(g), count_ref(g)) over n-grams g, precision =
+    * overlap/|cand grams|, recall = overlap/|ref grams|. All counts are
+    * exact integers on both engines; each ratio is ONE double division of
+    * the same two integers, so round(x,6) is bit-stable. Scale: per-pair
+    * gram counting is an explode + map-side-combinable count; the
+    * clipped-overlap join is equi-keyed on (pair, gram) — no corpus×corpus
+    * term anywhere, and pair fan-out is the caller's sampling decision.
+    */
+  def qRougeOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val cand = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id").as("cand_id"), col("tk").as("ctk"))
+    val ref = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select((col("doc_id") - 1).as("cand_id"), col("tk").as("rtk"))
+    val pairs = cand.join(ref, Seq("cand_id"))
+    def bigrams(c: String): org.apache.spark.sql.Column =
+      expr(s"transform(sequence(0, size($c) - 2), i -> concat($c[i], ' ', $c[i + 1]))")
+    def clipped(side: DataFrame, gramCol: String): DataFrame = {
+      val counts = (tag: String, arr: String) => side
+        .select(col("cand_id"), explode(col(arr)).as("g"))
+        .groupBy(col("cand_id"), col("g")).agg(count(lit(1)).as(tag))
+      counts("cc", s"c_$gramCol").join(counts("rc", s"r_$gramCol"), Seq("cand_id", "g"))
+        .groupBy(col("cand_id"))
+        .agg(sum(least(col("cc"), col("rc"))).cast("bigint").as(s"ov_$gramCol"))
+    }
+    val grams = pairs.select(col("cand_id"),
+      col("ctk").as("c_g1"), col("rtk").as("r_g1"),
+      bigrams("ctk").as("c_g2"), bigrams("rtk").as("r_g2"),
+      size(col("ctk")).cast("bigint").as("n1_cand"),
+      size(col("rtk")).cast("bigint").as("n1_ref"),
+      (size(col("ctk")) - 1).cast("bigint").as("n2_cand"),
+      (size(col("rtk")) - 1).cast("bigint").as("n2_ref"))
+    grams
+      .join(clipped(grams, "g1"), Seq("cand_id"), "left")
+      .join(clipped(grams, "g2"), Seq("cand_id"), "left")
+      .select(col("cand_id"),
+        coalesce(col("ov_g1"), lit(0L)).as("n1_overlap"),
+        col("n1_cand"), col("n1_ref"),
+        coalesce(col("ov_g2"), lit(0L)).as("n2_overlap"),
+        col("n2_cand"), col("n2_ref"))
+      .withColumn("rouge1_p", r6(col("n1_overlap").cast("double") / col("n1_cand").cast("double")))
+      .withColumn("rouge1_r", r6(col("n1_overlap").cast("double") / col("n1_ref").cast("double")))
+      .withColumn("rouge2_p", r6(col("n2_overlap").cast("double") / col("n2_cand").cast("double")))
+      .withColumn("rouge2_r", r6(col("n2_overlap").cast("double") / col("n2_ref").cast("double")))
+  }
+
+  val qRougeOverlapSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |           FROM documents WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 2),
+      |c AS (SELECT doc_id AS cand_id, tk FROM d WHERE doc_id % 2 = 0),
+      |r AS (SELECT doc_id - 1 AS cand_id, tk FROM d WHERE doc_id % 2 = 1),
+      |p AS (SELECT c.cand_id, c.tk AS ctk, r.tk AS rtk FROM c JOIN r USING (cand_id)),
+      |cu1 AS (SELECT cand_id, u.g, COUNT(*) AS cc FROM p, UNNEST(ctk) AS u(g) GROUP BY 1, 2),
+      |ru1 AS (SELECT cand_id, u.g, COUNT(*) AS rc FROM p, UNNEST(rtk) AS u(g) GROUP BY 1, 2),
+      |o1 AS (SELECT cand_id, SUM(LEAST(cc, rc)) AS ov FROM cu1 JOIN ru1 USING (cand_id, g) GROUP BY 1),
+      |cu2 AS (SELECT cand_id, ctk[i] || ' ' || ctk[i+1] AS g, COUNT(*) AS cc
+      |        FROM p, UNNEST(range(1, len(ctk))) AS u(i) GROUP BY 1, 2),
+      |ru2 AS (SELECT cand_id, rtk[i] || ' ' || rtk[i+1] AS g, COUNT(*) AS rc
+      |        FROM p, UNNEST(range(1, len(rtk))) AS u(i) GROUP BY 1, 2),
+      |o2 AS (SELECT cand_id, SUM(LEAST(cc, rc)) AS ov FROM cu2 JOIN ru2 USING (cand_id, g) GROUP BY 1)
+      |SELECT p.cand_id,
+      |  CAST(COALESCE(o1.ov, 0) AS BIGINT) AS n1_overlap,
+      |  CAST(len(ctk) AS BIGINT) AS n1_cand, CAST(len(rtk) AS BIGINT) AS n1_ref,
+      |  CAST(COALESCE(o2.ov, 0) AS BIGINT) AS n2_overlap,
+      |  CAST(len(ctk) - 1 AS BIGINT) AS n2_cand, CAST(len(rtk) - 1 AS BIGINT) AS n2_ref,
+      |  ROUND(CAST(COALESCE(o1.ov, 0) AS DOUBLE) / CAST(len(ctk) AS DOUBLE), 6) AS rouge1_p,
+      |  ROUND(CAST(COALESCE(o1.ov, 0) AS DOUBLE) / CAST(len(rtk) AS DOUBLE), 6) AS rouge1_r,
+      |  ROUND(CAST(COALESCE(o2.ov, 0) AS DOUBLE) / CAST(len(ctk) - 1 AS DOUBLE), 6) AS rouge2_p,
+      |  ROUND(CAST(COALESCE(o2.ov, 0) AS DOUBLE) / CAST(len(rtk) - 1 AS DOUBLE), 6) AS rouge2_r
+      |FROM p LEFT JOIN o1 USING (cand_id) LEFT JOIN o2 USING (cand_id)""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_rouge_overlap" -> ((qRougeOverlap _, Some(qRougeOverlapSql))),
     "q_ab_test" -> ((qAbTest _, Some(qAbTestSql))),
     "q_cohens_kappa" -> ((qCohensKappa _, Some(qCohensKappaSql))),
     "q_calibration" -> ((qCalibration _, Some(qCalibrationSql))),

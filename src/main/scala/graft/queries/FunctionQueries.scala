@@ -311,7 +311,50 @@ object FunctionQueries {
       |  CAST(i + 1 AS VARCHAR)
       |FROM nation, UNNEST(range(0, n_regionkey + 1)) AS u(i)""".stripMargin
 
+  /** URL parsing + per-host rollup — the provenance-normalization step
+    * every web-scale corpus pipeline runs (host extraction for per-domain
+    * quality caps, path/query decomposition for dedup keys). A canonical
+    * URL is synthesized per document from its (source, lang, doc_id)
+    * columns, then DECOMPOSED with Spark's codegen'd `parse_url`
+    * (HOST/PATH/QUERY-key/REF); the oracle rebuilds each component
+    * directly from the generating columns and never parses a URL, so a
+    * component-boundary bug in the parse (host vs path vs query vs
+    * fragment) breaks the hash gate. Scale: parse_url is a per-row
+    * expression inside whole-stage codegen; the rollup is
+    * map-side-combinable on O(#sources) groups.
+    */
+  def qUrlParse(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("https://"), col("source"), lit(".example.com/"), col("lang"),
+      lit("/"), col("doc_id"), lit("?ref=r"), pmod(col("doc_id"), lit(7)),
+      lit("#frag"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'ref')").as("ref"),
+        expr("parse_url(url, 'REF')").as("frag"))
+      .withColumn("path_lang", split(col("path"), "/").getItem(1))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("path")).as("n_paths"),
+        countDistinct(col("path_lang")).as("n_langs"),
+        countDistinct(col("ref")).as("n_refs"),
+        min(col("frag")).as("min_frag"))
+  }
+
+  val qUrlParseSql: String =
+    """SELECT source || '.example.com' AS host,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT '/' || lang || '/' || doc_id) AS n_paths,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  COUNT(DISTINCT 'r' || (doc_id % 7)) AS n_refs,
+      |  MIN('frag') AS min_frag
+      |FROM documents GROUP BY 1""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_url_parse" -> ((qUrlParse _, Some(qUrlParseSql))),
     "q_variant" -> ((qVariant _, Some(qVariantSql))),
     "q_generators" -> ((qGenerators _, Some(qGeneratorsSql))),
     "q_date_arith" -> ((qDateArith _, Some(qDateArithSql))),

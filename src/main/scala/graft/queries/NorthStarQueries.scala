@@ -139,31 +139,36 @@ object NorthStarQueries {
       |  FROM scored)
       |SELECT q_id, rnk, vec_id AS neighbor, cosine FROM ranked WHERE rnk <= 5""".stripMargin
 
-  /** Multimodal feature pipeline: documents' bytes as stand-in VIDEO media
-    * (the one kind whose decode is still the declared stub — image and
-    * audio now route to real JDK codecs, so fake payload bytes must not
-    * reach them) → per-partition batched (stubbed) frame decode → feature
-    * stats per frame group. ORACLE-GATED despite the engine-side kernel:
-    * the stub's per-byte contributions are exact dyadics (b/256), so total
-    * feature mass per frame is (Σ byte values + frame salt)/256 in EXACT
-    * integer arithmetic — DuckDB recomputes it from the raw text bytes,
-    * gating the typed-Dataset construction, the mapPartitions batch
-    * decode, AND the frame-sampling plan end-to-end. (The corpus is ASCII,
-    * so UTF-8 bytes == code points; a multibyte corpus would gate on BLOB
-    * bytes instead.)
+  /** Multimodal VIDEO feature pipeline, REAL end-to-end (r9: the last
+    * stubbed kind went real): one animated GIF per document (8×4
+    * grayscale, 1 or 4 frames by n_chars parity, pixel p of frame f
+    * colored v = (doc_id·7 + f·13 + p·3) mod 256), written through
+    * `ImageIO`'s sequence writer ([[Multimodal.grayFramesToGif]] — exact
+    * 256-gray palette, lossless), then the full pipeline under test:
+    * typed-Dataset construction → mapPartitions batch decode
+    * ([[Multimodal.decodeGifFrames]], ONE container parse per row) →
+    * frame sampling (stride 2 over the ACTUAL container frames) →
+    * per-frame bucket features → feature-mass rollup. The oracle replays
+    * the pixel generator in pure integer SQL and never sees the GIF
+    * bytes, so a container-parse / frame-index / palette / sampling bug
+    * breaks the hash gate. Exactness: each pixel contributes 3v/256 —
+    * dyadic with a fixed 256 denominator, so every sum is
+    * order-independent and bit-exact.
     */
   def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
       .filter(col("doc_id") < 100)
-      .select(col("doc_id"), col("text"), col("n_chars"))
-      .map { r =>
-        Multimodal.Media(
-          media_id = r.getLong(0),
-          kind = "video",
-          bytes = r.getString(1).getBytes("UTF-8"),
-          width = 64, height = 64, sample_rate = 0,
-          n_frames = if (r.getLong(2) % 2 == 0) 1 else 4)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val nFrames = if (nChars % 2 == 0) 1 else 4
+        val w = 8
+        val h = 4
+        val frames = (0 until nFrames).map { f =>
+          Array.tabulate(w * h)(p => ((id * 7 + f * 13 + p * 3) % 256).toInt)
+        }
+        Multimodal.Media(id, "video", Multimodal.grayFramesToGif(w, h, frames),
+          w, h, 0, nFrames)
       }
     val feats = Multimodal.extractFeatures(s, media, dim = 16, frameStride = 2)
     feats.toDF()
@@ -175,16 +180,16 @@ object NorthStarQueries {
 
   val qMultimodalSql: String =
     """WITH m AS (
-      |  SELECT doc_id,
-      |    CASE WHEN n_chars % 2 = 0 THEN 1 ELSE 4 END AS n_frames,
-      |    CAST(list_sum(list_transform(range(1, length(text) + 1),
-      |      i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS byte_mass
+      |  SELECT doc_id, CASE WHEN n_chars % 2 = 0 THEN 1 ELSE 4 END AS n_frames
       |  FROM documents WHERE doc_id < 100),
-      |f AS (SELECT doc_id, byte_mass, CAST(u.f AS INT) AS frame
-      |      FROM m, UNNEST(range(0, n_frames, 2)) AS u(f))
+      |f AS (SELECT doc_id, CAST(u.f AS INT) AS frame
+      |      FROM m, UNNEST(range(0, n_frames, 2)) AS u(f)),
+      |px AS (SELECT doc_id, frame, (doc_id * 7 + frame * 13 + u.p * 3) % 256 AS v
+      |       FROM f, UNNEST(range(0, 32)) AS u(p)),
+      |dm AS (SELECT doc_id, frame, SUM(v) AS sv FROM px GROUP BY 1, 2)
       |SELECT frame, COUNT(*) AS n_media,
-      |  ROUND(CAST(SUM(byte_mass + frame) AS DOUBLE) / 256.0, 6) AS sum_feature_mass
-      |FROM f GROUP BY frame""".stripMargin
+      |  ROUND(CAST(SUM(3 * sv) AS DOUBLE) / 256.0, 6) AS sum_feature_mass
+      |FROM dm GROUP BY frame""".stripMargin
 
   /** Multimodal inventory through the typed Media path WITH an oracle: the
     * decode kernel stays engine-side (stubbed), but the schema/plumbing

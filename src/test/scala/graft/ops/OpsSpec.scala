@@ -65,17 +65,17 @@ class OpsSpec extends SparkSpec {
     assert(bin.head.getAs[Array[Byte]]("content").toSeq == Seq[Byte](1, 2, 3, 4, 5))
   }
 
-  test("multimodal: stub decode is deterministic, frame sampling shapes output") {
+  test("multimodal: video decode is real, frame sampling shapes output") {
     import spark.implicits._
-    // video kind only: image/audio now route to REAL decoders that would
-    // (correctly) reject these fake payload bytes
+    def gif(nFrames: Int, seed: Int) = Multimodal.grayFramesToGif(4, 3,
+      (0 until nFrames).map(f => Array.tabulate(12)(p => (seed + 31 * f + p) % 256)))
     val media = Seq(
-      Multimodal.Media(1L, "video", "fake-clip-bytes".getBytes, 640, 480, 0, 1),
-      Multimodal.Media(2L, "video", "fake-mp4-bytes".getBytes, 320, 240, 0, 10)
+      Multimodal.Media(1L, "video", gif(1, 5), 4, 3, 0, 1),
+      Multimodal.Media(2L, "video", gif(10, 9), 4, 3, 0, 10)
     ).toDS()
     val feats = Multimodal.extractFeatures(spark, media, dim = 16, frameStride = 3)
     val rows = feats.collect()
-    // single-frame video → frame 0; 10-frame video → frames 0,3,6,9
+    // single-frame clip → frame 0; 10-frame clip at stride 3 → 0,3,6,9
     assert(rows.count(_.media_id == 1L) == 1)
     assert(rows.filter(_.media_id == 2L).map(_.frame).sorted.toSeq == Seq(0, 3, 6, 9))
     assert(rows.forall(_.features.length == 16))
@@ -92,9 +92,10 @@ class OpsSpec extends SparkSpec {
   test("multimodal features flow into ANN similarity search end-to-end") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // 30 fake media items (video kind: stub decode) -> features -> top-3
+    // 30 single-frame clips with distinct pixel ramps -> features -> top-3
     val media = (1L to 30L).map(i =>
-      Multimodal.Media(i, "video", s"payload-$i-${"x" * (i % 7).toInt}".getBytes, 64, 64, 0, 1)).toDS()
+      Multimodal.Media(i, "video", Multimodal.grayFramesToGif(8, 8,
+        Seq(Array.tabulate(64)(p => ((i * 13 + p * 7) % 256).toInt))), 8, 8, 0, 1)).toDS()
     val feats = Multimodal.extractFeatures(spark, media, dim = 16)
     val corpus = Multimodal.withFeatureColumn(feats)
       .select(col("media_id").as("vec_id"),
@@ -148,6 +149,41 @@ class OpsSpec extends SparkSpec {
 
   test("decodeImageRgb rejects non-image input loudly") {
     intercept[Exception] { Multimodal.decodeImageRgb("not a png".getBytes) }
+  }
+
+  test("animated-GIF round-trip: encode → decode recovers every frame's pixels") {
+    val rnd = new scala.util.Random(11)
+    // heights < 5 pin the interlace bug class: the JDK writer's DEFAULT
+    // interlaced mode corrupts images shorter than its first-pass stride
+    // (rows land on wrong scanlines, tail rows drop) — grayFramesToGif
+    // must keep progressive mode disabled
+    for (n <- Seq(1, 4, 12); (w, h) <- Seq((7, 5), (4, 3), (2, 2), (8, 4))) {
+      val frames = (0 until n).map(_ => Array.fill(w * h)(rnd.nextInt(256)))
+      val gif = Multimodal.grayFramesToGif(w, h, frames)
+      // a real container came out: GIF magic bytes
+      assert(gif.take(3).toSeq == "GIF".getBytes.toSeq)
+      val (dw, dh, back) = Multimodal.decodeGifFrames(gif)
+      assert(dw == w && dh == h && back.length == n,
+        s"n=$n ${w}x$h decoded ${back.length} frames at ${dw}x$dh")
+      frames.zip(back).foreach { case (a, b) => assert(b.sameElements(a)) }
+    }
+  }
+
+  test("decodeGifFrames rejects non-video bytes loudly") {
+    intercept[Exception] { Multimodal.decodeGifFrames("not a gif".getBytes) }
+  }
+
+  test("video kind runs the REAL decode path in extractFeatures") {
+    import spark.implicits._
+    // two 4x3 constant-gray frames: each of the 4 buckets sums
+    // (3 px × 3·v)/256 exactly — dyadic, bit-exact per frame
+    val frames = Seq(Array.fill(12)(32), Array.fill(12)(64))
+    val media = Seq(Multimodal.Media(7L, "video",
+      Multimodal.grayFramesToGif(4, 3, frames), 4, 3, 0, 2)).toDS()
+    val feats = Multimodal.extractFeatures(spark, media, dim = 4).collect().sortBy(_.frame)
+    assert(feats.map(_.frame).toSeq == Seq(0, 1))
+    assert(feats(0).features.toSeq == Seq.fill(4)(3 * 3 * 32 / 256.0))
+    assert(feats(1).features.toSeq == Seq.fill(4)(3 * 3 * 64 / 256.0))
   }
 
   test("image kind runs the REAL decode path in extractFeatures") {
