@@ -145,7 +145,8 @@ object Bench {
       "q_ann_fullprobe", "q_text_stats", "q_tfidf", "q_stream_tumbling",
       "q_dedup_clusters", "q_range_join", "q_edit_distance", "q_interval_join",
       "q_ann_ivf_kernel", "q_bpe_merges", "q_substring_dup", "q_triangles",
-      "q_pca_power", "q_semdedup", "q_dsir_weights", "q_auc")
+      "q_pca_power", "q_semdedup", "q_dsir_weights", "q_auc",
+      "q_image_decode", "q_multimodal", "q_url_parse", "q_rouge_overlap")
     val picked = {
       val head = headliners.filter(timings.contains)
       if (head.nonEmpty) head else timings.keys.toVector

@@ -642,6 +642,11 @@ object EvalQueries {
       size(col("rtk")).cast("bigint").as("n1_ref"),
       (size(col("ctk")) - 1).cast("bigint").as("n2_cand"),
       (size(col("rtk")) - 1).cast("bigint").as("n2_ref"))
+      // the pair frame feeds three consumers (itself + two clipped-overlap
+      // passes); persist so the corpus scan + pair join run once, with
+      // lineage kept for executor-loss recovery (the qEntityResolution
+      // posture)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     grams
       .join(clipped(grams, "g1"), Seq("cand_id"), "left")
       .join(clipped(grams, "g2"), Seq("cand_id"), "left")
