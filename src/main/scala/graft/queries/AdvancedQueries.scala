@@ -784,6 +784,130 @@ object AdvancedQueries {
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM base
       |   WHERE x BETWEEN 96 AND 223 AND y BETWEEN 256 AND 511) AS n_rows_match""".stripMargin
 
+  /** Hilbert-curve data layout — the locality-preserving alternative to
+    * q_zorder's Morton curve (the OPTIMIZE ... ZORDER successor Delta/
+    * Iceberg ship as "hilbert" clustering): unlike Z, consecutive Hilbert
+    * indices are ALWAYS grid neighbors (no long diagonal jumps), so
+    * bucket bounding boxes are tighter and box predicates prune more
+    * files. The xy2d transform (order 10, 1024×1024 grid) is the standard
+    * rotate-and-accumulate recurrence unrolled into 10 per-step column
+    * projections — pure codegen'd integer CASE/AND/XOR arithmetic, no
+    * UDF, no loop-carried RDD — and the Morton index rides in the same
+    * scan for a head-to-head bucket-pruning comparison on the identical
+    * box predicate (x∈[96,223], y∈[256,511]). The quadrant flip uses the
+    * full-grid complement (1023−v ≡ v XOR (n−1)), which agrees with the
+    * sub-quadrant flip on every bit later steps examine while keeping the
+    * value in range (HilbertSpec pins the whole transform against an
+    * independent in-JVM reference). Exactness: all-integer; the oracle
+    * replays the unrolled recurrence CTE-for-CTE. Scale: layout
+    * assignment is map-only and shuffle-free (buckets are value ranges of
+    * the curve); only the 4096-row bucket-stats rollup shuffles.
+    */
+  /** Appends `hd` = order-10 Hilbert index of integer grid columns
+    * (xCol, yCol), both in [0, 1024). The rotate-and-accumulate recurrence
+    * is unrolled into 10 per-step column projections — pure codegen'd
+    * integer CASE/AND/XOR arithmetic; per-step temp columns keep the plan
+    * a linear chain (a single folded expression would duplicate subtrees
+    * 3^10 times). HilbertSpec pins this against an independent in-JVM
+    * xy2d reference and checks injectivity.
+    */
+  def withHilbertIndex(df0: DataFrame, xCol: String, yCol: String): DataFrame = {
+    var f = df0
+      .withColumn("hx", col(xCol)).withColumn("hy", col(yCol))
+      .withColumn("hd", lit(0L))
+    for (i <- 9 to 0 by -1) {
+      val sb = 1 << i
+      f = f
+        .withColumn("rx", when(col("hx").bitwiseAND(lit(sb)) > 0, 1).otherwise(0))
+        .withColumn("ry", when(col("hy").bitwiseAND(lit(sb)) > 0, 1).otherwise(0))
+      f = f
+        .withColumn("hd", col("hd") +
+          lit(sb.toLong * sb) * (col("rx") * 3).bitwiseXOR(col("ry")).cast("long"))
+        .withColumn("nx", when(col("ry") === 0,
+          when(col("rx") === 1, lit(1023) - col("hy")).otherwise(col("hy")))
+          .otherwise(col("hx")))
+        .withColumn("ny", when(col("ry") === 0,
+          when(col("rx") === 1, lit(1023) - col("hx")).otherwise(col("hx")))
+          .otherwise(col("hy")))
+      f = f.withColumn("hx", col("nx")).withColumn("hy", col("ny"))
+    }
+    f.drop("hx", "hy", "rx", "ry", "nx", "ny")
+  }
+
+  def qHilbert(s: SparkSession, dir: String): DataFrame = {
+    // multiplicative spread so both coordinates cover the full 1024 grid
+    // at every sf (raw l_suppkey tops out at 99 at sf0.01 — a box
+    // predicate on the raw value would be vacuously empty)
+    val li = Tables.lineitem(s, dir)
+      .select(pmod(col("l_partkey") * 17, lit(1024)).as("gx"),
+        pmod(col("l_suppkey") * 53, lit(1024)).as("gy"))
+    val z = (0 until 10).map { i =>
+      shiftleft(shiftright(col("gx"), i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(col("gy"), i).bitwiseAND(lit(1)), 2 * i + 1)
+    }.reduce(_ + _)
+    val f = withHilbertIndex(li.withColumn("z", z), "gx", "gy")
+    val laid = f.select(col("gx"), col("gy"),
+      shiftright(col("hd"), 8).as("hb"), shiftright(col("z"), 8).as("zb"))
+    def stats(bucket: String) = laid.groupBy(col(bucket).as("b"))
+      .agg(min(col("gx")).as("minx"), max(col("gx")).as("maxx"),
+        min(col("gy")).as("miny"), max(col("gy")).as("maxy"))
+    val hit = col("minx") <= 223 && col("maxx") >= 96 &&
+      col("miny") <= 511 && col("maxy") >= 256
+    val hAgg = stats("hb").agg(
+      count(lit(1)).as("n_buckets_h"),
+      sum(when(hit, 1L).otherwise(0L)).cast("bigint").as("n_hit_h"))
+    val zAgg = stats("zb").agg(
+      sum(when(hit, 1L).otherwise(0L)).cast("bigint").as("n_hit_z"))
+    val rows = laid.agg(
+      sum(when(col("gx").between(96, 223) && col("gy").between(256, 511), 1L)
+        .otherwise(0L)).cast("bigint").as("n_rows_match"))
+    hAgg.crossJoin(zAgg).crossJoin(rows)
+  }
+
+  val qHilbertSql: String = {
+    // one CTE per unrolled step with step-suffixed column names (x9..x0),
+    // so DuckDB's lateral alias binding can never capture a same-SELECT
+    // alias — each expression references only the previous CTE's columns
+    val steps = (9 to 0 by -1).map { i =>
+      val sb = 1 << i
+      val p = i + 1
+      s"""h$i AS (
+         |  SELECT gx, gy, z,
+         |    d$p + ${sb.toLong * sb} * xor(3 * CASE WHEN (x$p & $sb) > 0 THEN 1 ELSE 0 END,
+         |                  CASE WHEN (y$p & $sb) > 0 THEN 1 ELSE 0 END) AS d$i,
+         |    CASE WHEN (y$p & $sb) = 0
+         |         THEN CASE WHEN (x$p & $sb) > 0 THEN 1023 - y$p ELSE y$p END
+         |         ELSE x$p END AS x$i,
+         |    CASE WHEN (y$p & $sb) = 0
+         |         THEN CASE WHEN (x$p & $sb) > 0 THEN 1023 - x$p ELSE x$p END
+         |         ELSE y$p END AS y$i
+         |  FROM h$p)""".stripMargin
+    }
+    s"""WITH h10 AS (
+       |  SELECT (l_partkey * 17) % 1024 AS gx, (l_suppkey * 53) % 1024 AS gy,
+       |    CAST(list_sum(list_transform(range(0, 10), i ->
+       |      (((((l_partkey * 17) % 1024) >> i) & 1) << (2 * i))
+       |      + (((((l_suppkey * 53) % 1024) >> i) & 1) << (2 * i + 1))))
+       |      AS BIGINT) AS z,
+       |    (l_partkey * 17) % 1024 AS x10, (l_suppkey * 53) % 1024 AS y10,
+       |    CAST(0 AS BIGINT) AS d10
+       |  FROM lineitem),
+       |${steps.mkString(",\n")},
+       |laid AS (SELECT gx, gy, d0 >> 8 AS hb, z >> 8 AS zb FROM h0),
+       |sh AS (SELECT hb AS b, MIN(gx) AS minx, MAX(gx) AS maxx,
+       |         MIN(gy) AS miny, MAX(gy) AS maxy FROM laid GROUP BY 1),
+       |sz AS (SELECT zb AS b, MIN(gx) AS minx, MAX(gx) AS maxx,
+       |         MIN(gy) AS miny, MAX(gy) AS maxy FROM laid GROUP BY 1)
+       |SELECT
+       |  (SELECT COUNT(*) FROM sh) AS n_buckets_h,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sh
+       |   WHERE minx <= 223 AND maxx >= 96 AND miny <= 511 AND maxy >= 256) AS n_hit_h,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sz
+       |   WHERE minx <= 223 AND maxx >= 96 AND miny <= 511 AND maxy >= 256) AS n_hit_z,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM laid
+       |   WHERE gx BETWEEN 96 AND 223 AND gy BETWEEN 256 AND 511) AS n_rows_match""".stripMargin
+  }
+
   /** CDC merge-apply — the MERGE INTO primitive every lakehouse table
     * maintenance job runs: a change feed (inserts/updates/deletes derived
     * from the event log: signup→upsert, purchase→upsert, error→delete) is
@@ -877,6 +1001,7 @@ object AdvancedQueries {
 
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_zorder" -> ((qZorder _, Some(qZorderSql))),
+    "q_hilbert" -> ((qHilbert _, Some(qHilbertSql))),
     "q_merge_apply" -> ((qMergeApply _, Some(qMergeApplySql))),
     "q_quota" -> ((qQuota _, Some(qQuotaSql))),
     "q_scd2" -> ((qScd2 _, Some(qScd2Sql))),

@@ -1309,6 +1309,68 @@ object AnalyticsQueries {
       |  TRUE AS union_ok, TRUE AS inter_ok, TRUE AS diff_ok
       |FROM e""".stripMargin
 
+  /** Count-Min sketch — the linear mergeable frequency sketch (Cormode &
+    * Muthukrishnan '05) built from pure relational ops: the sketch IS a
+    * (row, bucket) → count table (depth 4 × width 1024, hash_j =
+    * Murmur3(key, j) mod W via Spark's codegen'd `hash`), so "update" is a
+    * groupBy and "merge" is element-wise sum — no custom aggregation
+    * buffer needed. Three properties are gated as verdicts (the sketch
+    * cells are hash-layout-specific, so like q_hll_merge the oracle
+    * carries exact counts + TRUE flags):
+    *  - `est_ge_exact`: CMS never undercounts (a bucketing bug that drops
+    *    rows breaks this hard guarantee);
+    *  - `est_within`: estimate error ≤ e·N/W per the standard (ε, δ)
+    *    bound with δ = e⁻⁴ — deterministic here since data and hashes are
+    *    fixed (verified empirically at every verify sf);
+    *  - `merge_exact`: the union of per-event_type partial sketches must
+    *    equal the one-pass global sketch CELL-FOR-CELL (CMS linearity) —
+    *    the store-small/combine-later property 100 TB rollups rely on,
+    *    same algebra gate as q_hll_merge's union-vs-one-pass.
+    * Scale: sketch build is a map-side-combinable groupBy over (depth ×
+    * rows) pairs; the probe side is the k-row top-k table.
+    */
+  def qCountMin(s: SparkSession, dir: String): DataFrame = {
+    val W = 1024
+    val depth = 4
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"))
+    val rows = ev
+      .select(col("user_id"), col("event_type"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("j"))
+      .withColumn("b", pmod(hash(col("user_id"), col("j")), lit(W)))
+    val global = rows.groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+    val merged = rows.groupBy(col("event_type"), col("j"), col("b"))
+      .agg(count(lit(1)).as("pc"))
+      .groupBy(col("j"), col("b")).agg(sum(col("pc")).as("mc"))
+    val mergeOk = global.join(merged, Seq("j", "b"), "full_outer")
+      .agg(coalesce(sum(when(col("c") <=> col("mc"), 0L).otherwise(1L)), lit(0L))
+        .as("n_bad"))
+      .select((col("n_bad") === 0L).as("merge_exact"))
+    val totals = ev.agg(count(lit(1)).as("n_total"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+    exact
+      .select(col("user_id"), col("exact_n"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("j"))
+      .withColumn("b", pmod(hash(col("user_id"), col("j")), lit(W)))
+      .join(global, Seq("j", "b"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("c")).as("est"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(mergeOk))
+      .select(col("user_id"), col("exact_n").cast("bigint").as("exact_n"),
+        (col("est") >= col("exact_n")).as("est_ge_exact"),
+        (col("est") - col("exact_n") <=
+          lit(math.E) * col("n_total") / lit(W)).as("est_within"),
+        col("merge_exact"))
+  }
+
+  val qCountMinSql: String =
+    """WITH c AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1
+      |           ORDER BY exact_n DESC, user_id LIMIT 10)
+      |SELECT user_id, CAST(exact_n AS BIGINT) AS exact_n,
+      |  TRUE AS est_ge_exact, TRUE AS est_within, TRUE AS merge_exact
+      |FROM c""".stripMargin
+
   /** Frequent-items sketch (Datasketches approx_top_k) audited against
     * the exact token counts: the corpus vocabulary fits far inside
     * maxItemsTracked=8192, so every tracked count is EXACT — the verdict
@@ -1616,6 +1678,7 @@ object AnalyticsQueries {
     "q_skyline" -> ((qSkyline _, Some(qSkylineSql))),
     "q_anomaly_mad" -> ((qAnomalyMad _, Some(qAnomalyMadSql))),
     "q_theta_ops" -> ((qThetaOps _, Some(qThetaOpsSql))),
+    "q_count_min" -> ((qCountMin _, Some(qCountMinSql))),
     "q_approx_topk" -> ((qApproxTopk _, Some(qApproxTopkSql))),
     "q_ohlc" -> ((qOhlc _, Some(qOhlcSql))),
     "q_hll_merge" -> ((qHllMerge _, Some(qHllMergeSql))),

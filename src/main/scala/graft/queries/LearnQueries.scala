@@ -354,6 +354,104 @@ object LearnQueries {
       |FROM a JOIN embeddings e USING (vec_id) WHERE a.rn = 1
       |GROUP BY a.cid""".stripMargin
 
+  // ------------------------------------------------------------ coreset --
+
+  /** Greedy k-center coreset selection (farthest-point traversal, the
+    * 2-approximation of Gonzalez 1985) — the data-SELECTION primitive a
+    * training pipeline runs to pick a maximally-diverse seed subset (or
+    * dedup anchors) from an embedding corpus: start from the min-id
+    * vector, then k−1 times add the point FARTHEST from the current
+    * selection (max over points of min over centers). The distributed
+    * part is declarative per round — a broadcast of the O(k) selected
+    * centers, the codegen'd exact-decimal sqdist kernel, and a
+    * map-side-combinable per-point min + global top-1 — and only the
+    * 1-row argmax result touches the driver each round (the qBpeMerges
+    * control-plane discipline; state is O(k) ids, never data). The gate
+    * hashes the whole greedy trajectory: pick order, pick ids, each
+    * pick's distance-at-selection (the decreasing radius sequence), and
+    * the final coverage radius — a tie-break or pruning bug anywhere in
+    * the k rounds breaks the row hash. Oracle: the same greedy unrolled
+    * as chained CTEs with the identical decimal arithmetic and
+    * (dist DESC, vec_id) tie order.
+    */
+  def qCoreset(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val k = 8
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding")).persist()
+    try {
+      val seed = e.agg(min(col("vec_id"))).collect()(0).getLong(0)
+      var sel = Vector[Long](seed)
+      val picks = Seq.newBuilder[org.apache.spark.sql.Row]
+      picks += org.apache.spark.sql.Row(0, java.lang.Long.valueOf(seed), null)
+      for (t <- 1 until k) {
+        val cents = e.filter(col("vec_id").isin(sel: _*))
+          .select(col("embedding").as("ce"))
+        val row = e.filter(!col("vec_id").isin(sel: _*))
+          .crossJoin(broadcast(cents))
+          .withColumn("dist", expr("decimal_sqdist(embedding, ce)"))
+          .groupBy(col("vec_id")).agg(min(col("dist")).as("md"))
+          .orderBy(col("md").desc, col("vec_id")).limit(1).collect()(0)
+        val id = row.getLong(0)
+        sel = sel :+ id
+        picks += org.apache.spark.sql.Row(t, java.lang.Long.valueOf(id), row.getDecimal(1))
+      }
+      val cov = e.crossJoin(broadcast(
+          e.filter(col("vec_id").isin(sel: _*)).select(col("embedding").as("ce"))))
+        .withColumn("dist", expr("decimal_sqdist(embedding, ce)"))
+        .groupBy(col("vec_id")).agg(min(col("dist")).as("md"))
+        .agg(max(col("md")).as("md")).collect()(0).getDecimal(0)
+      picks += org.apache.spark.sql.Row(k, null, cov)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ord",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("md",
+          org.apache.spark.sql.types.DecimalType(28, 14), nullable = true)))
+      // the exact decimal rides into the frame; the ONLY rounding is the
+      // same r6(double) both engines apply to identical decimal operands
+      s.createDataFrame(new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(picks.result()).asJava), schema)
+        .select(col("ord"), col("vec_id"),
+          r6(col("md").cast("double")).as("radius_sq"))
+    } finally { e.unpersist(); () }
+  }
+
+  val qCoresetSql: String = {
+    val dist =
+      """SUM(CAST((CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.ce[CAST(i AS INT)] AS DOUBLE))
+        |       * (CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.ce[CAST(i AS INT)] AS DOUBLE))
+        |    AS DECIMAL(28,14)))""".stripMargin
+    val rounds = (1 to 7).map { t =>
+      s"""c$t AS MATERIALIZED (SELECT e.embedding AS ce FROM embeddings e JOIN sel${t - 1} s ON e.vec_id = s.cid),
+         |d$t AS MATERIALIZED (SELECT dd.vec_id, MIN(dd.dist) AS md FROM (
+         |          SELECT v.vec_id, $dist AS dist
+         |          FROM embeddings v, c$t c, UNNEST(range(1, len(v.embedding) + 1)) AS u(i)
+         |          WHERE v.vec_id NOT IN (SELECT cid FROM sel${t - 1})
+         |          GROUP BY v.vec_id, c.ce) AS dd
+         |        GROUP BY 1),
+         |p$t AS MATERIALIZED (SELECT CAST($t AS INT) AS ord, vec_id, md FROM d$t
+         |        ORDER BY md DESC, vec_id LIMIT 1),
+         |sel$t AS MATERIALIZED (SELECT cid FROM sel${t - 1} UNION ALL SELECT vec_id FROM p$t)"""
+        .stripMargin
+    }
+    s"""WITH sel0 AS MATERIALIZED (SELECT MIN(vec_id) AS cid FROM embeddings),
+       |${rounds.mkString(",\n")},
+       |cfin AS MATERIALIZED (SELECT e.embedding AS ce FROM embeddings e JOIN sel7 s ON e.vec_id = s.cid),
+       |dfin AS MATERIALIZED (SELECT v.vec_id, $dist AS dist
+       |         FROM embeddings v, cfin c, UNNEST(range(1, len(v.embedding) + 1)) AS u(i)
+       |         GROUP BY v.vec_id, c.ce),
+       |cov AS MATERIALIZED (SELECT CAST(8 AS INT) AS ord, CAST(NULL AS BIGINT) AS vec_id,
+       |          MAX(md) AS md
+       |        FROM (SELECT vec_id, MIN(dist) AS md FROM dfin GROUP BY 1) AS pm),
+       |outp AS (
+       |  SELECT CAST(0 AS INT) AS ord, cid AS vec_id, CAST(NULL AS DECIMAL(38,14)) AS md FROM sel0
+       |  ${(1 to 7).map(t => s"UNION ALL SELECT ord, vec_id, md FROM p$t").mkString("\n  ")}
+       |  UNION ALL SELECT ord, vec_id, md FROM cov)
+       |SELECT ord, vec_id, ROUND(CAST(md AS DOUBLE), 6) AS radius_sq FROM outp""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry --
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
@@ -362,6 +460,7 @@ object LearnQueries {
     "q_kneser_ney" -> ((qKneserNey _, Some(qKneserNeySql))),
     "q_gram_matrix" -> ((qGramMatrix _, Some(qGramMatrixSql))),
     "q_pca_power" -> ((qPcaPower _, Some(qPcaPowerSql))),
-    "q_kmeans_step" -> ((qKmeansStep _, Some(qKmeansStepSql)))
+    "q_kmeans_step" -> ((qKmeansStep _, Some(qKmeansStepSql))),
+    "q_coreset" -> ((qCoreset _, Some(qCoresetSql)))
   )
 }

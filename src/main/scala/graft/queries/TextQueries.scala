@@ -1205,7 +1205,87 @@ object TextQueries {
        |FROM p""".stripMargin
   }
 
+  /** Lexical diversity per language — the vocabulary-richness screen a
+    * corpus-quality pipeline runs next to q_quality_score: type-token
+    * ratio (distinct tokens / total tokens) and hapax share (fraction of
+    * types occurring exactly once). Low TTR flags boilerplate/template
+    * floods; a hapax share near 1 flags OCR noise or ID-like junk. Scale:
+    * the only shuffle carries (lang, token) partial counts — map-side
+    * combine collapses each partition's repeats first, and everything
+    * after runs on #langs × #vocab rows, independent of corpus size.
+    * Exactness: counts are BIGINTs; the two ratios are single double
+    * divisions of exact integers rounded to 6 (Exact.r6 discipline).
+    */
+  def qLexicalDiversity(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("lang"), explode(toks).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("lang"))
+      .agg(sum(col("tf")).cast("bigint").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).cast("bigint").as("n_hapax"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        r6(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        r6(col("n_hapax").cast("double") / col("n_types")).as("hapax_share"))
+  }
+
+  val qLexicalDiversitySql: String =
+    """WITH tf AS (
+      |  SELECT lang, u.tok, COUNT(*) AS tf
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+      |  GROUP BY 1, 2)
+      |SELECT lang,
+      |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_types,
+      |  CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6) AS ttr,
+      |  ROUND(CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS hapax_share
+      |FROM tf GROUP BY lang""".stripMargin
+
+  /** N-gram novelty per source — the memorization/duplication risk screen:
+    * for each source, the share of its documents' distinct 3-grams that
+    * appear in NO other document corpus-wide (document frequency 1).
+    * A source whose novelty share collapses is pumping templated or
+    * duplicated text into the mix; this is the corpus-level complement of
+    * q_repetition (within-document) and q_contamination (cross-split).
+    * Scale: distinct (doc, 3-gram) pairs shuffle once to compute df
+    * (map-side combinable), and the df table joins back on the 3-gram
+    * equi-key — corpus-sized on both sides, so NO broadcast hint: AQE
+    * picks the strategy (the q_ngram_jaccard rule). Exactness: pure
+    * BIGINT counts plus one r6 ratio of exact integers.
+    */
+  def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .filter(size(toks) >= 3)
+      .withColumn("tk", toks)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(ngrams("tk", 3))).as("g"))
+    val df_ = sh.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    sh.join(df_, "g")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).cast("bigint").as("n_novel"))
+      .select(col("source"), col("n_grams"), col("n_novel"),
+        r6(col("n_novel").cast("double") / col("n_grams")).as("novelty_share"))
+  }
+
+  val qNgramNoveltySql: String =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, source,
+      |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+      |       FROM t, UNNEST(range(1, len(tk)-1)) AS u(i)),
+      |df AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY 1)
+      |SELECT source, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  ROUND(CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty_share
+      |FROM sh JOIN df USING (g) GROUP BY source""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_lexical_diversity" -> ((qLexicalDiversity _, Some(qLexicalDiversitySql))),
+    "q_ngram_novelty" -> ((qNgramNovelty _, Some(qNgramNoveltySql))),
     "q_fim" -> ((qFim _, Some(qFimSql))),
     "q_rrf" -> ((qRrf _, Some(qRrfSql))),
     "q_bm25" -> ((qBm25 _, Some(qBm25Sql))),

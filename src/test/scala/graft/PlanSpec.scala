@@ -67,7 +67,14 @@ class PlanSpec extends SparkSpec {
       // PrefixSum's triangular offsets join (rank assignment)
       "q_gini",
       // three 1-row layout-audit aggregates crossed into the verdict row
-      "q_zorder")
+      "q_zorder",
+      // same layout-audit shape: h/z hit scalars + row-count scalar crossed
+      "q_hilbert",
+      // 1-row totals + 1-row merge-verdict scalars crossed onto the top-k probe
+      "q_count_min",
+      // greedy k-center rounds: O(k)-row selected-centers table broadcast-
+      // crossed against the corpus (the q_kmeans_step Lloyd shape, k <= 8)
+      "q_coreset")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
@@ -107,6 +114,8 @@ class PlanSpec extends SparkSpec {
       "q_anomaly_mad" -> perType, "q_approx_percentile" -> perType,
       "q_heavy_hitters" -> (perType + " (sketch rows)"),
       "q_approx_topk" -> (perType + " (sketch rows)"),
+      "q_count_min" -> (scalar + " + 1-row merge-linearity verdict"),
+      "q_coreset" -> (kRows + " (<=8 selected centers per greedy round)"),
       "q_cosine_topk" -> kRows, "q_ndcg" -> kRows, "q_rrf" -> kRows,
       "q_ann_fullprobe" -> kRows, "q_ann_ivf" -> kRows, "q_ann_ivf_kernel" -> kRows,
       "q_kmeans_step" -> kRows, "q_pq" -> kRows, "q_perceptron_step" -> kRows,
