@@ -784,25 +784,6 @@ object AdvancedQueries {
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM base
       |   WHERE x BETWEEN 96 AND 223 AND y BETWEEN 256 AND 511) AS n_rows_match""".stripMargin
 
-  /** Hilbert-curve data layout — the locality-preserving alternative to
-    * q_zorder's Morton curve (the OPTIMIZE ... ZORDER successor Delta/
-    * Iceberg ship as "hilbert" clustering): unlike Z, consecutive Hilbert
-    * indices are ALWAYS grid neighbors (no long diagonal jumps), so
-    * bucket bounding boxes are tighter and box predicates prune more
-    * files. The xy2d transform (order 10, 1024×1024 grid) is the standard
-    * rotate-and-accumulate recurrence unrolled into 10 per-step column
-    * projections — pure codegen'd integer CASE/AND/XOR arithmetic, no
-    * UDF, no loop-carried RDD — and the Morton index rides in the same
-    * scan for a head-to-head bucket-pruning comparison on the identical
-    * box predicate (x∈[96,223], y∈[256,511]). The quadrant flip uses the
-    * full-grid complement (1023−v ≡ v XOR (n−1)), which agrees with the
-    * sub-quadrant flip on every bit later steps examine while keeping the
-    * value in range (HilbertSpec pins the whole transform against an
-    * independent in-JVM reference). Exactness: all-integer; the oracle
-    * replays the unrolled recurrence CTE-for-CTE. Scale: layout
-    * assignment is map-only and shuffle-free (buckets are value ranges of
-    * the curve); only the 4096-row bucket-stats rollup shuffles.
-    */
   /** Appends `hd` = order-10 Hilbert index of integer grid columns
     * (xCol, yCol), both in [0, 1024). The rotate-and-accumulate recurrence
     * is unrolled into 10 per-step column projections — pure codegen'd
@@ -834,6 +815,21 @@ object AdvancedQueries {
     f.drop("hx", "hy", "rx", "ry", "nx", "ny")
   }
 
+  /** Hilbert-curve data layout — the locality-preserving alternative to
+    * q_zorder's Morton curve (the OPTIMIZE ... ZORDER successor Delta/
+    * Iceberg ship as "hilbert" clustering): unlike Z, consecutive Hilbert
+    * indices are ALWAYS grid neighbors (no long diagonal jumps), so
+    * bucket bounding boxes are tighter and box predicates prune more
+    * files. The Morton index rides in the same scan for a head-to-head
+    * bucket-pruning comparison on the identical box predicate
+    * (x∈[96,223], y∈[256,511]). The quadrant flip uses the full-grid
+    * complement (1023−v ≡ v XOR (n−1)), which agrees with the
+    * sub-quadrant flip on every bit later steps examine while keeping the
+    * value in range. Exactness: all-integer; the oracle replays the
+    * unrolled recurrence CTE-for-CTE. Scale: layout assignment is
+    * map-only and shuffle-free (buckets are value ranges of the curve);
+    * only the 4096-row bucket-stats rollup shuffles.
+    */
   def qHilbert(s: SparkSession, dir: String): DataFrame = {
     // multiplicative spread so both coordinates cover the full 1024 grid
     // at every sf (raw l_suppkey tops out at 99 at sf0.01 — a box

@@ -502,6 +502,78 @@ object AnalyticsQueries {
       .select(col("token"), r6(col("rank")).as("pagerank"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007) over the customer–supplier interaction graph (edge = customer
+    * repeatedly bought from supplier — ≥3 lineitems via the lineitem ⋈
+    * orders equi-join; node ids disambiguated as 2·custkey / 2·suppkey+1).
+    * Complements q_dedup_clusters' connected components (pure
+    * reachability) with the DENSITY-sensitive grouping a curation
+    * pipeline uses to find behavioral communities: each of 3 synchronous
+    * rounds, every node adopts the plurality label among its neighbors
+    * PLUS its own current label (the self-vote breaks the bipartite
+    * oscillation synchronous LPA is known for), ties broken by min
+    * label — fully deterministic, so the oracle replays all 3 rounds
+    * CTE-for-CTE. Scale: one round = one equi-join (edges ⋈ labels) +
+    * one hash aggregate + a per-node top-1 window — a bounded number of
+    * edge-sized shuffles, independent of graph diameter; the labels
+    * frame is node-sized and localCheckpoint'd per round (the q_pagerank
+    * lineage recipe — labels feeds both the message join and the
+    * self-vote union, and 3 chained rounds would otherwise nest 2^3
+    * plan copies).
+    */
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val ords = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    // repeat relationships only (>= 3 lineitems): the raw bipartite graph
+    // is hub-dominated (every supplier touches ~every customer) and LPA
+    // collapses it to one giant label; the repeat threshold keeps the
+    // behaviorally meaningful edges and a real community structure
+    val pairs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("cu"), (col("l_suppkey") * 2 + 1).as("su"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 3)
+      .select(col("cu"), col("su"))
+    val edges = pairs.select(col("cu").as("src"), col("su").as("dst"))
+      .union(pairs.select(col("su").as("src"), col("cu").as("dst"))).cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to 3) {
+      labels = labels.localCheckpoint()
+      val msgs = edges.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("label"))
+      val votes = msgs.union(labels.select(col("node"), col("label")))
+      labels = votes.groupBy(col("node"), col("label")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("node")).orderBy(col("n").desc, col("label"))))
+        .filter(col("rn") === 1).select(col("node"), col("label"))
+    }
+    labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("label")).limit(20)
+  }
+
+  val qLabelPropSql: String = {
+    val rounds = (1 to 3).map { t =>
+      s"""v$t AS (SELECT e.src AS node, l.label FROM e JOIN l${t - 1} l ON e.dst = l.node
+         |       UNION ALL SELECT node, label FROM l${t - 1}),
+         |c$t AS (SELECT node, label, COUNT(*) AS n FROM v$t GROUP BY 1, 2),
+         |l$t AS MATERIALIZED (SELECT node, label FROM (
+         |        SELECT node, label,
+         |          ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn
+         |        FROM c$t) t$t
+         |      WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT CAST(o_custkey * 2 AS BIGINT) AS cu,
+       |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS su
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       |e AS MATERIALIZED (
+       |  SELECT cu AS src, su AS dst FROM p UNION ALL SELECT su, cu FROM p),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
+       |${rounds.mkString(",\n")}
+       |SELECT label, COUNT(*) AS n_members FROM l3 GROUP BY 1
+       |ORDER BY n_members DESC, label LIMIT 20""".stripMargin
+  }
+
   /** Distributed triangle counting over the undirected token co-occurrence
     * graph (edges = distinct adjacent-token pairs), using the classic
     * degree-ordered edge orientation (Cohen 2009 / Suri-Vassilvitskii
@@ -1679,6 +1751,7 @@ object AnalyticsQueries {
     "q_anomaly_mad" -> ((qAnomalyMad _, Some(qAnomalyMadSql))),
     "q_theta_ops" -> ((qThetaOps _, Some(qThetaOpsSql))),
     "q_count_min" -> ((qCountMin _, Some(qCountMinSql))),
+    "q_label_prop" -> ((qLabelProp _, Some(qLabelPropSql))),
     "q_approx_topk" -> ((qApproxTopk _, Some(qApproxTopkSql))),
     "q_ohlc" -> ((qOhlc _, Some(qOhlcSql))),
     "q_hll_merge" -> ((qHllMerge _, Some(qHllMergeSql))),
