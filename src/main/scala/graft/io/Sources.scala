@@ -55,6 +55,24 @@ object Sources {
       .option("pathGlobFilter", glob)
       .load(path)
 
+  /** XML intake — Spark 4's built-in XML data source (the upstreamed
+    * spark-xml): one row per `rowTag` element, nested elements as struct
+    * columns. Pass an explicit schema in pipelines — inference does an
+    * extra full pass over the files and infers text-y types.
+    */
+  def xml(
+      spark: SparkSession,
+      path: String,
+      rowTag: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.format("xml").option("rowTag", rowTag)
+    schema.fold(r)(r.schema).load(path)
+  }
+
+  /** XML emit (the writer half of the same source). */
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.format("xml").option("rowTag", rowTag).mode("overwrite").save(path)
+
   /** JDBC scan (S7). For anything bigger than a dimension table pass
     * `partition = Some((column, lower, upper, numPartitions))` so the read
     * parallelizes across executors. Driver jar must be on the cluster

@@ -283,7 +283,56 @@ object PipelineQueries {
       |  MIN(n_name) AS min_name, MAX(n_name) AS max_name
       |FROM nation WHERE n_regionkey = 1""".stripMargin
 
+  /** R1/S8 widened to XML — Spark 4's built-in XML data source (the
+    * upstreamed spark-xml), exercised as a full write→read round trip
+    * with a NESTED element (the thing XML does that CSV cannot): supplier
+    * rows are emitted as `<supplier>` elements whose account details nest
+    * as a child element, read back with an explicit schema (struct
+    * column), and summarized with exact aggregates — the balance sum
+    * rides the DECIMAL(12,4) cast through the text round trip, so a
+    * serialization/parse defect anywhere (attribute vs element, struct
+    * flattening, decimal formatting) breaks the hash gate. Oracle: the
+    * same aggregates straight off the supplier parquet twin (the
+    * q_jdbc_roundtrip discipline). Scale: XML read/write is a plain
+    * partitioned file scan — one task per split, no driver funnel
+    * (coalesce(1) here is only so the tiny test emit is one file).
+    */
+  def qXmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xml")
+      .resolve("suppliers").toString
+    graft.io.Sources.writeXml(
+      Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"),
+          struct(col("s_nationkey").as("nation"),
+            col("s_acctbal").cast(Exact.D).as("balance")).as("account"))
+        .coalesce(1),
+      tmp, rowTag = "supplier")
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("account", StructType(Seq(
+        StructField("nation", LongType),
+        StructField("balance", Exact.D))))))
+    graft.io.Sources.xml(s, tmp, rowTag = "supplier", schema = Some(schema))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("account.nation")).as("n_nations"),
+        sum(col("s_suppkey")).cast("bigint").as("sum_key"),
+        sum(length(col("s_name"))).cast("bigint").as("name_chars"),
+        sum(col("account.balance")).cast("double").as("total_balance"))
+  }
+
+  val qXmlRoundtripSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT s_nationkey) AS n_nations,
+      |  CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(LENGTH(s_name)) AS BIGINT) AS name_chars,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS total_balance
+      |FROM supplier""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_xml_roundtrip" -> ((qXmlRoundtrip _, Some(qXmlRoundtripSql))),
     "q_jdbc_roundtrip" -> ((qJdbcRoundtrip _, Some(qJdbcRoundtripSql))),
     "q_jdbc_pushdown" -> ((qJdbcPushdown _, Some(qJdbcPushdownSql))),
     "q_pipeline_chain" -> ((qPipelineChain _, Some(qPipelineChainSql))),
