@@ -56,6 +56,39 @@ object ScaleUp {
       concat(col("p_brand"), lit(s"#$i")).as("p_brand"),
       col("p_type"), col("p_size"), col("p_retailprice"))
 
+  /** Relational/event tables for the graph/sketch/layout rehearsals: all
+    * join keys shift together (order→custkey→suppkey→partkey), so each
+    * copy is a DISJOINT replica of the original relational graph — the
+    * customer–supplier communities, user frequency keys, and (partkey,
+    * suppkey) grid cells grow 10× in COUNT at constant per-copy
+    * structure, exactly how a genuinely N× business corpus behaves.
+    */
+  def ordersCopy(src: DataFrame, i: Int): DataFrame =
+    if (i == 0) src
+    else src.select(
+      (col("o_orderkey") + lit(i * KeyOffset)).as("o_orderkey"),
+      (col("o_custkey") + lit(i * KeyOffset)).as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority"))
+
+  def lineitemCopy(src: DataFrame, i: Int): DataFrame =
+    if (i == 0) src
+    else src.select(
+      (col("l_orderkey") + lit(i * KeyOffset)).as("l_orderkey"),
+      (col("l_partkey") + lit(i * KeyOffset)).as("l_partkey"),
+      (col("l_suppkey") + lit(i * KeyOffset)).as("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate"))
+
+  def eventsCopy(src: DataFrame, i: Int): DataFrame =
+    if (i == 0) src
+    else src.select(
+      (col("event_id") + lit(i * KeyOffset)).as("event_id"),
+      col("ts"),
+      (col("user_id") + lit(i * KeyOffset)).as("user_id"),
+      col("event_type"), col("value"), col("props"))
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleUp <srcDir> <outDir> [copies]")
     val (srcDir, outDir) = (args(0), args(1))
@@ -71,7 +104,10 @@ object ScaleUp {
     val gens: Seq[(String, (DataFrame, Int) => DataFrame)] = Seq(
       "documents" -> documentsCopy,
       "embeddings" -> embeddingsCopy,
-      "part" -> partCopy)
+      "part" -> partCopy,
+      "orders" -> ordersCopy,
+      "lineitem" -> lineitemCopy,
+      "events" -> eventsCopy)
     for ((table, gen) <- gens) {
       val src = spark.read.parquet(s"$srcDir/$table.parquet")
       val out = (0 until copies).map(gen(src, _)).reduce(_.unionAll(_))
