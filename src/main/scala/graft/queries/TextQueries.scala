@@ -1007,6 +1007,47 @@ object TextQueries {
       |        / n_total, 6) AS risk_share
       |FROM cls, tot""".stripMargin
 
+  /** l-diversity audit — the privacy screen k-anonymity alone cannot
+    * give (Machanavajjhala et al. 2007): a quasi-identifier class can be
+    * large (k-anonymous) yet expose its members anyway if the SENSITIVE
+    * attribute is homogeneous inside it. Quasi-identifier = (source,
+    * 100-char length bucket) — q_k_anonymity's spelling minus lang —
+    * and `lang` is the sensitive attribute: per class, members and
+    * distinct sensitive values; classes with fewer than l=2 distinct
+    * langs are flagged, and the exposed-member share rides as the exact
+    * ratio the release decision reads. Scale: one hash aggregate over
+    * (QI, lang) pairs, one over QI — both map-side combinable; the only
+    * broadcast is the 1-row total.
+    */
+  def qLDiversity(s: SparkSession, dir: String): DataFrame = {
+    val l = 2
+    val cls = Tables.documents(s, dir)
+      .groupBy(col("source"),
+        (floor(col("n_chars") / 100) * 100).cast("bigint").as("len_bucket"))
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(col("lang")).as("n_sensitive"))
+    val tot = cls.agg(sum(col("class_size")).cast("bigint").as("n_total"))
+    cls.crossJoin(broadcast(tot))
+      .select(col("source"), col("len_bucket"), col("class_size"),
+        col("n_sensitive"),
+        (col("n_sensitive") < l).as("homogeneous"),
+        r6(when(col("n_sensitive") < l, col("class_size")).otherwise(0L)
+          .cast("double") / col("n_total")).as("exposed_share"))
+  }
+
+  val qLDiversitySql: String =
+    """WITH cls AS (SELECT source,
+      |         CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS len_bucket,
+      |         COUNT(*) AS class_size,
+      |         COUNT(DISTINCT lang) AS n_sensitive
+      |       FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(class_size) AS BIGINT) AS n_total FROM cls)
+      |SELECT source, len_bucket, class_size, n_sensitive,
+      |  n_sensitive < 2 AS homogeneous,
+      |  ROUND(CAST(CASE WHEN n_sensitive < 2 THEN class_size ELSE 0 END AS DOUBLE)
+      |        / n_total, 6) AS exposed_share
+      |FROM cls, tot""".stripMargin
+
   /** BM25 document ranking for a fixed query — the retrieval scorer
     * (Robertson/Spärck Jones) that q_tfidf's tf·idf weights feed in every
     * search stack; here with k1=1.2, b=0.75 and the Lucene-style
@@ -1290,6 +1331,7 @@ object TextQueries {
     "q_rrf" -> ((qRrf _, Some(qRrfSql))),
     "q_bm25" -> ((qBm25 _, Some(qBm25Sql))),
     "q_k_anonymity" -> ((qKAnonymity _, Some(qKAnonymitySql))),
+    "q_l_diversity" -> ((qLDiversity _, Some(qLDiversitySql))),
     "q_pmi" -> ((qPmi _, Some(qPmiSql))),
     "q_heavy_hitters" -> ((qHeavyHitters _, Some(qHeavyHittersSql))),
     "q_boilerplate" -> ((qBoilerplate _, Some(qBoilerplateSql))),

@@ -49,7 +49,7 @@ class PlanSpec extends SparkSpec {
       // 1-row scalar broadcast-crosses: kappa's chance-agreement scalar,
       // calibration's global (lo, hi) bounds row, k-anonymity's corpus
       // total riding the class table
-      "q_cohens_kappa", "q_calibration", "q_k_anonymity",
+      "q_cohens_kappa", "q_calibration", "q_k_anonymity", "q_l_diversity",
       // two 1-row sketch/estimate scalars crossed for the ALL verdict row
       "q_hll_merge",
       // two 1-row quantile-estimate scalars crossed onto the audit pass
@@ -108,7 +108,8 @@ class PlanSpec extends SparkSpec {
       "q_cohens_kappa" -> scalar, "q_mutual_info" -> scalar, "q_pmi" -> scalar,
       "q_vocab_coverage" -> scalar, "q_benford" -> scalar, "q_hll_merge" -> scalar,
       "q_kll_quantiles" -> scalar, "q_theta_ops" -> scalar, "q_gapfill" -> scalar,
-      "q_k_anonymity" -> scalar, "q_weighted_median" -> scalar,
+      "q_k_anonymity" -> scalar, "q_l_diversity" -> scalar,
+      "q_weighted_median" -> scalar,
       "q_quantize" -> (scalar + " + 16-row codebook"),
       "q_winsorize" -> perType, "q_zscore_outliers" -> perType,
       "q_anomaly_mad" -> perType, "q_approx_percentile" -> perType,
