@@ -116,6 +116,75 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("coreset greedy matches an in-JVM farthest-point reference (exact decimals)") {
+    // independent reimplementation of Gonzalez greedy with the SAME
+    // decimal-term arithmetic as the decimal_sqdist kernel: per-term
+    // BigDecimal.valueOf((x-y)^2).setScale(14, HALF_UP), summed exactly
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def sqdist(a: Array[Double], b: Array[Double]): JBD =
+      a.indices.foldLeft(JBD.ZERO) { (acc, i) =>
+        val d = a(i) - b(i)
+        acc.add(JBD.valueOf(d * d).setScale(14, RoundingMode.HALF_UP))
+      }
+    var sel = Vector(vecs.keys.min)
+    val radii = Vector.newBuilder[JBD]
+    for (_ <- 1 until 8) {
+      val (id, md) = vecs.keysIterator.filterNot(sel.contains).map { v =>
+        v -> sel.map(c => sqdist(vecs(v), vecs(c))).min
+      }.reduceLeft { (p, q) =>
+        val c = q._2.compareTo(p._2)
+        if (c > 0 || (c == 0 && q._1 < p._1)) q else p
+      }
+      sel = sel :+ id
+      radii += md
+    }
+    val got = LearnQueries.qCoreset(spark, sfDir).collect()
+      .sortBy(_.getInt(0))
+    assert(got.length == 9)
+    assert(got.head.isNullAt(2) && got.head.getLong(1) == vecs.keys.min)
+    val gotIds = got.slice(1, 8).map(_.getLong(1)).toVector
+    assert(gotIds == sel.drop(1), s"pick order: got $gotIds want ${sel.drop(1)}")
+    // radius sequence non-increasing, and coverage <= last pick's radius
+    val r = got.slice(1, 9).map(_.getDouble(2))
+    assert(r.zip(r.tail).forall { case (a, b) => a >= b }, s"radii increase: ${r.toSeq}")
+    // the reference radii agree after the same r6 rounding
+    val want = radii.result().map(d =>
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.slice(0, 7).toVector == want, s"radii: got ${r.toSeq} want $want")
+  }
+
+  test("count-min verdicts hold and the sketch never undercounts any key") {
+    val rows = AnalyticsQueries.qCountMin(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"undercount for user ${r.getLong(0)}")
+      assert(r.getBoolean(3), s"error bound broken for user ${r.getLong(0)}")
+      assert(r.getBoolean(4), "merge not exact")
+    }
+  }
+
+  test("label propagation is deterministic across runs and conserves nodes") {
+    def run() = AnalyticsQueries.qLabelProp(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val a = run(); val b = run()
+    assert(a == b, "LPA result depends on run/shuffle order")
+    assert(a.nonEmpty)
+    // top-20 community sizes cannot exceed the node count
+    val nodes = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 3)
+      .select(explode(array(col("o_custkey") * 2, col("l_suppkey") * 2 + 1)).as("n"))
+      .distinct().count()
+    assert(a.map(_._2).sum <= nodes)
+  }
+
   test("RRF output is ranked consistently with its component ranks") {
     val rows = TextQueries.qRrf(spark, sfDir).collect()
       .map(r => (r.getLong(0), Option(r.getAs[Integer]("rank_lex")),
