@@ -42,6 +42,13 @@ object Multimodal {
   /** REAL video decode: animated-GIF container → (width, height, one
     * grayscale pixel array per frame), via `ImageIO`'s frame-indexed GIF
     * reader — the JDK's only multi-frame codec, no external libraries.
+    * Frames are COMPOSITED: optimized GIFs store frame i > 0 as an update
+    * rect with its own dims/offset and a disposal method, so the raw
+    * `reader.read(i)` raster is NOT the displayed frame — each raw frame
+    * is drawn onto the logical-screen canvas (honoring none /
+    * doNotDispose / restoreToBackgroundColor / restoreToPrevious), and
+    * every returned array is a full (width × height) raster of what a
+    * viewer shows (OpsSpec pins this with a hand-built delta GIF).
     * Pixels come back as 0-255 luminance ints (our writer stores an exact
     * 256-gray palette, so the round-trip is lossless; arbitrary-source
     * GIFs land on whatever their palette maps to, still 0-255 per
@@ -50,22 +57,72 @@ object Multimodal {
     * every caller is indifferent to the container.
     */
   def decodeGifFrames(bytes: Array[Byte]): (Int, Int, Vector[Array[Int]]) = {
+    import javax.imageio.metadata.IIOMetadataNode
     val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
     require(readers.hasNext, "no GIF reader registered in this JDK")
     val reader = readers.next()
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
-      reader.setInput(iis, false, true)
+      reader.setInput(iis, false, false) // keep metadata: compositing needs it
       val n = reader.getNumImages(true) // forces a full container scan
       require(n > 0, "GIF container holds no frames")
-      val frames = (0 until n).map { i =>
-        val img = reader.read(i)
-        val w = img.getWidth
-        val h = img.getHeight
-        Array.tabulate(w * h)(p => img.getRGB(p % w, p / w) & 0xff)
-      }.toVector
-      (reader.getWidth(0), reader.getHeight(0), frames)
+      // Optimized GIFs store frame i > 0 as an update RECT with its own
+      // dims/offset plus a disposal method — reader.read(i) returns the
+      // raw rect, NOT the displayed frame. Composite every frame onto the
+      // logical-screen canvas (SRC_OVER honors the rect's transparent
+      // index) so callers always get full same-sized rasters.
+      def attr(node: IIOMetadataNode, tag: String, name: String): Option[String] = {
+        val list = node.getElementsByTagName(tag)
+        if (list.getLength == 0) None
+        else Option(list.item(0).getAttributes.getNamedItem(name)).map(_.getNodeValue)
+      }
+      val meta = (0 until n).map { i =>
+        val root = reader.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
+          .asInstanceOf[IIOMetadataNode]
+        val x = attr(root, "ImageDescriptor", "imageLeftPosition").fold(0)(_.toInt)
+        val y = attr(root, "ImageDescriptor", "imageTopPosition").fold(0)(_.toInt)
+        val disposal = attr(root, "GraphicControlExtension", "disposalMethod")
+          .getOrElse("none")
+        (x, y, disposal)
+      }
+      // logical screen from stream metadata; some encoders understate it,
+      // so widen to cover every frame's extent
+      val screen = Option(reader.getStreamMetadata).map(
+        _.getAsTree("javax_imageio_gif_stream_1.0").asInstanceOf[IIOMetadataNode])
+      val sw0 = screen.flatMap(attr(_, "LogicalScreenDescriptor", "logicalScreenWidth"))
+        .fold(0)(_.toInt)
+      val sh0 = screen.flatMap(attr(_, "LogicalScreenDescriptor", "logicalScreenHeight"))
+        .fold(0)(_.toInt)
+      val sw = math.max(sw0, (0 until n).map(i => meta(i)._1 + reader.getWidth(i)).max)
+      val sh = math.max(sh0, (0 until n).map(i => meta(i)._2 + reader.getHeight(i)).max)
+      val canvas = new java.awt.image.BufferedImage(
+        sw, sh, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      val g = canvas.createGraphics()
+      try {
+        val frames = (0 until n).map { i =>
+          val (x, y, disposal) = meta(i)
+          val before =
+            if (disposal == "restoreToPrevious")
+              canvas.getRGB(0, 0, sw, sh, null, 0, sw)
+            else null
+          g.drawImage(reader.read(i), x, y, null)
+          val shown = Array.tabulate(sw * sh)(p => canvas.getRGB(p % sw, p / sw) & 0xff)
+          disposal match {
+            case "restoreToBackgroundColor" =>
+              // clear the frame's rect to transparent for the next frame
+              val prev = g.getComposite
+              g.setComposite(java.awt.AlphaComposite.Clear)
+              g.fillRect(x, y, reader.getWidth(i), reader.getHeight(i))
+              g.setComposite(prev)
+            case "restoreToPrevious" =>
+              canvas.setRGB(0, 0, sw, sh, before, 0, sw)
+            case _ => () // none / doNotDispose: accumulate
+          }
+          shown
+        }.toVector
+        (sw, sh, frames)
+      } finally g.dispose()
     } finally {
       reader.dispose()
       iis.close()
@@ -297,7 +354,7 @@ object Multimodal {
             if (m.kind == "audio") audioFeatures(m.bytes, dim)
             else imageFeatures(m.bytes, dim)
           Iterator.single(MediaFeatures(m.media_id, 0, feats))
-        } else {
+        } else if (m.kind == "video") {
           // video: REAL animated-GIF decode, ONCE per row (one container
           // parse yields every frame), then frame sampling over the
           // ACTUAL container frame count — the n_frames metadata column
@@ -306,6 +363,13 @@ object Multimodal {
           (0 until frames.length by math.max(1, frameStride)).iterator.map { f =>
             MediaFeatures(m.media_id, f, grayFrameFeatures(frames(f), dim))
           }
+        } else {
+          // fail on the ROW's actual defect, not deep inside a codec the
+          // row was never meant for (a typo'd kind reaching the GIF
+          // reader would die with a misleading container error)
+          throw new IllegalArgumentException(
+            s"media ${m.media_id}: unknown kind '${m.kind}' " +
+              "(expected audio | image | video)")
         }
       }
     }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -736,12 +736,7 @@ object AdvancedQueries {
     val li = Tables.lineitem(s, dir)
       .select(pmod(col("l_partkey"), lit(1024)).as("x"),
         pmod(col("l_suppkey"), lit(1024)).as("y"))
-    // Morton interleave of two 10-bit values: bit i of x → bit 2i,
-    // bit i of y → bit 2i+1. A sum of 20 codegen'd shift/mask terms.
-    val z = (0 until 10).map { i =>
-      shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1)), 2 * i) +
-        shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1)), 2 * i + 1)
-    }.reduce(_ + _)
+    val z = mortonZ("x", "y")
     val laid = li.withColumn("zb", shiftright(z, 8))
       .withColumn("lb", shiftright(col("x") * 1024 + col("y"), 8))
     def stats(bucket: String) = laid.groupBy(col(bucket).as("b"))
@@ -792,6 +787,17 @@ object AdvancedQueries {
     * 3^10 times). HilbertSpec pins this against an independent in-JVM
     * xy2d reference and checks injectivity.
     */
+  /** Order-10 Morton (Z) interleave of two 10-bit grid columns: bit i of
+    * x → bit 2i, bit i of y → bit 2i+1 — a sum of 20 codegen'd shift/mask
+    * terms. ONE definition for both layout queries (q_zorder's layout and
+    * q_hilbert's head-to-head comparison must interleave identically).
+    */
+  def mortonZ(xCol: String, yCol: String): Column =
+    (0 until 10).map { i =>
+      shiftleft(shiftright(col(xCol), i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(col(yCol), i).bitwiseAND(lit(1)), 2 * i + 1)
+    }.reduce(_ + _)
+
   def withHilbertIndex(df0: DataFrame, xCol: String, yCol: String): DataFrame = {
     var f = df0
       .withColumn("hx", col(xCol)).withColumn("hy", col(yCol))
@@ -837,11 +843,7 @@ object AdvancedQueries {
     val li = Tables.lineitem(s, dir)
       .select(pmod(col("l_partkey") * 17, lit(1024)).as("gx"),
         pmod(col("l_suppkey") * 53, lit(1024)).as("gy"))
-    val z = (0 until 10).map { i =>
-      shiftleft(shiftright(col("gx"), i).bitwiseAND(lit(1)), 2 * i) +
-        shiftleft(shiftright(col("gy"), i).bitwiseAND(lit(1)), 2 * i + 1)
-    }.reduce(_ + _)
-    val f = withHilbertIndex(li.withColumn("z", z), "gx", "gy")
+    val f = withHilbertIndex(li.withColumn("z", mortonZ("gx", "gy")), "gx", "gy")
     val laid = f.select(col("gx"), col("gy"),
       shiftright(col("hd"), 8).as("hb"), shiftright(col("z"), 8).as("zb"))
     def stats(bucket: String) = laid.groupBy(col(bucket).as("b"))

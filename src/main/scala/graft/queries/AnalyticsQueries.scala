@@ -1409,7 +1409,11 @@ object AnalyticsQueries {
       .select(col("user_id"), col("event_type"),
         explode(expr(s"sequence(0, ${depth - 1})")).as("j"))
       .withColumn("b", pmod(hash(col("user_id"), col("j")), lit(W)))
+    // the global sketch feeds BOTH the merge-linearity audit and the
+    // top-k probe join; persist the 4096-cell frame so its (depth × rows)
+    // explode+hash build runs once (the sketch is the thing you'd store)
     val global = rows.groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merged = rows.groupBy(col("event_type"), col("j"), col("b"))
       .agg(count(lit(1)).as("pc"))
       .groupBy(col("j"), col("b")).agg(sum(col("pc")).as("mc"))

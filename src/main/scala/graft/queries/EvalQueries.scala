@@ -625,8 +625,7 @@ object EvalQueries {
     val ref = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
       .select((col("doc_id") - 1).as("cand_id"), col("tk").as("rtk"))
     val pairs = cand.join(ref, Seq("cand_id"))
-    def bigrams(c: String): org.apache.spark.sql.Column =
-      expr(s"transform(sequence(0, size($c) - 2), i -> concat($c[i], ' ', $c[i + 1]))")
+    def bigrams(c: String): org.apache.spark.sql.Column = Exact.ngrams(c, 2)
     def clipped(side: DataFrame, gramCol: String): DataFrame = {
       val counts = (tag: String, arr: String) => side
         .select(col("cand_id"), explode(col(arr)).as("g"))

@@ -192,7 +192,9 @@ object NorthStarQueries {
       |FROM dm GROUP BY frame""".stripMargin
 
   /** Multimodal inventory through the typed Media path WITH an oracle: the
-    * decode kernel stays engine-side (stubbed), but the schema/plumbing
+    * decode kernels are engine-side (REAL JDK codecs since round 9 —
+    * WAV/PNG/GIF, gated by q_audio_decode / q_image_decode /
+    * q_multimodal), but the schema/plumbing
     * layer — binary payload + typed metadata flowing through the
     * Dataset[Media] encoder — is replicable from the raw table, so byte
     * sizes, kinds, and frame plans are hash-gated against DuckDB. This

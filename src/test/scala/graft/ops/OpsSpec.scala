@@ -89,6 +89,65 @@ class OpsSpec extends SparkSpec {
     assert(embedded.columns.toSeq == Seq("media_id", "frame", "embedding"))
   }
 
+  test("decodeGifFrames composites optimized update-rect frames (delta GIF)") {
+    import javax.imageio._
+    import javax.imageio.metadata.IIOMetadataNode
+    val gray = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    def img(w: Int, h: Int, px: Array[Int]) = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      var p = 0
+      while (p < px.length) { im.getRaster.setSample(p % w, p / w, 0, px(p)); p += 1 }
+      im
+    }
+    // hand-build an OPTIMIZED gif: full 8x6 base frame, then a 3x2 update
+    // rect at (2,3) — the shape the JDK reader returns raw and a naive
+    // per-frame read would mis-report as a 3x2 "frame"
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(ImageWriteParam.MODE_DISABLED)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    def writeFrame(im: java.awt.image.BufferedImage, x: Int, y: Int): Unit = {
+      val md = writer.getDefaultImageMetadata(new ImageTypeSpecifier(im), param)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val desc = root.getElementsByTagName("ImageDescriptor").item(0)
+        .asInstanceOf[IIOMetadataNode]
+      desc.setAttribute("imageLeftPosition", x.toString)
+      desc.setAttribute("imageTopPosition", y.toString)
+      md.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(im, null, md), param)
+    }
+    val base = Array.tabulate(48)(p => p % 256)
+    writeFrame(img(8, 6, base), 0, 0)
+    writeFrame(img(3, 2, Array.fill(6)(200)), 2, 3)
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    val (w, h, frames) = Multimodal.decodeGifFrames(bos.toByteArray)
+    assert((w, h) == (8, 6), s"screen dims: got ($w, $h)")
+    assert(frames.length == 2 && frames.forall(_.length == 48),
+      "every composited frame must be a full-screen raster")
+    assert(frames(0).toSeq == base.toSeq)
+    val expect = base.clone()
+    for (dy <- 0 until 2; dx <- 0 until 3) expect((3 + dy) * 8 + (2 + dx)) = 200
+    assert(frames(1).toSeq == expect.toSeq, "delta frame not composited onto the canvas")
+  }
+
+  test("extractFeatures rejects unknown media kinds with the actual defect") {
+    import spark.implicits._
+    val media = Seq(Multimodal.Media(7L, "vdeo", Array[Byte](1, 2, 3), 0, 0, 0, 1)).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(spark, media, dim = 8).collect()
+    }
+    val msg = Option(e.getCause).fold(e.getMessage)(_.getMessage)
+    assert(msg.contains("unknown kind") && msg.contains("vdeo"), s"got: $msg")
+  }
+
   test("multimodal features flow into ANN similarity search end-to-end") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
