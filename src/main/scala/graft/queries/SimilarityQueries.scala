@@ -988,6 +988,138 @@ object SimilarityQueries {
       |  ROUND(CAST(CAST(SUM(dist) AS DECIMAL(38,14)) AS DOUBLE), 6) AS sq_error
       |FROM a GROUP BY 1, 2""".stripMargin
 
+  /** IVF-PQ search with asymmetric distance computation — the canonical
+    * billion-scale ANN layout (IVFADC, Jégou et al. TPAMI 2011),
+    * composing q_ann_ivf's coarse quantizer with q_pq's product codes
+    * over RESIDUALS: every vector is assigned to its nearest coarse
+    * centroid, the residual (vector − centroid) is product-quantized in
+    * 4 × 16-dim subspaces, and a query scans only its nprobe=2 nearest
+    * lists by summing per-subspace LOOKUP-TABLE distances (query residual
+    * vs each code) instead of touching any stored float — the memory/IO
+    * shape that makes 100 TB of embeddings searchable: the stored corpus
+    * is (cid, 4 codes) per vector, the per-query state is a
+    * q·nprobe·subspace·k LUT. Every distance is the exact-decimal kernel
+    * over engine-identical double residuals, all argmins tie-break on
+    * (dist, id), so the full trajectory — assignments, codebook,
+    * encodings, probes, LUT, final ADC top-5 — is hash-gated; the oracle
+    * replays each stage as a MATERIALIZED CTE. Broadcasts: 8-row coarse
+    * table, 16-row codebook, 64-row LUT (all O(k)).
+    */
+  def qIvfPq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val resid = "zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    val coarse = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("d", expr("decimal_sqdist(embedding, cemb)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"),
+        expr(resid.format("embedding", "cemb")).as("res"))
+      .persist() // feeds the codebook, the encode pass, and nothing else
+    val subs = array((0 until 4).map(i => lit(i.toLong)): _*)
+    val cb = assigned.filter(col("vec_id") < 4)
+      .withColumn("s", explode(subs))
+      .select(col("s"), col("vec_id").as("code"),
+        expr("slice(res, CAST(s * 16 + 1 AS INT), 16)").as("csub"))
+    val encoded = assigned
+      .withColumn("s", explode(subs))
+      .withColumn("rsub", expr("slice(res, CAST(s * 16 + 1 AS INT), 16)"))
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("cd", expr("decimal_sqdist(rsub, csub)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("s")).orderBy(col("cd"), col("code"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("s"), col("code"))
+    val queries = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val probes = queries.crossJoin(broadcast(coarse))
+      .withColumn("qd", expr("decimal_sqdist(qemb, cemb)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("qd"), col("cid"))))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("cid"),
+        expr(resid.format("qemb", "cemb")).as("qres"))
+    val lut = probes
+      .withColumn("s", explode(subs))
+      .withColumn("qsub", expr("slice(qres, CAST(s * 16 + 1 AS INT), 16)"))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("qid"), col("cid"), col("s"), col("code"),
+        expr("decimal_sqdist(qsub, csub)").as("ld"))
+    encoded.join(broadcast(lut), Seq("cid", "s", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("ld")).as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        r6(col("adc").cast("double")).as("adc_dist"))
+  }
+
+  val qIvfPqSql: String = {
+    def sq(a: String, b: String) =
+      s"SUM(CAST(($a - $b) * ($a - $b) AS DECIMAL(28,14)))"
+    val vi = "CAST(v.embedding[CAST(i AS INT)] AS DOUBLE)"
+    val ci = "CAST(c.cemb[CAST(i AS INT)] AS DOUBLE)"
+    val qi = "CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)"
+    val rsi = "r.res[CAST(cb.s * 16 + i AS INT)]"
+    val csi = "cb.cres[CAST(cb.s * 16 + i AS INT)]"
+    val psi = "p.qres[CAST(cb.s * 16 + i AS INT)]"
+    s"""WITH coarse AS MATERIALIZED (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+       |adist AS MATERIALIZED (
+       |  SELECT v.vec_id, c.cid, ${sq(vi, ci)} AS d
+       |  FROM embeddings v, coarse c, UNNEST(range(1, 65)) AS u(i) GROUP BY 1, 2),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM adist) t WHERE rn = 1),
+       |res AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid,
+       |    list_transform(range(1, 65), i ->
+       |      CAST(v.embedding[CAST(i AS INT)] AS DOUBLE)
+       |      - CAST(c.cemb[CAST(i AS INT)] AS DOUBLE)) AS res
+       |  FROM assigned a JOIN embeddings v USING (vec_id) JOIN coarse c ON a.cid = c.cid),
+       |cb AS MATERIALIZED (
+       |  SELECT CAST(u.s AS BIGINT) AS s, vec_id AS code, res AS cres
+       |  FROM res, UNNEST([0, 1, 2, 3]) AS u(s) WHERE vec_id < 4),
+       |encd AS MATERIALIZED (
+       |  SELECT r.vec_id, r.cid, cb.s, cb.code, ${sq(rsi, csi)} AS cd
+       |  FROM res r, cb, UNNEST(range(1, 17)) AS u(i) GROUP BY 1, 2, 3, 4),
+       |encoded AS MATERIALIZED (
+       |  SELECT vec_id, cid, s, code FROM (
+       |    SELECT vec_id, cid, s, code,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY cd, code) AS rn
+       |    FROM encd) t WHERE rn = 1),
+       |qdist AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, c.cid, ${sq(qi, ci)} AS qd
+       |  FROM embeddings q, coarse c, UNNEST(range(1, 65)) AS u(i)
+       |  WHERE q.vec_id < 2 GROUP BY 1, 2),
+       |probes AS MATERIALIZED (
+       |  SELECT p0.qid, p0.cid,
+       |    list_transform(range(1, 65), i ->
+       |      CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
+       |      - CAST(c.cemb[CAST(i AS INT)] AS DOUBLE)) AS qres
+       |  FROM (SELECT qid, cid FROM (
+       |          SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qd, cid) AS rn
+       |          FROM qdist) t WHERE rn <= 2) p0
+       |  JOIN embeddings q ON q.vec_id = p0.qid JOIN coarse c ON p0.cid = c.cid),
+       |lut AS MATERIALIZED (
+       |  SELECT p.qid, p.cid, cb.s, cb.code, ${sq(psi, csi)} AS ld
+       |  FROM probes p, cb, UNNEST(range(1, 17)) AS u(i) GROUP BY 1, 2, 3, 4),
+       |adc AS MATERIALIZED (
+       |  SELECT l.qid, e2.vec_id, SUM(l.ld) AS adc
+       |  FROM encoded e2 JOIN lut l ON e2.cid = l.cid AND e2.s = l.s AND e2.code = l.code
+       |  GROUP BY 1, 2)
+       |SELECT qid, rank, vec_id, ROUND(CAST(adc AS DOUBLE), 6) AS adc_dist FROM (
+       |  SELECT qid, vec_id, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+       |  FROM adc) t WHERE rank <= 5""".stripMargin
+  }
+
   /** Sketch-accuracy audit for the MinHash pipeline: for every LSH
     * candidate pair, the ESTIMATED Jaccard (fraction of agreeing minhash
     * components — the unbiased MinHash estimator) next to the EXACT
@@ -1352,6 +1484,7 @@ object SimilarityQueries {
     "q_jaccard_join" -> ((qJaccardJoin _, Some(qJaccardJoinSql))),
     "q_semdedup" -> ((qSemdedup _, Some(qSemdedupSql))),
     "q_pq" -> ((qPq _, Some(qPqSql))),
+    "q_ivf_pq" -> ((qIvfPq _, Some(qIvfPqSql))),
     "q_minhash_est" -> ((qMinhashEstimate _, Some(qMinhashEstimateSql))),
     "q_quantize" -> ((qQuantize _, Some(qQuantizeSql))),
     "q_split" -> ((qSplit _, Some(qSplitSql))),

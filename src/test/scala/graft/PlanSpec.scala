@@ -31,7 +31,7 @@ class PlanSpec extends SparkSpec {
       // bigram-type total, the 1-row corpus-max scalar (weighted sample),
       // the 100-row rank theta self-join (Zipf fit), the 1-row dangling
       // -mass scalar (PageRank), and the 1-row min/max bounds (quantize)
-      "q_kmeans_step", "q_kneser_ney", "q_weighted_sample",
+      "q_kmeans_step", "q_kneser_ney", "q_weighted_sample", "q_ivf_pq",
       "q_zipf", "q_pagerank", "q_quantize",
       // PrefixSum's triangular offsets join (numPartitions rows) and/or a
       // 1-row scalar-totals broadcast-cross: AUC's cumulative-negatives
@@ -119,7 +119,8 @@ class PlanSpec extends SparkSpec {
       "q_coreset" -> (kRows + " (<=8 selected centers per greedy round)"),
       "q_cosine_topk" -> kRows, "q_ndcg" -> kRows, "q_rrf" -> kRows,
       "q_ann_fullprobe" -> kRows, "q_ann_ivf" -> kRows, "q_ann_ivf_kernel" -> kRows,
-      "q_kmeans_step" -> kRows, "q_pq" -> kRows, "q_perceptron_step" -> kRows,
+      "q_kmeans_step" -> kRows, "q_pq" -> kRows, "q_ivf_pq" -> (kRows + " (8-row coarse, 16-row codebook, 64-row LUT)"),
+      "q_perceptron_step" -> kRows,
       "q_calibration" -> (scalar + " (global lo/hi bounds)"),
       "q_semdedup" -> kRows,
       "q_bigram_lm" -> vocab, "q_perplexity" -> vocab, "q_kneser_ney" -> vocab,
