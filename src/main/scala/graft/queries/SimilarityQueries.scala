@@ -1005,7 +1005,11 @@ object SimilarityQueries {
     * replays each stage as a MATERIALIZED CTE. Broadcasts: 8-row coarse
     * table, 16-row codebook, 64-row LUT (all O(k)).
     */
-  def qIvfPq(s: SparkSession, dir: String): DataFrame = {
+  /** The IVFADC pipeline up to the per-(query, candidate) ADC distance —
+    * shared by q_ivf_pq (the search) and q_ivf_pq_recall (the quality
+    * audit), so the two can never drift apart structurally.
+    */
+  private def ivfPqAdc(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val resid = "zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
@@ -1052,14 +1056,56 @@ object SimilarityQueries {
     encoded.join(broadcast(lut), Seq("cid", "s", "code"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("ld")).as("adc"))
+  }
+
+  def qIvfPq(s: SparkSession, dir: String): DataFrame =
+    ivfPqAdc(s, dir)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("vec_id"),
         r6(col("adc").cast("double")).as("adc_dist"))
+
+  /** Quality audit for q_ivf_pq — the q_lsh_recall discipline applied to
+    * IVFADC: for each query, the ADC top-5 is compared against the EXACT
+    * brute-force top-5 (full-precision decimal distances over the whole
+    * corpus, self-match excluded from neither side — both rankers see the
+    * same candidate set, so the comparison is apples-to-apples). Reports
+    * recall@5 as an exact integer ratio plus whether the true nearest
+    * neighbor was found — the two numbers that decide nprobe/codebook
+    * sizing before a 100 TB index build. Scale: the brute-force side is
+    * the audit's cost and runs over q×N pairs for q=2 probes — the
+    * production search path being audited stays list-pruned.
+    */
+  def qIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val exactTop = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(queries))
+      .withColumn("xd", expr("decimal_sqdist(embedding, qemb)"))
+      .withColumn("xrank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("xd"), col("vec_id"))))
+      .filter(col("xrank") <= 5)
+      .select(col("qid"), col("vec_id"), col("xrank"))
+    val adcTop = ivfPqAdc(s, dir)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id"))
+    exactTop.join(adcTop, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hits"))
+      .join(exactTop.filter(col("xrank") === 1)
+        .join(adcTop, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("top1")), Seq("qid"), "left")
+      .select(col("qid"), col("n_hits"),
+        r6(col("n_hits").cast("double") / 5).as("recall_at_5"),
+        coalesce(col("top1") === 1, lit(false)).as("top1_found"))
   }
 
-  val qIvfPqSql: String = {
+  private val ivfPqCtes: String = {
     def sq(a: String, b: String) =
       s"SUM(CAST(($a - $b) * ($a - $b) AS DECIMAL(28,14)))"
     val vi = "CAST(v.embedding[CAST(i AS INT)] AS DOUBLE)"
@@ -1113,12 +1159,41 @@ object SimilarityQueries {
        |adc AS MATERIALIZED (
        |  SELECT l.qid, e2.vec_id, SUM(l.ld) AS adc
        |  FROM encoded e2 JOIN lut l ON e2.cid = l.cid AND e2.s = l.s AND e2.code = l.code
-       |  GROUP BY 1, 2)
-       |SELECT qid, rank, vec_id, ROUND(CAST(adc AS DOUBLE), 6) AS adc_dist FROM (
-       |  SELECT qid, vec_id, adc,
-       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
-       |  FROM adc) t WHERE rank <= 5""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin
   }
+
+  val qIvfPqSql: String =
+    ivfPqCtes + """
+      |SELECT qid, rank, vec_id, ROUND(CAST(adc AS DOUBLE), 6) AS adc_dist FROM (
+      |  SELECT qid, vec_id, adc,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+      |  FROM adc) t WHERE rank <= 5""".stripMargin
+
+  val qIvfPqRecallSql: String =
+    ivfPqCtes + """,
+      |xd AS MATERIALIZED (
+      |  SELECT q.vec_id AS qid, v.vec_id,
+      |    SUM(CAST((CAST(v.embedding[CAST(i AS INT)] AS DOUBLE)
+      |              - CAST(q.embedding[CAST(i AS INT)] AS DOUBLE))
+      |           * (CAST(v.embedding[CAST(i AS INT)] AS DOUBLE)
+      |              - CAST(q.embedding[CAST(i AS INT)] AS DOUBLE))
+      |          AS DECIMAL(28,14))) AS xd
+      |  FROM embeddings v, embeddings q, UNNEST(range(1, 65)) AS u(i)
+      |  WHERE q.vec_id < 2 GROUP BY 1, 2),
+      |xtop AS MATERIALIZED (
+      |  SELECT qid, vec_id, xrank FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY xd, vec_id) AS xrank
+      |    FROM xd) t WHERE xrank <= 5),
+      |atop AS MATERIALIZED (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+      |    FROM adc) t WHERE rank <= 5)
+      |SELECT h.qid, h.n_hits, ROUND(CAST(h.n_hits AS DOUBLE) / 5, 6) AS recall_at_5,
+      |  COALESCE(t.c = 1, FALSE) AS top1_found
+      |FROM (SELECT x.qid, COUNT(*) AS n_hits FROM xtop x JOIN atop a USING (qid, vec_id)
+      |      GROUP BY 1) h
+      |LEFT JOIN (SELECT x.qid, COUNT(*) AS c FROM xtop x JOIN atop a USING (qid, vec_id)
+      |           WHERE x.xrank = 1 GROUP BY 1) t USING (qid)""".stripMargin
 
   /** Sketch-accuracy audit for the MinHash pipeline: for every LSH
     * candidate pair, the ESTIMATED Jaccard (fraction of agreeing minhash
@@ -1485,6 +1560,7 @@ object SimilarityQueries {
     "q_semdedup" -> ((qSemdedup _, Some(qSemdedupSql))),
     "q_pq" -> ((qPq _, Some(qPqSql))),
     "q_ivf_pq" -> ((qIvfPq _, Some(qIvfPqSql))),
+    "q_ivf_pq_recall" -> ((qIvfPqRecall _, Some(qIvfPqRecallSql))),
     "q_minhash_est" -> ((qMinhashEstimate _, Some(qMinhashEstimateSql))),
     "q_quantize" -> ((qQuantize _, Some(qQuantizeSql))),
     "q_split" -> ((qSplit _, Some(qSplitSql))),

@@ -31,7 +31,7 @@ class PlanSpec extends SparkSpec {
       // bigram-type total, the 1-row corpus-max scalar (weighted sample),
       // the 100-row rank theta self-join (Zipf fit), the 1-row dangling
       // -mass scalar (PageRank), and the 1-row min/max bounds (quantize)
-      "q_kmeans_step", "q_kneser_ney", "q_weighted_sample", "q_ivf_pq",
+      "q_kmeans_step", "q_kneser_ney", "q_weighted_sample", "q_ivf_pq", "q_ivf_pq_recall",
       "q_zipf", "q_pagerank", "q_quantize",
       // PrefixSum's triangular offsets join (numPartitions rows) and/or a
       // 1-row scalar-totals broadcast-cross: AUC's cumulative-negatives
@@ -120,6 +120,7 @@ class PlanSpec extends SparkSpec {
       "q_cosine_topk" -> kRows, "q_ndcg" -> kRows, "q_rrf" -> kRows,
       "q_ann_fullprobe" -> kRows, "q_ann_ivf" -> kRows, "q_ann_ivf_kernel" -> kRows,
       "q_kmeans_step" -> kRows, "q_pq" -> kRows, "q_ivf_pq" -> (kRows + " (8-row coarse, 16-row codebook, 64-row LUT)"),
+      "q_ivf_pq_recall" -> (kRows + " (same pipeline + 2-row query broadcast for the exact audit)"),
       "q_perceptron_step" -> kRows,
       "q_calibration" -> (scalar + " (global lo/hi bounds)"),
       "q_semdedup" -> kRows,
