@@ -3,7 +3,6 @@ package graft.functions
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, DecimalType, DoubleType, FloatType}
 
@@ -43,7 +42,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, DecimalType, Do
   *
   * FunctionsSpec pins kernel ≡ HOF over the real corpus for both shapes.
   */
-abstract class DecimalFold extends BinaryExpression with CodegenFallback {
+abstract class DecimalFold extends BinaryExpression {
 
   /** the per-element double term (dot: x·y, sqdist: (x−y)²) */
   protected def term(x: Double, y: Double): Double
@@ -121,6 +120,37 @@ abstract class DecimalFold extends BinaryExpression with CodegenFallback {
     }
     finish(acc)
   }
+
+  /** Public bridge for the generated code (nullSafeEval is protected). */
+  def evalPair(a: ArrayData, b: ArrayData): Any = nullSafeEval(a, b)
+
+  /** Real codegen (not CodegenFallback): evaluate only the two array
+    * children in-line and hand them to the kernel via a reference object.
+    * The arithmetic stays in the audited evalPair above — one
+    * implementation, both execution modes — while the surrounding stage
+    * keeps whole-stage codegen (the fallback path would materialize the
+    * full input row per call to feed an interpreted eval).
+    */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("decimalFold", this, classOf[DecimalFold].getName)
+      val r = ctx.freshName("kres")
+      val assign =
+        if (toDouble) s"${ev.value} = ((java.lang.Double) $r).doubleValue();"
+        else s"${ev.value} = (org.apache.spark.sql.types.Decimal) $r;"
+      s"""
+         |Object $r = $ref.evalPair($a, $b);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $assign
+         |}
+       """.stripMargin
+    })
+
 }
 
 case class DecimalDot(left: Expression, right: Expression) extends DecimalFold {

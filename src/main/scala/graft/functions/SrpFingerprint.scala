@@ -4,7 +4,8 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -38,7 +39,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * deterministic hyperplane matrix is query-side data, not per-row).
   */
 case class SrpFingerprint(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   // Type validation happens at ANALYSIS time, not construction: the Column
   // API path wraps arguments in lazily-converted ColumnNodeExpression
@@ -78,9 +79,14 @@ case class SrpFingerprint(left: Expression, right: Expression)
     }
   }
 
-  override def eval(input: InternalRow): Any = {
+  override def eval(input: InternalRow): Any = fingerprintOf(left.eval(input))
+
+  /** The whole kernel on an already-evaluated embedding value — shared by
+    * interpreted eval and the generated code (one implementation, both
+    * execution modes; the DecimalFold.evalPair precedent).
+    */
+  def fingerprintOf(e: Any): UTF8String = {
     val out = new Array[Byte](planes.length)
-    val e = left.eval(input)
     if (e == null) {
       java.util.Arrays.fill(out, '0'.toByte)
       return UTF8String.fromBytes(out)
@@ -123,6 +129,25 @@ case class SrpFingerprint(left: Expression, right: Expression)
       p += 1
     }
     UTF8String.fromBytes(out)
+  }
+
+  /** Real codegen (not CodegenFallback): only the embedding child is
+    * evaluated in-line (the planes literal lives in this instance), and
+    * the audited kernel runs via a reference object — the surrounding
+    * stage keeps whole-stage codegen instead of materializing a full
+    * input row per call for an interpreted eval.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = left.genCode(ctx)
+    val ref = ctx.addReferenceObj("srp", this, classOf[SrpFingerprint].getName)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |$javaType ${ev.value} = $ref.fingerprintOf(
+        |  ${childGen.isNull} ? null : (Object) ${childGen.value});
+        """.stripMargin,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(
