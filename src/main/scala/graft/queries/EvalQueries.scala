@@ -685,7 +685,163 @@ object EvalQueries {
       |  ROUND(CAST(COALESCE(o2.ov, 0) AS DOUBLE) / CAST(len(rtk) - 1 AS DOUBLE), 6) AS rouge2_r
       |FROM p LEFT JOIN o1 USING (cand_id) LEFT JOIN o2 USING (cand_id)""".stripMargin
 
+  /** Pearson chi-squared test of independence on the lang × source
+    * contingency table — the categorical-association screen a corpus audit
+    * runs before trusting per-source language mixes (drift in the mix is
+    * exactly dependence between the two labels). Full grid including
+    * zero-observed cells: chi² needs (0−e)²/e = e from them, so the cell
+    * frame is the CROSS of the row/column marginal tables (tiny aggregate
+    * frames) left-joined with observed counts, never the observed cells
+    * alone. Exactness: the deviation o·N − r·c is an exact BIGINT
+    * (|dev| ≤ N², < 2^53 up to ~sf100 corpora), each cell's contribution
+    * (dev/N)²/(r·c/N) = dev²/(N·r·c) is computed on identical double
+    * operands both engines, decimal-summed into the statistic, r6 at the
+    * end. Scale: one pass over (lang, source) — a pruned two-column scan
+    * — then everything downstream is marginal-sized (L×S cells); the
+    * cross/joins are O(L·S) broadcast frames. dof = (L−1)(S−1) rides from
+    * the same marginals.
+    */
+  def qChiSquared(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("lang"), col("source"))
+    val o = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val r = d.groupBy(col("lang")).agg(count(lit(1)).as("r_tot"))
+    val c = d.groupBy(col("source")).agg(count(lit(1)).as("c_tot"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val cells = r.crossJoin(c)
+      .join(o, Seq("lang", "source"), "left").na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(n))
+      .withColumn("dev", col("o") * col("n") - col("r_tot") * col("c_tot"))
+      .withColumn("contrib_raw", expr(
+        """(CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE)) /
+          |(CAST(n AS DOUBLE) * CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE))""".stripMargin))
+    val stat = cells.agg(
+      sum(expr("CAST(contrib_raw AS DECIMAL(28,14))")).cast("double").as("chi2_raw"),
+      ((countDistinct(col("lang")) - 1) * (countDistinct(col("source")) - 1))
+        .cast("bigint").as("dof"))
+    cells.crossJoin(broadcast(stat))
+      .select(col("lang"), col("source"), col("o"), col("r_tot"), col("c_tot"),
+        col("dev"), r6(col("contrib_raw")).as("contrib"),
+        r6(col("chi2_raw")).as("chi2"), col("dof"))
+  }
+
+  val qChiSquaredSql: String =
+    """WITH d AS (SELECT lang, source FROM documents),
+      |o AS (SELECT lang, source, COUNT(*) AS o FROM d GROUP BY 1, 2),
+      |r AS (SELECT lang, COUNT(*) AS r_tot FROM d GROUP BY 1),
+      |c AS (SELECT source, COUNT(*) AS c_tot FROM d GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM d),
+      |cells AS (
+      |  SELECT r.lang, c.source, r.r_tot, c.c_tot, COALESCE(o.o, 0) AS o, n.n,
+      |    COALESCE(o.o, 0) * n.n - r.r_tot * c.c_tot AS dev
+      |  FROM r CROSS JOIN c CROSS JOIN n
+      |  LEFT JOIN o ON o.lang = r.lang AND o.source = c.source),
+      |cc AS (SELECT cells.*,
+      |         (CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE)) /
+      |         (CAST(n AS DOUBLE) * CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE))
+      |           AS contrib_raw
+      |       FROM cells),
+      |st AS (SELECT CAST(SUM(CAST(contrib_raw AS DECIMAL(28,14))) AS DOUBLE) AS chi2_raw,
+      |         CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof
+      |       FROM cc)
+      |SELECT lang, source, o, r_tot, c_tot, dev,
+      |  ROUND(contrib_raw, 6) AS contrib, ROUND(chi2_raw, 6) AS chi2, dof
+      |FROM cc CROSS JOIN st""".stripMargin
+
+  /** Pairwise Jensen–Shannon divergence between per-source unigram
+    * distributions — the SYMMETRIC, bounded (≤ ln 2) drift metric that
+    * complements q_source_drift's KL-vs-corpus and q_ks_test's
+    * length-distribution ECDF gap: which pairs of sources speak the same
+    * language, statistically. Decomposition that avoids materializing the
+    * union vocabulary per pair: for tokens PRESENT IN BOTH sources the
+    * per-token term is p·ln(p/m) with p/m = 2·ca·Nb/(ca·Nb + cb·Na) —
+    * every LN argument an exact BIGINT product, engine-identical doubles,
+    * decimal-summed; tokens EXCLUSIVE to one side contribute exactly
+    * (excl mass)·ln 2, recovered from the shared mass without ever
+    * joining the exclusive rows. Pairs with zero shared vocabulary still
+    * appear (JS = ln 2): the output frame starts from the S×S source grid,
+    * not from the join. Scale: the only corpus-sized work is the
+    * (source, tok) aggregate; the shared-token self-join is equi on tok
+    * with per-token fanout ≤ S² (source count is dimension-like), and
+    * every later frame is O(S²) rows.
+    */
+  def qJsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val st = tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val nt = st.groupBy(col("source"))
+      .agg(sum(col("c")).cast("bigint").as("n"), count(lit(1)).as("vocab"))
+    val a = st.select(col("source").as("src_a"), col("tok"), col("c").as("ca"))
+    val b = st.select(col("source").as("src_b"), col("tok"), col("c").as("cb"))
+    val na = broadcast(nt.select(col("source").as("src_a"),
+      col("n").as("n_a"), col("vocab").as("vocab_a")))
+    val nb = broadcast(nt.select(col("source").as("src_b"),
+      col("n").as("n_b"), col("vocab").as("vocab_b")))
+    val shared = a.join(b, "tok").filter(col("src_a") < col("src_b"))
+      .join(na, "src_a").join(nb, "src_b")
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_vocab"),
+        sum(col("ca")).cast("bigint").as("sh_a"),
+        sum(col("cb")).cast("bigint").as("sh_b"),
+        sum(expr(
+          """CAST((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)) *
+            |  (LN(CAST(2 * ca * n_b AS DOUBLE)) - LN(CAST(ca * n_b + cb * n_a AS DOUBLE)))
+            |  AS DECIMAL(28,14))""".stripMargin)).cast("double").as("sa"),
+        sum(expr(
+          """CAST((CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)) *
+            |  (LN(CAST(2 * cb * n_a AS DOUBLE)) - LN(CAST(cb * n_a + ca * n_b AS DOUBLE)))
+            |  AS DECIMAL(28,14))""".stripMargin)).cast("double").as("sb"))
+    na.crossJoin(nb).filter(col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("shared_vocab", "sh_a", "sh_b"))
+      .na.fill(0.0, Seq("sa", "sb"))
+      .withColumn("js_raw", expr(
+        """((sa + (1.0 - CAST(sh_a AS DOUBLE) / CAST(n_a AS DOUBLE)) * LN(2.0)) +
+          | (sb + (1.0 - CAST(sh_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * LN(2.0))) / 2.0""".stripMargin))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("vocab_a"), col("vocab_b"), col("shared_vocab"),
+        r6(col("js_raw")).as("js_nats"),
+        r6(col("js_raw") / log(lit(2.0))).as("js_bits"))
+  }
+
+  val qJsDivergenceSql: String =
+    """WITH t AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      |t2 AS (SELECT source, tok FROM t WHERE tok <> ''),
+      |st AS (SELECT source, tok, COUNT(*) AS c FROM t2 GROUP BY 1, 2),
+      |nt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS vocab
+      |       FROM st GROUP BY 1),
+      |sh AS (SELECT a.source AS src_a, b.source AS src_b,
+      |         COUNT(*) AS shared_vocab,
+      |         CAST(SUM(a.c) AS BIGINT) AS sh_a, CAST(SUM(b.c) AS BIGINT) AS sh_b,
+      |         CAST(SUM(CAST((CAST(a.c AS DOUBLE) / CAST(na.n AS DOUBLE)) *
+      |           (LN(CAST(2 * a.c * nb.n AS DOUBLE)) - LN(CAST(a.c * nb.n + b.c * na.n AS DOUBLE)))
+      |           AS DECIMAL(28,14))) AS DOUBLE) AS sa,
+      |         CAST(SUM(CAST((CAST(b.c AS DOUBLE) / CAST(nb.n AS DOUBLE)) *
+      |           (LN(CAST(2 * b.c * na.n AS DOUBLE)) - LN(CAST(b.c * na.n + a.c * nb.n AS DOUBLE)))
+      |           AS DECIMAL(28,14))) AS DOUBLE) AS sb
+      |       FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      |       JOIN nt na ON na.source = a.source
+      |       JOIN nt nb ON nb.source = b.source
+      |       GROUP BY 1, 2),
+      |g AS (SELECT na.source AS src_a, nb.source AS src_b,
+      |        na.n AS n_a, nb.n AS n_b, na.vocab AS vocab_a, nb.vocab AS vocab_b
+      |      FROM nt na CROSS JOIN nt nb WHERE na.source < nb.source),
+      |f AS (SELECT g.*, COALESCE(sh.shared_vocab, 0) AS shared_vocab,
+      |        COALESCE(sh.sh_a, 0) AS sh_a, COALESCE(sh.sh_b, 0) AS sh_b,
+      |        COALESCE(sh.sa, 0.0) AS sa, COALESCE(sh.sb, 0.0) AS sb
+      |      FROM g LEFT JOIN sh ON sh.src_a = g.src_a AND sh.src_b = g.src_b),
+      |j AS (SELECT f.*,
+      |        ((sa + (1.0 - CAST(sh_a AS DOUBLE) / CAST(n_a AS DOUBLE)) * LN(2.0)) +
+      |         (sb + (1.0 - CAST(sh_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * LN(2.0))) / 2.0
+      |          AS js_raw
+      |      FROM f)
+      |SELECT src_a, src_b, n_a, n_b, vocab_a, vocab_b, shared_vocab,
+      |  ROUND(js_raw, 6) AS js_nats, ROUND(js_raw / LN(2.0), 6) AS js_bits
+      |FROM j""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_chi_squared" -> ((qChiSquared _, Some(qChiSquaredSql))),
+    "q_js_divergence" -> ((qJsDivergence _, Some(qJsDivergenceSql))),
     "q_rouge_overlap" -> ((qRougeOverlap _, Some(qRougeOverlapSql))),
     "q_ab_test" -> ((qAbTest _, Some(qAbTestSql))),
     "q_cohens_kappa" -> ((qCohensKappa _, Some(qCohensKappaSql))),

@@ -74,7 +74,12 @@ class PlanSpec extends SparkSpec {
       "q_count_min",
       // greedy k-center rounds: O(k)-row selected-centers table broadcast-
       // crossed against the corpus (the q_kmeans_step Lloyd shape, k <= 8)
-      "q_coreset")
+      "q_coreset",
+      // marginal-sized crosses: the L×S contingency grid (row marginals ×
+      // column marginals × 1-row total, then the 1-row statistic crossed
+      // back onto the cells) and the S×S source-pair grid (S-row
+      // per-source totals crossed with themselves)
+      "q_chi_squared", "q_js_divergence")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
@@ -133,7 +138,9 @@ class PlanSpec extends SparkSpec {
       "q_pagerank" -> (scalar + " (dangling-mass row) + vocab-scale degree"),
       "q_triangles" -> "degree table: O(#nodes), sublinear in edges; the oriented-wedge design",
       "q_jaccard_join" -> (vocab + " (PrefixFilterJoin df table)"),
-      "q_lsh_recall" -> (vocab + " (PrefixFilterJoin df table)"))
+      "q_lsh_recall" -> (vocab + " (PrefixFilterJoin df table)"),
+      "q_chi_squared" -> (scalar + " (corpus-total row + 1-row chi2/dof statistic)"),
+      "q_js_divergence" -> (perType + " (per-source token totals: O(#sources) rows)"))
   }
 
   private def corpusHintsIn(

@@ -183,6 +183,60 @@ class EvalSpec extends SparkSpec {
     assert(got.getDouble(2) >= 0.0 && got.getDouble(2) <= math.min(h(nx), h(ny)) + 1e-9)
   }
 
+  test("q_chi_squared matches the in-JVM statistic and covers the full grid") {
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toDouble
+    val nxy = rows.groupBy(identity).map { case (k, v) => k -> v.length }
+    val nx = rows.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val ny = rows.groupBy(_._2).map { case (k, v) => k -> v.length }
+    // .toSeq: a Set-shaped comprehension would dedupe equal cell contributions
+    val chi2 = (for (x <- nx.keys.toSeq; y <- ny.keys.toSeq) yield {
+      val o = nxy.getOrElse((x, y), 0).toDouble
+      val e = nx(x) * ny(y) / n
+      (o - e) * (o - e) / e
+    }).sum
+    val got = EvalQueries.qChiSquared(spark, sfDir).collect()
+    // full L×S grid, including zero-observed cells
+    assert(got.length == nx.size * ny.size)
+    val gotChi2 = got.head.getDouble(7)
+    assert(math.abs(gotChi2 - chi2) < 1e-4, s"chi2 $gotChi2 vs $chi2")
+    assert(got.head.getLong(8) == (nx.size - 1).toLong * (ny.size - 1))
+    // per-cell deviations sum to zero exactly (marginal identity)
+    assert(got.map(_.getLong(5)).sum == 0L)
+  }
+
+  test("q_js_divergence matches an in-JVM reference and respects JS bounds") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    val bySrc = toks.groupBy(_._1).map { case (s0, v) =>
+      s0 -> v.groupBy(_._2).map { case (t, w) => t -> w.length.toLong }
+    }
+    def js(pa: Map[String, Long], pb: Map[String, Long]): Double = {
+      val na = pa.values.sum.toDouble
+      val nb = pb.values.sum.toDouble
+      val vocab = pa.keySet ++ pb.keySet
+      vocab.iterator.map { t =>
+        val p = pa.getOrElse(t, 0L) / na
+        val q = pb.getOrElse(t, 0L) / nb
+        val m = (p + q) / 2.0
+        (if (p > 0) p * math.log(p / m) else 0.0) +
+          (if (q > 0) q * math.log(q / m) else 0.0)
+      }.sum / 2.0
+    }
+    val got = EvalQueries.qJsDivergence(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(7))).toMap
+    assert(got.size == bySrc.size * (bySrc.size - 1) / 2, "pair grid incomplete")
+    got.foreach { case ((a0, b0), v) =>
+      assert(v >= 0.0 && v <= math.log(2.0) + 1e-9, s"JS out of [0, ln2] for ($a0,$b0): $v")
+      val ref = js(bySrc(a0), bySrc(b0))
+      assert(math.abs(v - ref) < 1e-4, s"JS($a0,$b0) $v vs $ref")
+    }
+  }
+
   test("q_pmi matches the in-JVM collocation scores") {
     val texts = Tables.documents(spark, sfDir)
       .select(col("text")).collect().map(_.getString(0))
