@@ -713,6 +713,63 @@ object AdvancedQueries {
       |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
       |FROM starts WHERE user_id < 300""".stripMargin
 
+  /** Point-in-time (PIT) join against the SCD2 dimension — the
+    * temporal-correctness primitive of every training-data feature
+    * pipeline: enrich each fact with the dimension version that was
+    * CURRENT AT THE FACT'S OWN TIMESTAMP, never a later one (joining
+    * "current" attributes onto historical facts is the classic label-
+    * leakage bug). Probe = purchase events; dimension = the qScd2-style
+    * per-user status history (run-length segments of event_type). The
+    * join is equi on user_id with the validity-interval predicate
+    * valid_from <= ts < valid_to (NULL valid_to = open segment), which
+    * Spark plans as a sort-merge on the USER key with the interval as a
+    * residual — scalable because per-user version counts are bounded
+    * (dimension-history-sized, not fact-sized); at extreme history depth
+    * the same semantics are available as a backward as-of join on segment
+    * starts (ops/AsofJoin, plans/AsofJoinNative — segments partition the
+    * per-user timeline, so latest-start-<=-ts IS interval membership).
+    * Half-open intervals make duplicate segment-start timestamps
+    * self-deduplicating: the superseded segment is [t, t) = empty.
+    */
+  def qScd2Pit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = Tables.events(s, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("as_of_status"),
+        col("ts").as("status_since"), col("valid_to"))
+    val probe = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    probe.join(dim,
+        probe("user_id") === dim("user_id") &&
+          col("ts") >= col("status_since") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), probe("user_id"), col("ts"),
+        col("as_of_status"), col("status_since"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("status_since")))
+          .cast("bigint").as("status_age_sec"))
+  }
+
+  val qScd2PitSql: String =
+    """WITH seg AS (
+      |  SELECT user_id, event_type AS as_of_status, ts AS status_since, event_id,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events
+      |  QUALIFY prev_type IS NULL OR prev_type <> event_type),
+      |dim AS (
+      |  SELECT user_id, as_of_status, status_since,
+      |    LEAD(status_since) OVER (PARTITION BY user_id ORDER BY status_since, event_id)
+      |      AS valid_to
+      |  FROM seg),
+      |probe AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts, d.as_of_status, d.status_since,
+      |  CAST(date_diff('second', d.status_since, p.ts) AS BIGINT) AS status_age_sec
+      |FROM probe p JOIN dim d
+      |  ON p.user_id = d.user_id AND p.ts >= d.status_since
+      |  AND (d.valid_to IS NULL OR p.ts < d.valid_to)""".stripMargin
+
   /** Z-order (Morton) data layout vs lexicographic, measured by the file
     * statistics a lakehouse scan actually prunes with. At 100 TB the scan
     * IS the query cost, and min/max file stats only prune when the layout
@@ -1003,6 +1060,7 @@ object AdvancedQueries {
     "q_merge_apply" -> ((qMergeApply _, Some(qMergeApplySql))),
     "q_quota" -> ((qQuota _, Some(qQuotaSql))),
     "q_scd2" -> ((qScd2 _, Some(qScd2Sql))),
+    "q_scd2_pit" -> ((qScd2Pit _, Some(qScd2PitSql))),
     "q_lateral" -> ((qLateral _, Some(qLateralSql))),
     "q_recursive" -> ((qRecursive _, Some(qRecursiveSql))),
     "q_dsv2" -> ((qDsv2 _, Some(qDsv2Sql))),

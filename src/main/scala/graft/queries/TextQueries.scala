@@ -1324,7 +1324,73 @@ object TextQueries {
       |  ROUND(CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty_share
       |FROM sh JOIN df USING (g) GROUP BY source""".stripMargin
 
+  /** "Fightin' Words" (Monroe, Colaresi & Quinn 2008): which tokens
+    * distinguish the English slice from the German slice, as log-odds
+    * ratios with an informative Dirichlet prior — THE corpus-comparison
+    * statistic that fixes both naive failure modes (raw frequency ratios
+    * explode on rare words; PMI-style contrasts ignore variance). Prior
+    * α_t = full-corpus count of t with α0 = corpus size (prior mass
+    * proportional to corpus frequency), so every LN argument — y+α and
+    * n+α0−y−α — is an exact BIGINT and the per-token z-score is computed
+    * on engine-identical doubles. Ranked by |z| (rounded, token
+    * tie-break): positive z = English-flavored, negative = German.
+    * Scale: two vocab-sized aggregates equi-joined on the token, scalar
+    * totals ride one broadcast row, ordering is a top-k
+    * (TakeOrderedAndProject) over the min-count-filtered vocab — nothing
+    * corpus-sized crosses an exchange after the first aggregate.
+    */
+  def qLogOdds(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val ab = tok.filter(col("lang").isin("en", "de"))
+      .groupBy(col("tok")).agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("bigint").as("y_a"),
+        sum(when(col("lang") === "de", 1L).otherwise(0L)).cast("bigint").as("y_b"))
+      .filter(col("y_a") + col("y_b") >= 5)
+    val prior = tok.groupBy(col("tok")).agg(count(lit(1)).as("alpha"))
+    val scal = tok.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("bigint").as("n_a"),
+      sum(when(col("lang") === "de", 1L).otherwise(0L)).cast("bigint").as("n_b"),
+      count(lit(1)).as("alpha0"))
+    ab.join(prior, "tok")
+      .crossJoin(broadcast(scal))
+      .withColumn("delta", expr(
+        """LN(CAST(y_a + alpha AS DOUBLE)) - LN(CAST(n_a + alpha0 - y_a - alpha AS DOUBLE))
+          |- LN(CAST(y_b + alpha AS DOUBLE)) + LN(CAST(n_b + alpha0 - y_b - alpha AS DOUBLE))""".stripMargin))
+      .withColumn("z_raw", col("delta") /
+        sqrt(lit(1.0) / (col("y_a") + col("alpha")) + lit(1.0) / (col("y_b") + col("alpha"))))
+      .select(col("tok"), col("y_a"), col("y_b"), col("alpha"),
+        r6(col("delta")).as("log_odds"), r6(col("z_raw")).as("z"))
+      .orderBy(abs(col("z")).desc, col("tok"))
+      .limit(30)
+  }
+
+  val qLogOddsSql: String =
+    """WITH t AS (SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      |t2 AS (SELECT lang, tok FROM t WHERE tok <> ''),
+      |ab AS (SELECT tok,
+      |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS y_a,
+      |         CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS y_b
+      |       FROM t2 WHERE lang IN ('en', 'de') GROUP BY tok
+      |       HAVING SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+      |            + SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) >= 5),
+      |pr AS (SELECT tok, COUNT(*) AS alpha FROM t2 GROUP BY tok),
+      |sc AS (SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |         CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |         COUNT(*) AS alpha0 FROM t2),
+      |d AS (SELECT tok, y_a, y_b, alpha,
+      |        LN(CAST(y_a + alpha AS DOUBLE)) - LN(CAST(n_a + alpha0 - y_a - alpha AS DOUBLE))
+      |        - LN(CAST(y_b + alpha AS DOUBLE)) + LN(CAST(n_b + alpha0 - y_b - alpha AS DOUBLE))
+      |          AS delta,
+      |        1.0 / (y_a + alpha) + 1.0 / (y_b + alpha) AS v
+      |      FROM ab JOIN pr USING (tok), sc)
+      |SELECT tok, y_a, y_b, alpha, ROUND(delta, 6) AS log_odds,
+      |  ROUND(delta / SQRT(v), 6) AS z
+      |FROM d ORDER BY ABS(ROUND(delta / SQRT(v), 6)) DESC, tok LIMIT 30""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_log_odds" -> ((qLogOdds _, Some(qLogOddsSql))),
     "q_lexical_diversity" -> ((qLexicalDiversity _, Some(qLexicalDiversitySql))),
     "q_ngram_novelty" -> ((qNgramNovelty _, Some(qNgramNoveltySql))),
     "q_fim" -> ((qFim _, Some(qFimSql))),

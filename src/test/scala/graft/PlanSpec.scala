@@ -79,7 +79,10 @@ class PlanSpec extends SparkSpec {
       // column marginals × 1-row total, then the 1-row statistic crossed
       // back onto the cells) and the S×S source-pair grid (S-row
       // per-source totals crossed with themselves)
-      "q_chi_squared", "q_js_divergence")
+      "q_chi_squared", "q_js_divergence",
+      // 1-row (n_a, n_b, alpha0) scalar-totals broadcast-cross on the
+      // min-count-filtered vocab table
+      "q_log_odds")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
@@ -140,6 +143,7 @@ class PlanSpec extends SparkSpec {
       "q_jaccard_join" -> (vocab + " (PrefixFilterJoin df table)"),
       "q_lsh_recall" -> (vocab + " (PrefixFilterJoin df table)"),
       "q_chi_squared" -> (scalar + " (corpus-total row + 1-row chi2/dof statistic)"),
+      "q_log_odds" -> (scalar + " (1-row group/prior token totals)"),
       "q_js_divergence" -> (perType + " (per-source token totals: O(#sources) rows)"))
   }
 

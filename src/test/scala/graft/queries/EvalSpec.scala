@@ -237,6 +237,38 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("q_log_odds matches the in-JVM Monroe log-odds z-scores") {
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).filter(_.nonEmpty).toSeq))
+    val alpha = rows.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val alpha0 = rows.map(_._2.length.toLong).sum
+    val en = rows.filter(_._1 == "en").flatMap(_._2)
+    val de = rows.filter(_._1 == "de").flatMap(_._2)
+    val ya = en.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val yb = de.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val na = en.length.toLong
+    val nb = de.length.toLong
+    def r6d(d: Double) = new JBigDecimal(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    val expected = (ya.keySet ++ yb.keySet).toSeq
+      .map { t => (t, ya.getOrElse(t, 0L), yb.getOrElse(t, 0L), alpha(t)) }
+      .filter { case (_, a, b, _) => a + b >= 5 }
+      .map { case (t, a, b, al) =>
+        val delta = math.log(a + al.toDouble) - math.log(na + alpha0 - a - al.toDouble) -
+          math.log(b + al.toDouble) + math.log(nb + alpha0 - b - al.toDouble)
+        val z = r6d(delta / math.sqrt(1.0 / (a + al) + 1.0 / (b + al)))
+        (t, a, b, al, z)
+      }.sortBy { case (t, _, _, _, z) => (-math.abs(z), t) }.take(30)
+    val got = TextQueries.qLogOdds(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5))).toSeq
+    assert(got == expected)
+    // the statistic separates the groups: en-heavy tokens positive, de-heavy negative
+    got.foreach { case (t, a, b, _, z) =>
+      if (a > 3 * b) assert(z > 0, s"$t en-heavy but z=$z")
+      if (b > 3 * a) assert(z < 0, s"$t de-heavy but z=$z")
+    }
+  }
+
   test("q_pmi matches the in-JVM collocation scores") {
     val texts = Tables.documents(spark, sfDir)
       .select(col("text")).collect().map(_.getString(0))

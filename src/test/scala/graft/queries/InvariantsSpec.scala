@@ -185,6 +185,34 @@ class InvariantsSpec extends SparkSpec {
     assert(a.map(_._2).sum <= nodes)
   }
 
+  test("q_scd2_pit assigns every purchase its sequentially-replayed status") {
+    // independent reference: replay each user's event stream in (ts,
+    // event_id) order, tracking the current status run; the status at a
+    // purchase is the run's type, the run start its status_since.
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+    val expected = ev.groupBy(_._2).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3.getTime, r._1))
+      // segment starts: events whose type differs from the previous event
+      val starts = sorted.zipWithIndex.collect {
+        case ((_, _, ts, tpe), i) if i == 0 || sorted(i - 1)._4 != tpe => (ts, tpe)
+      }
+      // interval semantics: status at t = LAST segment with start <= t
+      // (duplicate-ts starts collapse to the later one, matching the
+      // half-open-interval join where the superseded segment is empty)
+      sorted.toSeq.collect { case (id, _, ts, "purchase") =>
+        val (since, status) = starts.filter(!_._1.after(ts)).last
+        id -> ((status, since))
+      }
+    }
+    val got = AdvancedQueries.qScd2Pit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getTimestamp(4)))).toMap
+    assert(got.size == expected.size, s"${got.size} vs ${expected.size} purchases")
+    assert(got == expected.toMap)
+  }
+
   test("RRF output is ranked consistently with its component ranks") {
     val rows = TextQueries.qRrf(spark, sfDir).collect()
       .map(r => (r.getLong(0), Option(r.getAs[Integer]("rank_lex")),
