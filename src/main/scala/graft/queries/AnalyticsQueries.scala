@@ -574,6 +574,67 @@ object AnalyticsQueries {
        |ORDER BY n_members DESC, label LIMIT 20""".stripMargin
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) on the directed repeat
+    * customer→supplier graph — the bipartite-centrality reading the
+    * symmetric metrics (PageRank, LPA) can't give: who are the broadest
+    * BUYERS (hubs: their score sums their suppliers' authority) and the
+    * most endorsed SUPPLIERS (authorities: endorsed by strong hubs).
+    * Two mutual-reinforcement rounds are run UNNORMALIZED so the whole
+    * trajectory stays in exact BIGINTs (h₁ = outdegree, a₁ = Σ h₁,
+    * h₂ = Σ a₁, a₂ = Σ h₂) and shares are taken once at the end — scores
+    * grow ≤ maxdeg per round, far inside BIGINT at any tested sf; a
+    * production run at web scale normalizes (L2) per round instead, a
+    * config choice that does not change the plan shape. Ranking = exact
+    * integer top-15 per side. Scale: each round is one equi-join
+    * edge⨝score + one node-keyed aggregate — node-table-sized frames, the
+    * qLabelProp/qPagerank shape.
+    */
+  def qHits(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cu"), col("l_suppkey").as("su"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 3)
+      .select(col("cu"), col("su")).cache()
+    val h1 = edges.groupBy(col("cu")).agg(count(lit(1)).as("h1"))
+    val a1 = edges.join(h1, "cu")
+      .groupBy(col("su")).agg(sum(col("h1")).cast("bigint").as("a1"))
+    val h2 = edges.join(a1, "su")
+      .groupBy(col("cu")).agg(sum(col("a1")).cast("bigint").as("h2"))
+    val a2 = edges.join(h2, "cu")
+      .groupBy(col("su")).agg(sum(col("h2")).cast("bigint").as("a2"))
+    val ht = h2.agg(sum(col("h2")).cast("bigint").as("tot"))
+    val at = a2.agg(sum(col("a2")).cast("bigint").as("tot"))
+    val hubs = h2.crossJoin(broadcast(ht))
+      .select(lit("hub").as("kind"), col("cu").as("node"),
+        col("h2").as("score"), r6(col("h2").cast("double") / col("tot")).as("share"))
+      .orderBy(col("score").desc, col("node")).limit(15)
+    val auths = a2.crossJoin(broadcast(at))
+      .select(lit("authority").as("kind"), col("su").as("node"),
+        col("a2").as("score"), r6(col("a2").cast("double") / col("tot")).as("share"))
+      .orderBy(col("score").desc, col("node")).limit(15)
+    hubs.unionAll(auths)
+  }
+
+  val qHitsSql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT CAST(o_custkey AS BIGINT) AS cu, CAST(l_suppkey AS BIGINT) AS su
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |h1 AS (SELECT cu, COUNT(*) AS h1 FROM e GROUP BY cu),
+      |a1 AS (SELECT su, CAST(SUM(h1) AS BIGINT) AS a1 FROM e JOIN h1 USING (cu) GROUP BY su),
+      |h2 AS (SELECT cu, CAST(SUM(a1) AS BIGINT) AS h2 FROM e JOIN a1 USING (su) GROUP BY cu),
+      |a2 AS (SELECT su, CAST(SUM(h2) AS BIGINT) AS a2 FROM e JOIN h2 USING (cu) GROUP BY su),
+      |ht AS (SELECT CAST(SUM(h2) AS BIGINT) AS tot FROM h2),
+      |at AS (SELECT CAST(SUM(a2) AS BIGINT) AS tot FROM a2),
+      |hubs AS (SELECT 'hub' AS kind, cu AS node, h2 AS score,
+      |           ROUND(CAST(h2 AS DOUBLE) / tot, 6) AS share
+      |         FROM h2, ht ORDER BY score DESC, node LIMIT 15),
+      |auths AS (SELECT 'authority' AS kind, su AS node, a2 AS score,
+      |            ROUND(CAST(a2 AS DOUBLE) / tot, 6) AS share
+      |          FROM a2, at ORDER BY score DESC, node LIMIT 15)
+      |SELECT * FROM hubs UNION ALL SELECT * FROM auths""".stripMargin
+
   /** Distributed triangle counting over the undirected token co-occurrence
     * graph (edges = distinct adjacent-token pairs), using the classic
     * degree-ordered edge orientation (Cohen 2009 / Suri-Vassilvitskii
@@ -1756,6 +1817,7 @@ object AnalyticsQueries {
     "q_theta_ops" -> ((qThetaOps _, Some(qThetaOpsSql))),
     "q_count_min" -> ((qCountMin _, Some(qCountMinSql))),
     "q_label_prop" -> ((qLabelProp _, Some(qLabelPropSql))),
+    "q_hits" -> ((qHits _, Some(qHitsSql))),
     "q_approx_topk" -> ((qApproxTopk _, Some(qApproxTopkSql))),
     "q_ohlc" -> ((qOhlc _, Some(qOhlcSql))),
     "q_hll_merge" -> ((qHllMerge _, Some(qHllMergeSql))),

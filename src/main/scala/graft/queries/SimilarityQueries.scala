@@ -208,6 +208,72 @@ object SimilarityQueries {
       .filter(col("char_jaccard") >= 0.6)
   }
 
+  /** DIRECTIONAL set containment C(A→B) = |A∩B| / |A| over word-3-gram
+    * shingle sets — the asymmetric sibling of Jaccard that catches what
+    * resemblance metrics structurally miss: a short document wholly
+    * quoted inside a much longer one has tiny Jaccard (the union is
+    * dominated by the long doc) but containment ≈ 1. This is the
+    * subset-duplication screen (quotes, boilerplate inclusion, chapter-
+    * in-anthology) a dedup pipeline runs ALONGSIDE q_minhash_lsh /
+    * q_ngram_jaccard. Candidate generation is the same df-capped
+    * inverted-index blocking as qNgramJaccard (shared rare shingles ≥ 3 —
+    * lower than Jaccard's 5 because the contained side may be small), the
+    * oracle applies the identical rule CTE-for-CTE, and both directions
+    * are emitted from one intersection count. The ≥-threshold is applied
+    * to the ROUNDED ratio so the gate cannot straddle a boundary.
+    * Scale: identical plan skeleton to qNgramJaccard — equi-joins only,
+    * candidate set never broadcast, fan-out bounded by the df cap.
+    */
+  def qContainment(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select(col("shingle"))
+    val shRare = sh.join(rare, "shingle")
+    val cand = shRare.as("sa")
+      .join(shRare.as("sb"),
+        col("sa.shingle") === col("sb.shingle") && col("sa.doc_id") < col("sb.doc_id"))
+      .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_rare"))
+      .filter(col("shared_rare") >= 3)
+      .select(col("doc_a"), col("doc_b"))
+    val inter = cand
+      .join(sh.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(sh.as("gb"),
+        col("doc_b") === col("gb.doc_id") && col("ga.shingle") === col("gb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .withColumn("cont_a_in_b", r6(col("inter").cast("double") / col("za.n")))
+      .withColumn("cont_b_in_a", r6(col("inter").cast("double") / col("zb.n")))
+      .filter(col("cont_a_in_b") >= 0.6 || col("cont_b_in_a") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("za.n").as("n_a"), col("zb.n").as("n_b"),
+        col("inter"), col("cont_a_in_b"), col("cont_b_in_a"))
+  }
+
+  val qContainmentSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+      |       FROM t, UNNEST(range(1, len(tk)-1)) AS u(i)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+      |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+      |cand AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+      |         FROM shr sa JOIN shr sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      |         GROUP BY 1, 2 HAVING count(*) >= 3),
+      |inter AS (SELECT doc_a, doc_b, count(*) AS inter
+      |          FROM cand JOIN sh ga ON doc_a = ga.doc_id
+      |          JOIN sh gb ON doc_b = gb.doc_id AND ga.shingle = gb.shingle
+      |          GROUP BY doc_a, doc_b),
+      |sc AS (SELECT doc_a, doc_b, za.n AS n_a, zb.n AS n_b, inter,
+      |         ROUND(CAST(inter AS DOUBLE) / za.n, 6) AS cont_a_in_b,
+      |         ROUND(CAST(inter AS DOUBLE) / zb.n, 6) AS cont_b_in_a
+      |       FROM inter JOIN sizes za ON doc_a = za.doc_id
+      |       JOIN sizes zb ON doc_b = zb.doc_id)
+      |SELECT * FROM sc WHERE cont_a_in_b >= 0.6 OR cont_b_in_a >= 0.6""".stripMargin
+
   val qNgramJaccardSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
       |           WHERE len(string_split(text, ' ')) >= 3),
@@ -1573,6 +1639,7 @@ object SimilarityQueries {
     "q_minhash_lsh" -> ((qMinhashLsh _, Some(qMinhashLshSql))),
     "q_dedup_clusters" -> ((qDedupClusters _, Some(qDedupClustersSql))),
     "q_ngram_jaccard" -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
+    "q_containment" -> ((qContainment _, Some(qContainmentSql))),
     "q_simhash" -> ((qSimhash _, Some(qSimhashSql))),
     "q_winnow" -> ((qWinnow _, Some(qWinnowSql))),
     "q_cosine_topk" -> ((qCosineTopk _, Some(qCosineTopkSql))),

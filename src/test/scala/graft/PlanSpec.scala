@@ -82,7 +82,10 @@ class PlanSpec extends SparkSpec {
       "q_chi_squared", "q_js_divergence",
       // 1-row (n_a, n_b, alpha0) scalar-totals broadcast-cross on the
       // min-count-filtered vocab table
-      "q_log_odds")
+      "q_log_odds",
+      // two 1-row score-total scalars crossed onto the node-sized
+      // hub/authority tables for the final share columns
+      "q_hits")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
@@ -144,6 +147,7 @@ class PlanSpec extends SparkSpec {
       "q_lsh_recall" -> (vocab + " (PrefixFilterJoin df table)"),
       "q_chi_squared" -> (scalar + " (corpus-total row + 1-row chi2/dof statistic)"),
       "q_log_odds" -> (scalar + " (1-row group/prior token totals)"),
+      "q_hits" -> (scalar + " (1-row hub/authority score totals)"),
       "q_js_divergence" -> (perType + " (per-source token totals: O(#sources) rows)"))
   }
 

@@ -213,6 +213,50 @@ class InvariantsSpec extends SparkSpec {
     assert(got == expected.toMap)
   }
 
+  test("q_hits matches an in-JVM replay of the mutual-reinforcement rounds") {
+    val edges = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 3)
+      .select(col("o_custkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val h1 = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val a1 = edges.groupBy(_._2).map { case (k, v) => k -> v.map(e => h1(e._1)).sum }
+    val h2 = edges.groupBy(_._1).map { case (k, v) => k -> v.map(e => a1(e._2)).sum }
+    val a2 = edges.groupBy(_._2).map { case (k, v) => k -> v.map(e => h2(e._1)).sum }
+    def top(m: Map[Long, Long]) =
+      m.toSeq.sortBy { case (n, sc) => (-sc, n) }.take(15)
+    val got = AnalyticsQueries.qHits(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.filter(_._1 == "hub").map(t => (t._2, t._3)).toSeq == top(h2))
+    assert(got.filter(_._1 == "authority").map(t => (t._2, t._3)).toSeq == top(a2))
+  }
+
+  test("q_containment rows recompute exactly from in-JVM shingle sets") {
+    val rows = SimilarityQueries.qContainment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty, "no containment pairs at this sf — test data drifted?")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val tk = r.getString(1).split(" ", -1)
+        r.getLong(0) -> tk.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+    def r6d(d: Double) = new java.math.BigDecimal(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    rows.foreach { case (a, b, na, nb, inter, cab, cba) =>
+      val sa = docs(a); val sb = docs(b)
+      assert(na == sa.size.toLong && nb == sb.size.toLong)
+      val i = (sa intersect sb).size.toLong
+      assert(inter == i, s"pair ($a,$b) inter $inter vs $i")
+      assert(cab == r6d(i.toDouble / sa.size) && cba == r6d(i.toDouble / sb.size))
+      assert(inter <= math.min(na, nb))
+      assert(math.max(cab, cba) >= 0.6)
+    }
+  }
+
   test("RRF output is ranked consistently with its component ranks") {
     val rows = TextQueries.qRrf(spark, sfDir).collect()
       .map(r => (r.getLong(0), Option(r.getAs[Integer]("rank_lex")),
