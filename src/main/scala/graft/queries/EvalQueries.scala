@@ -839,7 +839,102 @@ object EvalQueries {
       |  ROUND(js_raw, 6) AS js_nats, ROUND(js_raw / LN(2.0), 6) AS js_bits
       |FROM j""".stripMargin
 
+  /** Population Stability Index — THE production drift monitor for a
+    * scored pipeline (credit scoring, quality classifiers): bin the
+    * reference cohort's score distribution at its own deciles, then
+    * measure Σ (p̂ᵢ−q̂ᵢ)·ln(p̂ᵢ/q̂ᵢ) between reference and current bin
+    * shares (rule of thumb: <0.1 stable, >0.25 action). Cohorts here are
+    * the even/odd user_id halves of purchase values — a deterministic
+    * split whose PSI should be small, making the statistic's near-zero
+    * value itself a sanity check. Engineering: decile boundaries come
+    * from a [[graft.ops.PrefixSum]] cumulative pass over the DISTINCT
+    * value table (no unpartitioned window at any scale); bin membership
+    * is a size(filter(boundary_array, b -> b < v)) higher-order scan
+    * against ONE broadcast 9-element array — no per-row theta join; and
+    * bin counts are Laplace-smoothed as (2c+1)/(2N+10) so every LN
+    * argument is an exact BIGINT even for structurally empty bins (the
+    * standard epsilon fix, here exactness-preserving). Raw shares are
+    * reported unsmoothed; the PSI terms use the smoothed ratios.
+    */
+  def qPsi(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("value"), (col("user_id") % 2 === 0).as("is_ref"))
+    val ref = ev.filter(col("is_ref")).groupBy(col("value")).agg(count(lit(1)).as("c"))
+    val cum = PrefixSum.cumsum(ref, col("c"), Seq(col("value")), "cum")
+    val ks = ref.agg(sum(col("c")).cast("bigint").as("nr"))
+      .select(col("nr"), explode(sequence(lit(1), lit(9))).as("k"))
+      .withColumn("thr", expr("CAST((k * nr + 9) div 10 AS BIGINT)"))
+    val bounds = cum.join(broadcast(ks), col("cum") >= col("thr"))
+      .groupBy(col("k")).agg(min(col("value")).as("b"))
+      .agg(sort_array(collect_list(col("b"))).as("barr"))
+    val binned = ev.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("size(filter(barr, b -> b < value))"))
+    val cnt = binned.groupBy(col("bin")).agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).cast("bigint").as("ref_n"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).cast("bigint").as("cur_n"))
+    val grid = bounds.select(col("barr"), explode(sequence(lit(0), lit(9))).as("bin"))
+      .join(cnt, Seq("bin"), "left").na.fill(0L, Seq("ref_n", "cur_n"))
+    val tot = ev.agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).cast("bigint").as("np"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).cast("bigint").as("nq"))
+    val terms = grid.crossJoin(broadcast(tot))
+      .withColumn("term_raw", expr(
+        """(CAST(2 * ref_n + 1 AS DOUBLE) / CAST(2 * np + 10 AS DOUBLE)
+          | - CAST(2 * cur_n + 1 AS DOUBLE) / CAST(2 * nq + 10 AS DOUBLE)) *
+          |(LN(CAST(2 * ref_n + 1 AS DOUBLE)) - LN(CAST(2 * np + 10 AS DOUBLE))
+          | - LN(CAST(2 * cur_n + 1 AS DOUBLE)) + LN(CAST(2 * nq + 10 AS DOUBLE)))""".stripMargin))
+    val stat = terms.agg(
+      sum(expr("CAST(term_raw AS DECIMAL(28,14))")).cast("double").as("psi_raw"))
+    terms.crossJoin(broadcast(stat))
+      .select(col("bin"),
+        expr("CASE WHEN bin = 0 THEN NULL ELSE element_at(barr, bin) END").as("lo"),
+        col("ref_n"), col("cur_n"),
+        r6(col("ref_n").cast("double") / col("np")).as("ref_share"),
+        r6(col("cur_n").cast("double") / col("nq")).as("cur_share"),
+        r6(col("term_raw")).as("term"), r6(col("psi_raw")).as("psi"))
+  }
+
+  val qPsiSql: String =
+    """WITH ev AS (SELECT value, user_id % 2 = 0 AS is_ref FROM events
+      |            WHERE event_type = 'purchase'),
+      |ref AS (SELECT value, COUNT(*) AS c FROM ev WHERE is_ref GROUP BY value),
+      |cum AS (SELECT value, SUM(c) OVER (ORDER BY value) AS cum FROM ref),
+      |nr AS (SELECT CAST(SUM(c) AS BIGINT) AS nr FROM ref),
+      |ks AS (SELECT k, CAST((k * nr + 9) // 10 AS BIGINT) AS thr
+      |       FROM range(1, 10) r(k), nr),
+      |bm AS (SELECT k, MIN(value) AS b FROM cum JOIN ks ON cum >= thr GROUP BY k),
+      |barr AS (SELECT list_sort(LIST(b)) AS barr FROM bm),
+      |binned AS (SELECT ev.*, len(list_filter(barr.barr, x -> x < value)) AS bin
+      |           FROM ev, barr),
+      |cnt AS (SELECT bin,
+      |          CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+      |          CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+      |        FROM binned GROUP BY bin),
+      |gr0 AS (SELECT u.bin, barr.barr FROM range(0, 10) u(bin) CROSS JOIN barr),
+      |grid AS (SELECT gr0.bin, gr0.barr, COALESCE(cnt.ref_n, 0) AS ref_n,
+      |           COALESCE(cnt.cur_n, 0) AS cur_n
+      |         FROM gr0 LEFT JOIN cnt ON cnt.bin = gr0.bin),
+      |tot AS (SELECT CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS np,
+      |          CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nq
+      |        FROM ev),
+      |terms AS (SELECT grid.*, np, nq,
+      |            (CAST(2 * ref_n + 1 AS DOUBLE) / CAST(2 * np + 10 AS DOUBLE)
+      |             - CAST(2 * cur_n + 1 AS DOUBLE) / CAST(2 * nq + 10 AS DOUBLE)) *
+      |            (LN(CAST(2 * ref_n + 1 AS DOUBLE)) - LN(CAST(2 * np + 10 AS DOUBLE))
+      |             - LN(CAST(2 * cur_n + 1 AS DOUBLE)) + LN(CAST(2 * nq + 10 AS DOUBLE)))
+      |              AS term_raw
+      |          FROM grid, tot),
+      |st AS (SELECT CAST(SUM(CAST(term_raw AS DECIMAL(28,14))) AS DOUBLE) AS psi_raw
+      |       FROM terms)
+      |SELECT bin, CASE WHEN bin = 0 THEN NULL ELSE barr[bin] END AS lo,
+      |  ref_n, cur_n,
+      |  ROUND(CAST(ref_n AS DOUBLE) / np, 6) AS ref_share,
+      |  ROUND(CAST(cur_n AS DOUBLE) / nq, 6) AS cur_share,
+      |  ROUND(term_raw, 6) AS term, ROUND(psi_raw, 6) AS psi
+      |FROM terms, st""".stripMargin
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_psi" -> ((qPsi _, Some(qPsiSql))),
     "q_chi_squared" -> ((qChiSquared _, Some(qChiSquaredSql))),
     "q_js_divergence" -> ((qJsDivergence _, Some(qJsDivergenceSql))),
     "q_rouge_overlap" -> ((qRougeOverlap _, Some(qRougeOverlapSql))),

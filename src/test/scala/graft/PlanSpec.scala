@@ -85,7 +85,10 @@ class PlanSpec extends SparkSpec {
       "q_log_odds",
       // two 1-row score-total scalars crossed onto the node-sized
       // hub/authority tables for the final share columns
-      "q_hits")
+      "q_hits",
+      // PrefixSum offsets join + the 9-row decile-threshold theta join,
+      // the 1-row boundary-array / cohort-total / psi-statistic crosses
+      "q_psi")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
@@ -148,6 +151,7 @@ class PlanSpec extends SparkSpec {
       "q_chi_squared" -> (scalar + " (corpus-total row + 1-row chi2/dof statistic)"),
       "q_log_odds" -> (scalar + " (1-row group/prior token totals)"),
       "q_hits" -> (scalar + " (1-row hub/authority score totals)"),
+      "q_psi" -> (scalar + " (9-row decile thresholds, 1-row boundary array/totals/statistic)"),
       "q_js_divergence" -> (perType + " (per-source token totals: O(#sources) rows)"))
   }
 

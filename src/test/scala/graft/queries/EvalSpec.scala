@@ -237,6 +237,44 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("q_psi matches an in-JVM decile-bin replay and conserves counts") {
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("value"), col("user_id")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1) % 2 == 0))
+    val refVals = rows.filter(_._2).map(_._1).sorted
+    val nr = refVals.length
+    // boundary k = smallest distinct value whose cumcount >= ceil(k*nr/10)
+    val distinctCum = refVals.groupBy(identity).toSeq.sortBy(_._1)
+      .scanLeft((0.0, 0L)) { case ((_, acc), (v, g)) => (v, acc + g.length) }
+      .drop(1)
+    val bounds = (1 to 9).map { k =>
+      val thr = (k.toLong * nr + 9) / 10
+      distinctCum.find(_._2 >= thr).get._1
+    }.sorted
+    def bin(v: Double) = bounds.count(_ < v)
+    val refBins = rows.filter(_._2).groupBy(t => bin(t._1)).map { case (b, v) => b -> v.length.toLong }
+    val curBins = rows.filterNot(_._2).groupBy(t => bin(t._1)).map { case (b, v) => b -> v.length.toLong }
+    val np = rows.count(_._2).toLong
+    val nq = rows.length - np
+    val psi = (0 to 9).map { b =>
+      val a = refBins.getOrElse(b, 0L); val c = curBins.getOrElse(b, 0L)
+      ((2 * a + 1).toDouble / (2 * np + 10) - (2 * c + 1).toDouble / (2 * nq + 10)) *
+        (math.log((2 * a + 1).toDouble) - math.log((2 * np + 10).toDouble) -
+          math.log((2 * c + 1).toDouble) + math.log((2 * nq + 10).toDouble))
+    }.sum
+    val got = EvalQueries.qPsi(spark, sfDir).collect()
+    assert(got.length == 10)
+    assert(got.map(_.getLong(2)).sum == np, "reference counts not conserved")
+    assert(got.map(_.getLong(3)).sum == nq, "current counts not conserved")
+    got.foreach { r =>
+      val b = r.getAs[Number](0).intValue
+      assert(r.getLong(2) == refBins.getOrElse(b, 0L), s"ref bin $b")
+      assert(r.getLong(3) == curBins.getOrElse(b, 0L), s"cur bin $b")
+    }
+    assert(math.abs(got.head.getDouble(7) - psi) < 1e-4, s"psi ${got.head.getDouble(7)} vs $psi")
+  }
+
   test("q_log_odds matches the in-JVM Monroe log-odds z-scores") {
     val rows = Tables.documents(spark, sfDir)
       .select(col("lang"), col("text")).collect()
