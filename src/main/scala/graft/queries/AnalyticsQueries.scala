@@ -574,6 +574,63 @@ object AnalyticsQueries {
        |ORDER BY n_members DESC, label LIMIT 20""".stripMargin
   }
 
+  /** Market-basket association rules (Agrawal et al. 1993) at the brand
+    * granularity: which part brands co-occur in the same order beyond
+    * chance. For each unordered brand pair — support n_AB/N, both
+    * directional confidences, and lift = n_AB·N/(n_A·n_B), all from
+    * exact basket counts (a basket = an order's DISTINCT brand set, so
+    * per-item counts and pair counts live in the same unit). Min-support
+    * floor 20 baskets, ranked by rounded lift (pair as tie-break), top 30.
+    * Scale: the pair generation is a self-equi-join ON THE BASKET KEY
+    * with fan-out bounded by basket size squared (brands per order ≤
+    * items per order — the classic a-priori pair shape, never all-pairs
+    * across baskets); item counts are a brand-sized table and the basket
+    * total rides one broadcast row.
+    */
+  def qMarketBasket(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("bk"), col("p_brand").as("item"))
+      .distinct().cache()
+    val n = items.agg(countDistinct(col("bk")).as("n"))
+    val cnt = items.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.bk") === col("b.bk") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 20)
+    pairs
+      .join(cnt.select(col("item").as("item_a"), col("c").as("n_a")), "item_a")
+      .join(cnt.select(col("item").as("item_b"), col("c").as("n_b")), "item_b")
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        r6(col("n_ab").cast("double") / col("n")).as("support"),
+        r6(col("n_ab").cast("double") / col("n_a")).as("conf_a_to_b"),
+        r6(col("n_ab").cast("double") / col("n_b")).as("conf_b_to_a"),
+        r6(col("n_ab").cast("double") * col("n") / (col("n_a") * col("n_b"))).as("lift"))
+      .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+      .limit(30)
+  }
+
+  val qMarketBasketSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS item
+      |               FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT COUNT(DISTINCT bk) AS n FROM items),
+      |cnt AS (SELECT item, COUNT(*) AS c FROM items GROUP BY item),
+      |pairs AS (SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_ab
+      |          FROM items a JOIN items b ON a.bk = b.bk AND a.item < b.item
+      |          GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+      |SELECT item_a, item_b, n_ab, ca.c AS n_a, cb.c AS n_b,
+      |  ROUND(CAST(n_ab AS DOUBLE) / n.n, 6) AS support,
+      |  ROUND(CAST(n_ab AS DOUBLE) / ca.c, 6) AS conf_a_to_b,
+      |  ROUND(CAST(n_ab AS DOUBLE) / cb.c, 6) AS conf_b_to_a,
+      |  ROUND(CAST(n_ab AS DOUBLE) * n.n / (ca.c * cb.c), 6) AS lift
+      |FROM pairs JOIN cnt ca ON ca.item = item_a
+      |JOIN cnt cb ON cb.item = item_b, n
+      |ORDER BY lift DESC, item_a, item_b LIMIT 30""".stripMargin
+
   /** HITS hubs & authorities (Kleinberg 1999) on the directed repeat
     * customer→supplier graph — the bipartite-centrality reading the
     * symmetric metrics (PageRank, LPA) can't give: who are the broadest
@@ -1818,6 +1875,7 @@ object AnalyticsQueries {
     "q_count_min" -> ((qCountMin _, Some(qCountMinSql))),
     "q_label_prop" -> ((qLabelProp _, Some(qLabelPropSql))),
     "q_hits" -> ((qHits _, Some(qHitsSql))),
+    "q_market_basket" -> ((qMarketBasket _, Some(qMarketBasketSql))),
     "q_approx_topk" -> ((qApproxTopk _, Some(qApproxTopkSql))),
     "q_ohlc" -> ((qOhlc _, Some(qOhlcSql))),
     "q_hll_merge" -> ((qHllMerge _, Some(qHllMergeSql))),

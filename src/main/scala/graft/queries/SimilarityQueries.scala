@@ -162,6 +162,52 @@ object SimilarityQueries {
       |SELECT cluster_rep, COUNT(*) AS n_docs, MAX(node) AS max_doc
       |FROM comp GROUP BY cluster_rep""".stripMargin
 
+  /** Survivorship — the decision step that turns near-dup CLUSTERS into a
+    * curation MANIFEST: within each connected component of the
+    * q_minhash_lsh pair graph, keep exactly one canonical document (the
+    * richest by n_chars, doc_id as the total-order tie-break) and mark
+    * every other member dropped. This is the piece a production dedup
+    * actually ships — q_dedup_clusters says which docs are together,
+    * survivorship says which byte survives — and the keep-best-quality
+    * rule (vs keep-first) is the difference between dedup that improves
+    * and degrades a corpus. Scale: pointer-jumped components
+    * (O(log diameter) rounds), one metadata join, and a window
+    * PARTITIONED by cluster (cluster sizes are near-dup-bounded, never
+    * corpus-sized). The oracle embeds the q_minhash_lsh SQL verbatim so
+    * the pair pipeline cannot desynchronize.
+    */
+  def qSurvivorship(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qMinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val comp = graft.ops.ConnectedComponents.run(pairs, "doc_a", "doc_b")
+    val meta = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"), col("lang"))
+    val w = Window.partitionBy(col("component")).orderBy(col("n_chars").desc, col("doc_id"))
+    comp.join(meta, col("node") === col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("component").as("cluster_rep"), col("doc_id"), col("n_chars"),
+        col("lang"), (col("rk") === 1).as("is_canonical"),
+        when(col("rk") === 1, lit("keep")).otherwise(lit("drop_near_dup")).as("action"))
+  }
+
+  val qSurvivorshipSql: String =
+    s"""WITH RECURSIVE pairs AS (
+      |$qMinhashLshSql),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),""".stripMargin +
+    """
+      |reach(node, lbl) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+      |),
+      |comp AS (SELECT node, MIN(lbl) AS cluster_rep FROM reach GROUP BY node),
+      |m AS (SELECT comp.cluster_rep, d.doc_id, d.n_chars, d.lang,
+      |        ROW_NUMBER() OVER (PARTITION BY comp.cluster_rep
+      |                           ORDER BY d.n_chars DESC, d.doc_id) AS rk
+      |      FROM comp JOIN documents d ON comp.node = d.doc_id)
+      |SELECT cluster_rep, doc_id, n_chars, lang, rk = 1 AS is_canonical,
+      |  CASE WHEN rk = 1 THEN 'keep' ELSE 'drop_near_dup' END AS action
+      |FROM m""".stripMargin
+
   /** Character-4-gram Jaccard near-dup: candidates from the word-shingle
     * inverted index (pairs sharing ≥5 distinct word-3-shingles — an
     * equi-join + count, not all-pairs), verified with char-4-gram Jaccard
@@ -1638,6 +1684,7 @@ object SimilarityQueries {
     "q_hash_sample" -> ((qHashSample _, Some(qHashSampleSql))),
     "q_minhash_lsh" -> ((qMinhashLsh _, Some(qMinhashLshSql))),
     "q_dedup_clusters" -> ((qDedupClusters _, Some(qDedupClustersSql))),
+    "q_survivorship" -> ((qSurvivorship _, Some(qSurvivorshipSql))),
     "q_ngram_jaccard" -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
     "q_containment" -> ((qContainment _, Some(qContainmentSql))),
     "q_simhash" -> ((qSimhash _, Some(qSimhashSql))),

@@ -88,7 +88,9 @@ class PlanSpec extends SparkSpec {
       "q_hits",
       // PrefixSum offsets join + the 9-row decile-threshold theta join,
       // the 1-row boundary-array / cohort-total / psi-statistic crosses
-      "q_psi")
+      "q_psi",
+      // 1-row basket-total scalar crossed onto the brand-pair table
+      "q_market_basket")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
@@ -152,6 +154,7 @@ class PlanSpec extends SparkSpec {
       "q_log_odds" -> (scalar + " (1-row group/prior token totals)"),
       "q_hits" -> (scalar + " (1-row hub/authority score totals)"),
       "q_psi" -> (scalar + " (9-row decile thresholds, 1-row boundary array/totals/statistic)"),
+      "q_market_basket" -> (scalar + " (1-row distinct-basket total)"),
       "q_js_divergence" -> (perType + " (per-source token totals: O(#sources) rows)"))
   }
 

@@ -257,6 +257,51 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q_survivorship keeps exactly one best doc per cluster, consistent with q_dedup_clusters") {
+    val rows = SimilarityQueries.qSurvivorship(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4), r.getString(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cluster, members) =>
+      assert(members.count(_._4) == 1, s"cluster $cluster canonical count != 1")
+      val canon = members.find(_._4).get
+      // canonical maximizes (n_chars, -doc_id)
+      members.foreach { m =>
+        assert(m._3 < canon._3 || (m._3 == canon._3 && m._2 >= canon._2),
+          s"cluster $cluster: ${m._2} beats canonical ${canon._2}")
+        assert(if (m._4) m._5 == "keep" else m._5 == "drop_near_dup")
+      }
+    }
+    // membership agrees with q_dedup_clusters' (cluster, size) report
+    val sizes = rows.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val expected = SimilarityQueries.qDedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == expected)
+  }
+
+  test("q_market_basket matches an in-JVM basket replay") {
+    val items = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = items.map(_._1).distinct.length.toLong
+    val cnt = items.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val pairCnt = items.groupBy(_._1).toSeq.flatMap { case (_, its) =>
+      val brands = its.map(_._2).sorted
+      for (i <- brands.indices; j <- (i + 1) until brands.length)
+        yield (brands(i), brands(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      .filter(_._2 >= 20)
+    def r6d(d: Double) = new java.math.BigDecimal(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val expected = pairCnt.toSeq.map { case ((a, b), nab) =>
+      (a, b, nab, cnt(a), cnt(b), r6d(nab.toDouble * n / (cnt(a) * cnt(b))))
+    }.sortBy { case (a, b, _, _, _, l) => (-l, a, b) }.take(30)
+    val got = AnalyticsQueries.qMarketBasket(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(8))).toSeq
+    assert(got == expected)
+  }
+
   test("RRF output is ranked consistently with its component ranks") {
     val rows = TextQueries.qRrf(spark, sfDir).collect()
       .map(r => (r.getLong(0), Option(r.getAs[Integer]("rank_lex")),
