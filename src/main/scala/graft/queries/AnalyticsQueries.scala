@@ -1068,6 +1068,115 @@ object AnalyticsQueries {
       |UNION ALL
       |SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events""".stripMargin
 
+  /** Kendall tau-b rank correlation between the hourly view and purchase
+    * count series — the tie-robust, outlier-immune association measure
+    * that complements q_spearman (rank Pearson) and q_correlation (raw
+    * Pearson): tau's pair-counting definition has an exact integer core,
+    * so the statistic is gated from BIGINT concordant/discordant/tie
+    * counts with one IEEE division at the end. The quadratic pair join is
+    * CALENDAR-bounded (hours × hours, never corpus-sized — the q_zipf /
+    * q_acf aggregate-table-quadratic pattern): 100 TB of events still
+    * collapses to #hours rows before any pairing, which is why this shape
+    * survives scale while a row-level tau would not.
+    */
+  def qKendall(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .cast("bigint").as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("bigint").as("y"))
+    val p = hourly.as("a").join(hourly.as("b"), col("a.hr") < col("b.hr"))
+      .select((col("a.x") - col("b.x")).as("dx"), (col("a.y") - col("b.y")).as("dy"))
+    val n = hourly.agg(count(lit(1)).as("n_points"))
+    p.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).cast("bigint").as("concordant"),
+        sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).cast("bigint").as("discordant"),
+        sum(when(col("dx") === 0, 1L).otherwise(0L)).cast("bigint").as("ties_x"),
+        sum(when(col("dy") === 0, 1L).otherwise(0L)).cast("bigint").as("ties_y"))
+      .crossJoin(broadcast(n))
+      .select(col("n_points"), col("n_pairs"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"),
+        r6((col("concordant") - col("discordant")).cast("double") /
+          sqrt(((col("n_pairs") - col("ties_x")) * (col("n_pairs") - col("ties_y")))
+            .cast("double"))).as("tau_b"))
+  }
+
+  val qKendallSql: String =
+    """WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_points FROM h),
+      |p AS (SELECT a.x - b.x AS dx, a.y - b.y AS dy
+      |      FROM h a JOIN h b ON a.hr < b.hr),
+      |agg AS (SELECT COUNT(*) AS n_pairs,
+      |    CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+      |    CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+      |    CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+      |    CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+      |  FROM p)
+      |SELECT n_points, n_pairs, concordant, discordant, ties_x, ties_y,
+      |  ROUND(CAST(concordant - discordant AS DOUBLE) /
+      |    SQRT(CAST((n_pairs - ties_x) * (n_pairs - ties_y) AS DOUBLE)), 6) AS tau_b
+      |FROM agg, n""".stripMargin
+
+  /** CUSUM drift detection on the hourly purchase-count series — the
+    * sequential change-point monitor (Page 1954) a pipeline runs on its
+    * own throughput: S_t = max(0, S_{t−1} + (x_t − μ)) flags sustained
+    * upward drift from the series mean. The max-reset recursion is NOT a
+    * prefix sum, but its closed form is: S_t = C_t − min_{i≤t} C_i with
+    * C = cumsum(x − μ), so TWO [[graft.ops.PrefixSum]] passes (cumsum,
+    * then running min) compute it with no unpartitioned window and no
+    * sequential scan. Exactness: everything is scaled by n (C′_t =
+    * n·Σx_i − t·total), which clears μ = total/n to exact BIGINTs; the
+    * normalized S and the alarm threshold (50 cumulative purchases above
+    * mean) divide back at the end. The peak row (argmax S) is flagged via
+    * a 1-row max cross — the change-point estimate.
+    */
+  def qCusum(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val tot = hourly.agg(sum(col("x")).cast("bigint").as("total"),
+      count(lit(1)).as("n"))
+    val cum = graft.ops.PrefixSum.cumsum(
+      graft.ops.PrefixSum.cumsum(hourly, col("x"), Seq(col("hr")), "cum_x"),
+      lit(1L), Seq(col("hr")), "t")
+    val c = cum.crossJoin(broadcast(tot))
+      .withColumn("c_scaled", col("n") * col("cum_x") - col("t") * col("total"))
+    val sFrame = graft.ops.PrefixSum.cummin(c, col("c_scaled"), Seq(col("hr")), "run_min")
+      .withColumn("s_scaled", col("c_scaled") - col("run_min"))
+    val peak = sFrame.agg(max(col("s_scaled")).as("max_s"))
+    sFrame.crossJoin(broadcast(peak))
+      .select(col("hr"), col("x"), col("cum_x"),
+        col("c_scaled"), col("s_scaled"),
+        r6(col("s_scaled").cast("double") / col("n")).as("s_norm"),
+        (col("s_scaled").cast("double") / col("n") > 50.0).as("is_alarm"),
+        (col("s_scaled") === col("max_s")).as("is_peak"))
+  }
+
+  val qCusumSql: String =
+    """WITH h AS (SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(x) AS BIGINT) AS total, COUNT(*) AS n FROM h),
+      |cum AS (SELECT hr, x,
+      |    CAST(SUM(x) OVER (ORDER BY hr) AS BIGINT) AS cum_x,
+      |    ROW_NUMBER() OVER (ORDER BY hr) AS t
+      |  FROM h),
+      |c AS (SELECT cum.*, n, total,
+      |    CAST(n * cum_x - t * total AS BIGINT) AS c_scaled FROM cum, tot),
+      |sf AS (SELECT c.*,
+      |    CAST(c_scaled - MIN(c_scaled) OVER (ORDER BY hr) AS BIGINT) AS s_scaled FROM c),
+      |pk AS (SELECT MAX(s_scaled) AS max_s FROM sf)
+      |SELECT hr, x, cum_x, c_scaled, s_scaled,
+      |  ROUND(CAST(s_scaled AS DOUBLE) / n, 6) AS s_norm,
+      |  CAST(s_scaled AS DOUBLE) / n > 50.0 AS is_alarm,
+      |  s_scaled = max_s AS is_peak
+      |FROM sf, pk""".stripMargin
+
   /** Lag-k autocorrelation of the hourly value series per event type —
     * the time-series diagnostic (seasonality/persistence detection) that
     * decides resampling grain and feature windows in event pipelines.
@@ -1895,6 +2004,8 @@ object AnalyticsQueries {
     "q_damerau" -> ((qDamerau _, Some(qDamerauSql))),
     "q_jaro" -> ((qJaro _, Some(qJaroSql))),
     "q_acf" -> ((qAcf _, Some(qAcfSql))),
+    "q_kendall" -> ((qKendall _, Some(qKendallSql))),
+    "q_cusum" -> ((qCusum _, Some(qCusumSql))),
     "q_benford" -> ((qBenford _, Some(qBenfordSql))),
     "q_entity_resolution" -> ((qEntityResolution _, Some(qEntityResolutionSql))),
     "q_gapfill" -> ((qGapfill _, Some(qGapfillSql))),

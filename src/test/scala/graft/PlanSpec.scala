@@ -90,7 +90,12 @@ class PlanSpec extends SparkSpec {
       // the 1-row boundary-array / cohort-total / psi-statistic crosses
       "q_psi",
       // 1-row basket-total scalar crossed onto the brand-pair table
-      "q_market_basket")
+      "q_market_basket",
+      // calendar-bounded quadratic: the hourly aggregate's theta self-join
+      // (#hours² pairs) + the 1-row point-count cross
+      "q_kendall",
+      // PrefixSum offsets joins (×3) + 1-row totals/peak crosses
+      "q_cusum")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
@@ -155,6 +160,8 @@ class PlanSpec extends SparkSpec {
       "q_hits" -> (scalar + " (1-row hub/authority score totals)"),
       "q_psi" -> (scalar + " (9-row decile thresholds, 1-row boundary array/totals/statistic)"),
       "q_market_basket" -> (scalar + " (1-row distinct-basket total)"),
+      "q_kendall" -> (scalar + " (1-row hourly point count)"),
+      "q_cusum" -> (scalar + " (1-row series totals + 1-row peak)"),
       "q_js_divergence" -> (perType + " (per-source token totals: O(#sources) rows)"))
   }
 

@@ -237,6 +237,48 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("q_kendall matches an in-JVM tau-b pair count") {
+    val hourly = Tables.events(spark, sfDir)
+      .select(date_trunc("hour", col("ts")).as("hr"), col("event_type")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)))
+      .groupBy(_._1).toSeq.map { case (hr, v) =>
+        (hr, v.count(_._2 == "view").toLong, v.count(_._2 == "purchase").toLong)
+      }.sortBy(_._1.getTime)
+    var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L; var np = 0L
+    for (i <- hourly.indices; j <- (i + 1) until hourly.length) {
+      val dx = hourly(i)._2 - hourly(j)._2
+      val dy = hourly(i)._3 - hourly(j)._3
+      np += 1
+      if (dx * dy > 0) conc += 1 else if (dx * dy < 0) disc += 1
+      if (dx == 0) tx += 1
+      if (dy == 0) ty += 1
+    }
+    val tau = (conc - disc).toDouble / math.sqrt(((np - tx) * (np - ty)).toDouble)
+    val got = AnalyticsQueries.qKendall(spark, sfDir).collect().head
+    assert(got.getLong(0) == hourly.length.toLong)
+    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4),
+      got.getLong(5)) == ((np, conc, disc, tx, ty)))
+    assert(math.abs(got.getDouble(6) - tau) < 1e-5)
+    assert(got.getDouble(6) >= -1.0 && got.getDouble(6) <= 1.0)
+  }
+
+  test("q_cusum's closed form equals the sequential max-reset recursion") {
+    val rows = AnalyticsQueries.qCusum(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(4), r.getBoolean(7)))
+      .sortBy(_._1.getTime)
+    assert(rows.nonEmpty)
+    val xs = rows.map(_._2)
+    val n = xs.length.toLong
+    val total = xs.sum
+    // classic CUSUM: S_t = max(0, S_{t-1} + n·x_t − total), scaled by n
+    var sSeq = 0L
+    val replay = xs.map { x => sSeq = math.max(0L, sSeq + n * x - total); sSeq }
+    assert(rows.map(_._3).toSeq == replay.toSeq, "closed form != sequential CUSUM")
+    // the peak flag marks exactly the max rows
+    val mx = replay.max
+    assert(rows.forall { case (_, _, s0, pk) => pk == (s0 == mx) })
+  }
+
   test("q_psi matches an in-JVM decile-bin replay and conserves counts") {
     val rows = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
