@@ -933,8 +933,83 @@ object EvalQueries {
       |  ROUND(term_raw, 6) AS term, ROUND(psi_raw, 6) AS psi
       |FROM terms, st""".stripMargin
 
+  /** Poisson bootstrap confidence interval for the mean purchase value —
+    * the resampling scheme that actually works distributed (Chamandy et
+    * al., Google 2012): instead of drawing n rows with replacement (a
+    * global operation), each row gets an independent Poisson(1) weight
+    * per replica, which is map-local and exactly mergeable. Determinism:
+    * the weight is inverse-CDF over u = (r+0.5)/2¹⁶ from 4 hex nibbles
+    * of sha256(event_id:replica) — the thresholds are the fixed 2¹⁶
+    * quantization of the Poisson(1) CDF (24109, 48218, 60273, 64291,
+    * 65296, 65497, 65530, then 7+), so reruns and both engines agree
+    * bit-for-bit. Replica means are exact decimal-weighted sums; the
+    * 95% CI picks order statistics 3 and 98 of the 100 sorted replica
+    * means via one sorted-array aggregate (no window). Scale: the 100×
+    * fan-out partial-aggregates to ≤100 rows per task before any
+    * exchange; the final frame is 100 rows.
+    */
+  def qBootstrap(s: SparkSession, dir: String): DataFrame = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
+    val rExpr = s"CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS BIGINT)"
+    val rep = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"),
+        explode(sequence(lit(0), lit(99))).as("b"))
+      .withColumn("h", expr(
+        "sha2(concat(CAST(event_id AS STRING), ':', CAST(b AS STRING)), 256)"))
+      .withColumn("r", expr(rExpr))
+      .withColumn("w", expr(
+        """CASE WHEN r < 24109 THEN 0 WHEN r < 48218 THEN 1 WHEN r < 60273 THEN 2
+          |WHEN r < 64291 THEN 3 WHEN r < 65296 THEN 4 WHEN r < 65497 THEN 5
+          |WHEN r < 65530 THEN 6 ELSE 7 END""".stripMargin))
+    val means = rep.groupBy(col("b")).agg(
+        sum(col("w")).cast("bigint").as("sw"),
+        sum(dec(col("value")) * col("w"))
+          .cast(org.apache.spark.sql.types.DecimalType(24, 4)).as("swx"))
+      .select(col("b"), (col("swx").cast("double") / col("sw")).as("mean_b"))
+    val base = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_v"))
+      .select(col("n_rows"), (col("sum_v") / col("n_rows")).as("mean_hat"))
+    means.agg(count(lit(1)).as("n_replicas"),
+        sort_array(collect_list(col("mean_b"))).as("arr"))
+      .crossJoin(broadcast(base))
+      .select(col("n_rows"), col("n_replicas"),
+        r6(col("mean_hat")).as("mean_hat"),
+        r6(element_at(col("arr"), 3)).as("boot_lo"),
+        r6(element_at(col("arr"), 98)).as("boot_hi"))
+  }
+
+  val qBootstrapSql: String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""WITH p AS (SELECT event_id, value FROM events WHERE event_type = 'purchase'),
+       |rep AS (SELECT event_id, value, u.b,
+       |          sha256(event_id || ':' || u.b) AS h
+       |        FROM p, range(0, 100) u(b)),
+       |rr AS (SELECT rep.*,
+       |         CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS BIGINT) AS r
+       |       FROM rep),
+       |w AS (SELECT rr.*,
+       |        CASE WHEN r < 24109 THEN 0 WHEN r < 48218 THEN 1 WHEN r < 60273 THEN 2
+       |        WHEN r < 64291 THEN 3 WHEN r < 65296 THEN 4 WHEN r < 65497 THEN 5
+       |        WHEN r < 65530 THEN 6 ELSE 7 END AS w
+       |      FROM rr),
+       |m AS (SELECT b,
+       |        CAST(CAST(SUM(CAST(value AS DECIMAL(12,4)) * w) AS DECIMAL(24,4)) AS DOUBLE)
+       |          / CAST(SUM(w) AS BIGINT) AS mean_b
+       |      FROM w GROUP BY b),
+       |arr AS (SELECT COUNT(*) AS n_replicas, list_sort(LIST(mean_b)) AS arr FROM m),
+       |base AS (SELECT COUNT(*) AS n_rows,
+       |           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS mean_hat
+       |         FROM p)
+       |SELECT n_rows, n_replicas, ROUND(mean_hat, 6) AS mean_hat,
+       |  ROUND(arr[3], 6) AS boot_lo, ROUND(arr[98], 6) AS boot_hi
+       |FROM arr, base""".stripMargin
+  }
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_psi" -> ((qPsi _, Some(qPsiSql))),
+    "q_bootstrap" -> ((qBootstrap _, Some(qBootstrapSql))),
     "q_chi_squared" -> ((qChiSquared _, Some(qChiSquaredSql))),
     "q_js_divergence" -> ((qJsDivergence _, Some(qJsDivergenceSql))),
     "q_rouge_overlap" -> ((qRougeOverlap _, Some(qRougeOverlapSql))),

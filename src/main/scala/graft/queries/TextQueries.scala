@@ -1324,6 +1324,62 @@ object TextQueries {
       |  ROUND(CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty_share
       |FROM sh JOIN df USING (g) GROUP BY source""".stripMargin
 
+  /** ε-differential-privacy Laplace mechanism over the (lang, source)
+    * histogram — the release step after q_k_anonymity/q_l_diversity have
+    * audited the raw cells: noisy_count = count + Lap(1/ε) with ε = 1
+    * (sensitivity 1 for a count query). The twist that makes it GATEABLE:
+    * the noise is drawn by inverse-CDF over a hash-derived uniform —
+    * u = (2r+1)/2¹⁶ from the first 4 hex nibbles of sha256(lang|source) —
+    * so the mechanism is deterministic, replayable, and every LN argument
+    * is an exact integer (ln(2¹⁶) − ln(2¹⁶ − |2r+1−2¹⁶|)); both engines
+    * parse the nibbles positionally (no conv() dependency). Seeded-hash
+    * noise is exactly how production DP releases make reruns reproducible
+    * (the privacy accounting is identical; the seed is the secret). The
+    * true count rides along as an audit column — this query demonstrates
+    * and tests the mechanism; a real release would drop it.
+    * Scale: one map-side-combinable aggregate; noise is per-CELL (L×S
+    * rows), so the mechanism costs nothing at any corpus size.
+    */
+  def qDpNoise(s: SparkSession, dir: String): DataFrame = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
+    val rExpr = s"CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS BIGINT)"
+    Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("true_count"))
+      .withColumn("h", sha2(concat_ws("|", col("lang"), col("source")), 256))
+      .withColumn("r", expr(rExpr))
+      .withColumn("noise_raw", expr(
+        """CASE WHEN 2 * r + 1 > 65536 THEN 1.0 ELSE -1.0 END *
+          |(LN(CAST(65536 AS DOUBLE)) -
+          | LN(CAST(65536 - ABS(2 * r + 1 - 65536) AS DOUBLE)))""".stripMargin))
+      .select(col("lang"), col("source"), col("true_count"), col("r"),
+        r6(col("noise_raw")).as("noise"),
+        r6(col("true_count") + col("noise_raw")).as("noisy_count"),
+        greatest(round(col("true_count") + col("noise_raw"), 0), lit(0.0))
+          .cast("bigint").as("released_count"))
+  }
+
+  val qDpNoiseSql: String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""WITH cells AS (SELECT lang, source, COUNT(*) AS true_count
+       |               FROM documents GROUP BY 1, 2),
+       |hx AS (SELECT cells.*, sha256(lang || '|' || source) AS h FROM cells),
+       |rr AS (SELECT hx.*,
+       |         CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS BIGINT) AS r
+       |       FROM hx),
+       |nz AS (SELECT rr.*,
+       |         CASE WHEN 2 * r + 1 > 65536 THEN 1.0 ELSE -1.0 END *
+       |         (LN(CAST(65536 AS DOUBLE)) -
+       |          LN(CAST(65536 - ABS(2 * r + 1 - 65536) AS DOUBLE))) AS noise_raw
+       |       FROM rr)
+       |SELECT lang, source, true_count, r,
+       |  ROUND(noise_raw, 6) AS noise,
+       |  ROUND(true_count + noise_raw, 6) AS noisy_count,
+       |  CAST(GREATEST(ROUND(true_count + noise_raw, 0), 0.0) AS BIGINT) AS released_count
+       |FROM nz""".stripMargin
+  }
+
   /** "Fightin' Words" (Monroe, Colaresi & Quinn 2008): which tokens
     * distinguish the English slice from the German slice, as log-odds
     * ratios with an informative Dirichlet prior — THE corpus-comparison
@@ -1391,6 +1447,7 @@ object TextQueries {
 
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_log_odds" -> ((qLogOdds _, Some(qLogOddsSql))),
+    "q_dp_noise" -> ((qDpNoise _, Some(qDpNoiseSql))),
     "q_lexical_diversity" -> ((qLexicalDiversity _, Some(qLexicalDiversitySql))),
     "q_ngram_novelty" -> ((qNgramNovelty _, Some(qNgramNoveltySql))),
     "q_fim" -> ((qFim _, Some(qFimSql))),

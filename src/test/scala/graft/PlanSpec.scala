@@ -95,7 +95,9 @@ class PlanSpec extends SparkSpec {
       // (#hours² pairs) + the 1-row point-count cross
       "q_kendall",
       // PrefixSum offsets joins (×3) + 1-row totals/peak crosses
-      "q_cusum")
+      "q_cusum",
+      // 1-row point-estimate cross onto the 1-row sorted-replica-means row
+      "q_bootstrap")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
@@ -162,6 +164,7 @@ class PlanSpec extends SparkSpec {
       "q_market_basket" -> (scalar + " (1-row distinct-basket total)"),
       "q_kendall" -> (scalar + " (1-row hourly point count)"),
       "q_cusum" -> (scalar + " (1-row series totals + 1-row peak)"),
+      "q_bootstrap" -> (scalar + " (1-row n/mean point estimate)"),
       "q_js_divergence" -> (perType + " (per-source token totals: O(#sources) rows)"))
   }
 

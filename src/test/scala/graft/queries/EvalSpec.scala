@@ -237,6 +237,60 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  private def sha256Hex(s0: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def hex4(h: String): Long =
+    java.lang.Long.parseLong(h.substring(0, 4), 16)
+
+  test("q_dp_noise replays the deterministic Laplace mechanism in-JVM") {
+    val got = TextQueries.qDpNoise(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    def r6d(d: Double) = new JBigDecimal(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    got.foreach { r =>
+      val (lang, source, c) = (r.getString(0), r.getString(1), r.getLong(2))
+      val rv = hex4(sha256Hex(s"$lang|$source"))
+      assert(r.getLong(3) == rv, s"nibble parse for $lang|$source")
+      val sgn = if (2 * rv + 1 > 65536) 1.0 else -1.0
+      val noise = sgn * (math.log(65536.0) - math.log((65536 - math.abs(2 * rv + 1 - 65536)).toDouble))
+      assert(r.getDouble(4) == r6d(noise))
+      assert(r.getLong(6) == math.max(math.round(c + noise), 0L), "released count")
+    }
+    // the mechanism is unbiased-ish: mean |noise| near E|Lap(1)| = 1
+    val meanAbs = got.map(r => math.abs(r.getDouble(4))).sum / got.length
+    assert(meanAbs > 0.3 && meanAbs < 3.0, s"suspicious noise magnitude $meanAbs")
+  }
+
+  test("q_bootstrap CI brackets the point estimate and replays one replica") {
+    val got = EvalQueries.qBootstrap(spark, sfDir).collect().head
+    val (n, reps, mean, lo, hi) = (got.getLong(0), got.getLong(1),
+      got.getDouble(2), got.getDouble(3), got.getDouble(4))
+    assert(reps == 100L)
+    assert(lo <= hi)
+    assert(lo <= mean && mean <= hi,
+      s"95% CI [$lo, $hi] does not bracket the point estimate $mean")
+    // replica 0's weighted mean, replayed in-JVM with the same hash chain
+    val vals = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(n == vals.length.toLong)
+    val th = Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L, 65530L)
+    def w(id: Long, b: Int): Long = {
+      val r0 = hex4(sha256Hex(s"$id:$b"))
+      th.count(_ <= r0).toLong
+    }
+    val ws = vals.map { case (id, v) => (w(id, 0), BigDecimal(v).setScale(4)) }
+    val sw = ws.map(_._1).sum
+    val swx = ws.map { case (wt, v) => v * wt }.sum
+    val mean0 = (swx.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) / sw
+    // replica 0's mean must be one of the sorted means inside a CI-consistent range
+    assert(sw > 0)
+    assert(mean0 > lo - 3 * (hi - lo) && mean0 < hi + 3 * (hi - lo),
+      s"replica-0 replay $mean0 wildly outside CI [$lo, $hi]")
+  }
+
   test("q_kendall matches an in-JVM tau-b pair count") {
     val hourly = Tables.events(spark, sfDir)
       .select(date_trunc("hour", col("ts")).as("hr"), col("event_type")).collect()
