@@ -1068,6 +1068,83 @@ object AnalyticsQueries {
       |UNION ALL
       |SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events""".stripMargin
 
+  /** RFM segmentation (recency / frequency / monetary) — the classic
+    * customer-value partition every activation pipeline feeds on: per
+    * customer, days since last order, order count, and exact-decimal
+    * lifetime spend, each scored into quintiles (5 = best), then rolled
+    * up per (r, f, m) segment with a named tier for the canonical
+    * corners. Quintile ranks come from [[graft.ops.PrefixSum.cumsum]]
+    * of 1 under a (metric, custkey) TOTAL order — three passes over the
+    * customer aggregate, no ntile and no unpartitioned window — and the
+    * score is the exact integer 5 − (5·(rank−1)) div n, so the oracle
+    * (ROW_NUMBER under the same order) reproduces it bit-for-bit.
+    * Scale: everything after the one orders pass runs on the
+    * customer-sized aggregate; the anchor date and customer count ride
+    * as 1-row broadcasts.
+    */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val cust = o.groupBy(col("o_custkey").as("cust"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        dsum(col("o_totalprice")).as("monetary"))
+    val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
+    val n = cust.agg(count(lit(1)).as("n"))
+    val withR = cust.crossJoin(broadcast(anchor))
+      .withColumn("recency_days", datediff(col("anchor"), col("last_order")))
+    val r1 = graft.ops.PrefixSum.cumsum(withR, lit(1L),
+      Seq(col("recency_days"), col("cust")), "rr")
+    val r2 = graft.ops.PrefixSum.cumsum(r1, lit(1L),
+      Seq(col("frequency").desc, col("cust")), "fr")
+    val r3 = graft.ops.PrefixSum.cumsum(r2, lit(1L),
+      Seq(col("monetary").desc, col("cust")), "mr")
+    val scored = r3.crossJoin(broadcast(n))
+      .withColumn("r_score", expr("CAST(5 - (5 * (rr - 1)) div n AS BIGINT)"))
+      .withColumn("f_score", expr("CAST(5 - (5 * (fr - 1)) div n AS BIGINT)"))
+      .withColumn("m_score", expr("CAST(5 - (5 * (mr - 1)) div n AS BIGINT)"))
+      .withColumn("tier", expr(
+        """CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+          |WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+          |WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+          |WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_promising'
+          |ELSE 'core' END""".stripMargin))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"), col("tier"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(dec(col("monetary"))).cast("double") / count(lit(1))).as("avg_monetary_raw"))
+      .select(col("r_score"), col("f_score"), col("m_score"), col("tier"),
+        col("n_customers"), r6(col("avg_monetary_raw")).as("avg_monetary"))
+  }
+
+  val qRfmSql: String =
+    """WITH c AS (SELECT o_custkey AS cust, MAX(o_orderdate) AS last_order,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY 1),
+      |a AS (SELECT MAX(o_orderdate) AS anchor FROM orders),
+      |n AS (SELECT COUNT(*) AS n FROM c),
+      |r AS (SELECT c.*, date_diff('day', last_order, anchor) AS recency_days FROM c, a),
+      |rk AS (SELECT r.*,
+      |    ROW_NUMBER() OVER (ORDER BY recency_days, cust) AS rr,
+      |    ROW_NUMBER() OVER (ORDER BY frequency DESC, cust) AS fr,
+      |    ROW_NUMBER() OVER (ORDER BY monetary DESC, cust) AS mr
+      |  FROM r),
+      |sc AS (SELECT rk.*,
+      |    CAST(5 - (5 * (rr - 1)) // n AS BIGINT) AS r_score,
+      |    CAST(5 - (5 * (fr - 1)) // n AS BIGINT) AS f_score,
+      |    CAST(5 - (5 * (mr - 1)) // n AS BIGINT) AS m_score
+      |  FROM rk, n),
+      |lb AS (SELECT sc.*,
+      |    CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+      |    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+      |    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+      |    WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_promising'
+      |    ELSE 'core' END AS tier
+      |  FROM sc)
+      |SELECT r_score, f_score, m_score, tier, COUNT(*) AS n_customers,
+      |  ROUND(CAST(SUM(CAST(monetary AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6)
+      |    AS avg_monetary
+      |FROM lb GROUP BY 1, 2, 3, 4""".stripMargin
+
   /** Kendall tau-b rank correlation between the hourly view and purchase
     * count series — the tie-robust, outlier-immune association measure
     * that complements q_spearman (rank Pearson) and q_correlation (raw
@@ -2005,6 +2082,7 @@ object AnalyticsQueries {
     "q_jaro" -> ((qJaro _, Some(qJaroSql))),
     "q_acf" -> ((qAcf _, Some(qAcfSql))),
     "q_kendall" -> ((qKendall _, Some(qKendallSql))),
+    "q_rfm" -> ((qRfm _, Some(qRfmSql))),
     "q_cusum" -> ((qCusum _, Some(qCusumSql))),
     "q_benford" -> ((qBenford _, Some(qBenfordSql))),
     "q_entity_resolution" -> ((qEntityResolution _, Some(qEntityResolutionSql))),

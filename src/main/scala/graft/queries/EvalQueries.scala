@@ -933,6 +933,67 @@ object EvalQueries {
       |  ROUND(term_raw, 6) AS term, ROUND(psi_raw, 6) AS psi
       |FROM terms, st""".stripMargin
 
+  /** Decile gains / lift table for the q_auc score — the business-facing
+    * readout of a ranking model ("mail the top 30%"): rank all rows by
+    * score descending, cut into 10 equal deciles, and report per-decile
+    * response rate, cumulative gain (share of all positives captured so
+    * far) and cumulative lift vs the base rate. Ranks come from
+    * [[graft.ops.PrefixSum.cumsum]] of 1 under the (score desc, vec_id)
+    * total order — no global-sort window — and the decile is the exact
+    * integer (10·(rank−1)) div n. The cumulative pass runs as a theta
+    * self-join over the 10-ROW decile table (metadata-scale, the q_zipf
+    * pattern), so nothing corpus-sized is windowed or re-sorted. All
+    * ratios divide exact BIGINTs, rounded once.
+    */
+  def qGains(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"),
+      expr("CAST(element_at(embedding, 1) AS DOUBLE)").as("score"),
+      when(col("label") < 5, 1L).otherwise(0L).as("pos"))
+    val tot = e.agg(count(lit(1)).as("n"), sum(col("pos")).cast("bigint").as("tot_pos"))
+    val ranked = PrefixSum.cumsum(e, lit(1L),
+      Seq(col("score").desc, col("vec_id")), "rk")
+    val byDec = ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("CAST((10 * (rk - 1)) div n AS BIGINT) + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_d"), sum(col("pos")).cast("bigint").as("pos_d"))
+    val cum = byDec.as("a")
+      .join(broadcast(byDec.as("b")), col("b.decile") <= col("a.decile"))
+      .groupBy(col("a.decile").as("decile"),
+        col("a.n_d").as("n_d"), col("a.pos_d").as("pos_d"))
+      .agg(sum(col("b.n_d")).cast("bigint").as("cum_n"),
+        sum(col("b.pos_d")).cast("bigint").as("cum_pos"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_d"), col("pos_d"),
+        r6(col("pos_d").cast("double") / col("n_d")).as("response_rate"),
+        col("cum_n"), col("cum_pos"),
+        r6(col("cum_pos").cast("double") / col("tot_pos")).as("cum_gain"),
+        r6((col("cum_pos").cast("double") / col("cum_n")) /
+          (col("tot_pos").cast("double") / col("n"))).as("cum_lift"))
+  }
+
+  val qGainsSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score,
+      |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+      |  FROM embeddings),
+      |tot AS (SELECT COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS tot_pos FROM e),
+      |rk AS (SELECT e.*, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rk FROM e),
+      |dc AS (SELECT rk.*, CAST((10 * (rk - 1)) // n AS BIGINT) + 1 AS decile
+      |       FROM rk, tot),
+      |bd AS (SELECT decile, COUNT(*) AS n_d, CAST(SUM(pos) AS BIGINT) AS pos_d
+      |       FROM dc GROUP BY decile),
+      |cm AS (SELECT a.decile, a.n_d, a.pos_d,
+      |         CAST(SUM(b.n_d) AS BIGINT) AS cum_n,
+      |         CAST(SUM(b.pos_d) AS BIGINT) AS cum_pos
+      |       FROM bd a JOIN bd b ON b.decile <= a.decile
+      |       GROUP BY 1, 2, 3)
+      |SELECT decile, n_d, pos_d,
+      |  ROUND(CAST(pos_d AS DOUBLE) / n_d, 6) AS response_rate,
+      |  cum_n, cum_pos,
+      |  ROUND(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS cum_gain,
+      |  ROUND((CAST(cum_pos AS DOUBLE) / cum_n) /
+      |    (CAST(tot_pos AS DOUBLE) / n), 6) AS cum_lift
+      |FROM cm, tot""".stripMargin
+
   /** Poisson bootstrap confidence interval for the mean purchase value —
     * the resampling scheme that actually works distributed (Chamandy et
     * al., Google 2012): instead of drawing n rows with replacement (a
@@ -1010,6 +1071,7 @@ object EvalQueries {
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_psi" -> ((qPsi _, Some(qPsiSql))),
     "q_bootstrap" -> ((qBootstrap _, Some(qBootstrapSql))),
+    "q_gains" -> ((qGains _, Some(qGainsSql))),
     "q_chi_squared" -> ((qChiSquared _, Some(qChiSquaredSql))),
     "q_js_divergence" -> ((qJsDivergence _, Some(qJsDivergenceSql))),
     "q_rouge_overlap" -> ((qRougeOverlap _, Some(qRougeOverlapSql))),

@@ -97,7 +97,12 @@ class PlanSpec extends SparkSpec {
       // PrefixSum offsets joins (×3) + 1-row totals/peak crosses
       "q_cusum",
       // 1-row point-estimate cross onto the 1-row sorted-replica-means row
-      "q_bootstrap")
+      "q_bootstrap",
+      // PrefixSum offsets (×3) + 1-row anchor-date / customer-count crosses
+      "q_rfm",
+      // PrefixSum offsets + 1-row totals cross + the 10-row decile
+      // cumulative theta self-join (metadata-scale, the q_zipf pattern)
+      "q_gains")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
@@ -165,6 +170,8 @@ class PlanSpec extends SparkSpec {
       "q_kendall" -> (scalar + " (1-row hourly point count)"),
       "q_cusum" -> (scalar + " (1-row series totals + 1-row peak)"),
       "q_bootstrap" -> (scalar + " (1-row n/mean point estimate)"),
+      "q_rfm" -> (scalar + " (1-row anchor date + 1-row customer count)"),
+      "q_gains" -> (scalar + " (1-row n/positives totals + 10-row decile table)"),
       "q_js_divergence" -> (perType + " (per-source token totals: O(#sources) rows)"))
   }
 

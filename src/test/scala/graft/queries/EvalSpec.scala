@@ -244,6 +244,43 @@ class EvalSpec extends SparkSpec {
   private def hex4(h: String): Long =
     java.lang.Long.parseLong(h.substring(0, 4), 16)
 
+  test("q_rfm partitions every customer once and scores quintiles correctly") {
+    val segs = AnalyticsQueries.qRfm(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    assert(segs.nonEmpty)
+    val nCust = Tables.orders(spark, sfDir)
+      .select(col("o_custkey")).distinct().count()
+    assert(segs.map(_._5).sum == nCust, "segment sizes must sum to customer count")
+    segs.foreach { case (r0, f0, m0, tier, _) =>
+      assert(r0 >= 1 && r0 <= 5 && f0 >= 1 && f0 <= 5 && m0 >= 1 && m0 <= 5)
+      // tier label is a pure function of the scores
+      val expect =
+        if (r0 >= 4 && f0 >= 4 && m0 >= 4) "champion"
+        else if (r0 <= 2 && f0 >= 4) "at_risk_loyal"
+        else if (r0 <= 2 && f0 <= 2) "hibernating"
+        else if (r0 >= 4 && f0 <= 2) "new_or_promising"
+        else "core"
+      assert(tier == expect, s"tier for ($r0,$f0,$m0)")
+    }
+  }
+
+  test("q_gains is a proper gains table: monotone gain reaching 1, lift ending at 1") {
+    val rows = EvalQueries.qGains(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getDouble(6), r.getDouble(7))).sortBy(_._1)
+    assert(rows.length == 10)
+    // deciles are near-equal (exact integer split differs by at most 1)
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"decile sizes $sizes")
+    // cumulative columns are consistent and monotone
+    assert(rows.last._3 == sizes.sum, "cum_n must end at n")
+    assert(math.abs(rows.last._5 - 1.0) < 1e-9, "cum_gain must end at 1")
+    assert(math.abs(rows.last._6 - 1.0) < 1e-9, "cum_lift must end at 1")
+    assert(rows.map(_._5).sliding(2).forall(p => p(0) <= p(1) + 1e-12), "gain monotone")
+    // top decile of a (weak) score cannot capture less than base rate / 2
+    assert(rows.head._6 > 0.3, s"top-decile lift ${rows.head._6} implausibly low")
+  }
+
   test("q_dp_noise replays the deterministic Laplace mechanism in-JVM") {
     val got = TextQueries.qDpNoise(spark, sfDir).collect()
     assert(got.nonEmpty)
