@@ -1068,6 +1068,64 @@ object AnalyticsQueries {
       |UNION ALL
       |SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events""".stripMargin
 
+  /** Multi-touch attribution — the marketing-analytics join that assigns
+    * conversion credit to the touchpoints that preceded it: for every
+    * purchase, the clicks by the SAME user in the preceding 7 days, with
+    * the two standard credit models side by side (last-touch: the final
+    * click gets 1.0; linear: every touch gets 1/n). The touch join is
+    * equi on user_id with the 7-day range as a residual — per-user
+    * fan-out is activity-bounded, and at adversarial skew the same
+    * semantics drop into [[graft.ops.IntervalJoin]]'s bucketed shape.
+    * The last click is resolved WITHOUT arg_max (whose tie rules differ
+    * across engines): a (user, last_ts) equi-join back to clicks and a
+    * MAX(click_id) group-by — total-order deterministic. Untouched
+    * purchases stay in frame (left join, n_touches = 0).
+    */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val touches = p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") > col("p_ts") - expr("INTERVAL 7 DAYS"), "left")
+      .groupBy(col("purchase_id"), col("user_id"), col("p_ts"))
+      .agg(count(col("click_id")).as("n_touches"),
+        max(col("c_ts")).as("last_ts"),
+        min(col("c_ts")).as("first_ts"))
+    val lastClick = touches.filter(col("n_touches") > 0)
+      .join(c, col("user_id") === col("c_user") && col("last_ts") === col("c_ts"))
+      .groupBy(col("purchase_id")).agg(max(col("click_id")).as("last_click_id"))
+    touches.join(lastClick, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("n_touches"), col("first_ts"), col("last_ts"), col("last_click_id"),
+        when(col("n_touches") > 0, r6(lit(1.0) / col("n_touches")))
+          .otherwise(lit(null)).as("linear_credit"))
+  }
+
+  val qAttributionSql: String =
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id AS c_user, event_id AS click_id, ts AS c_ts
+      |      FROM events WHERE event_type = 'click'),
+      |t AS (SELECT purchase_id, user_id, p_ts,
+      |        COUNT(click_id) AS n_touches,
+      |        MAX(c_ts) AS last_ts, MIN(c_ts) AS first_ts
+      |      FROM p LEFT JOIN c ON user_id = c_user
+      |        AND c_ts <= p_ts AND c_ts > p_ts - INTERVAL 7 DAY
+      |      GROUP BY 1, 2, 3),
+      |lc AS (SELECT purchase_id, MAX(click_id) AS last_click_id
+      |       FROM t JOIN c ON t.user_id = c.c_user AND t.last_ts = c.c_ts
+      |       WHERE t.n_touches > 0 GROUP BY 1)
+      |SELECT t.purchase_id, t.user_id, t.p_ts, t.n_touches, t.first_ts, t.last_ts,
+      |  lc.last_click_id,
+      |  CASE WHEN t.n_touches > 0 THEN ROUND(1.0 / t.n_touches, 6) END AS linear_credit
+      |FROM t LEFT JOIN lc ON t.purchase_id = lc.purchase_id""".stripMargin
+
   /** RFM segmentation (recency / frequency / monetary) — the classic
     * customer-value partition every activation pipeline feeds on: per
     * customer, days since last order, order count, and exact-decimal
@@ -2083,6 +2141,7 @@ object AnalyticsQueries {
     "q_acf" -> ((qAcf _, Some(qAcfSql))),
     "q_kendall" -> ((qKendall _, Some(qKendallSql))),
     "q_rfm" -> ((qRfm _, Some(qRfmSql))),
+    "q_attribution" -> ((qAttribution _, Some(qAttributionSql))),
     "q_cusum" -> ((qCusum _, Some(qCusumSql))),
     "q_benford" -> ((qBenford _, Some(qBenfordSql))),
     "q_entity_resolution" -> ((qEntityResolution _, Some(qEntityResolutionSql))),

@@ -302,6 +302,29 @@ class InvariantsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_attribution replays the 7-day touch windows sequentially") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._2)
+    val sevenDaysMs = 7L * 24 * 3600 * 1000
+    val expected = ev.filter(_._4 == "purchase").map { case (pid, u, pts, _) =>
+      val touches = clicksByUser.getOrElse(u, Array.empty)
+        .filter { case (_, _, cts, _) =>
+          cts.getTime <= pts.getTime && cts.getTime > pts.getTime - sevenDaysMs }
+      val lastId = if (touches.isEmpty) None else {
+        val maxTs = touches.map(_._3.getTime).max
+        Some(touches.filter(_._3.getTime == maxTs).map(_._1).max)
+      }
+      pid -> ((touches.length.toLong, lastId))
+    }.toMap
+    val got = AnalyticsQueries.qAttribution(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
   test("RRF output is ranked consistently with its component ranks") {
     val rows = TextQueries.qRrf(spark, sfDir).collect()
       .map(r => (r.getLong(0), Option(r.getAs[Integer]("rank_lex")),
