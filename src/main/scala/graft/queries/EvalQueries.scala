@@ -933,6 +933,71 @@ object EvalQueries {
       |  ROUND(term_raw, 6) AS term, ROUND(psi_raw, 6) AS psi
       |FROM terms, st""".stripMargin
 
+  /** Quantile normalization across sources — the batch-effect removal
+    * step (genomics' workhorse, equally at home harmonizing per-crawl
+    * quality scores): each source's length distribution is mapped onto a
+    * COMMON target distribution so downstream thresholds mean the same
+    * thing for every source. Discretized to 20 ventile buckets: within
+    * each source, docs are ranked (window PARTITIONED by source — never
+    * global), bucketed by the exact integer (20·(rank−1)) div n_s, and
+    * the target value for bucket k is the EQUAL-WEIGHT mean over sources
+    * of each source's own bucket-k mean (the defining QN property:
+    * every source contributes equally regardless of size). Exactness:
+    * per-(source, bucket) sums are decimal-exact BIGINT/decimal pairs;
+    * each source's bucket mean is one identical IEEE division; the
+    * cross-source target is a decimal sum of those identical doubles
+    * divided by the source count. Output is the (source × bucket)
+    * mapping table — exactly what you'd persist and join against the
+    * corpus to apply the normalization. Scale: one corpus pass for the
+    * per-source window, then everything is (S × 20)-sized.
+    */
+  def qQuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val ranked = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+    val ns = ranked.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val bucketed = ranked.join(broadcast(ns), "source")
+      .withColumn("bucket", expr("CAST((20 * (rk - 1)) div n_s AS BIGINT)"))
+    val sb = bucketed.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_in_bucket"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+      .withColumn("src_bucket_mean",
+        col("sum_chars").cast("double") / col("n_in_bucket"))
+    val target = sb.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(expr("CAST(src_bucket_mean AS DECIMAL(28,14))")).cast("double").as("sm"))
+      .withColumn("target_value", col("sm") / col("n_sources"))
+      .select(col("bucket"), col("n_sources"), col("target_value"))
+    sb.join(broadcast(target), "bucket")
+      .select(col("source"), col("bucket"), col("n_in_bucket"),
+        r6(col("src_bucket_mean")).as("src_bucket_mean"),
+        col("n_sources"), r6(col("target_value")).as("target_value"),
+        r6(col("target_value") - col("src_bucket_mean")).as("shift"))
+  }
+
+  val qQuantileNormSql: String =
+    """WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+      |rk AS (SELECT d.*,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk
+      |  FROM d),
+      |ns AS (SELECT source, COUNT(*) AS n_s FROM rk GROUP BY 1),
+      |b AS (SELECT rk.*, CAST((20 * (rk - 1)) // n_s AS BIGINT) AS bucket
+      |      FROM rk JOIN ns USING (source)),
+      |sb AS (SELECT source, bucket, COUNT(*) AS n_in_bucket,
+      |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |         CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS src_bucket_mean
+      |       FROM b GROUP BY 1, 2),
+      |t AS (SELECT bucket, COUNT(*) AS n_sources,
+      |        CAST(SUM(CAST(src_bucket_mean AS DECIMAL(28,14))) AS DOUBLE) AS sm
+      |      FROM sb GROUP BY 1),
+      |tv AS (SELECT bucket, n_sources, sm / n_sources AS target_value FROM t)
+      |SELECT source, bucket, n_in_bucket,
+      |  ROUND(src_bucket_mean, 6) AS src_bucket_mean,
+      |  n_sources, ROUND(target_value, 6) AS target_value,
+      |  ROUND(target_value - src_bucket_mean, 6) AS shift
+      |FROM sb JOIN tv USING (bucket)""".stripMargin
+
   /** Decile gains / lift table for the q_auc score — the business-facing
     * readout of a ranking model ("mail the top 30%"): rank all rows by
     * score descending, cut into 10 equal deciles, and report per-decile
@@ -1072,6 +1137,7 @@ object EvalQueries {
     "q_psi" -> ((qPsi _, Some(qPsiSql))),
     "q_bootstrap" -> ((qBootstrap _, Some(qBootstrapSql))),
     "q_gains" -> ((qGains _, Some(qGainsSql))),
+    "q_quantile_norm" -> ((qQuantileNorm _, Some(qQuantileNormSql))),
     "q_chi_squared" -> ((qChiSquared _, Some(qChiSquaredSql))),
     "q_js_divergence" -> ((qJsDivergence _, Some(qJsDivergenceSql))),
     "q_rouge_overlap" -> ((qRougeOverlap _, Some(qRougeOverlapSql))),

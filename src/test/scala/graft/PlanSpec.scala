@@ -172,7 +172,8 @@ class PlanSpec extends SparkSpec {
       "q_bootstrap" -> (scalar + " (1-row n/mean point estimate)"),
       "q_rfm" -> (scalar + " (1-row anchor date + 1-row customer count)"),
       "q_gains" -> (scalar + " (1-row n/positives totals + 10-row decile table)"),
-      "q_js_divergence" -> (perType + " (per-source token totals: O(#sources) rows)"))
+      "q_js_divergence" -> (perType + " (per-source token totals: O(#sources) rows)"),
+      "q_quantile_norm" -> (perType + " (S-row per-source counts + 20-row target-quantile table)"))
   }
 
   private def corpusHintsIn(

@@ -244,6 +244,32 @@ class EvalSpec extends SparkSpec {
   private def hex4(h: String): Long =
     java.lang.Long.parseLong(h.substring(0, 4), 16)
 
+  test("q_quantile_norm has the equal-weight QN property and covers every doc") {
+    val rows = EvalQueries.qQuantileNorm(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // every doc lands in exactly one (source, bucket)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._3).sum == nDocs)
+    // buckets are 0..19
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 19))
+    // the target is the EQUAL-WEIGHT mean of the per-source bucket means
+    def r6d(d: Double) = new JBigDecimal(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    rows.groupBy(_._2).foreach { case (b, grp) =>
+      val target = grp.head._6
+      assert(grp.forall(_._6 == target), s"bucket $b target differs across sources")
+      assert(grp.head._5 == grp.length.toLong, s"bucket $b n_sources")
+      // recompute from unrounded per-source means is impossible from rounded
+      // outputs; check the rounded-mean proxy within rounding slack
+      val proxy = grp.map(_._4).sum / grp.length
+      assert(math.abs(target - r6d(proxy)) < 1e-4, s"bucket $b target $target vs ~$proxy")
+    }
+    // monotone targets: higher ventiles have >= mean length
+    val targets = rows.groupBy(_._2).map { case (b, g) => b -> g.head._6 }.toSeq.sortBy(_._1)
+    assert(targets.map(_._2).sliding(2).forall(p => p(0) <= p(1) + 1e-9), "targets not monotone")
+  }
+
   test("q_rfm partitions every customer once and scores quintiles correctly") {
     val segs = AnalyticsQueries.qRfm(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
