@@ -405,7 +405,79 @@ object StreamingQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS volume
       |FROM e GROUP BY 1, 2""".stripMargin
 
+  /** STREAMING drift monitor — q_psi's streaming twin, and the strongest
+    * consistency statement in the streaming family: the live cohort (odd
+    * users' purchase values) is binned IN-STREAM against decile
+    * boundaries fitted to the static reference cohort (even users), the
+    * complete-mode bin counts are drained, and the final PSI frame must
+    * hash-match the BATCH q_psi oracle verbatim (same SQL — the oracle
+    * literally IS q_psi's). Boundaries are computed batch-side
+    * (PrefixSum decile pass) and collected to the driver as NINE doubles
+    * — a control-plane scalar, the same O(k) discipline as the IVF
+    * centroids — then embedded as a literal array in the streaming
+    * expression: no stream-static join, no broadcast inside the
+    * micro-batch plan, nothing for the streaming corpus-broadcast guard
+    * to catch. Production shape: refit boundaries on a schedule, keep
+    * the scoring expression literal-only so every micro-batch stays a
+    * stateless map + windowless count. Arrival-order invariant by
+    * construction (bin counts are commutative).
+    */
+  def qStreamDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.PrefixSum
+    val ev = graft.Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("value"), (col("user_id") % 2 === 0).as("is_ref"))
+    val refv = ev.filter(col("is_ref")).groupBy(col("value")).agg(count(lit(1)).as("c"))
+    val cum = PrefixSum.cumsum(refv, col("c"), Seq(col("value")), "cum")
+    val ks = refv.agg(sum(col("c")).cast("bigint").as("nr"))
+      .select(col("nr"), explode(sequence(lit(1), lit(9))).as("k"))
+      .withColumn("thr", expr("CAST((k * nr + 9) div 10 AS BIGINT)"))
+    val boundsSeq = cum.join(broadcast(ks), col("cum") >= col("thr"))
+      .groupBy(col("k")).agg(min(col("value")).as("b"))
+      .agg(sort_array(collect_list(col("b"))).as("barr"))
+      .collect().head.getSeq[Double](0)
+    val barr = array(boundsSeq.map(lit): _*)
+    def binOf(v: org.apache.spark.sql.Column) =
+      size(filter(barr, b => b < v)).cast("bigint")
+    val curBins = eventStream(s, dir)
+      .filter(col("event_type") === "purchase" && col("user_id") % 2 === 1)
+      .withColumn("bin", binOf(col("value")))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cur_n"))
+    val drained = drainToMemory(curBins, "graft_stream_drift", "complete")
+    val refBins = ev.filter(col("is_ref"))
+      .withColumn("bin", binOf(col("value")))
+      .groupBy(col("bin")).agg(count(lit(1)).as("ref_n"))
+    val tot = ev.agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).cast("bigint").as("np"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).cast("bigint").as("nq"))
+    val grid = s.range(0, 10).select(col("id").as("bin"))
+      .join(refBins, Seq("bin"), "left")
+      .join(drained, Seq("bin"), "left")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+    val terms = grid.crossJoin(broadcast(tot))
+      .withColumn("term_raw", expr(
+        """(CAST(2 * ref_n + 1 AS DOUBLE) / CAST(2 * np + 10 AS DOUBLE)
+          | - CAST(2 * cur_n + 1 AS DOUBLE) / CAST(2 * nq + 10 AS DOUBLE)) *
+          |(LN(CAST(2 * ref_n + 1 AS DOUBLE)) - LN(CAST(2 * np + 10 AS DOUBLE))
+          | - LN(CAST(2 * cur_n + 1 AS DOUBLE)) + LN(CAST(2 * nq + 10 AS DOUBLE)))""".stripMargin))
+    val stat = terms.agg(
+      sum(expr("CAST(term_raw AS DECIMAL(28,14))")).cast("double").as("psi_raw"))
+    terms.crossJoin(broadcast(stat))
+      .select(col("bin"),
+        when(col("bin") === 0, lit(null).cast("double"))
+          .otherwise(element_at(barr, col("bin").cast("int"))).as("lo"),
+        col("ref_n"), col("cur_n"),
+        round(col("ref_n").cast("double") / col("np"), 6).as("ref_share"),
+        round(col("cur_n").cast("double") / col("nq"), 6).as("cur_share"),
+        round(col("term_raw"), 6).as("term"), round(col("psi_raw"), 6).as("psi"))
+  }
+
+  /** The oracle IS q_psi's: streaming execution must reproduce the batch
+    * statistic bit-for-bit. */
+  val qStreamDriftSql: String = EvalQueries.qPsiSql
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_stream_drift" -> ((qStreamDrift _, Some(qStreamDriftSql))),
     "q_stream_ohlc" -> ((qStreamOhlc _, Some(qStreamOhlcSql))),
     "q_stream_curation" -> ((qStreamCuration _, Some(qStreamCurationSql))),
     "q_stream_enrich" -> ((qStreamEnrich _, Some(qStreamEnrichSql))),

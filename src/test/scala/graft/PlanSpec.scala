@@ -109,7 +109,7 @@ class PlanSpec extends SparkSpec {
     Set("q_stream_tumbling", "q_stream_dedup", "q_stream_sliding", "q_stream_session",
       "q_stream_session_dyn",
       "q_stream_custom_state", "q_stream_join", "q_stream_enrich", "q_stream_curation",
-      "q_stream_ohlc")
+      "q_stream_ohlc", "q_stream_drift")
 
   // ---------------------------------------------------------------------
   // Broadcast-hint guard (r5/r7 verdict): a broadcast() HINT whose subtree
