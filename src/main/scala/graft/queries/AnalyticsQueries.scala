@@ -1068,6 +1068,103 @@ object AnalyticsQueries {
       |UNION ALL
       |SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events""".stripMargin
 
+  /** Seasonality profile — the (ISO weekday × hour) activity grid with a
+    * seasonal index per cell (cell mean purchase value / grand mean):
+    * the diagnostic that sizes resampling grains, staffing windows and
+    * anomaly baselines before any model sees the series. Weekday comes
+    * from Spark's weekday() (Monday = 0) + 1 ≡ DuckDB's isodow —
+    * engine-portable without timezone-sensitive dayofweek conventions.
+    * Exactness: cell and grand sums are decimal-exact; both means are
+    * single identical IEEE divisions; the index divides those two
+    * doubles in the same order on both engines. Scale: one
+    * map-side-combinable aggregate to a ≤168-cell grid; the grand-total
+    * row rides one broadcast.
+    */
+  def qSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(expr("weekday(ts) + 1").as("isodow"), hour(col("ts")).as("hr"),
+        col("value"))
+    val cells = ev.groupBy(col("isodow"), col("hr"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+      .withColumn("cell_mean", col("sum_v") / col("n"))
+    val grand = ev.agg(count(lit(1)).as("n_all"), dsum(col("value")).as("sum_all"))
+      .withColumn("grand_mean", col("sum_all") / col("n_all"))
+    cells.crossJoin(broadcast(grand))
+      .select(col("isodow"), col("hr"), col("n"),
+        r6(col("cell_mean")).as("cell_mean"),
+        r6(col("grand_mean")).as("grand_mean"),
+        r6(col("cell_mean") / col("grand_mean")).as("seasonal_index"),
+        r6(col("n").cast("double") * 168.0 / col("n_all")).as("volume_index"))
+  }
+
+  val qSeasonalitySql: String =
+    """WITH ev AS (SELECT isodow(ts) AS isodow, hour(ts) AS hr, value
+      |            FROM events WHERE event_type = 'purchase'),
+      |cells AS (SELECT isodow, hr, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_v
+      |  FROM ev GROUP BY 1, 2),
+      |g AS (SELECT COUNT(*) AS n_all,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_all FROM ev)
+      |SELECT isodow, hr, n,
+      |  ROUND(sum_v / n, 6) AS cell_mean,
+      |  ROUND(sum_all / n_all, 6) AS grand_mean,
+      |  ROUND((sum_v / n) / (sum_all / n_all), 6) AS seasonal_index,
+      |  ROUND(CAST(n AS DOUBLE) * 168.0 / n_all, 6) AS volume_index
+      |FROM cells, g""".stripMargin
+
+  /** Churn feature/label frame — the TEMPORAL-SPLIT training-data
+    * generator, done with the discipline that makes it leak-free: a
+    * global activity cutoff at max(ts) − 7 days, features computed
+    * STRICTLY BEFORE the cutoff (counts per event type, exact-decimal
+    * spend, distinct active days, recency gap), and the label — churned
+    * = zero events in the final week — STRICTLY AT-OR-AFTER it. Users
+    * with no pre-cutoff history are excluded (no features to train on),
+    * exactly as a production labeler would. Scale: two user-keyed
+    * aggregates and one left join; the cutoff is a 1-row broadcast.
+    */
+  def qChurnFeatures(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cutoff = ev.agg((max(col("ts")) - expr("INTERVAL 7 DAYS")).as("cutoff"))
+    val withCut = ev.crossJoin(broadcast(cutoff))
+    val feats = withCut.filter(col("ts") < col("cutoff"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).cast("bigint").as("n_views"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).cast("bigint").as("n_clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).cast("bigint").as("n_purchases"),
+        dsum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))).as("spend"),
+        countDistinct(date_trunc("day", col("ts"))).as("days_active"),
+        max(col("ts")).as("last_seen"),
+        max(col("cutoff")).as("cutoff"))
+      .withColumn("recency_days", datediff(col("cutoff"), col("last_seen")))
+    val post = withCut.filter(col("ts") >= col("cutoff"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_post"))
+    feats.join(post, Seq("user_id"), "left").na.fill(0L, Seq("n_post"))
+      .select(col("user_id"), col("n_events"), col("n_views"), col("n_clicks"),
+        col("n_purchases"), r6(col("spend")).as("spend"), col("days_active"),
+        col("recency_days"), (col("n_post") === 0).as("churned"))
+  }
+
+  val qChurnFeaturesSql: String =
+    """WITH c AS (SELECT MAX(ts) - INTERVAL 7 DAY AS cutoff FROM events),
+      |pre AS (SELECT user_id, COUNT(*) AS n_events,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(value AS DECIMAL(12,4)) ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+      |      AS spend,
+      |    COUNT(DISTINCT date_trunc('day', ts)) AS days_active,
+      |    MAX(ts) AS last_seen, MAX(cutoff) AS cutoff
+      |  FROM events, c WHERE ts < cutoff GROUP BY user_id),
+      |post AS (SELECT user_id, COUNT(*) AS n_post
+      |         FROM events, c WHERE ts >= cutoff GROUP BY user_id)
+      |SELECT pre.user_id, n_events, n_views, n_clicks, n_purchases,
+      |  ROUND(spend, 6) AS spend, days_active,
+      |  CAST(date_diff('day', last_seen, cutoff) AS BIGINT) AS recency_days,
+      |  COALESCE(post.n_post, 0) = 0 AS churned
+      |FROM pre LEFT JOIN post ON pre.user_id = post.user_id""".stripMargin
+
   /** Multi-touch attribution — the marketing-analytics join that assigns
     * conversion credit to the touchpoints that preceded it: for every
     * purchase, the clicks by the SAME user in the preceding 7 days, with
@@ -2142,6 +2239,8 @@ object AnalyticsQueries {
     "q_kendall" -> ((qKendall _, Some(qKendallSql))),
     "q_rfm" -> ((qRfm _, Some(qRfmSql))),
     "q_attribution" -> ((qAttribution _, Some(qAttributionSql))),
+    "q_seasonality" -> ((qSeasonality _, Some(qSeasonalitySql))),
+    "q_churn_features" -> ((qChurnFeatures _, Some(qChurnFeaturesSql))),
     "q_cusum" -> ((qCusum _, Some(qCusumSql))),
     "q_benford" -> ((qBenford _, Some(qBenfordSql))),
     "q_entity_resolution" -> ((qEntityResolution _, Some(qEntityResolutionSql))),

@@ -102,7 +102,11 @@ class PlanSpec extends SparkSpec {
       "q_rfm",
       // PrefixSum offsets + 1-row totals cross + the 10-row decile
       // cumulative theta self-join (metadata-scale, the q_zipf pattern)
-      "q_gains")
+      "q_gains",
+      // 1-row grand-mean cross onto the <=168-cell grid
+      "q_seasonality",
+      // 1-row activity-cutoff cross onto the events scan (twice)
+      "q_churn_features")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
@@ -172,6 +176,8 @@ class PlanSpec extends SparkSpec {
       "q_bootstrap" -> (scalar + " (1-row n/mean point estimate)"),
       "q_rfm" -> (scalar + " (1-row anchor date + 1-row customer count)"),
       "q_gains" -> (scalar + " (1-row n/positives totals + 10-row decile table)"),
+      "q_seasonality" -> (scalar + " (1-row grand-mean totals)"),
+      "q_churn_features" -> (scalar + " (1-row activity cutoff)"),
       "q_js_divergence" -> (perType + " (per-source token totals: O(#sources) rows)"),
       "q_quantile_norm" -> (perType + " (S-row per-source counts + 20-row target-quantile table)"))
   }

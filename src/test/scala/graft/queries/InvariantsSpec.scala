@@ -325,6 +325,38 @@ class InvariantsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_seasonality indexes average to 1 under volume weighting") {
+    val rows = AnalyticsQueries.qSeasonality(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (dw, hr, n, si, vi) =>
+      assert(dw >= 1 && dw <= 7 && hr >= 0 && hr <= 23)
+      assert(n > 0 && si > 0 && vi > 0)
+    }
+    val totalN = rows.map(_._3).sum.toDouble
+    // volume-weighted mean of the seasonal index is the grand mean ratio = 1
+    val weighted = rows.map { case (_, _, n, si, _) => n * si }.sum / totalN
+    assert(math.abs(weighted - 1.0) < 1e-3, s"weighted seasonal index $weighted")
+    val viMean = rows.map { case (_, _, n, _, vi) => n * 168.0 / totalN }.sum / rows.length
+    assert(viMean > 0)
+  }
+
+  test("q_churn_features labels agree with a sequential cutoff replay") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val cutoff = ev.map(_._2).max - 7L * 24 * 3600 * 1000
+    val pre = ev.filter(_._2 < cutoff).groupBy(_._1)
+    val postUsers = ev.filter(_._2 >= cutoff).map(_._1).toSet
+    val got = AnalyticsQueries.qChurnFeatures(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(8))).toSeq
+    assert(got.map(_._1).toSet == pre.keySet, "feature rows = users with pre-cutoff history")
+    got.foreach { case (u, nEvents, churned) =>
+      assert(nEvents == pre(u).length.toLong, s"user $u n_events")
+      assert(churned == !postUsers.contains(u), s"user $u label")
+    }
+  }
+
   test("RRF output is ranked consistently with its component ranks") {
     val rows = TextQueries.qRrf(spark, sfDir).collect()
       .map(r => (r.getLong(0), Option(r.getAs[Integer]("rank_lex")),
