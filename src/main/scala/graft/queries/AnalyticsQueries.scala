@@ -1112,6 +1112,72 @@ object AnalyticsQueries {
       |  ROUND(CAST(n AS DOUBLE) * 168.0 / n_all, 6) AS volume_index
       |FROM cells, g""".stripMargin
 
+  /** Seasonal-naive forecast baseline — the score every fancy forecaster
+    * must beat before it earns a deploy: predict each of the final
+    * week's hourly purchase counts with the SAME HOUR LAST WEEK
+    * (lag-168), and report the exact error profile (MAE, sMAPE, bias,
+    * coverage). The join is hourly-aggregate against itself shifted by
+    * 168 hours — gap-proof (a missing history hour simply scores as
+    * uncovered, no contiguity assumption), all-integer errors
+    * (|x − x₋₁₆₈| is a BIGINT; only the final ratios divide), and the
+    * evaluation window is anchored to max(ts) − 7 days, a 1-row
+    * broadcast. Scale: 100 TB of events collapses to #hours rows before
+    * anything else happens; the lag join shuffles only the rollup —
+    * the q_acf shape applied to forecasting.
+    */
+  def qForecastBaseline(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val cutoff = Tables.events(s, dir)
+      .agg((max(col("ts")) - expr("INTERVAL 7 DAYS")).as("eval_start"))
+    val target = hourly.crossJoin(broadcast(cutoff))
+      .filter(col("hr") >= col("eval_start"))
+    val hist = hourly.select((col("hr") + expr("INTERVAL 168 HOURS")).as("hr"),
+      col("x").as("forecast"))
+    val scored = target.join(hist, Seq("hr"), "left")
+    scored.agg(
+        count(lit(1)).as("n_hours"),
+        sum(when(col("forecast").isNotNull, 1L).otherwise(0L)).cast("bigint").as("n_covered"),
+        sum(when(col("forecast").isNotNull, abs(col("x") - col("forecast")))
+          .otherwise(0L)).cast("bigint").as("abs_err_sum"),
+        sum(when(col("forecast").isNotNull, col("x") - col("forecast"))
+          .otherwise(0L)).cast("bigint").as("bias_sum"),
+        sum(when(col("forecast").isNotNull,
+            expr("CAST(2.0 * ABS(x - forecast) / (x + forecast) AS DECIMAL(28,14))"))
+          .otherwise(expr("CAST(0 AS DECIMAL(28,14))"))).cast("double").as("smape_sum"))
+      .select(col("n_hours"), col("n_covered"), col("abs_err_sum"), col("bias_sum"),
+        r6(col("abs_err_sum").cast("double") / col("n_covered")).as("mae"),
+        r6(col("bias_sum").cast("double") / col("n_covered")).as("mean_bias"),
+        r6(col("smape_sum") / col("n_covered")).as("smape"),
+        r6(col("n_covered").cast("double") / col("n_hours")).as("coverage"))
+  }
+
+  val qForecastBaselineSql: String =
+    """WITH h AS (SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |c AS (SELECT MAX(ts) - INTERVAL 7 DAY AS eval_start FROM events),
+      |t AS (SELECT h.* FROM h, c WHERE hr >= eval_start),
+      |f AS (SELECT hr + INTERVAL 168 HOUR AS hr, x AS forecast FROM h),
+      |sc AS (SELECT t.hr, t.x, f.forecast FROM t LEFT JOIN f USING (hr)),
+      |agg AS (SELECT COUNT(*) AS n_hours,
+      |    CAST(SUM(CASE WHEN forecast IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      |    CAST(SUM(CASE WHEN forecast IS NOT NULL THEN ABS(x - forecast) ELSE 0 END) AS BIGINT)
+      |      AS abs_err_sum,
+      |    CAST(SUM(CASE WHEN forecast IS NOT NULL THEN x - forecast ELSE 0 END) AS BIGINT)
+      |      AS bias_sum,
+      |    CAST(SUM(CASE WHEN forecast IS NOT NULL
+      |      THEN CAST(2.0 * ABS(x - forecast) / (x + forecast) AS DECIMAL(28,14))
+      |      ELSE CAST(0 AS DECIMAL(28,14)) END) AS DOUBLE) AS smape_sum
+      |  FROM sc)
+      |SELECT n_hours, n_covered, abs_err_sum, bias_sum,
+      |  ROUND(CAST(abs_err_sum AS DOUBLE) / n_covered, 6) AS mae,
+      |  ROUND(CAST(bias_sum AS DOUBLE) / n_covered, 6) AS mean_bias,
+      |  ROUND(smape_sum / n_covered, 6) AS smape,
+      |  ROUND(CAST(n_covered AS DOUBLE) / n_hours, 6) AS coverage
+      |FROM agg""".stripMargin
+
   /** Churn feature/label frame — the TEMPORAL-SPLIT training-data
     * generator, done with the discipline that makes it leak-free: a
     * global activity cutoff at max(ts) − 7 days, features computed
@@ -2241,6 +2307,7 @@ object AnalyticsQueries {
     "q_attribution" -> ((qAttribution _, Some(qAttributionSql))),
     "q_seasonality" -> ((qSeasonality _, Some(qSeasonalitySql))),
     "q_churn_features" -> ((qChurnFeatures _, Some(qChurnFeaturesSql))),
+    "q_forecast_baseline" -> ((qForecastBaseline _, Some(qForecastBaselineSql))),
     "q_cusum" -> ((qCusum _, Some(qCusumSql))),
     "q_benford" -> ((qBenford _, Some(qBenfordSql))),
     "q_entity_resolution" -> ((qEntityResolution _, Some(qEntityResolutionSql))),

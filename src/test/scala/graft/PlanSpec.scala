@@ -106,7 +106,9 @@ class PlanSpec extends SparkSpec {
       // 1-row grand-mean cross onto the <=168-cell grid
       "q_seasonality",
       // 1-row activity-cutoff cross onto the events scan (twice)
-      "q_churn_features")
+      "q_churn_features",
+      // 1-row eval-window-start cross onto the hourly rollup
+      "q_forecast_baseline")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
@@ -178,6 +180,7 @@ class PlanSpec extends SparkSpec {
       "q_gains" -> (scalar + " (1-row n/positives totals + 10-row decile table)"),
       "q_seasonality" -> (scalar + " (1-row grand-mean totals)"),
       "q_churn_features" -> (scalar + " (1-row activity cutoff)"),
+      "q_forecast_baseline" -> (scalar + " (1-row eval-window start)"),
       "q_js_divergence" -> (perType + " (per-source token totals: O(#sources) rows)"),
       "q_quantile_norm" -> (perType + " (S-row per-source counts + 20-row target-quantile table)"))
   }

@@ -357,6 +357,28 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q_forecast_baseline replays the lag-168 errors sequentially") {
+    val hourly = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(date_trunc("hour", col("ts")).as("hr")).collect()
+      .map(_.getTimestamp(0).getTime)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val maxTs = Tables.events(spark, sfDir).agg(max(col("ts")))
+      .collect().head.getTimestamp(0).getTime
+    val evalStart = maxTs - 7L * 24 * 3600 * 1000
+    val lag = 168L * 3600 * 1000
+    val target = hourly.filter(_._1 >= evalStart)
+    val scoredErrs = target.toSeq.flatMap { case (hr, x) =>
+      hourly.get(hr - lag).map(f => (math.abs(x - f), x - f))
+    }
+    val got = AnalyticsQueries.qForecastBaseline(spark, sfDir).collect().head
+    assert(got.getLong(0) == target.size.toLong)
+    assert(got.getLong(1) == scoredErrs.size.toLong)
+    assert(got.getLong(2) == scoredErrs.map(_._1).sum)
+    assert(got.getLong(3) == scoredErrs.map(_._2).sum)
+    assert(got.getDouble(7) > 0.0 && got.getDouble(7) <= 1.0)
+  }
+
   test("RRF output is ranked consistently with its component ranks") {
     val rows = TextQueries.qRrf(spark, sfDir).collect()
       .map(r => (r.getLong(0), Option(r.getAs[Integer]("rank_lex")),
