@@ -429,6 +429,63 @@ object EvalQueries {
       |  ROUND(SQRT(ssq / n - (ssum / n) * (ssum / n)), 6) AS std_v
       |FROM m""".stripMargin
 
+  /** Linear-kernel Maximum Mean Discrepancy between the label<5 and
+    * label≥5 embedding cohorts — distribution shift measured IN THE
+    * EMBEDDING SPACE, completing the drift battery (q_psi: binned scalar;
+    * q_ks_test: scalar ECDF; q_js_divergence: token distribution). With
+    * the linear kernel, MMD² collapses to ‖μ_A − μ_B‖² — the squared
+    * distance between cohort mean vectors — so the statistic is exact
+    * per-dimension decimal sums (the q_feature_scaling float recipe),
+    * one identical IEEE division per mean, and a decimal-summed square
+    * of identical doubles. Per-dimension rows expose WHERE the shift
+    * lives (the actionable part); the scalar MMD rides every row via a
+    * 1-row cross. Scale: one corpus pass explodes to (rows × d) with
+    * map-side combine down to 2d cells; everything after is d-sized.
+    */
+  def qMmd(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(when(col("label") < 5, lit("a")).otherwise(lit("b")).as("grp"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+    val m = e.groupBy(col("grp"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("double").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
+          .cast("double").as("ssum"))
+      .withColumn("mean_v", col("ssum") / col("n"))
+    val a = m.filter(col("grp") === "a")
+      .select(col("dim"), col("n").as("n_a"), col("mean_v").as("mean_a"))
+    val b = m.filter(col("grp") === "b")
+      .select(col("dim"), col("n").as("n_b"), col("mean_v").as("mean_b"))
+    val perDim = a.join(b, "dim")
+      .withColumn("diff", col("mean_a") - col("mean_b"))
+      .withColumn("sq", expr("CAST(diff * diff AS DECIMAL(28,14))"))
+    val stat = perDim.agg(sum(col("sq")).cast("double").as("mmd2_raw"))
+    perDim.crossJoin(broadcast(stat))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        r6(col("mean_a")).as("mean_a"), r6(col("mean_b")).as("mean_b"),
+        r6(col("diff")).as("diff"),
+        r6(col("mmd2_raw")).as("mmd2"),
+        r6(sqrt(col("mmd2_raw"))).as("mmd"))
+  }
+
+  val qMmdSql: String =
+    """WITH e AS (SELECT CASE WHEN label < 5 THEN 'a' ELSE 'b' END AS grp,
+      |    CAST(i - 1 AS INT) AS dim, embedding[CAST(i AS INT)] AS v
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |m AS (SELECT grp, dim, COUNT(*) AS n,
+      |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS ssum
+      |  FROM e GROUP BY 1, 2),
+      |mm AS (SELECT m.*, ssum / n AS mean_v FROM m),
+      |a AS (SELECT dim, n AS n_a, mean_v AS mean_a FROM mm WHERE grp = 'a'),
+      |b AS (SELECT dim, n AS n_b, mean_v AS mean_b FROM mm WHERE grp = 'b'),
+      |pd AS (SELECT a.dim, n_a, n_b, mean_a, mean_b, mean_a - mean_b AS diff,
+      |         CAST((mean_a - mean_b) * (mean_a - mean_b) AS DECIMAL(28,14)) AS sq
+      |       FROM a JOIN b USING (dim)),
+      |st AS (SELECT CAST(SUM(sq) AS DOUBLE) AS mmd2_raw FROM pd)
+      |SELECT dim, n_a, n_b, ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+      |  ROUND(diff, 6) AS diff, ROUND(mmd2_raw, 6) AS mmd2,
+      |  ROUND(SQRT(mmd2_raw), 6) AS mmd
+      |FROM pd, st""".stripMargin
+
   /** Cohen's kappa of the q_lang_id stopword heuristic vs the labeled lang
     * column — chance-corrected agreement, the companion number to
     * q_classifier_metrics' per-class P/R/F1 (accuracy alone flatters a
@@ -1138,6 +1195,7 @@ object EvalQueries {
     "q_bootstrap" -> ((qBootstrap _, Some(qBootstrapSql))),
     "q_gains" -> ((qGains _, Some(qGainsSql))),
     "q_quantile_norm" -> ((qQuantileNorm _, Some(qQuantileNormSql))),
+    "q_mmd" -> ((qMmd _, Some(qMmdSql))),
     "q_chi_squared" -> ((qChiSquared _, Some(qChiSquaredSql))),
     "q_js_divergence" -> ((qJsDivergence _, Some(qJsDivergenceSql))),
     "q_rouge_overlap" -> ((qRougeOverlap _, Some(qRougeOverlapSql))),

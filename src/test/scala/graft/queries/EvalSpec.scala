@@ -244,6 +244,28 @@ class EvalSpec extends SparkSpec {
   private def hex4(h: String): Long =
     java.lang.Long.parseLong(h.substring(0, 4), 16)
 
+  test("q_mmd equals the in-JVM mean-difference norm and is dimension-complete") {
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0) < 5, r.getSeq[Float](1).map(_.toDouble)))
+    val d = rows.head._2.length
+    def mean(g: Array[(Boolean, Seq[Double])]) =
+      (0 until d).map(i => g.map(_._2(i)).sum / g.length)
+    val ma = mean(rows.filter(_._1))
+    val mb = mean(rows.filterNot(_._1))
+    val mmd2 = (0 until d).map(i => (ma(i) - mb(i)) * (ma(i) - mb(i))).sum
+    val got = EvalQueries.qMmd(spark, sfDir).collect()
+    assert(got.length == d, s"expected $d dims, got ${got.length}")
+    assert(math.abs(got.head.getDouble(6) - mmd2) < 1e-4,
+      s"mmd2 ${got.head.getDouble(6)} vs $mmd2")
+    assert(math.abs(got.head.getDouble(7) - math.sqrt(mmd2)) < 1e-4)
+    got.foreach { r =>
+      val i = r.getAs[Number](0).intValue
+      assert(math.abs(r.getDouble(3) - ma(i)) < 1e-4, s"mean_a dim $i")
+      assert(math.abs(r.getDouble(4) - mb(i)) < 1e-4, s"mean_b dim $i")
+    }
+  }
+
   test("q_quantile_norm has the equal-weight QN property and covers every doc") {
     val rows = EvalQueries.qQuantileNorm(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
