@@ -1178,6 +1178,69 @@ object AnalyticsQueries {
       |  ROUND(CAST(n_covered AS DOUBLE) / n_hours, 6) AS coverage
       |FROM agg""".stripMargin
 
+  /** Split conformal prediction interval for the seasonal-naive
+    * forecaster — distribution-free uncertainty with a finite-sample
+    * guarantee (Vovk; Lei et al. 2018): calibrate |x − x₋₁₆₈| residuals
+    * on the pre-evaluation window, take q̂ = the ⌈0.9·(n+1)⌉-th smallest
+    * calibration residual (the conformal quantile — computed exactly via
+    * a [[graft.ops.PrefixSum]] pass over the DISTINCT integer residual
+    * table, no sort, no ntile), and report how often the final week's
+    * actuals land inside forecast ± q̂. Coverage ≈ 90% is the GUARANTEE,
+    * not a hope — the property the spec asserts. Everything is integer
+    * (residuals are BIGINT count differences; the quantile threshold is
+    * exact ceiling arithmetic); only the final coverage ratio divides.
+    * Scale: the calibration and eval frames are hourly-rollup-sized; the
+    * q̂ scalar rides one broadcast row.
+    */
+  def qConformal(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val cutoff = Tables.events(s, dir)
+      .agg((max(col("ts")) - expr("INTERVAL 7 DAYS")).as("eval_start"))
+    val scored = hourly.join(
+        hourly.select((col("hr") + expr("INTERVAL 168 HOURS")).as("hr"),
+          col("x").as("forecast")), Seq("hr"))
+      .crossJoin(broadcast(cutoff))
+      .withColumn("resid", abs(col("x") - col("forecast")))
+    val cal = scored.filter(col("hr") < col("eval_start"))
+    val calDist = cal.groupBy(col("resid")).agg(count(lit(1)).as("c"))
+    val cum = graft.ops.PrefixSum.cumsum(calDist, col("c"), Seq(col("resid")), "cum")
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val qhat = cum.crossJoin(broadcast(nCal))
+      .filter(col("cum") >= expr("CAST((9 * (n_cal + 1) + 9) div 10 AS BIGINT)"))
+      .agg(min(col("resid")).as("q_hat"), max(col("n_cal")).as("n_cal"))
+    scored.filter(col("hr") >= col("eval_start"))
+      .crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("resid") <= col("q_hat"), 1L).otherwise(0L))
+          .cast("bigint").as("n_covered"),
+        max(col("q_hat")).as("q_hat"), max(col("n_cal")).as("n_cal"))
+      .select(col("n_cal"), col("q_hat"), col("n_eval"), col("n_covered"),
+        r6(col("n_covered").cast("double") / col("n_eval")).as("coverage"))
+  }
+
+  val qConformalSql: String =
+    """WITH h AS (SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |c AS (SELECT MAX(ts) - INTERVAL 7 DAY AS eval_start FROM events),
+      |sc AS (SELECT h.hr, h.x, f.forecast, ABS(h.x - f.forecast) AS resid, eval_start
+      |       FROM h JOIN (SELECT hr + INTERVAL 168 HOUR AS hr, x AS forecast FROM h) f
+      |       USING (hr), c),
+      |cal AS (SELECT * FROM sc WHERE hr < eval_start),
+      |cd AS (SELECT resid, COUNT(*) AS cnt FROM cal GROUP BY 1),
+      |cum AS (SELECT resid, CAST(SUM(cnt) OVER (ORDER BY resid) AS BIGINT) AS cum FROM cd),
+      |n AS (SELECT COUNT(*) AS n_cal FROM cal),
+      |q AS (SELECT MIN(resid) AS q_hat, MAX(n_cal) AS n_cal
+      |      FROM cum, n WHERE cum >= CAST((9 * (n_cal + 1) + 9) // 10 AS BIGINT)),
+      |ev AS (SELECT * FROM sc WHERE hr >= eval_start)
+      |SELECT q.n_cal, q.q_hat, COUNT(*) AS n_eval,
+      |  CAST(SUM(CASE WHEN resid <= q_hat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      |  ROUND(CAST(SUM(CASE WHEN resid <= q_hat THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+      |    AS coverage
+      |FROM ev, q GROUP BY 1, 2""".stripMargin
+
   /** Churn feature/label frame — the TEMPORAL-SPLIT training-data
     * generator, done with the discipline that makes it leak-free: a
     * global activity cutoff at max(ts) − 7 days, features computed
@@ -2308,6 +2371,7 @@ object AnalyticsQueries {
     "q_seasonality" -> ((qSeasonality _, Some(qSeasonalitySql))),
     "q_churn_features" -> ((qChurnFeatures _, Some(qChurnFeaturesSql))),
     "q_forecast_baseline" -> ((qForecastBaseline _, Some(qForecastBaselineSql))),
+    "q_conformal" -> ((qConformal _, Some(qConformalSql))),
     "q_cusum" -> ((qCusum _, Some(qCusumSql))),
     "q_benford" -> ((qBenford _, Some(qBenfordSql))),
     "q_entity_resolution" -> ((qEntityResolution _, Some(qEntityResolutionSql))),

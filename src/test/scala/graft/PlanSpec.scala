@@ -110,7 +110,9 @@ class PlanSpec extends SparkSpec {
       // 1-row eval-window-start cross onto the hourly rollup
       "q_forecast_baseline",
       // 1-row mmd2 statistic cross onto the d-row per-dimension table
-      "q_mmd")
+      "q_mmd",
+      // PrefixSum offsets + 1-row eval-start/n_cal/q-hat crosses
+      "q_conformal")
   // Streaming queries execute on fn() (AvailableNow drain) — their final
   // frame is a memory-table read; plan checks don't apply.
   private val skipped =
@@ -184,6 +186,7 @@ class PlanSpec extends SparkSpec {
       "q_churn_features" -> (scalar + " (1-row activity cutoff)"),
       "q_forecast_baseline" -> (scalar + " (1-row eval-window start)"),
       "q_mmd" -> (scalar + " (1-row mmd2 statistic)"),
+      "q_conformal" -> (scalar + " (1-row eval-start, calibration count, conformal quantile)"),
       "q_js_divergence" -> (perType + " (per-source token totals: O(#sources) rows)"),
       "q_quantile_norm" -> (perType + " (S-row per-source counts + 20-row target-quantile table)"))
   }

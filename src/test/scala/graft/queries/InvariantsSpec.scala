@@ -379,6 +379,32 @@ class InvariantsSpec extends SparkSpec {
     assert(got.getDouble(7) > 0.0 && got.getDouble(7) <= 1.0)
   }
 
+  test("q_conformal's quantile replays sequentially and coverage honors the guarantee") {
+    val hourly = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(date_trunc("hour", col("ts")).as("hr")).collect()
+      .map(_.getTimestamp(0).getTime)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val maxTs = Tables.events(spark, sfDir).agg(max(col("ts")))
+      .collect().head.getTimestamp(0).getTime
+    val evalStart = maxTs - 7L * 24 * 3600 * 1000
+    val lag = 168L * 3600 * 1000
+    val scored = hourly.toSeq.flatMap { case (hr, x) =>
+      hourly.get(hr - lag).map(f => (hr, math.abs(x - f)))
+    }
+    val cal = scored.filter(_._1 < evalStart).map(_._2).sorted
+    val k = (9 * (cal.length + 1) + 9) / 10
+    val qHat = cal(math.min(k, cal.length) - 1)
+    val ev = scored.filter(_._1 >= evalStart)
+    val covered = ev.count(_._2 <= qHat)
+    val got = AnalyticsQueries.qConformal(spark, sfDir).collect().head
+    assert(got.getLong(0) == cal.length.toLong)
+    assert(got.getLong(1) == qHat)
+    assert(got.getLong(2) == ev.length.toLong && got.getLong(3) == covered.toLong)
+    // the finite-sample guarantee, with slack for a small eval window
+    assert(got.getDouble(4) >= 0.75, s"conformal coverage ${got.getDouble(4)} < 0.75")
+  }
+
   test("RRF output is ranked consistently with its component ranks") {
     val rows = TextQueries.qRrf(spark, sfDir).collect()
       .map(r => (r.getLong(0), Option(r.getAs[Integer]("rank_lex")),
