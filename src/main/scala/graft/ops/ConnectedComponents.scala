@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   *  - the edge table is shuffled ONCE: it is repartitioned by the join key
   *    and cached, so every round's join reuses its layout and only the
   *    (node, label) table — one row per node — moves;
-  *  - lineage is truncated each round with localCheckpoint, otherwise the
-  *    plan doubles per iteration and the driver ooms on plan analysis long
-  *    before the data is the problem. (A production run on an unreliable
-  *    cluster would use reliable checkpoint(dir) instead; same call shape.)
+  *  - lineage is truncated each round via [[Lineage.truncate]]:
+  *    localCheckpoint by default (cheapest; right at local[n]), reliable
+  *    checkpoint() to `spark.graft.checkpointDir` when the session sets
+  *    `spark.graft.reliableCheckpoint=true` — on a preemptible 1000-node
+  *    cluster an executor loss then re-reads the checkpoint instead of
+  *    killing the job. Either way the plan stops doubling per iteration,
+  *    which would oom the driver on plan analysis long before data volume
+  *    is the problem.
   *  - the per-round driver action is a 1-row existence check (did any
   *    label change), i.e. metadata-scale, not a collect of data.
   */
@@ -48,8 +52,8 @@ object ConnectedComponents {
     // the node-set extraction below each reference `edges`, and an
     // expensive upstream (a whole LSH pair pipeline) would otherwise
     // execute once per reference
-    val e = edges.select(col(src).as("e_src"), col(dst).as("e_dst"))
-      .localCheckpoint()
+    val e = Lineage.truncate(
+      edges.select(col(src).as("e_src"), col(dst).as("e_dst")))
     // Size the loop's parallelism to the GRAPH, not the session default:
     // after LSH pruning the edge list is usually orders of magnitude
     // smaller than the corpus, and every one of the O(log d) rounds pays
@@ -70,11 +74,11 @@ object ConnectedComponents {
 
     // node set from the UNFILTERED edge list, so a node appearing only in
     // self-loops still gets a (singleton) component instead of vanishing
-    var labels = e.select(col("e_src").as("node"))
-      .union(e.select(col("e_dst").as("node")))
-      .distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
+    var labels = Lineage.truncate(
+      e.select(col("e_src").as("node"))
+        .union(e.select(col("e_dst").as("node")))
+        .distinct()
+        .withColumn("lbl", col("node")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -89,14 +93,13 @@ object ConnectedComponents {
       // and monotonically nonincreasing — this is what turns O(diameter)
       // into O(log diameter). The old label rides along so convergence is
       // a filter on the checkpointed result, not another join per round.
-      val next = cand.as("c")
+      val next = Lineage.truncate(cand.as("c")
         .join(cand.select(col("node").as("l_node"), col("lbl").as("l_lbl")),
           col("c.lbl") === col("l_node"), "left")
         .select(col("node"),
           least(col("c.lbl"), coalesce(col("l_lbl"), col("c.lbl"))).as("lbl"),
           (least(col("c.lbl"), coalesce(col("l_lbl"), col("c.lbl")))
-            =!= col("old_lbl")).as("__chg"))
-        .localCheckpoint()
+            =!= col("old_lbl")).as("__chg")))
       converged = next.filter(col("__chg")).head(1).isEmpty
       labels = next.drop("__chg")
       iter += 1

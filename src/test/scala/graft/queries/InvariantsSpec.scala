@@ -337,8 +337,12 @@ class InvariantsSpec extends SparkSpec {
     // volume-weighted mean of the seasonal index is the grand mean ratio = 1
     val weighted = rows.map { case (_, _, n, si, _) => n * si }.sum / totalN
     assert(math.abs(weighted - 1.0) < 1e-3, s"weighted seasonal index $weighted")
-    val viMean = rows.map { case (_, _, n, _, vi) => n * 168.0 / totalN }.sum / rows.length
-    assert(viMean > 0)
+    // volume_index is the cell's share of volume relative to uniform: n·168/totalN
+    rows.foreach { case (dw, hr, n, _, vi) =>
+      val expectedVi = BigDecimal(n * 168.0 / totalN)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(vi - expectedVi) < 1e-9, s"volume_index at ($dw,$hr)")
+    }
   }
 
   test("q_churn_features labels agree with a sequential cutoff replay") {
