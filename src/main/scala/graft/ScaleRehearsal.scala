@@ -11,6 +11,11 @@ import org.apache.spark.sql.SparkSession
   * cluster would find out.
   *
   * Usage: runMain graft.ScaleRehearsal <dataDir> <query> [query ...]
+  *        runMain graft.ScaleRehearsal <dataDir> all      (whole registry)
+  *
+  * In `all` mode a per-query failure is caught and reported (the sweep's
+  * job is to FIND failures at scale, not to die on the first one); the
+  * process exits nonzero if any query failed.
   */
 object ScaleRehearsal {
 
@@ -30,7 +35,9 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleRehearsal <dataDir> <query> [query ...]")
     val dir = args(0)
-    val names = args.drop(1).toSeq
+    val names =
+      if (args.drop(1).toSeq == Seq("all")) SparkEntry.queries.keys.toSeq.sorted
+      else args.drop(1).toSeq
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,21 +52,32 @@ object ScaleRehearsal {
     spark.sparkContext.addSparkListener(meter)
     val joinOps = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
       "BroadcastNestedLoopJoin", "CartesianProduct")
+    var failures = 0
     for (n <- names) {
       meter.reset()
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(n)(spark, dir)
-      // collect() (not count()) so df's OWN plan executes and AQE
-      // finalizes its strategies; rehearsal queries return small frames
-      val rows = df.collect().length
-      val secs = (System.nanoTime() - t0) / 1e9
-      val plan = df.queryExecution.executedPlan.toString
-      val joins = joinOps.map(j => s"$j=${j.r.findAllIn(plan).size}")
-        .filterNot(_.endsWith("=0")).mkString(" ")
-      println(f"[rehearsal] $n rows=$rows secs=$secs%.2f " +
-        f"shuffleReadMB=${meter.read / 1e6}%.1f shuffleWriteMB=${meter.written / 1e6}%.1f " +
-        s"joins{${if (joins.isEmpty) "none" else joins}}")
+      try {
+        val df = SparkEntry.queries(n)(spark, dir)
+        // collect() (not count()) so df's OWN plan executes and AQE
+        // finalizes its strategies; rehearsal queries return small frames
+        val rows = df.collect().length
+        val secs = (System.nanoTime() - t0) / 1e9
+        val plan = df.queryExecution.executedPlan.toString
+        val joins = joinOps.map(j => s"$j=${j.r.findAllIn(plan).size}")
+          .filterNot(_.endsWith("=0")).mkString(" ")
+        println(f"[rehearsal] $n rows=$rows secs=$secs%.2f " +
+          f"shuffleReadMB=${meter.read / 1e6}%.1f shuffleWriteMB=${meter.written / 1e6}%.1f " +
+          s"joins{${if (joins.isEmpty) "none" else joins}}")
+      } catch {
+        case e: Throwable =>
+          failures += 1
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"[rehearsal] $n FAILED secs=$secs%.2f " +
+            s"err=${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
     }
+    println(s"[rehearsal] done: ${names.size - failures}/${names.size} ok")
     spark.stop()
+    if (failures > 0) sys.exit(1)
   }
 }

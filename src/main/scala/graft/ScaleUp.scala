@@ -89,6 +89,28 @@ object ScaleUp {
       (col("user_id") + lit(i * KeyOffset)).as("user_id"),
       col("event_type"), col("value"), col("props"))
 
+  /** customer/supplier scale WITH the fact tables (their keys are what the
+    * shifted o_custkey/l_suppkey reference), so join fan-in stays realistic
+    * at N× — every fact row still finds its dimension row. nation/region
+    * are copied VERBATIM (below): they are genuinely fixed-cardinality
+    * dims (25/5 rows) whose broadcast plans must stay broadcast at any
+    * scale, so the N× dir keeps them constant and the nationkey spread of
+    * copy i>0 customers is preserved by not shifting c_nationkey.
+    */
+  def customerCopy(src: DataFrame, i: Int): DataFrame =
+    if (i == 0) src
+    else src.select(
+      (col("c_custkey") + lit(i * KeyOffset)).as("c_custkey"),
+      col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+
+  def supplierCopy(src: DataFrame, i: Int): DataFrame =
+    if (i == 0) src
+    else src.select(
+      (col("s_suppkey") + lit(i * KeyOffset)).as("s_suppkey"),
+      col("s_name"), col("s_nationkey"), col("s_acctbal"))
+
+  def identityCopy(src: DataFrame, i: Int): DataFrame = src
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleUp <srcDir> <outDir> [copies]")
     val (srcDir, outDir) = (args(0), args(1))
@@ -107,10 +129,17 @@ object ScaleUp {
       "part" -> partCopy,
       "orders" -> ordersCopy,
       "lineitem" -> lineitemCopy,
-      "events" -> eventsCopy)
+      "events" -> eventsCopy,
+      "customer" -> customerCopy,
+      "supplier" -> supplierCopy,
+      // fixed-cardinality dims: constant at any scale (see customerCopy doc)
+      "region" -> identityCopy,
+      "nation" -> identityCopy)
+    val verbatim = Set("region", "nation")
     for ((table, gen) <- gens) {
       val src = spark.read.parquet(s"$srcDir/$table.parquet")
-      val out = (0 until copies).map(gen(src, _)).reduce(_.unionAll(_))
+      val nCopies = if (verbatim(table)) 1 else copies
+      val out = (0 until nCopies).map(gen(src, _)).reduce(_.unionAll(_))
       out.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
       println(s"[scaleup] $table: ${src.count()} -> ${spark.read.parquet(s"$outDir/$table.parquet").count()} rows")
     }
