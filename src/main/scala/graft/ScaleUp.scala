@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * a genuinely N× corpus behaves — rather than quadratically, the artifact
   * naive duplication would inject:
   *
-  *  - documents: copy i>0 suffixes every whitespace token with "_ci", so
-  *    shingle sets of different copies are DISJOINT while Jaccard/minhash
-  *    relations within a copy stay isomorphic to the original; n_chars is
-  *    recomputed from the salted text.
+  *  - documents: copy i>0 suffixes every whitespace token with "0ci" (the
+  *    source corpus is digit-free, so the digit makes the salt collision-
+  *    free against natural tokens, and it is alphanumeric so tokenizer-
+  *    lifecycle ops — BPE requires alphanumeric symbols — accept the
+  *    salted corpus); shingle sets of different copies are DISJOINT while
+  *    Jaccard/minhash relations within a copy stay isomorphic to the
+  *    original; n_chars is recomputed from the salted text.
   *  - embeddings: copy i cyclically rotates the vector by i positions
   *    (norms and intra-copy dot products exactly preserved; cross-copy
   *    cosine decorrelates) and shifts the IVF/SemDeDup cluster label, so
@@ -36,7 +39,7 @@ object ScaleUp {
     else src.select(
       (col("doc_id") + lit(i * KeyOffset)).as("doc_id"),
       array_join(transform(split(col("text"), " "),
-        w => concat(w, lit(s"_c$i"))), " ").as("text"),
+        w => concat(w, lit(s"0c$i"))), " ").as("text"),
       col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
 

@@ -525,7 +525,33 @@ object SimilarityQueries {
       |    CAST(0 AS DECIMAL(28,14)), (acc, x) -> CAST(acc + x AS DECIMAL(28,14))) > 0
       |  THEN '1' ELSE '0' END), '')""".stripMargin
 
-  def qEmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
+  /** SIZING RULE (read before running at corpus scale): candidate volume
+    * for b-bit bands over N random-ish vectors is ~N²·bands/2^b pairs —
+    * QUADRATIC in N at fixed b. 8-bit bands (256 buckets) are tuned for
+    * the bench corpus; at 100× vectors they already produce ~10⁸ pairs
+    * (measured: OOM/hour-scale verify stage in the 100× rehearsal). The
+    * production rule is band bits ∝ log₂N: grow b so 2^b tracks N and
+    * per-bucket occupancy stays O(1), trading recall at the LOW end of
+    * the similarity range (16-bit bands retain ~93% recall at s ≥ 0.99
+    * but ~19% at 0.95 — the classic LSH b×r tradeoff; add bands/probes
+    * to buy recall back). [[qEmbeddingNeardupScaled]] is that
+    * configuration as a first-class oracle-gated query.
+    */
+  def qEmbeddingNeardup(s: SparkSession, dir: String): DataFrame =
+    embeddingNeardup(s, dir, bandBits = 8)
+
+  /** The corpus-scale SRP configuration: 16-bit bands (65 536 buckets per
+    * band) over the same 64-bit fingerprint, so per-bucket occupancy — and
+    * with it candidate-pair volume per vector — stays O(1) out to ~10⁶
+    * vectors instead of 8-bit's ~10⁴. Same fingerprint kernel, same exact
+    * verify stage; the oracle replays the identical banding, so the gate
+    * is self-consistent at any scale.
+    */
+  def qEmbeddingNeardupScaled(s: SparkSession, dir: String): DataFrame =
+    embeddingNeardup(s, dir, bandBits = 16)
+
+  private def embeddingNeardup(s: SparkSession, dir: String, bandBits: Int): DataFrame = {
+    val nBands = 64 / bandBits
     // All 64 bits fold in a single narrow pass per vector, with NO
     // corpus×planes row explosion and NO groupBy shuffle to reassemble
     // fingerprints.
@@ -544,7 +570,8 @@ object SimilarityQueries {
       .select(col("vec_id"), col("fp"))
       .cache()
     val bands = fp.select(col("vec_id"),
-      posexplode(expr("transform(sequence(0, 7), b -> substring(fp, b * 8 + 1, 8))"))
+      posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
+          s"b -> substring(fp, b * $bandBits + 1, $bandBits))"))
         .as(Seq("band", "bkey")))
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
       .where(col("x.vec_id") < col("y.vec_id"))
@@ -567,8 +594,11 @@ object SimilarityQueries {
       .limit(15)
   }
 
-  val qEmbeddingNeardupSql: String =
-    """WITH planes AS (
+  val qEmbeddingNeardupSql: String = embeddingNeardupSql(8)
+  val qEmbeddingNeardupScaledSql: String = embeddingNeardupSql(16)
+
+  private def embeddingNeardupSql(bandBits: Int): String =
+    s"""WITH planes AS (
       |  SELECT p, i,
       |    CAST(strpos('0123456789abcdef',
       |      substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 8.5 AS DOUBLE) AS comp
@@ -580,8 +610,8 @@ object SimilarityQueries {
       |  FROM embeddings e JOIN planes pl ON TRUE
       |  GROUP BY e.vec_id, pl.p),
       |fp AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS fp FROM bits GROUP BY vec_id),
-      |bands AS (SELECT vec_id, b, substr(fp, CAST(b * 8 + 1 AS INT), 8) AS bkey
-      |          FROM fp, UNNEST(range(0, 8)) AS ub(b)),
+      |bands AS (SELECT vec_id, b, substr(fp, CAST(b * $bandBits + 1 AS INT), $bandBits) AS bkey
+      |          FROM fp, UNNEST(range(0, ${64 / bandBits})) AS ub(b)),
       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
       |         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
       |         WHERE x.vec_id < y.vec_id),
@@ -941,14 +971,35 @@ object SimilarityQueries {
     * policy would remove, and the keep rate. Scale: the centroid table
     * broadcasts (k rows); the pair join is an equi-join ON CLUSTER;
     * components run in O(log diameter) rounds over edges only.
+    *
+    * SIZING RULE: per-cluster pair volume is Σ|c|² — at FIXED k the
+    * cluster size grows with N and the method degrades to quadratic
+    * (the 100× rehearsal measures exactly that). The paper's rule is
+    * k ∝ N so |c| stays constant; [[qSemdedupScaled]] encodes it
+    * scale-invariantly (every 32nd vec_id is a centroid → k = N/32,
+    * expected cluster size ~32 at ANY corpus size) and is the
+    * configuration to rehearse at 100×.
     */
-  def qSemdedup(s: SparkSession, dir: String): DataFrame = {
+  def qSemdedup(s: SparkSession, dir: String): DataFrame =
+    semdedup(s, dir, col("vec_id") < 64)
+
+  /** SemDeDup with the paper's k ∝ N sizing (see [[qSemdedup]] doc):
+    * centroids = every 32nd vec_id, so cluster count tracks the corpus
+    * and per-cluster pair volume stays O(N), not O(N²). Same assignment,
+    * pair, and component machinery; the oracle replays the same
+    * centroid rule.
+    */
+  def qSemdedupScaled(s: SparkSession, dir: String): DataFrame =
+    semdedup(s, dir, col("vec_id") % 32 === 0)
+
+  private def semdedup(s: SparkSession, dir: String,
+                       centPred: org.apache.spark.sql.Column): DataFrame = {
     // exact-decimal kernels (decimal_sqdist / decimal_dot): bit-identical
     // to the HOF spellings (FunctionsSpec pins this) minus the interpreted
     // lambda eval that would otherwise dominate the pair scan
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val cents = e.filter(col("vec_id") < 64)
+    val cents = e.filter(centPred)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val assigned = e.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
@@ -989,9 +1040,12 @@ object SimilarityQueries {
                |  CAST(n_members AS DOUBLE), 6)""".stripMargin).as("keep_rate"))
   }
 
-  val qSemdedupSql: String =
-    """WITH RECURSIVE
-      |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 64),
+  val qSemdedupSql: String = semdedupSql("vec_id < 64")
+  val qSemdedupScaledSql: String = semdedupSql("vec_id % 32 = 0")
+
+  private def semdedupSql(centPred: String): String =
+    s"""WITH RECURSIVE
+      |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE $centPred),
       |d AS (SELECT v.vec_id, c.cid,
       |        SUM(CAST((CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.ce[CAST(i AS INT)] AS DOUBLE))
       |               * (CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.ce[CAST(i AS INT)] AS DOUBLE))
@@ -1690,6 +1744,9 @@ object SimilarityQueries {
     "q_simhash" -> ((qSimhash _, Some(qSimhashSql))),
     "q_winnow" -> ((qWinnow _, Some(qWinnowSql))),
     "q_cosine_topk" -> ((qCosineTopk _, Some(qCosineTopkSql))),
-    "q_embedding_neardup" -> ((qEmbeddingNeardup _, Some(qEmbeddingNeardupSql)))
+    "q_embedding_neardup" -> ((qEmbeddingNeardup _, Some(qEmbeddingNeardupSql))),
+    "q_embedding_neardup_scaled" ->
+      ((qEmbeddingNeardupScaled _, Some(qEmbeddingNeardupScaledSql))),
+    "q_semdedup_scaled" -> ((qSemdedupScaled _, Some(qSemdedupScaledSql)))
   )
 }
