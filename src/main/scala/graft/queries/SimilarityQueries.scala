@@ -1001,13 +1001,25 @@ object SimilarityQueries {
     val e = Tables.embeddings(s, dir)
     val cents = e.filter(centPred)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // Nearest-centroid assignment as an ARGMIN AGGREGATE, not a window:
+    // min(struct(dist, cid)) has exactly the window's (dist, cid) tie
+    // order, but the map-side partial aggregation collapses the N·k
+    // crossJoin rows to one best-so-far struct per vector BEFORE the
+    // shuffle (the broadcast crossJoin preserves e's partitioning, so
+    // each vector's k candidates are partition-local). The window
+    // spelling shuffled all N·k rows to sort them — at the k ∝ N scaled
+    // configuration that is N²/32 shuffled rows, which the 100×
+    // rehearsal (200 k vectors × 6 250 centroids = 1.25 G rows) exposed.
+    // CPU stays O(N·k·dim) kernel evals — inherent to brute-force
+    // assignment; at production k, coarse-quantize the centroids first
+    // (the q_ann_ivf two-level recipe) to prune the candidate set.
     val assigned = e.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
-      .withColumn("dist", expr("decimal_sqdist(embedding, ce)"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"))
+      .select(col("vec_id"),
+        struct(expr("decimal_sqdist(embedding, ce)").as("dist"),
+          col("cid")).as("dc"))
+      .groupBy(col("vec_id")).agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
       .localCheckpoint() // referenced by pairs (twice), members, and the
                          // component→cluster lookup; without materializing,
                          // the 64-way assignment crossJoin re-runs per ref
