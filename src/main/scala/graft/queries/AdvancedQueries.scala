@@ -905,14 +905,23 @@ object AdvancedQueries {
     * unrolled recurrence CTE-for-CTE. Scale: layout assignment is
     * map-only and shuffle-free (buckets are value ranges of the curve),
     * and the three audits (Hilbert bucket stats, Morton bucket stats,
-    * exact box-row count) come out of ONE corpus scan via GROUPING SETS
-    * ((hb),(zb),()) — the 100× rehearsal caught the previous shape
-    * recomputing the 10-step bit recurrence once per consumer (3 scans,
-    * 77 s); the Expand triples rows pre-shuffle but partial aggregation
-    * collapses them to ≤ 2·4096+1 grouped states per task, so the
-    * expensive projection runs exactly once. The grouped result is
-    * persisted (O(bucket-count) rows, kilobytes — the q_heavy_hitters
-    * convention) and feeds the three O(4096)-row final aggregates.
+    * exact box-row count) derive from ONE corpus scan: a first-level
+    * rollup keyed by the (hb, zb) PAIR — each 1024² grid cell maps to
+    * exactly one pair, so the intermediate is ≤ 2²⁰ rows regardless of
+    * corpus size — then per-curve bucket stats and the box-row total
+    * re-aggregate that bounded table. The 100× rehearsal caught both
+    * wrong shapes: the original three consumers re-ran the 10-step bit
+    * recurrence once each (3 corpus scans, 77 s), and a GROUPING SETS
+    * ((hb),(zb),()) respelling was WORSE (210 s) because CollapseProject
+    * merges the deep recurrence expressions into each of the Expand's
+    * three per-set projections — 3× the evaluation inside one operator.
+    * The pair rollup keeps the recurrence in a single projection
+    * evaluated once per row, partial aggregation collapses 60 M rows to
+    * occupied-cell count before the shuffle, and the persisted cell
+    * table (≤ 24 MB, the q_heavy_hitters convention) feeds the three
+    * O(4096)-row final aggregates. min/max over per-cell min/max equals
+    * min/max over rows, and the box-row sum is cell-additive, so the
+    * results are bit-identical to the direct spellings.
     */
   def qHilbert(s: SparkSession, dir: String): DataFrame = {
     // multiplicative spread so both coordinates cover the full 1024 grid
@@ -925,24 +934,24 @@ object AdvancedQueries {
     val laid = f.select(col("gx"), col("gy"),
       shiftright(col("hd"), 8).as("hb"), shiftright(col("z"), 8).as("zb"))
     val inBox = col("gx").between(96, 223) && col("gy").between(256, 511)
-    // gid bit vector over (hb, zb): (hb)-set → 1, (zb)-set → 2, global → 3
-    val gs = laid
-      .groupingSets(Seq(Seq(col("hb")), Seq(col("zb")), Seq.empty),
-        col("hb"), col("zb"))
+    // one corpus scan: per-(hb, zb)-cell stats, ≤ 2^20 rows at any sf
+    val cell = laid.groupBy(col("hb"), col("zb"))
       .agg(min(col("gx")).as("minx"), max(col("gx")).as("maxx"),
         min(col("gy")).as("miny"), max(col("gy")).as("maxy"),
-        sum(when(inBox, 1L).otherwise(0L)).cast("bigint").as("n_in_box"),
-        grouping_id().as("gid"))
+        sum(when(inBox, 1L).otherwise(0L)).cast("bigint").as("n_in_box"))
       .persist()
+    def stats(bucket: String) = cell.groupBy(col(bucket).as("b"))
+      .agg(min(col("minx")).as("minx"), max(col("maxx")).as("maxx"),
+        min(col("miny")).as("miny"), max(col("maxy")).as("maxy"))
     val hit = col("minx") <= 223 && col("maxx") >= 96 &&
       col("miny") <= 511 && col("maxy") >= 256
-    val hAgg = gs.filter(col("gid") === 1).agg(
+    val hAgg = stats("hb").agg(
       count(lit(1)).as("n_buckets_h"),
       sum(when(hit, 1L).otherwise(0L)).cast("bigint").as("n_hit_h"))
-    val zAgg = gs.filter(col("gid") === 2).agg(
+    val zAgg = stats("zb").agg(
       sum(when(hit, 1L).otherwise(0L)).cast("bigint").as("n_hit_z"))
-    val rows = gs.filter(col("gid") === 3)
-      .select(col("n_in_box").as("n_rows_match"))
+    val rows = cell.agg(
+      sum(col("n_in_box")).cast("bigint").as("n_rows_match"))
     hAgg.crossJoin(zAgg).crossJoin(rows)
   }
 

@@ -915,11 +915,18 @@ object AnalyticsQueries {
     * per event type — the robust (monotonic, outlier-insensitive)
     * companion to q_correlation's Pearson r. Tie-corrected via AVERAGE
     * ranks, carried as the INTEGER 2·rank (R2 = 2·cnt_below + cnt_at + 1),
-    * so every moment sum (n, Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT
-    * and the only nonlinear step is the final Pearson-on-ranks division,
-    * rounded with one shared spelling. Ranks come from per-type DISTINCT-
-    * value tables (a partitioned window over #distinct rows, never the
-    * corpus), joined back — the scalable rank shape.
+    * so every moment sum (n, Σx, Σy, Σxy, Σx², Σy²) is exact and the only
+    * nonlinear step is the final Pearson-on-ranks division, rounded with
+    * one shared spelling. The squared-rank moments are accumulated in
+    * DECIMAL(38,0), not BIGINT: Σx² ≈ 4n³/3 overflows a long once a
+    * group passes ~1.3 M rows (the 100× rehearsal hit this at 2 M rows
+    * per event type), and DuckDB cannot witness the bug because its
+    * SUM(BIGINT) widens to HUGEINT — the per-element products are exact
+    * in DECIMAL(18,0)² → (37,0) and the value reaching the double rho
+    * formula is identical where both representations fit. Ranks come
+    * from per-type DISTINCT-value tables (a partitioned window over
+    * #distinct rows, never the corpus), joined back — the scalable rank
+    * shape.
     */
   def qSpearman(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -943,13 +950,15 @@ object AnalyticsQueries {
       """ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
         |  SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)""".stripMargin
+    val dx = col("r2x").cast("decimal(18,0)")
+    val dy = col("r2y").cast("decimal(18,0)")
     withRanks.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("r2x")).cast("bigint").as("sx"),
-        sum(col("r2y")).cast("bigint").as("sy"),
-        sum(col("r2x") * col("r2y")).cast("bigint").as("sxy"),
-        sum(col("r2x") * col("r2x")).cast("bigint").as("sxx"),
-        sum(col("r2y") * col("r2y")).cast("bigint").as("syy"))
+        sum(dx).as("sx"),
+        sum(dy).as("sy"),
+        sum(dx * dy).as("sxy"),
+        sum(dx * dx).as("sxx"),
+        sum(dy * dy).as("syy"))
       .select(col("event_type"), col("n"), expr(rho).as("spearman_rho"))
   }
 

@@ -992,6 +992,63 @@ object SimilarityQueries {
   def qSemdedupScaled(s: SparkSession, dir: String): DataFrame =
     semdedup(s, dir, col("vec_id") % 32 === 0)
 
+  /** SemDeDup with an IVF-PRUNED nearest-centroid assignment — the
+    * production-k answer to the brute-force assignment's O(N·k) kernel
+    * cost (see [[qSemdedup]] scaladoc): coarse-quantize the CENTROIDS
+    * themselves (deterministic coarse cells = every 256th vec_id, so
+    * c = N/256 cells ≈ k/8), then per vector (1) rank only the c coarse
+    * cells, (2) probe the nprobe=2 nearest, (3) run the exact argmin over
+    * just the centroids assigned to those cells. Kernel evals drop from
+    * N·k to N·c + k·c + 2·N·(k/c) — at the 100× rehearsal corpus
+    * (200 k vectors, 6 250 centroids, 781 cells) that is ~8× fewer; a
+    * production index picks c ≈ √k (fixed at index build) for the
+    * classical O(N·√k). Assignment differences vs the exact variant are
+    * the measured recall trade of IVF (same trade q_ann_ivf audits);
+    * every step is deterministic — (dist, id) tie order throughout — so
+    * the DuckDB oracle replays the pruned trajectory CTE-for-CTE and the
+    * gate hashes the resulting report exactly. Plan shape: the cell and
+    * centroid tables broadcast (O(k) rows with vectors — the codebook
+    * convention); the cell-ranking window runs over the SKINNY
+    * (vec_id, gid, dist) frame (embeddings re-join by id afterward, so
+    * no array rides a shuffle); both argmins are the map-side-collapsing
+    * min(struct) aggregate; the report tail is [[semdedupReport]].
+    */
+  def qSemdedupIvf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val cents = e.filter(col("vec_id") % 32 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val coarse = e.filter(col("vec_id") % 256 === 0)
+      .select(col("vec_id").as("gid"), col("embedding").as("ge"))
+    // centroid → coarse cell (k·c evals, argmin aggregate)
+    val cass = cents.crossJoin(broadcast(coarse))
+      .select(col("cid"),
+        struct(expr("decimal_sqdist(ce, ge)").as("d"), col("gid")).as("dg"))
+      .groupBy(col("cid")).agg(min(col("dg")).as("m"))
+      .select(col("cid"), col("m.gid").as("gid"))
+      .join(cents, "cid") // reattach ce for the fine search
+    // vector → nprobe=2 nearest coarse cells; rank the skinny frame only
+    val vprobe = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("gid"),
+        expr("decimal_sqdist(embedding, ge)").as("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d"), col("gid"))))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id"), col("gid"))
+    // fine search: exact argmin over the probed cells' centroids only
+    val assigned = vprobe
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(cass), "gid")
+      .select(col("vec_id"),
+        struct(expr("decimal_sqdist(embedding, ce)").as("dist"),
+          col("cid")).as("dc"))
+      .groupBy(col("vec_id")).agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+      .localCheckpoint() // same multi-consumer materialization as semdedup
+    semdedupReport(e, assigned)
+  }
+
   private def semdedup(s: SparkSession, dir: String,
                        centPred: org.apache.spark.sql.Column): DataFrame = {
     // exact-decimal kernels (decimal_sqdist / decimal_dot): bit-identical
@@ -1023,6 +1080,16 @@ object SimilarityQueries {
       .localCheckpoint() // referenced by pairs (twice), members, and the
                          // component→cluster lookup; without materializing,
                          // the 64-way assignment crossJoin re-runs per ref
+    semdedupReport(e, assigned)
+  }
+
+  /** Shared SemDeDup tail: within-cluster duplicate pairs, connected
+    * components, and the per-cluster dedup report — everything downstream
+    * of the (vec_id, cid) assignment, so exact ([[qSemdedup]]/
+    * [[qSemdedupScaled]]) and IVF-pruned ([[qSemdedupIvf]]) assignment
+    * strategies share one verified implementation.
+    */
+  private def semdedupReport(e: DataFrame, assigned: DataFrame): DataFrame = {
     val emb = e.withColumn("nrm", expr("SQRT(decimal_dot(embedding, embedding))"))
     val side = assigned.join(emb.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
     val edges = side.select(col("cid"), col("vec_id").as("va"),
@@ -1055,20 +1122,75 @@ object SimilarityQueries {
   val qSemdedupSql: String = semdedupSql("vec_id < 64")
   val qSemdedupScaledSql: String = semdedupSql("vec_id % 32 = 0")
 
-  private def semdedupSql(centPred: String): String =
-    s"""WITH RECURSIVE
-      |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE $centPred),
+  /** DuckDB spelling of the exact-decimal squared distance between two
+    * LIST(FLOAT) columns — must stay term-for-term identical to the
+    * decimal_sqdist kernel (CodecSpec/FunctionsSpec pin the kernel; the
+    * q_semdedup gate pins this SQL against it).
+    */
+  private def sqdistSql(a: String, b: String): String =
+    s"""SUM(CAST((CAST($a[CAST(i AS INT)] AS DOUBLE) - CAST($b[CAST(i AS INT)] AS DOUBLE))
+       |               * (CAST($a[CAST(i AS INT)] AS DOUBLE) - CAST($b[CAST(i AS INT)] AS DOUBLE))
+       |            AS DECIMAL(28,14)))""".stripMargin
+
+  /** Exact brute-force assignment head: CTEs `c` (centroids) and `a`
+    * (vec_id → cid), the contract the shared tail consumes. */
+  private def semdedupAssignSql(centPred: String): String =
+    s"""c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE $centPred),
       |d AS (SELECT v.vec_id, c.cid,
-      |        SUM(CAST((CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.ce[CAST(i AS INT)] AS DOUBLE))
-      |               * (CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.ce[CAST(i AS INT)] AS DOUBLE))
-      |            AS DECIMAL(28,14))) AS dist
+      |        ${sqdistSql("v.embedding", "c.ce")} AS dist
       |      FROM embeddings v, c, UNNEST(range(1, len(v.embedding) + 1)) AS u(i)
       |      GROUP BY 1, 2),
       |a AS (SELECT vec_id, cid FROM (
       |        SELECT vec_id, cid,
       |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-      |        FROM d) t WHERE rn = 1),
-      |nrm AS (SELECT vec_id,
+      |        FROM d) t WHERE rn = 1)""".stripMargin
+
+  /** IVF-pruned assignment head ([[qSemdedupIvf]]): coarse cells, the
+    * centroid→cell map, the per-vector nprobe=2 cell ranking, and the
+    * fine argmin over probed cells' centroids — same `c`/`a` contract. */
+  private lazy val semdedupIvfAssignSql: String =
+    s"""c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 32 = 0),
+      |g AS (SELECT vec_id AS gid, embedding AS ge FROM embeddings WHERE vec_id % 256 = 0),
+      |cd AS (SELECT c.cid, g.gid,
+      |        ${sqdistSql("c.ce", "g.ge")} AS dist
+      |      FROM c, g, UNNEST(range(1, len(c.ce) + 1)) AS u(i)
+      |      GROUP BY 1, 2),
+      |cass AS (SELECT cid, gid FROM (
+      |        SELECT cid, gid,
+      |          ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist, gid) AS rn
+      |        FROM cd) t WHERE rn = 1),
+      |vd AS (SELECT v.vec_id, g.gid,
+      |        ${sqdistSql("v.embedding", "g.ge")} AS dist
+      |      FROM embeddings v, g, UNNEST(range(1, len(v.embedding) + 1)) AS u(i)
+      |      GROUP BY 1, 2),
+      |vprobe AS (SELECT vec_id, gid FROM (
+      |        SELECT vec_id, gid,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, gid) AS rn
+      |        FROM vd) t WHERE rn <= 2),
+      |fd AS (SELECT v.vec_id, c.cid,
+      |        ${sqdistSql("v.embedding", "c.ce")} AS dist
+      |      FROM vprobe p JOIN embeddings v ON v.vec_id = p.vec_id
+      |        JOIN cass ON cass.gid = p.gid
+      |        JOIN c ON c.cid = cass.cid,
+      |        UNNEST(range(1, len(v.embedding) + 1)) AS u(i)
+      |      GROUP BY 1, 2),
+      |a AS (SELECT vec_id, cid FROM (
+      |        SELECT vec_id, cid,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |        FROM fd) t WHERE rn = 1)""".stripMargin
+
+  lazy val qSemdedupIvfSql: String =
+    s"WITH RECURSIVE\n$semdedupIvfAssignSql,\n$semdedupReportSql"
+
+  private def semdedupSql(centPred: String): String =
+    s"""WITH RECURSIVE
+      |${semdedupAssignSql(centPred)},
+      |$semdedupReportSql""".stripMargin
+
+  /** Shared SemDeDup report tail (pairs → components → per-cluster
+    * report); consumes CTEs `c` and `a` from an assignment head. */
+  private lazy val semdedupReportSql: String =
+    s"""nrm AS (SELECT vec_id,
       |        SQRT(CAST(SUM(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
       |                    * CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
       |      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
@@ -1759,6 +1881,7 @@ object SimilarityQueries {
     "q_embedding_neardup" -> ((qEmbeddingNeardup _, Some(qEmbeddingNeardupSql))),
     "q_embedding_neardup_scaled" ->
       ((qEmbeddingNeardupScaled _, Some(qEmbeddingNeardupScaledSql))),
-    "q_semdedup_scaled" -> ((qSemdedupScaled _, Some(qSemdedupScaledSql)))
+    "q_semdedup_scaled" -> ((qSemdedupScaled _, Some(qSemdedupScaledSql))),
+    "q_semdedup_ivf" -> ((qSemdedupIvf _, Some(qSemdedupIvfSql)))
   )
 }
