@@ -32,9 +32,14 @@ object Tables {
     // big tables after the (cheap, ~10 MB) scan so compute parallelizes;
     // sub-MB dimension tables stay single-partition (broadcast fodder).
     // At production scale inputs arrive as many files/row groups and this
-    // branch never fires (disable outright with SPARK_GRAFT_FANOUT=0).
+    // branch must NOT fire (a full-table round-robin shuffle straight off
+    // the scan is pure overhead there) — the 100× rehearsal caught the
+    // original size-only test adding ~0.6 GB of shuffle to every lineitem
+    // query over a 102-part input, so the guard now also requires the
+    // input to actually BE the few-big-files shape maxPartitionBytes
+    // cannot split. Disable outright with SPARK_GRAFT_FANOUT=0.
     val fanout = sys.env.getOrElse("SPARK_GRAFT_FANOUT", "1") != "0"
-    if (fanout && fileSize(spark, path) > (1L << 18))
+    if (fanout && leafFileCount(spark, path) < 4 && fileSize(spark, path) > (1L << 18))
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }
@@ -57,6 +62,18 @@ object Tables {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** Number of data files under `path` (1 for a plain single-file table;
+    * part-file count for a directory table). Only the magnitude matters —
+    * ≥4 files means the scan already parallelizes without help.
+    */
+  private def leafFileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else if (fs.getFileStatus(p).isFile) 1
+    else fs.listStatus(p).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
   }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader

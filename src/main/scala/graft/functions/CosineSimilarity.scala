@@ -250,6 +250,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("srp_fingerprint"),
       new ExpressionInfo(classOf[SrpFingerprint].getName, "srp_fingerprint"),
       (children: Seq[Expression]) => SrpFingerprint(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("morton_index"),
+      new ExpressionInfo(classOf[MortonIndex].getName, "morton_index"),
+      (children: Seq[Expression]) => MortonIndex(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (children: Seq[Expression]) => HilbertIndex(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

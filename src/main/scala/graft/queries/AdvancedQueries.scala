@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.AsofJoin
+import org.apache.spark.sql.graft.PlanBridge
 import Exact._
 
 /** Advanced analytic operators: as-of join, sessionization, pivot,
@@ -849,47 +850,28 @@ object AdvancedQueries {
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM base
       |   WHERE x BETWEEN 96 AND 223 AND y BETWEEN 256 AND 511) AS n_rows_match""".stripMargin
 
-  /** Appends `hd` = order-10 Hilbert index of integer grid columns
-    * (xCol, yCol), both in [0, 1024). The rotate-and-accumulate recurrence
-    * is unrolled into 10 per-step column projections — pure codegen'd
-    * integer CASE/AND/XOR arithmetic; per-step temp columns keep the plan
-    * a linear chain (a single folded expression would duplicate subtrees
-    * 3^10 times). HilbertSpec pins this against an independent in-JVM
-    * xy2d reference and checks injectivity.
-    */
-  /** Order-10 Morton (Z) interleave of two 10-bit grid columns: bit i of
-    * x → bit 2i, bit i of y → bit 2i+1 — a sum of 20 codegen'd shift/mask
-    * terms. ONE definition for both layout queries (q_zorder's layout and
-    * q_hilbert's head-to-head comparison must interleave identically).
+  /** Order-10 Morton (Z) interleave of two 10-bit grid columns. ONE
+    * definition for both layout queries (q_zorder's layout and q_hilbert's
+    * head-to-head comparison must interleave identically). Backed by the
+    * compact codegen'd kernel expression — see functions/CurveIndex.scala
+    * for why the former 20-term column sum was replaced (HotSpot's
+    * huge-method JIT refusal once both curves share a codegen stage).
     */
   def mortonZ(xCol: String, yCol: String): Column =
-    (0 until 10).map { i =>
-      shiftleft(shiftright(col(xCol), i).bitwiseAND(lit(1)), 2 * i) +
-        shiftleft(shiftright(col(yCol), i).bitwiseAND(lit(1)), 2 * i + 1)
-    }.reduce(_ + _)
+    PlanBridge.column(graft.functions.MortonIndex(
+      PlanBridge.expression(col(xCol).cast("long")),
+      PlanBridge.expression(col(yCol).cast("long"))))
 
-  def withHilbertIndex(df0: DataFrame, xCol: String, yCol: String): DataFrame = {
-    var f = df0
-      .withColumn("hx", col(xCol)).withColumn("hy", col(yCol))
-      .withColumn("hd", lit(0L))
-    for (i <- 9 to 0 by -1) {
-      val sb = 1 << i
-      f = f
-        .withColumn("rx", when(col("hx").bitwiseAND(lit(sb)) > 0, 1).otherwise(0))
-        .withColumn("ry", when(col("hy").bitwiseAND(lit(sb)) > 0, 1).otherwise(0))
-      f = f
-        .withColumn("hd", col("hd") +
-          lit(sb.toLong * sb) * (col("rx") * 3).bitwiseXOR(col("ry")).cast("long"))
-        .withColumn("nx", when(col("ry") === 0,
-          when(col("rx") === 1, lit(1023) - col("hy")).otherwise(col("hy")))
-          .otherwise(col("hx")))
-        .withColumn("ny", when(col("ry") === 0,
-          when(col("rx") === 1, lit(1023) - col("hx")).otherwise(col("hx")))
-          .otherwise(col("hy")))
-      f = f.withColumn("hx", col("nx")).withColumn("hy", col("ny"))
-    }
-    f.drop("hx", "hy", "rx", "ry", "nx", "ny")
-  }
+  /** Appends `hd` = order-10 Hilbert index of integer grid columns
+    * (xCol, yCol), both in [0, 1024). Backed by the codegen'd kernel
+    * expression (functions/CurveIndex.scala); HilbertSpec pins it against
+    * an independent in-JVM xy2d reference and checks injectivity and
+    * unit-step adjacency.
+    */
+  def withHilbertIndex(df0: DataFrame, xCol: String, yCol: String): DataFrame =
+    df0.withColumn("hd", PlanBridge.column(graft.functions.HilbertIndex(
+      PlanBridge.expression(col(xCol).cast("long")),
+      PlanBridge.expression(col(yCol).cast("long")))))
 
   /** Hilbert-curve data layout — the locality-preserving alternative to
     * q_zorder's Morton curve (the OPTIMIZE ... ZORDER successor Delta/
@@ -905,23 +887,22 @@ object AdvancedQueries {
     * unrolled recurrence CTE-for-CTE. Scale: layout assignment is
     * map-only and shuffle-free (buckets are value ranges of the curve),
     * and the three audits (Hilbert bucket stats, Morton bucket stats,
-    * exact box-row count) derive from ONE corpus scan: a first-level
-    * rollup keyed by the (hb, zb) PAIR — each 1024² grid cell maps to
-    * exactly one pair, so the intermediate is ≤ 2²⁰ rows regardless of
-    * corpus size — then per-curve bucket stats and the box-row total
-    * re-aggregate that bounded table. The 100× rehearsal caught both
-    * wrong shapes: the original three consumers re-ran the 10-step bit
-    * recurrence once each (3 corpus scans, 77 s), and a GROUPING SETS
-    * ((hb),(zb),()) respelling was WORSE (210 s) because CollapseProject
-    * merges the deep recurrence expressions into each of the Expand's
-    * three per-set projections — 3× the evaluation inside one operator.
-    * The pair rollup keeps the recurrence in a single projection
-    * evaluated once per row, partial aggregation collapses 60 M rows to
-    * occupied-cell count before the shuffle, and the persisted cell
-    * table (≤ 24 MB, the q_heavy_hitters convention) feeds the three
-    * O(4096)-row final aggregates. min/max over per-cell min/max equals
-    * min/max over rows, and the box-row sum is cell-additive, so the
-    * results are bit-identical to the direct spellings.
+    * exact box-row count) derive from ONE corpus scan: each row fans out
+    * to its two (curve, bucket) tags through a Generate — the curve
+    * kernels sit in the Generate's INPUT projection, evaluated once per
+    * row — and the doubled stream aggregates by (curve, bucket), 2·4096
+    * groups, fully collapsed by map-side partial aggregation. The final
+    * verdict row is ONE grouping-less aggregate over the 8192-row stats
+    * table — no crossJoins, no BNLJ, no persist (8.4 s / 4.8 MB shuffle
+    * at the 100× rehearsal). min/max over per-bucket min/max equals
+    * min/max over rows and the box-row sum is bucket-additive, so results
+    * are bit-identical to the direct three-consumer spelling the oracle
+    * replays. The 100× debugging history — why the unrolled column
+    * recurrence ran INTERPRETED once both curves shared a codegen stage
+    * (HotSpot's huge-method JIT refusal, 71 s), why a GROUPING SETS
+    * respelling was worse still (CollapseProject clones the recurrence
+    * into each Expand projection, 210 s), and why the fix is a compact
+    * kernel expression — lives in functions/CurveIndex.scala.
     */
   def qHilbert(s: SparkSession, dir: String): DataFrame = {
     // multiplicative spread so both coordinates cover the full 1024 grid
@@ -932,27 +913,29 @@ object AdvancedQueries {
         pmod(col("l_suppkey") * 53, lit(1024)).as("gy"))
     val f = withHilbertIndex(li.withColumn("z", mortonZ("gx", "gy")), "gx", "gy")
     val laid = f.select(col("gx"), col("gy"),
-      shiftright(col("hd"), 8).as("hb"), shiftright(col("z"), 8).as("zb"))
+      shiftright(col("hd"), 8).cast("long").as("hb"),
+      shiftright(col("z"), 8).cast("long").as("zb"))
     val inBox = col("gx").between(96, 223) && col("gy").between(256, 511)
-    // one corpus scan: per-(hb, zb)-cell stats, ≤ 2^20 rows at any sf
-    val cell = laid.groupBy(col("hb"), col("zb"))
+    // one scan: hd/z are each referenced ONCE below, so the recurrence
+    // lives in the Generate's input projection; integer curve tags keep
+    // the aggregation key primitive (string keys bypass the fast map)
+    val tagged = laid
+      .select(col("gx"), col("gy"),
+        when(inBox, 1L).otherwise(0L).as("in_box"),
+        explode(array(
+          struct(lit(0).as("curve"), col("hb").as("b")),
+          struct(lit(1).as("curve"), col("zb").as("b")))).as("cb"))
+    val stats = tagged.groupBy(col("cb.curve").as("curve"), col("cb.b").as("b"))
       .agg(min(col("gx")).as("minx"), max(col("gx")).as("maxx"),
         min(col("gy")).as("miny"), max(col("gy")).as("maxy"),
-        sum(when(inBox, 1L).otherwise(0L)).cast("bigint").as("n_in_box"))
-      .persist()
-    def stats(bucket: String) = cell.groupBy(col(bucket).as("b"))
-      .agg(min(col("minx")).as("minx"), max(col("maxx")).as("maxx"),
-        min(col("miny")).as("miny"), max(col("maxy")).as("maxy"))
+        sum(col("in_box")).as("n_in_box"))
     val hit = col("minx") <= 223 && col("maxx") >= 96 &&
       col("miny") <= 511 && col("maxy") >= 256
-    val hAgg = stats("hb").agg(
-      count(lit(1)).as("n_buckets_h"),
-      sum(when(hit, 1L).otherwise(0L)).cast("bigint").as("n_hit_h"))
-    val zAgg = stats("zb").agg(
-      sum(when(hit, 1L).otherwise(0L)).cast("bigint").as("n_hit_z"))
-    val rows = cell.agg(
-      sum(col("n_in_box")).cast("bigint").as("n_rows_match"))
-    hAgg.crossJoin(zAgg).crossJoin(rows)
+    stats.agg(
+      sum(when(col("curve") === 0, 1L).otherwise(0L)).cast("bigint").as("n_buckets_h"),
+      sum(when(col("curve") === 0 && hit, 1L).otherwise(0L)).cast("bigint").as("n_hit_h"),
+      sum(when(col("curve") === 1 && hit, 1L).otherwise(0L)).cast("bigint").as("n_hit_z"),
+      sum(when(col("curve") === 0, col("n_in_box")).otherwise(0L)).cast("bigint").as("n_rows_match"))
   }
 
   val qHilbertSql: String = {

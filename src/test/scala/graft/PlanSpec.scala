@@ -67,9 +67,9 @@ class PlanSpec extends SparkSpec {
       // PrefixSum's triangular offsets join (rank assignment)
       "q_gini",
       // three 1-row layout-audit aggregates crossed into the verdict row
+      // (q_hilbert no longer needs an entry: its verdict row is one
+      // grouping-less aggregate over the tagged bucket-stats table)
       "q_zorder",
-      // same layout-audit shape: h/z hit scalars + row-count scalar crossed
-      "q_hilbert",
       // 1-row totals + 1-row merge-verdict scalars crossed onto the top-k probe
       "q_count_min",
       // greedy k-center rounds: O(k)-row selected-centers table broadcast-
