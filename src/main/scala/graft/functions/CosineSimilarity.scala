@@ -157,7 +157,31 @@ object GraftFunctions {
       FunctionIdentifier("bloom_filter_agg"), bloomAggInfo, buildBloomAgg _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("might_contain"), mightContainInfo, buildMightContain _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("morton_index"), mortonInfo, buildMorton _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("hilbert_index"), hilbertInfo, buildHilbert _)
     graft.plans.DotProductRewrite.install(spark)
+  }
+
+  private val mortonInfo = new ExpressionInfo(
+    classOf[MortonIndex].getName, null, "morton_index",
+    "_FUNC_(x, y) - order-10 Morton (Z) interleave of two bigint grid " +
+      "coordinates (compact JIT-friendly kernel).", "")
+
+  private def buildMorton(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "morton_index takes exactly 2 arguments")
+    MortonIndex(children(0), children(1))
+  }
+
+  private val hilbertInfo = new ExpressionInfo(
+    classOf[HilbertIndex].getName, null, "hilbert_index",
+    "_FUNC_(x, y) - order-10 Hilbert curve index of two bigint grid " +
+      "coordinates (compact JIT-friendly kernel).", "")
+
+  private def buildHilbert(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "hilbert_index takes exactly 2 arguments")
+    HilbertIndex(children(0), children(1))
   }
 
   // Spark ships BloomFilterAggregate/BloomFilterMightContain for its

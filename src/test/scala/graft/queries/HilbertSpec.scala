@@ -99,4 +99,31 @@ class HilbertSpec extends SparkSpec {
       }
     }
   }
+
+  test("SQL-registered hilbert_index/morton_index match the Column path") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    gridPoints.take(200).toDF("gx", "gy").createOrReplaceTempView("curve_pts")
+    val viaSql = spark.sql(
+      """SELECT gx, gy,
+        |  hilbert_index(CAST(gx AS BIGINT), CAST(gy AS BIGINT)) AS hd,
+        |  morton_index(CAST(gx AS BIGINT), CAST(gy AS BIGINT)) AS z
+        |FROM curve_pts""".stripMargin).collect()
+    viaSql.foreach { r =>
+      val (x, y) = (r.getInt(0), r.getInt(1))
+      assert(r.getLong(2) == xy2d(x, y), s"hilbert_index SQL mismatch at ($x,$y)")
+      val zRef = (0 until 10).map(i =>
+        (((x >> i) & 1).toLong << (2 * i)) + (((y >> i) & 1).toLong << (2 * i + 1))).sum
+      assert(r.getLong(3) == zRef, s"morton_index SQL mismatch at ($x,$y)")
+    }
+  }
+
+  test("curve kernels propagate NULL inputs as NULL") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT hilbert_index(CAST(NULL AS BIGINT), CAST(1 AS BIGINT)),
+        |       morton_index(CAST(1 AS BIGINT), CAST(NULL AS BIGINT))""".stripMargin)
+      .collect()(0)
+    assert(rows.isNullAt(0) && rows.isNullAt(1))
+  }
 }
