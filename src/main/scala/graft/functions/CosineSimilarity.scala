@@ -158,10 +158,22 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("might_contain"), mightContainInfo, buildMightContain _)
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sqdist"), sqDistInfo, buildSqDist _)
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("morton_index"), mortonInfo, buildMorton _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("hilbert_index"), hilbertInfo, buildHilbert _)
     graft.plans.DotProductRewrite.install(spark)
+  }
+
+  private val sqDistInfo = new ExpressionInfo(
+    classOf[SqDist].getName, null, "sqdist",
+    "_FUNC_(a, b) - double-precision squared euclidean distance of two " +
+      "float arrays (the filter kernel of filter-and-refine assignment).", "")
+
+  private def buildSqDist(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "sqdist takes exactly 2 arguments")
+    SqDist(children(0), children(1))
   }
 
   private val mortonInfo = new ExpressionInfo(
@@ -274,6 +286,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("srp_fingerprint"),
       new ExpressionInfo(classOf[SrpFingerprint].getName, "srp_fingerprint"),
       (children: Seq[Expression]) => SrpFingerprint(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("sqdist"),
+      new ExpressionInfo(classOf[SqDist].getName, "sqdist"),
+      (children: Seq[Expression]) => SqDist(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("morton_index"),
       new ExpressionInfo(classOf[MortonIndex].getName, "morton_index"),
       (children: Seq[Expression]) => MortonIndex(children(0), children(1))))

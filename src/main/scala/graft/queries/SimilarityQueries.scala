@@ -998,11 +998,13 @@ object SimilarityQueries {
     * themselves (deterministic coarse cells = every 256th vec_id, so
     * c = N/256 cells ≈ k/8), then per vector (1) rank only the c coarse
     * cells, (2) probe the nprobe=2 nearest, (3) run the exact argmin over
-    * just the centroids assigned to those cells. Kernel evals drop from
-    * N·k to N·c + k·c + 2·N·(k/c) — at the 100× rehearsal corpus
-    * (200 k vectors, 6 250 centroids, 781 cells) that is ~8× fewer; a
-    * production index picks c ≈ √k (fixed at index build) for the
-    * classical O(N·√k). Assignment differences vs the exact variant are
+    * just the centroids assigned to those cells. Candidate evals drop
+    * from N·k to N·c + k·c + 2·N·(k/c) — at the 100× rehearsal corpus
+    * (200 k vectors, 6 250 centroids, 781 cells) that is ~8× fewer — and
+    * the filter-and-refine cell ranking below further demotes the
+    * dominant N·c term from the exact-decimal kernel to the ~15 ns
+    * double one (341 → 122 s at 100×); a production index picks
+    * c ≈ √k (fixed at index build) for the classical O(N·√k). Assignment differences vs the exact variant are
     * the measured recall trade of IVF (same trade q_ann_ivf audits);
     * every step is deterministic — (dist, id) tie order throughout — so
     * the DuckDB oracle replays the pruned trajectory CTE-for-CTE and the
@@ -1027,9 +1029,30 @@ object SimilarityQueries {
       .groupBy(col("cid")).agg(min(col("dg")).as("m"))
       .select(col("cid"), col("m.gid").as("gid"))
       .join(cents, "cid") // reattach ce for the fine search
-    // vector → nprobe=2 nearest coarse cells; rank the skinny frame only
-    val vprobe = e.select(col("vec_id"), col("embedding"))
+    // vector → nprobe=2 nearest coarse cells, FILTER-AND-REFINE (the
+    // semdedup assignment recipe applied to a rank boundary): rank the
+    // skinny frame by the ~15 ns double `sqdist` first, take d2 = the
+    // double distance at rank 2, keep every cell within
+    // d2 + 1e-9·(1+d2) (by the SqDist bound this provably contains the
+    // exact-decimal top-2, including boundary ties), and re-rank only
+    // those ~2 candidates per vector with the oracle's decimal kernel
+    // and (d, gid) tie order. Decimal evals drop from N·c to ~2·N —
+    // the dominant term of the whole query (N·c ≈ 156 M at 100×).
+    // NULL distances (degenerate embeddings) sort first under ASC in
+    // BOTH kernels (identical NULL semantics), so they reach the
+    // decimal re-rank exactly as they reached the full decimal rank.
+    val vd = e.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("gid"), expr("sqdist(embedding, ge)").as("dd"))
+      .withColumn("rn_dd", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dd"), col("gid"))))
+    val d2 = vd.filter(col("rn_dd") === 2)
+      .select(col("vec_id"), col("dd").as("d2"))
+    val vprobe = vd.join(d2, Seq("vec_id"), "left")
+      .filter(col("d2").isNull || col("dd").isNull ||
+        col("dd") <= col("d2") + lit(1e-9) * (lit(1.0) + col("d2")))
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(coarse), "gid")
       .select(col("vec_id"), col("gid"),
         expr("decimal_sqdist(embedding, ge)").as("d"))
       .withColumn("rn", row_number().over(
@@ -1058,20 +1081,38 @@ object SimilarityQueries {
     val e = Tables.embeddings(s, dir)
     val cents = e.filter(centPred)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    // Nearest-centroid assignment as an ARGMIN AGGREGATE, not a window:
-    // min(struct(dist, cid)) has exactly the window's (dist, cid) tie
-    // order, but the map-side partial aggregation collapses the N·k
-    // crossJoin rows to one best-so-far struct per vector BEFORE the
-    // shuffle (the broadcast crossJoin preserves e's partitioning, so
-    // each vector's k candidates are partition-local). The window
-    // spelling shuffled all N·k rows to sort them — at the k ∝ N scaled
-    // configuration that is N²/32 shuffled rows, which the 100×
-    // rehearsal (200 k vectors × 6 250 centroids = 1.25 G rows) exposed.
-    // CPU stays O(N·k·dim) kernel evals — inherent to brute-force
-    // assignment; at production k, coarse-quantize the centroids first
-    // (the q_ann_ivf two-level recipe) to prune the candidate set.
-    val assigned = e.select(col("vec_id"), col("embedding"))
+    // Nearest-centroid assignment, FILTER-AND-REFINE, two passes:
+    //
+    // Pass 1 (filter): per vector, the double-precision distance minimum
+    // via the codegen'd `sqdist` kernel — an ARGMIN AGGREGATE, not a
+    // window: min() collapses the N·k crossJoin rows map-side BEFORE any
+    // shuffle (the broadcast crossJoin preserves e's partitioning). The
+    // window spelling the 100× rehearsal killed shuffled all N·k rows
+    // (N²/32 at the k ∝ N scaled configuration).
+    //
+    // Pass 2 (refine): re-run the broadcast crossJoin, keep only
+    // centroids within dmin + 1e-9·(1+dmin) of the double minimum, and
+    // run the EXACT-DECIMAL argmin (same min(struct(dist, cid)) tie
+    // order the oracle replays) over that candidate set. The SqDist
+    // scaladoc derives the bound: decimal and double distances differ by
+    // ≤ ~2e-12 + 1.5e-14·d, so the eps-candidate set provably contains
+    // every centroid the exact argmin could pick — while typically
+    // holding ONE. Exact-decimal kernel evals drop from N·k to ~N
+    // (2 320 → 98 s at the 100× rehearsal's 200 k × 6 250 configuration);
+    // the N·k work that remains is the ~15 ns double kernel, twice.
+    // NULL-distance rows (degenerate embeddings) bypass the filter so
+    // the refine argmin sees exactly the rows the single-pass version
+    // saw. The DuckDB oracle stays the single-pass brute-force decimal
+    // argmin — the gate proves the equivalence on every run.
+    val ev = e.select(col("vec_id"), col("embedding"))
+    val dmin = ev.crossJoin(broadcast(cents))
+      .select(col("vec_id"), expr("sqdist(embedding, ce)").as("dd"))
+      .groupBy(col("vec_id")).agg(min(col("dd")).as("dmin"))
+    val assigned = ev.join(dmin, Seq("vec_id"))
       .crossJoin(broadcast(cents))
+      .withColumn("dd", expr("sqdist(embedding, ce)"))
+      .filter(col("dmin").isNull || col("dd").isNull ||
+        col("dd") <= col("dmin") + lit(1e-9) * (lit(1.0) + col("dmin")))
       .select(col("vec_id"),
         struct(expr("decimal_sqdist(embedding, ce)").as("dist"),
           col("cid")).as("dc"))
@@ -1079,7 +1120,7 @@ object SimilarityQueries {
       .select(col("vec_id"), col("m.cid").as("cid"))
       .localCheckpoint() // referenced by pairs (twice), members, and the
                          // component→cluster lookup; without materializing,
-                         // the 64-way assignment crossJoin re-runs per ref
+                         // the assignment crossJoins re-run per ref
     semdedupReport(e, assigned)
   }
 

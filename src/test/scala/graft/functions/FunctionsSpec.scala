@@ -329,4 +329,35 @@ class FunctionsSpec extends SparkSpec {
         |                   array(1.0F, 1.0F, 1.0F)) AS v""".stripMargin).collect().head
     assert(big.getDouble(0) == 180000.0)
   }
+
+  test("sqdist filter kernel: within the refine bound of decimal_sqdist; NULL parity") {
+    graft.functions.GraftFunctions.register(spark)
+    // the filter-and-refine eps bound (SqDist scaladoc): for 64 terms the
+    // double and decimal kernels differ by < 1e-9·(1 + d) on the real corpus
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(500)
+      .selectExpr("sqdist(a.embedding, b.embedding) AS dd",
+        "CAST(decimal_sqdist(a.embedding, b.embedding) AS DOUBLE) AS dx")
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (dd, dx) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(dd - dx) <= 1e-9 * (1.0 + math.min(dd, dx)),
+        s"kernels diverge past the refine bound: dd=$dd dx=$dx")
+    }
+    // NULL semantics identical to decimal_sqdist: NULL array / NULL
+    // element / length mismatch → NULL; empty arrays → 0.0
+    val edge = spark.sql(
+      """SELECT sqdist(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)) AS a,
+        |       sqdist(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F)) AS b,
+        |       sqdist(array(1.0F), array(1.0F, 2.0F)) AS c,
+        |       sqdist(CAST(array() AS ARRAY<FLOAT>), CAST(array() AS ARRAY<FLOAT>)) AS d,
+        |       sqdist(array(1.0F, 5.0F), array(4.0F, 1.0F)) AS e""".stripMargin)
+      .collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+    assert(edge.getDouble(3) == 0.0)
+    assert(edge.getDouble(4) == 25.0) // 3² + 4²
+  }
 }
