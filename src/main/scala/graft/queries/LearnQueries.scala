@@ -466,6 +466,132 @@ object LearnQueries {
        |SELECT ord, vec_id, ROUND(CAST(md AS DOUBLE), 6) AS radius_sq FROM outp""".stripMargin
   }
 
+  // ---------------------------------------------------- unigram LM (Kudo) --
+
+  /** Unigram-LM subword segmentation (Kudo ACL 2018 — the SentencePiece
+    * algorithm, the OTHER major tokenizer family next to BPE): score every
+    * candidate piece by its corpus log-probability, then Viterbi-segment
+    * each word into the maximum-likelihood piece sequence — the E-step of
+    * the hard-EM iteration SentencePiece runs (the M-step is one groupBy
+    * over the emitted segmentations). Candidate vocabulary: all substrings
+    * of length 1–4 with occurrence-weighted corpus count >= 500, plus all
+    * single characters (closure: every word stays segmentable). The
+    * lattice is exact: piece log-prob LN(pc) − LN(total) is an
+    * integer-LN double cast once to DECIMAL(28,14) (the q_perplexity
+    * recipe), path scores accumulate decimally with a per-step cast, and
+    * ties break on the lexicographically-first path string — so the WHOLE
+    * Viterbi trajectory (segmentation, piece count, score) is
+    * hash-gated per word, and the oracle replays all 12 DP rounds in
+    * chained CTEs.
+    * Scale: ONE corpus scan builds the word-frequency table (map-side
+    * combinable); everything after — candidate counts, the lattice, all
+    * 12 bounded DP rounds (window per word over <= 4 incoming edges) — is
+    * vocabulary-sized, exactly how SentencePiece training shards at
+    * 100 TB: corpus pass for counts, vocab-sized EM. The only broadcast
+    * is the 1-row piece-mass total. Words longer than 12 chars are
+    * excluded in both engines (the DP unroll bound; raise it with the
+    * loop literal).
+    */
+  def qUnigramLm(s: SparkSession, dir: String): DataFrame = {
+    val maxLen = 12
+    val wf = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= maxLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .persist() // vocab-sized; feeds candidates, the lattice, and the final join
+    val occ = wf.select(col("cnt"), explode(expr(
+        """flatten(transform(sequence(1, length(w)), i ->
+          |  transform(sequence(1, least(4, length(w) - i + 1)),
+          |            l -> substring(w, i, l))))""".stripMargin)).as("piece"))
+    val pieces = occ.groupBy(col("piece")).agg(sum(col("cnt")).as("pc"))
+      .filter(col("pc") >= 500 || length(col("piece")) === 1)
+    val tot = pieces.agg(sum(col("pc")).as("tot"))
+    val plp = pieces.crossJoin(broadcast(tot))
+      .select(col("piece"), expr(
+        """CAST(CAST(LN(CAST(pc AS DOUBLE)) - LN(CAST(tot AS DOUBLE)) AS DOUBLE)
+          |  AS DECIMAL(28,14))""".stripMargin).as("lp"))
+    val edges = wf.select(col("w"), explode(expr(
+        """flatten(transform(sequence(1, length(w)), j ->
+          |  transform(sequence(1, least(4, j)), l ->
+          |    struct(j - l AS src, j AS dst, substring(w, j - l + 1, l) AS piece))))""".stripMargin))
+        .as("e"))
+      .select(col("w"), col("e.src").as("src"), col("e.dst").as("dst"), col("e.piece").as("piece"))
+      .join(plp, Seq("piece"))
+    var best = wf.select(col("w"), lit(0).as("j"),
+      lit(java.math.BigDecimal.ZERO)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 14)).as("sc"),
+      lit("").as("path"))
+    for (j <- 1 to maxLen) {
+      val cand = edges.filter(col("dst") === j).as("e")
+        .join(best.as("b"),
+          col("e.w") === col("b.w") && col("b.j") === col("e.src"))
+        .select(col("e.w").as("w"), lit(j).as("j"),
+          expr("CAST(b.sc + e.lp AS DECIMAL(28,14))").as("sc"),
+          concat(col("b.path"), lit("|"), col("e.piece")).as("path"))
+      val top = cand.withColumn("rn", row_number().over(
+          Window.partitionBy(col("w")).orderBy(col("sc").desc, col("path"))))
+        .filter(col("rn") === 1).drop("rn")
+      // each round references `best` twice (join + union): without
+      // truncation the logical plan doubles per round — 2^12 subtrees of
+      // analysis before a byte moves (the ConnectedComponents lesson)
+      best = graft.ops.Lineage.truncate(best.unionByName(top))
+    }
+    wf.join(best, Seq("w"))
+      .filter(col("j") === length(col("w")))
+      .select(col("w").as("word"), col("cnt"),
+        expr("substring(path, 2)").as("seg"),
+        size(split(expr("substring(path, 2)"), "\\|")).cast("long").as("n_pieces"),
+        r6(col("sc").cast("double")).as("score"))
+  }
+
+  val qUnigramLmSql: String = {
+    // every round CTE is MATERIALIZED: ball_j references ball_{j-1} twice
+    // (directly and through b_j), so DuckDB's default CTE inlining would
+    // expand the lattice pipeline 2^12 times — the oracle-side twin of the
+    // Lineage.truncate the Spark loop needs
+    val rounds = (1 to 12).map { j =>
+      s"""c$j AS MATERIALIZED (SELECT e.w, CAST(b.sc + e.lp AS DECIMAL(28,14)) AS sc,
+         |          b.path || '|' || e.piece AS path
+         |        FROM edges e JOIN ball${j - 1} b ON b.w = e.w AND b.j = e.src
+         |        WHERE e.dst = $j),
+         |b$j AS MATERIALIZED (SELECT w, $j AS j, sc, path FROM (
+         |          SELECT w, sc, path,
+         |            ROW_NUMBER() OVER (PARTITION BY w ORDER BY sc DESC, path) AS rn
+         |          FROM c$j) t WHERE rn = 1),
+         |ball$j AS MATERIALIZED (SELECT * FROM ball${j - 1} UNION ALL SELECT * FROM b$j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE w <> '' AND len(w) <= 12 GROUP BY w),
+       |occ AS (
+       |  SELECT substring(w, CAST(i AS INT), CAST(l AS INT)) AS piece, cnt
+       |  FROM wf, UNNEST(range(1, len(w) + 1)) AS u(i), UNNEST(range(1, 5)) AS v(l)
+       |  WHERE i + l - 1 <= len(w)),
+       |pieces AS (
+       |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS pc FROM occ GROUP BY piece
+       |  HAVING SUM(cnt) >= 500 OR len(piece) = 1),
+       |tt AS (SELECT CAST(SUM(pc) AS BIGINT) AS tot FROM pieces),
+       |plp AS (SELECT piece,
+       |          CAST(CAST(LN(CAST(pc AS DOUBLE)) - LN(CAST(tot AS DOUBLE)) AS DOUBLE)
+       |            AS DECIMAL(28,14)) AS lp
+       |        FROM pieces, tt),
+       |edges AS MATERIALIZED (
+       |  SELECT e0.w, e0.j - e0.l AS src, e0.j AS dst, e0.piece, plp.lp
+       |  FROM (SELECT w, j, l,
+       |          substring(w, CAST(j - l + 1 AS INT), CAST(l AS INT)) AS piece
+       |        FROM wf, UNNEST(range(1, len(w) + 1)) AS u(j), UNNEST(range(1, 5)) AS v(l)
+       |        WHERE l <= j) e0
+       |  JOIN plp ON plp.piece = e0.piece),
+       |ball0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS j, CAST(0 AS DECIMAL(28,14)) AS sc,
+       |                 '' AS path FROM wf),
+       |$rounds
+       |SELECT wf.w AS word, wf.cnt AS cnt, substring(b.path, 2) AS seg,
+       |  CAST(len(string_split(substring(b.path, 2), '|')) AS BIGINT) AS n_pieces,
+       |  ROUND(CAST(b.sc AS DOUBLE), 6) AS score
+       |FROM wf JOIN ball12 b ON b.w = wf.w AND b.j = len(wf.w)""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry --
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
@@ -475,6 +601,7 @@ object LearnQueries {
     "q_gram_matrix" -> ((qGramMatrix _, Some(qGramMatrixSql))),
     "q_pca_power" -> ((qPcaPower _, Some(qPcaPowerSql))),
     "q_kmeans_step" -> ((qKmeansStep _, Some(qKmeansStepSql))),
-    "q_coreset" -> ((qCoreset _, Some(qCoresetSql)))
+    "q_coreset" -> ((qCoreset _, Some(qCoresetSql))),
+    "q_unigram_lm" -> ((qUnigramLm _, Some(qUnigramLmSql)))
   )
 }

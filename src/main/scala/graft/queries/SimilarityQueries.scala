@@ -1536,6 +1536,138 @@ object SimilarityQueries {
       |LEFT JOIN (SELECT x.qid, COUNT(*) AS c FROM xtop x JOIN atop a USING (qid, vec_id)
       |           WHERE x.xrank = 1 GROUP BY 1) t USING (qid)""".stripMargin
 
+  /** Hard-negative mining for contrastive training (the triplet-mining
+    * pass every embedding-model data pipeline runs, Schroff et al. FaceNet
+    * CVPR 2015): for each anchor vector, find the HARDEST POSITIVE (the
+    * most-similar same-label vector — the easiest true match) and the
+    * top-3 HARDEST NEGATIVES (the most-similar different-label vectors —
+    * the confusable impostors), and report each negative's margin
+    * cos(neg) − cos(pos). Negatives with margin > −m violate a triplet
+    * margin m and are exactly the pairs worth training on. Cosines use
+    * the q_cosine_topk recipe (fused exact-decimal dot kernel, per-vector
+    * norms, round-6 before ranking, (cosine DESC, vec_id) total order),
+    * so rankings and margins are engine-deterministic. Anchors: vec_id <
+    * 16. Scale: anchors are the O(q) broadcast side of one corpus scan
+    * (same shape as q_cosine_topk); both windows partition by anchor. At
+    * 100 TB you'd swap the exact scan for the IVF shortlist (q_ivf_rerank)
+    * and keep this ranking tail verbatim.
+    */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("c_norm", expr("SQRT(decimal_dot(embedding, embedding))"))
+    val anchors = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("c_norm").as("q_norm"))
+    val scored = broadcast(anchors).crossJoin(emb)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        r6(expr("decimal_dot(q_emb, embedding)") / (col("q_norm") * col("c_norm")))
+          .as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val pos = scored.filter(col("label") === col("q_label"))
+      .withColumn("prn", row_number().over(w)).filter(col("prn") === 1)
+      .select(col("q_id"), col("vec_id").as("pos_id"), col("cosine").as("pos_cos"))
+    val neg = scored.filter(col("label") =!= col("q_label"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("q_id"), col("q_label"), col("rnk"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"),
+        col("cosine").as("neg_cos"))
+    neg.join(pos, Seq("q_id"))
+      .select(col("q_id"), col("q_label"), col("rnk"), col("neg_id"),
+        col("neg_label"), col("neg_cos"), col("pos_id"), col("pos_cos"),
+        r6(col("neg_cos") - col("pos_cos")).as("margin"))
+  }
+
+  val qHardNegativesSql: String =
+    """WITH nrm AS (
+      |  SELECT vec_id, label, embedding,
+      |    SQRT(CAST(list_sum(list_transform(embedding, x ->
+      |      CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE)) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb, nrm AS q_norm
+      |      FROM nrm WHERE vec_id < 16),
+      |scored AS (
+      |  SELECT q_id, q_label, vec_id, label,
+      |    ROUND(
+      |      CAST(list_sum(list_transform(range(1, len(q_emb) + 1), i ->
+      |        CAST(CAST(q_emb[CAST(i AS INT)] AS DOUBLE)
+      |           * CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE)
+      |      / (q_norm * nrm), 6) AS cosine
+      |  FROM q CROSS JOIN nrm WHERE q_id <> vec_id),
+      |pos AS (SELECT q_id, vec_id AS pos_id, cosine AS pos_cos FROM (
+      |    SELECT q_id, vec_id, cosine,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS prn
+      |    FROM scored WHERE label = q_label) t WHERE prn = 1),
+      |neg AS (SELECT q_id, q_label, rnk, vec_id AS neg_id, label AS neg_label,
+      |               cosine AS neg_cos FROM (
+      |    SELECT q_id, q_label, vec_id, label, cosine,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+      |    FROM scored WHERE label <> q_label) t WHERE rnk <= 3)
+      |SELECT n.q_id, n.q_label, n.rnk, n.neg_id, n.neg_label, n.neg_cos,
+      |  p.pos_id, p.pos_cos, ROUND(n.neg_cos - p.pos_cos, 6) AS margin
+      |FROM neg n JOIN pos p USING (q_id)""".stripMargin
+
+  /** Two-stage retrieval: ADC shortlist → EXACT rerank — the refine step
+    * every production IVF-PQ deployment runs (FAISS's refine/RFlat layer):
+    * the compressed-domain ADC scan (q_ivf_pq's pipeline, shared helper)
+    * proposes a top-20 shortlist per query, then only those 20 stored
+    * vectors are fetched and re-scored with full-precision exact-decimal
+    * distances, and the top-5 is re-ranked. `adc_rank` vs final `rank`
+    * (and the `moved` flag) expose exactly what quantization error the
+    * refine step corrected — the audit that sizes the shortlist before a
+    * 100 TB index build. Scale: the shortlist is an O(q·20) frame
+    * (deliberately broadcast — bounded by construction, like the LUT);
+    * fetching full vectors for shortlisted ids is the standard refine
+    * random-access, here a broadcast-probe join against the corpus; the
+    * corpus itself is touched only by the compressed ADC scan.
+    */
+  def qIvfRerank(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val shortlist = ivfPqAdc(s, dir)
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("adc_rank") <= 20)
+      .select(col("qid"), col("vec_id"), col("adc_rank"))
+    e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("xd", expr("decimal_sqdist(embedding, qemb)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("xd"), col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        r6(col("xd").cast("double")).as("exact_dist"),
+        col("adc_rank"), (col("adc_rank") =!= col("rank")).as("moved"))
+  }
+
+  val qIvfRerankSql: String =
+    ivfPqCtes + """,
+      |ashort AS MATERIALIZED (
+      |  SELECT qid, vec_id, adc_rank FROM (
+      |    SELECT qid, vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS adc_rank
+      |    FROM adc) t WHERE adc_rank <= 20),
+      |rr AS MATERIALIZED (
+      |  SELECT a.qid, a.vec_id, a.adc_rank,
+      |    SUM(CAST((CAST(v.embedding[CAST(i AS INT)] AS DOUBLE)
+      |              - CAST(q.embedding[CAST(i AS INT)] AS DOUBLE))
+      |           * (CAST(v.embedding[CAST(i AS INT)] AS DOUBLE)
+      |              - CAST(q.embedding[CAST(i AS INT)] AS DOUBLE))
+      |          AS DECIMAL(28,14))) AS xd
+      |  FROM ashort a JOIN embeddings v ON v.vec_id = a.vec_id
+      |    JOIN embeddings q ON q.vec_id = a.qid,
+      |    UNNEST(range(1, 65)) AS u(i)
+      |  GROUP BY 1, 2, 3)
+      |SELECT qid, rank, vec_id, ROUND(CAST(xd AS DOUBLE), 6) AS exact_dist,
+      |  adc_rank, adc_rank <> rank AS moved
+      |FROM (SELECT qid, vec_id, adc_rank, xd,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY xd, vec_id) AS rank
+      |      FROM rr) t WHERE rank <= 5""".stripMargin
+
   /** Sketch-accuracy audit for the MinHash pipeline: for every LSH
     * candidate pair, the ESTIMATED Jaccard (fraction of agreeing minhash
     * components — the unbiased MinHash estimator) next to the EXACT
@@ -1902,6 +2034,8 @@ object SimilarityQueries {
     "q_pq" -> ((qPq _, Some(qPqSql))),
     "q_ivf_pq" -> ((qIvfPq _, Some(qIvfPqSql))),
     "q_ivf_pq_recall" -> ((qIvfPqRecall _, Some(qIvfPqRecallSql))),
+    "q_ivf_rerank" -> ((qIvfRerank _, Some(qIvfRerankSql))),
+    "q_hard_negatives" -> ((qHardNegatives _, Some(qHardNegativesSql))),
     "q_minhash_est" -> ((qMinhashEstimate _, Some(qMinhashEstimateSql))),
     "q_quantize" -> ((qQuantize _, Some(qQuantizeSql))),
     "q_split" -> ((qSplit _, Some(qSplitSql))),

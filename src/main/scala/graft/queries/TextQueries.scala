@@ -780,6 +780,72 @@ object TextQueries {
       |GROUP BY doc_id
       |ORDER BY boiler_ratio DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Line-level dedup with document REASSEMBLY — the curation transform
+    * q_boilerplate only measures: RefinedWeb/C4 drop every "line" that
+    * repeats across documents, then stitch the survivors back together in
+    * order. This corpus has no newlines, so the line unit is the standard
+    * fallback: consecutive non-overlapping 8-word segments, each doc
+    * segmented against its own word positions (the q_substring_dup
+    * positional-shingle discipline, non-overlapping here because removal
+    * must partition the text). A segment is boilerplate when its exact
+    * text occurs in >= 2 distinct documents; surviving segments rejoin in
+    * seg_no order and the per-doc result is hash-gated (sha256 of the
+    * rebuilt text), so a single mis-ordered or mis-dropped segment
+    * anywhere breaks the gate. Output: every doc that lost content, with
+    * segment/char accounting.
+    * Scale: one explode to ~n_words/8 segment rows (persisted — it feeds
+    * the df count, the per-doc totals, and the anti-join probe), a
+    * map-side-combinable distinct-df aggregate on the segment key, a
+    * left-anti join (AQE: broadcast while the boilerplate table is small,
+    * shuffle join at web scale), and a per-doc collect_list whose state is
+    * bounded by the doc's own length — document bodies shuffle once, on
+    * the doc_id key, to reassemble. No driver state, no windows.
+    */
+  def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, CAST(ceil(size(ws) / 8.0) AS INT) - 1),
+          |          i -> array_join(slice(ws, i * 8 + 1, 8), ' '))""".stripMargin))
+        .as(Seq("seg_no", "seg")))
+      .persist()
+    val boiler = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("seg"))
+    val kept = segs.join(boiler, Seq("seg"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(seg_no, seg))), x -> x.seg), ' ')")
+          .as("new_text"))
+    segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .withColumn("n_dropped", col("n_segs") - coalesce(col("n_kept"), lit(0L)))
+      .filter(col("n_dropped") > 0)
+      .select(col("doc_id"), col("n_segs"), col("n_dropped"),
+        length(coalesce(col("new_text"), lit(""))).cast("long").as("new_len"),
+        sha2(coalesce(col("new_text"), lit("")), 256).as("new_sha"))
+  }
+
+  val qLineDedupSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |segs AS (
+      |  SELECT doc_id, i AS seg_no,
+      |         array_to_string(ws[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ') AS seg
+      |  FROM w, UNNEST(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS u(i)),
+      |bp AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2),
+      |kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM bp)),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id),
+      |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |          string_agg(seg, ' ' ORDER BY seg_no) AS new_text
+      |        FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(t.n_segs AS BIGINT) AS n_segs,
+      |  CAST(t.n_segs - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped,
+      |  CAST(len(COALESCE(r.new_text, '')) AS BIGINT) AS new_len,
+      |  sha256(COALESCE(r.new_text, '')) AS new_sha
+      |FROM tot t LEFT JOIN reb r USING (doc_id)
+      |WHERE t.n_segs - COALESCE(r.n_kept, 0) > 0""".stripMargin
+
   /** Zipf rank-frequency fit: OLS slope of ln(freq) on ln(rank) over the
     * top-100 tokens — the corpus-health diagnostic (natural text slopes
     * ≈ −1; template-heavy or synthetic corpora flatten or steepen it).
@@ -1464,6 +1530,7 @@ object TextQueries {
     "q_pmi" -> ((qPmi _, Some(qPmiSql))),
     "q_heavy_hitters" -> ((qHeavyHitters _, Some(qHeavyHittersSql))),
     "q_boilerplate" -> ((qBoilerplate _, Some(qBoilerplateSql))),
+    "q_line_dedup" -> ((qLineDedup _, Some(qLineDedupSql))),
     "q_zipf" -> ((qZipf _, Some(qZipfSql))),
     "q_pack" -> ((qPack _, Some(qPackSql))),
     "q_chunk" -> ((qChunk _, Some(qChunkSql))),

@@ -44,8 +44,13 @@ class PlanSpec extends SparkSpec {
       // 1-row scalar-totals broadcast-cross: PMI's (n_tok, t_bi) pair on
       // the bigram table, MI's grand total on the contingency table
       "q_pmi", "q_mutual_info",
-      // the broadcast-queries exact cosine scan (q_cosine_topk's shape)
-      "q_ndcg",
+      // the broadcast-queries exact cosine scan (q_cosine_topk's shape):
+      // hard-negative mining broadcasts its 16 anchors across the corpus
+      "q_ndcg", "q_hard_negatives",
+      // q_ivf_pq's pipeline (8-row coarse, 16-row codebook, 64-row LUT)
+      // plus the O(q*20) ADC shortlist and 2-row query table for the
+      // exact-rerank refine stage — every crossed frame is k-bounded
+      "q_ivf_rerank",
       // 1-row scalar broadcast-crosses: kappa's chance-agreement scalar,
       // calibration's global (lo, hi) bounds row, k-anonymity's corpus
       // total riding the class table
@@ -83,6 +88,8 @@ class PlanSpec extends SparkSpec {
       // 1-row (n_a, n_b, alpha0) scalar-totals broadcast-cross on the
       // min-count-filtered vocab table
       "q_log_odds",
+      // 1-row piece-mass total crossed onto the candidate-piece vocab
+      "q_unigram_lm",
       // two 1-row score-total scalars crossed onto the node-sized
       // hub/authority tables for the final share columns
       "q_hits",
@@ -159,6 +166,8 @@ class PlanSpec extends SparkSpec {
       "q_ann_fullprobe" -> kRows, "q_ann_ivf" -> kRows, "q_ann_ivf_kernel" -> kRows,
       "q_kmeans_step" -> kRows, "q_pq" -> kRows, "q_ivf_pq" -> (kRows + " (8-row coarse, 16-row codebook, 64-row LUT)"),
       "q_ivf_pq_recall" -> (kRows + " (same pipeline + 2-row query broadcast for the exact audit)"),
+      "q_ivf_rerank" -> (kRows + " (same pipeline + O(q*20) ADC shortlist + 2-row query broadcast for the refine rerank)"),
+      "q_hard_negatives" -> (kRows + " (16-anchor broadcast, q_cosine_topk's exact-scan shape)"),
       "q_perceptron_step" -> kRows,
       "q_calibration" -> (scalar + " (global lo/hi bounds)"),
       "q_semdedup" -> kRows,
@@ -174,6 +183,7 @@ class PlanSpec extends SparkSpec {
       "q_lsh_recall" -> (vocab + " (PrefixFilterJoin df table)"),
       "q_chi_squared" -> (scalar + " (corpus-total row + 1-row chi2/dof statistic)"),
       "q_log_odds" -> (scalar + " (1-row group/prior token totals)"),
+      "q_unigram_lm" -> (scalar + " (1-row piece-mass total on the candidate vocab)"),
       "q_hits" -> (scalar + " (1-row hub/authority score totals)"),
       "q_psi" -> (scalar + " (9-row decile thresholds, 1-row boundary array/totals/statistic)"),
       "q_market_basket" -> (scalar + " (1-row distinct-basket total)"),

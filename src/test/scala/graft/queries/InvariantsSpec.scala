@@ -426,4 +426,110 @@ class InvariantsSpec extends SparkSpec {
       assert(math.abs(s - expect) < 1e-6)
     }
   }
+
+  test("q_line_dedup replays exactly from an in-JVM segmentation of the corpus") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // in-JVM reference: 8-word non-overlapping segments, df >= 2 dropped,
+    // survivors rejoined in order
+    val segsOf = (t: String) => t.split(" ", -1).grouped(8).map(_.mkString(" ")).toVector
+    val df = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, t) <- docs; s <- segsOf(t).distinct)
+      df(s) = df.getOrElse(s, Set.empty) + id
+    val boiler = df.collect { case (s, ids) if ids.size >= 2 => s }.toSet
+    val expect = docs.flatMap { case (id, t) =>
+      val segs = segsOf(t)
+      val kept = segs.filterNot(boiler)
+      val dropped = segs.size - kept.size
+      if (dropped == 0) None
+      else {
+        val nt = kept.mkString(" ")
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(nt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        Some(id -> ((segs.size.toLong, dropped.toLong, nt.length.toLong, sha)))
+      }
+    }
+    val got = TextQueries.qLineDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    assert(got == expect, s"line-dedup mismatch: got ${got.size} docs, expected ${expect.size}")
+    assert(expect.nonEmpty, "reference found no boilerplate — test is vacuous")
+  }
+
+  test("q_hard_negatives: labels, margins, and hardest-negative choice are consistent") {
+    val rows = SimilarityQueries.qHardNegatives(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byAnchor = rows.groupBy(_.getLong(0))
+    for ((_, rs) <- byAnchor) {
+      val qLabel = rs.head.getAs[Number](1).longValue
+      // every negative is cross-label, the positive is fixed per anchor
+      assert(rs.forall(_.getAs[Number](4).longValue != qLabel),
+        "negative shares the anchor label")
+      assert(rs.map(_.getLong(6)).distinct.length == 1, "pos_id varies within anchor")
+      // ranks are 1..n and neg_cos is non-increasing in rank
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to rs.length).toSeq)
+      val negCos = sorted.map(_.getDouble(5)).toSeq
+      assert(negCos == negCos.sorted.reverse, "neg_cos not ranked")
+      // margin is exactly round6(neg_cos - pos_cos)
+      for (r <- rs) {
+        val m = BigDecimal(r.getDouble(5) - r.getDouble(7))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(8) == m, s"margin ${r.getDouble(8)} != $m")
+      }
+    }
+    // the rank-1 negative beats (or ties) every cross-label cosine found by
+    // an independent in-engine brute force (no window, no join-back — a
+    // different plan over the same kernel, whose HOF identity FunctionsSpec
+    // already pins bit-for-bit)
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val hof = "decimal_dot(%s, %s)"
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .withColumn("nrm", expr(s"SQRT(${hof.format("embedding", "embedding")})"))
+    val anchors = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_norm"))
+    val best = anchors.crossJoin(e)
+      .filter(col("q_id") =!= col("vec_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"),
+        round(expr(hof.format("q_emb", "embedding")) / (col("q_norm") * col("nrm")), 6).as("c"))
+      .groupBy("q_id").agg(max(col("c")).as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((a, rs) <- byAnchor) {
+      val top = rs.minBy(_.getInt(2))
+      assert(top.getDouble(5) == best(a),
+        s"anchor $a: rank-1 neg_cos ${top.getDouble(5)} != brute-force max ${best(a)}")
+    }
+  }
+
+  test("q_ivf_rerank: ranks partition the shortlist and exact distances recompute") {
+    val rows = SimilarityQueries.qIvfRerank(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows.groupBy(_.getLong(0))) {
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length).toSeq)
+      val d = sorted.map(_.getDouble(3)).toSeq
+      assert(d == d.sorted, "exact_dist not non-decreasing in rank")
+      for (r <- rs)
+        assert(r.getBoolean(5) == (r.getInt(4) != r.getInt(1)), "moved flag wrong")
+    }
+    // exact_dist recomputes from the stored vectors with the kernel
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    val emb = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    for ((qid, vid, d) <- pairs) {
+      val acc = emb(qid).zip(emb(vid)).foldLeft(BigDecimal(0)) { case (s, (a, b)) =>
+        val diff = a.toDouble - b.toDouble
+        // the kernel squares in IEEE double, THEN casts to DECIMAL(28,14)
+        s + BigDecimal(diff * diff).setScale(14, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val expect = BigDecimal(acc.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(d == expect, s"($qid,$vid): exact_dist $d != replay $expect")
+    }
+  }
 }

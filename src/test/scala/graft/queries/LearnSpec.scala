@@ -297,6 +297,49 @@ class LearnSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(page == full.slice(100, 120))
   }
+
+  test("q_unigram_lm replays the full Viterbi lattice in-JVM") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val words = docs.flatMap(_.split(" ", -1)).filter(w => w.nonEmpty && w.length <= 12)
+    val wf = words.groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    val pc = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- wf; i <- 0 until w.length; l <- 1 to math.min(4, w.length - i)) {
+      val p = w.substring(i, i + l)
+      pc(p) = pc.getOrElse(p, 0L) + c
+    }
+    val kept = pc.filter { case (p, c) => c >= 500 || p.length == 1 }.toMap
+    val tot = kept.values.sum
+    def lp(p: String): BigDecimal =
+      BigDecimal(math.log(kept(p).toDouble) - math.log(tot.toDouble))
+        .setScale(14, BigDecimal.RoundingMode.HALF_UP)
+    val expect = wf.map { case (w, c) =>
+      val L = w.length
+      val dp = Array.fill[Option[(BigDecimal, String)]](L + 1)(None)
+      dp(0) = Some((BigDecimal(0), ""))
+      for (j <- 1 to L; l <- 1 to math.min(4, j); p = w.substring(j - l, j)
+           if kept.contains(p); prev <- dp(j - l)) {
+        val cand = (prev._1 + lp(p), prev._2 + "|" + p)
+        dp(j) = dp(j) match {
+          case None => Some(cand)
+          case Some(cur) =>
+            if (cand._1 > cur._1 || (cand._1 == cur._1 && cand._2 < cur._2)) Some(cand)
+            else Some(cur)
+        }
+      }
+      val (sc, path) = dp(L).getOrElse(fail(s"word '$w' unsegmentable in reference"))
+      val seg = path.drop(1)
+      w -> ((c, seg, seg.split("\\|").length.toLong,
+        BigDecimal(sc.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = LearnQueries.qUnigramLm(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expect,
+      s"unigram mismatch; e.g. ${(got.keySet ++ expect.keySet).take(3).map(k => (k, got.get(k), expect.get(k)))}")
+    // segmentations concatenate back to the original word
+    for ((w, (_, seg, _, _)) <- got) assert(seg.split("\\|").mkString == w)
+  }
 }
 
 /** Tiny accessor so the gopher test reads typed fields without repeating
