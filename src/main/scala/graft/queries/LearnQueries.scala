@@ -492,7 +492,14 @@ object LearnQueries {
     * excluded in both engines (the DP unroll bound; raise it with the
     * loop literal).
     */
-  def qUnigramLm(s: SparkSession, dir: String): DataFrame = {
+  /** The shared unigram-LM pipeline (word frequencies, candidate pieces,
+    * Viterbi segmentations) — one implementation for q_unigram_lm (the
+    * E-step view) and q_unigram_refit (the M-step view), so the two can
+    * never drift apart. Returns (wf, pieces, seg) where seg has one row
+    * per word: (w, cnt, seg, sc).
+    */
+  private def unigramPipeline(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val maxLen = 12
     val wf = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
@@ -517,6 +524,9 @@ object LearnQueries {
         .as("e"))
       .select(col("w"), col("e.src").as("src"), col("e.dst").as("dst"), col("e.piece").as("piece"))
       .join(plp, Seq("piece"))
+      // vocab-sized; without this every eager DP round re-runs the whole
+      // candidate/total/log-prob pipeline behind the lattice
+      .persist()
     var best = wf.select(col("w"), lit(0).as("j"),
       lit(java.math.BigDecimal.ZERO)
         .cast(org.apache.spark.sql.types.DecimalType(28, 14)).as("sc"),
@@ -536,15 +546,41 @@ object LearnQueries {
       // analysis before a byte moves (the ConnectedComponents lesson)
       best = graft.ops.Lineage.truncate(best.unionByName(top))
     }
-    wf.join(best, Seq("w"))
+    val seg = wf.join(best, Seq("w"))
       .filter(col("j") === length(col("w")))
-      .select(col("w").as("word"), col("cnt"),
-        expr("substring(path, 2)").as("seg"),
-        size(split(expr("substring(path, 2)"), "\\|")).cast("long").as("n_pieces"),
-        r6(col("sc").cast("double")).as("score"))
+      .select(col("w"), col("cnt"), expr("substring(path, 2)").as("seg"), col("sc"))
+    (wf, pieces, seg)
   }
 
-  val qUnigramLmSql: String = {
+  def qUnigramLm(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, seg) = unigramPipeline(s, dir)
+    seg.select(col("w").as("word"), col("cnt"), col("seg"),
+      size(split(col("seg"), "\\|")).cast("long").as("n_pieces"),
+      r6(col("sc").cast("double")).as("score"))
+  }
+
+  /** The unigram-LM M-step (the other half of q_unigram_lm's hard-EM
+    * iteration, and SentencePiece's prune signal): re-count every piece
+    * from the Viterbi segmentations, weighted by word frequency. Pieces
+    * whose re-estimated count is zero are exactly the ones an EM round
+    * prunes from the vocabulary (keep = false); the survivors' new counts
+    * are the next round's LM numerators. Exact BIGINT counts; shares the
+    * whole lattice pipeline with q_unigram_lm via one helper so search
+    * and refit cannot drift apart (the q_ivf_pq/q_ivf_pq_recall
+    * discipline). Scale: the refit is one explode + groupBy over the
+    * vocab-sized segmentation table.
+    */
+  def qUnigramRefit(s: SparkSession, dir: String): DataFrame = {
+    val (_, pieces, seg) = unigramPipeline(s, dir)
+    val newc = seg.select(col("cnt"), explode(split(col("seg"), "\\|")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("new_cnt"))
+    pieces.join(newc, Seq("piece"), "left")
+      .select(col("piece"), col("pc").as("old_cnt"),
+        coalesce(col("new_cnt"), lit(0L)).as("new_cnt"),
+        (coalesce(col("new_cnt"), lit(0L)) > 0).as("keep"))
+  }
+
+  private val unigramCtes: String = {
     // every round CTE is MATERIALIZED: ball_j references ball_{j-1} twice
     // (directly and through b_j), so DuckDB's default CTE inlining would
     // expand the lattice pipeline 2^12 times — the oracle-side twin of the
@@ -585,12 +621,26 @@ object LearnQueries {
        |  JOIN plp ON plp.piece = e0.piece),
        |ball0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS j, CAST(0 AS DECIMAL(28,14)) AS sc,
        |                 '' AS path FROM wf),
-       |$rounds
-       |SELECT wf.w AS word, wf.cnt AS cnt, substring(b.path, 2) AS seg,
-       |  CAST(len(string_split(substring(b.path, 2), '|')) AS BIGINT) AS n_pieces,
-       |  ROUND(CAST(b.sc AS DOUBLE), 6) AS score
-       |FROM wf JOIN ball12 b ON b.w = wf.w AND b.j = len(wf.w)""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  val qUnigramLmSql: String =
+    unigramCtes + """
+      |SELECT wf.w AS word, wf.cnt AS cnt, substring(b.path, 2) AS seg,
+      |  CAST(len(string_split(substring(b.path, 2), '|')) AS BIGINT) AS n_pieces,
+      |  ROUND(CAST(b.sc AS DOUBLE), 6) AS score
+      |FROM wf JOIN ball12 b ON b.w = wf.w AND b.j = len(wf.w)""".stripMargin
+
+  val qUnigramRefitSql: String =
+    unigramCtes + """,
+      |segt AS (SELECT wf.w, wf.cnt, substring(b.path, 2) AS seg
+      |         FROM wf JOIN ball12 b ON b.w = wf.w AND b.j = len(wf.w)),
+      |newc AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS new_cnt
+      |         FROM (SELECT unnest(string_split(seg, '|')) AS piece, cnt FROM segt) t
+      |         GROUP BY piece)
+      |SELECT p.piece, p.pc AS old_cnt, COALESCE(n.new_cnt, 0) AS new_cnt,
+      |  COALESCE(n.new_cnt, 0) > 0 AS keep
+      |FROM pieces p LEFT JOIN newc n ON n.piece = p.piece""".stripMargin
 
   // ------------------------------------------------------------ registry --
 
@@ -602,6 +652,7 @@ object LearnQueries {
     "q_pca_power" -> ((qPcaPower _, Some(qPcaPowerSql))),
     "q_kmeans_step" -> ((qKmeansStep _, Some(qKmeansStepSql))),
     "q_coreset" -> ((qCoreset _, Some(qCoresetSql))),
-    "q_unigram_lm" -> ((qUnigramLm _, Some(qUnigramLmSql)))
+    "q_unigram_lm" -> ((qUnigramLm _, Some(qUnigramLmSql))),
+    "q_unigram_refit" -> ((qUnigramRefit _, Some(qUnigramRefitSql)))
   )
 }

@@ -89,7 +89,7 @@ class PlanSpec extends SparkSpec {
       // min-count-filtered vocab table
       "q_log_odds",
       // 1-row piece-mass total crossed onto the candidate-piece vocab
-      "q_unigram_lm",
+      "q_unigram_lm", "q_unigram_refit",
       // two 1-row score-total scalars crossed onto the node-sized
       // hub/authority tables for the final share columns
       "q_hits",
@@ -184,6 +184,7 @@ class PlanSpec extends SparkSpec {
       "q_chi_squared" -> (scalar + " (corpus-total row + 1-row chi2/dof statistic)"),
       "q_log_odds" -> (scalar + " (1-row group/prior token totals)"),
       "q_unigram_lm" -> (scalar + " (1-row piece-mass total on the candidate vocab)"),
+      "q_unigram_refit" -> (scalar + " (same pipeline: 1-row piece-mass total)"),
       "q_hits" -> (scalar + " (1-row hub/authority score totals)"),
       "q_psi" -> (scalar + " (9-row decile thresholds, 1-row boundary array/totals/statistic)"),
       "q_market_basket" -> (scalar + " (1-row distinct-basket total)"),

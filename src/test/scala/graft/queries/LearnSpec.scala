@@ -340,6 +340,23 @@ class LearnSpec extends SparkSpec {
     // segmentations concatenate back to the original word
     for ((w, (_, seg, _, _)) <- got) assert(seg.split("\\|").mkString == w)
   }
+
+  test("q_unigram_refit re-counts exactly the Viterbi segmentations") {
+    val seg = LearnQueries.qUnigramLm(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getString(2)))
+    val expect = scala.collection.mutable.Map.empty[String, Long]
+    for ((c, s) <- seg; p <- s.split("\\|")) expect(p) = expect.getOrElse(p, 0L) + c
+    val got = LearnQueries.qUnigramRefit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    for ((p, _, nc, keep) <- got) {
+      assert(nc == expect.getOrElse(p, 0L), s"piece '$p' new_cnt $nc")
+      assert(keep == (nc > 0))
+    }
+    // every piece a segmentation uses is in the candidate table, and the
+    // EM prune signal actually fires (some candidates go unused)
+    assert(expect.keySet.subsetOf(got.map(_._1).toSet))
+    assert(got.exists(!_._4), "no pruned pieces — prune signal untested")
+  }
 }
 
 /** Tiny accessor so the gopher test reads typed fields without repeating
