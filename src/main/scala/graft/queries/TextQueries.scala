@@ -733,6 +733,54 @@ object TextQueries {
       |             ORDER BY tfidf DESC, token) AS rnk FROM scored)
       |SELECT doc_id, rnk, token, tf, df, tfidf FROM ranked WHERE rnk <= 3""".stripMargin
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. ICML 2009 —
+    * Spark MLlib's HashingTF / Vowpal Wabbit's featurizer): project each
+    * document into a FIXED 64-dim signed-count vector with dim =
+    * hash(token) mod 64 and a second hash bit choosing the sign (the
+    * sign trick makes collision noise zero-mean). This is the
+    * featurizer that needs NO vocabulary table at 100 TB — no df join,
+    * no broadcast, no fit pass; any executor can featurize any shard
+    * independently, which is exactly why it is the default text
+    * featurizer at web scale. Hashes are the shared md5-nibble
+    * primitive (Exact.md5IntExpr/md5IntSql — 3 nibbles mod 64 is
+    * uniform since 16^3 is a multiple of 64), so both engines assign
+    * identical dims/signs and the gate is exact BIGINTs. Rows where
+    * signed counts cancel to zero are dropped in both engines (the
+    * collision-cancellation case the sign trick exists for).
+    * Scale: one narrow per-row pass + a (doc, dim)-key map-side-
+    * combinable aggregate; nothing vocabulary- or corpus-sized crosses
+    * an exchange.
+    */
+  def qFeatureHashing(s: SparkSession, dir: String): DataFrame = {
+    import Exact.md5IntExpr
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("dim", expr(s"${md5IntExpr("tok", 1, 3)} % 64"))
+      .withColumn("sign",
+        when(expr(md5IntExpr("tok", 4, 1)) < 8, 1L).otherwise(-1L))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("sign")).as("weight"))
+      .filter(col("weight") =!= 0)
+  }
+
+  val qFeatureHashingSql: String = {
+    import Exact.md5IntSql
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE doc_id < 20),
+       |h AS (
+       |  SELECT doc_id,
+       |    ${md5IntSql("tok", 1, 3)} % 64 AS dim,
+       |    CASE WHEN ${md5IntSql("tok", 4, 1)} < 8 THEN 1 ELSE -1 END AS sign
+       |  FROM tok WHERE tok <> '')
+       |SELECT doc_id, dim, COUNT(*) AS n_hits,
+       |  CAST(SUM(sign) AS BIGINT) AS weight
+       |FROM h GROUP BY doc_id, dim
+       |HAVING SUM(sign) <> 0""".stripMargin
+  }
+
   /** Boilerplate detection — the RefinedWeb/CCNet repeated-content pass
     * adapted to this corpus's unit (word bigrams; web pipelines use lines,
     * which this corpus lacks): a bigram is boilerplate when it appears in
@@ -1531,6 +1579,7 @@ object TextQueries {
     "q_heavy_hitters" -> ((qHeavyHitters _, Some(qHeavyHittersSql))),
     "q_boilerplate" -> ((qBoilerplate _, Some(qBoilerplateSql))),
     "q_line_dedup" -> ((qLineDedup _, Some(qLineDedupSql))),
+    "q_feature_hashing" -> ((qFeatureHashing _, Some(qFeatureHashingSql))),
     "q_zipf" -> ((qZipf _, Some(qZipfSql))),
     "q_pack" -> ((qPack _, Some(qPackSql))),
     "q_chunk" -> ((qChunk _, Some(qChunkSql))),

@@ -457,6 +457,26 @@ class InvariantsSpec extends SparkSpec {
     assert(expect.nonEmpty, "reference found no boilerplate — test is vacuous")
   }
 
+  test("q_feature_hashing replays the md5 dims, signs, and signed counts in-JVM") {
+    val docs = graft.Tables.documents(spark, sfDir).filter(col("doc_id") < 20)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    for ((id, t) <- docs; tok <- t.split(" ", -1) if tok.nonEmpty) {
+      val h = md5hex(tok)
+      val dim = java.lang.Long.parseLong(h.substring(0, 3), 16) % 64
+      val sign = if (Integer.parseInt(h.substring(3, 4), 16) < 8) 1L else -1L
+      val (n, w) = acc.getOrElse((id, dim), (0L, 0L))
+      acc((id, dim)) = (n + 1, w + sign)
+    }
+    val expect = acc.filter(_._2._2 != 0).toMap
+    val got = TextQueries.qFeatureHashing(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(expect.nonEmpty, "reference produced no features — vacuous")
+    assert(got == expect, s"mismatch: got ${got.size} cells, expected ${expect.size}")
+  }
+
   test("q_hard_negatives: labels, margins, and hardest-negative choice are consistent") {
     val rows = SimilarityQueries.qHardNegatives(spark, sfDir).collect()
     assert(rows.nonEmpty)
