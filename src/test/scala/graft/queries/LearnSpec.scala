@@ -341,6 +341,47 @@ class LearnSpec extends SparkSpec {
     for ((w, (_, seg, _, _)) <- got) assert(seg.split("\\|").mkString == w)
   }
 
+  test("q_unigram_lm is optimal: brute-force enumeration of every segmentation agrees") {
+    // structurally independent of the DP (the replay test above shares the
+    // Viterbi recurrence, so a recurrence bug could pass both): enumerate
+    // ALL compositions of each word into pieces of length 1..4, keep the
+    // in-vocab ones, and take max score / lexicographically-first path.
+    val docs = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val words = docs.flatMap(_.split(" ", -1)).filter(w => w.nonEmpty && w.length <= 12)
+    val wf = words.groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    val pc = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- wf; i <- 0 until w.length; l <- 1 to math.min(4, w.length - i)) {
+      val p = w.substring(i, i + l)
+      pc(p) = pc.getOrElse(p, 0L) + c
+    }
+    val kept = pc.filter { case (p, c) => c >= 500 || p.length == 1 }.toMap
+    val tot = kept.values.sum
+    def lp(p: String): BigDecimal =
+      BigDecimal(math.log(kept(p).toDouble) - math.log(tot.toDouble))
+        .setScale(14, BigDecimal.RoundingMode.HALF_UP)
+    def segmentations(w: String): Seq[List[String]] =
+      if (w.isEmpty) Seq(Nil)
+      else (1 to math.min(4, w.length)).flatMap { l =>
+        val head = w.substring(0, l)
+        if (!kept.contains(head)) Nil
+        else segmentations(w.substring(l)).map(head :: _)
+      }
+    val got = LearnQueries.qUnigramLm(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getDouble(4)))).toMap
+    assert(got.nonEmpty)
+    for ((w, (seg, score)) <- got) {
+      val all = segmentations(w)
+        .map(ps => (ps.map(lp).foldLeft(BigDecimal(0))(_ + _), ps.mkString("|")))
+      assert(all.nonEmpty, s"'$w' has no in-vocab segmentation")
+      val best = all.minBy { case (sc, path) => (-sc, path) }
+      assert(seg == best._2, s"'$w': Viterbi '$seg' != brute-force '${best._2}'")
+      val bestScore = BigDecimal(best._1.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(score == bestScore, s"'$w': score $score != brute-force $bestScore")
+    }
+  }
+
   test("q_unigram_refit re-counts exactly the Viterbi segmentations") {
     val seg = LearnQueries.qUnigramLm(spark, sfDir).collect()
       .map(r => (r.getLong(1), r.getString(2)))
