@@ -350,6 +350,125 @@ object NorthStarQueries {
       |  CAST(MAX(r + g + b) AS BIGINT) AS max_lum
       |FROM px GROUP BY doc_id""".stripMargin
 
+  /** Image near-dup dedup via AVERAGE-HASH (aHash — the classic
+    * perceptual-fingerprint primitive behind pHash/dHash pipelines),
+    * end-to-end through the REAL PNG codec: 60 generated 16×16 images
+    * (ids 2k/2k+1 share a base pattern; the odd member perturbs every
+    * 16th pixel by +2 — a planted near-duplicate the hash must survive)
+    * are encoded with ImageIO's PNG writer, decoded back with
+    * [[Multimodal.decodeImageRgb]] inside mapPartitions, block-averaged
+    * to an 8×8 grid, and thresholded against the image mean with an
+    * INTEGER cross-multiply (block_sum·64 > total_sum — no division, no
+    * floats), giving a 64-bit fingerprint carried as two 32-bit BIGINT
+    * halves (hi = bits 0–31, lo = 32–63; no sign-bit hazards in either
+    * engine). Near-dup pairs come from the q_simhash pigeonhole: 4×16-bit
+    * bands, equi-join on any matching band, exact hamming (bit_count of
+    * xor) ≤ 3 verify — recall for hamming ≤ 3 is EXACT (3 differing bits
+    * cannot touch all 4 bands). The oracle replays the pixel generator,
+    * the block/threshold arithmetic, the banding, and the hamming in
+    * pure integer SQL and never sees the container bytes — so a codec,
+    * stride, block-indexing, bit-packing, or banding bug anywhere breaks
+    * the gate. Scale: hashing is partition-local next to the bytes (the
+    * only shape at 100 TB of images); the join is banded (never all
+    * pairs); the fingerprint table is 16 bytes/image — the thing you'd
+    * persist as the image-dedup index.
+    */
+  def qImagePhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val base = id - (id % 2)
+        val odd = id % 2 == 1
+        val rgb = new Array[Int](16 * 16 * 3)
+        var i = 0
+        while (i < 256) {
+          var g = ((base * 37 + i * 11) % 256).toInt
+          if (odd && i % 16 == 0) g = (g + 2) % 256
+          rgb(3 * i) = g; rgb(3 * i + 1) = g; rgb(3 * i + 2) = g
+          i += 1
+        }
+        Multimodal.Media(id, "image", Multimodal.rgbToPng(16, 16, rgb),
+          16, 16, 0, 1)
+      }
+    val hashed = media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, rgb) = Multimodal.decodeImageRgb(m.bytes)
+        require(w == 16 && h == 16, s"unexpected decode dims ${w}x$h")
+        val blocks = new Array[Long](64)
+        var i = 0
+        while (i < 256) {
+          val lum = rgb(3 * i) + rgb(3 * i + 1) + rgb(3 * i + 2)
+          blocks((i / 32) * 8 + (i % 16) / 2) += lum
+          i += 1
+        }
+        val tot = blocks.sum
+        var hi = 0L; var lo = 0L; var k = 0
+        while (k < 64) {
+          if (blocks(k) * 64 > tot) {
+            if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        (m.media_id, hi, lo)
+      }
+    }.toDF("media_id", "hi", "lo").persist()
+    val bands = hashed.select(col("media_id"),
+      posexplode(array(
+        expr("hi div 65536"), expr("hi % 65536"),
+        expr("lo div 65536"), expr("lo % 65536"))).as(Seq("band", "bkey")))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
+      .where(col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("img_a"), col("y.media_id").as("img_b"))
+      .distinct()
+    cand
+      .join(hashed.select(col("media_id").as("img_a"),
+        col("hi").as("a_hi"), col("lo").as("a_lo")), Seq("img_a"))
+      .join(hashed.select(col("media_id").as("img_b"),
+        col("hi").as("b_hi"), col("lo").as("b_lo")), Seq("img_b"))
+      .withColumn("hamming",
+        expr("bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("img_a"), col("img_b"), col("hamming"),
+        (col("img_a") - (col("img_a") % 2) === col("img_b") - (col("img_b") % 2))
+          .as("same_base"))
+  }
+
+  val qImagePhashSql: String =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+      |px AS (SELECT doc_id,
+      |         (u.i // 32) * 8 + (u.i % 16) // 2 AS bk,
+      |         3 * (((doc_id - doc_id % 2) * 37 + u.i * 11) % 256
+      |              + CASE WHEN doc_id % 2 = 1 AND u.i % 16 = 0
+      |                     THEN CASE WHEN ((doc_id - doc_id % 2) * 37 + u.i * 11) % 256 >= 254
+      |                               THEN 2 - 256 ELSE 2 END
+      |                     ELSE 0 END) AS lum
+      |       FROM d, UNNEST(range(0, 256)) AS u(i)),
+      |blk AS (SELECT doc_id, bk, CAST(SUM(lum) AS BIGINT) AS bs
+      |        FROM px GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, CAST(SUM(bs) AS BIGINT) AS ts FROM blk GROUP BY 1),
+      |bits AS (SELECT blk.doc_id, bk,
+      |           CASE WHEN bs * 64 > ts THEN 1 ELSE 0 END AS bit
+      |         FROM blk JOIN tot USING (doc_id)),
+      |hsh AS (SELECT doc_id,
+      |          CAST(SUM(CASE WHEN bk < 32 THEN bit * (CAST(1 AS BIGINT) << bk) ELSE 0 END) AS BIGINT) AS hi,
+      |          CAST(SUM(CASE WHEN bk >= 32 THEN bit * (CAST(1 AS BIGINT) << (bk - 32)) ELSE 0 END) AS BIGINT) AS lo
+      |        FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, hi // 65536 AS bkey FROM hsh
+      |  UNION ALL SELECT doc_id, 1, hi % 65536 FROM hsh
+      |  UNION ALL SELECT doc_id, 2, lo // 65536 FROM hsh
+      |  UNION ALL SELECT doc_id, 3, lo % 65536 FROM hsh),
+      |cand AS (SELECT DISTINCT x.doc_id AS img_a, y.doc_id AS img_b
+      |         FROM bands x JOIN bands y
+      |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      |SELECT c.img_a, c.img_b,
+      |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming,
+      |  (c.img_a - c.img_a % 2) = (c.img_b - c.img_b % 2) AS same_base
+      |FROM cand c JOIN hsh a ON a.doc_id = c.img_a JOIN hsh b ON b.doc_id = c.img_b
+      |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin
+
   /** Content-identity audit over every table row of documents using the
     * library Identity op (sha2 of canonical JSON). The hash VALUES can't be
     * oracle-compared (to_json field formatting differs between engines),
@@ -378,6 +497,7 @@ object NorthStarQueries {
     "q_multimodal" -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_audio_decode" -> ((qAudioDecode _, Some(qAudioDecodeSql))),
     "q_image_decode" -> ((qImageDecode _, Some(qImageDecodeSql))),
+    "q_image_phash" -> ((qImagePhash _, Some(qImagePhashSql))),
     "q_media_inventory" -> ((qMediaInventory _, Some(qMediaInventorySql))),
     "q_identity_audit" -> ((qIdentityAudit _, Some(qIdentityAuditSql)))
   )

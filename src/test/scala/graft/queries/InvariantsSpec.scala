@@ -457,6 +457,40 @@ class InvariantsSpec extends SparkSpec {
     assert(expect.nonEmpty, "reference found no boilerplate — test is vacuous")
   }
 
+  test("q_image_phash finds exactly the brute-force hamming<=3 pairs, all planted pairs included") {
+    // in-JVM reference hashes from the generator formula (no codec): the
+    // banded join must equal the full quadratic scan at the threshold
+    def hashOf(id: Long): (Long, Long) = {
+      val base = id - (id % 2); val odd = id % 2 == 1
+      val blocks = new Array[Long](64)
+      for (i <- 0 until 256) {
+        var g = ((base * 37 + i * 11) % 256).toInt
+        if (odd && i % 16 == 0) g = (g + 2) % 256
+        blocks((i / 32) * 8 + (i % 16) / 2) += 3L * g
+      }
+      val tot = blocks.sum
+      var hi = 0L; var lo = 0L
+      for (k <- 0 until 64 if blocks(k) * 64 > tot)
+        if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32)
+      (hi, lo)
+    }
+    val hs = (0L until 60L).map(id => id -> hashOf(id)).toMap
+    def ham(a: Long, b: Long) = {
+      val (ah, al) = hs(a); val (bh, bl) = hs(b)
+      java.lang.Long.bitCount(ah ^ bh) + java.lang.Long.bitCount(al ^ bl)
+    }
+    val brute = (for (a <- 0L until 60L; b <- a + 1 until 60L if ham(a, b) <= 3)
+      yield (a, b, ham(a, b).toLong)).toSet
+    val got = NorthStarQueries.qImagePhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"banded ${got.size} vs brute ${brute.size}: " +
+      s"missing ${brute -- got}, extra ${got -- brute}")
+    // every planted pair (2k, 2k+1) survives the perceptual hash
+    val planted = (0L until 30L).map(k => (2 * k, 2 * k + 1)).toSet
+    val gotPairs = got.map(t => (t._1, t._2))
+    assert(planted.subsetOf(gotPairs), s"planted lost: ${planted -- gotPairs}")
+  }
+
   test("q_feature_hashing replays the md5 dims, signs, and signed counts in-JVM") {
     val docs = graft.Tables.documents(spark, sfDir).filter(col("doc_id") < 20)
       .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
