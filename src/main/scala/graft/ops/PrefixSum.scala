@@ -69,19 +69,20 @@ object PrefixSum {
                       merge: (Column, Column) => Column): DataFrame = {
     val n = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
-    // materialize ONCE (localCheckpoint, eager): BOTH branches below
-    // (local scan, per-partition totals) read `ranged`, and correctness
-    // requires them to see the SAME partition boundaries. Without
-    // materialization that only holds while Catalyst reuses the exchange —
-    // repartitionByRange's boundary sampling is seeded per-RDD, so two
-    // independent executions can split rows differently and silently
-    // misalign __ps_pid. localCheckpoint (vs cache) because its blocks are
+    // materialize ONCE (eager checkpoint via Lineage.truncate): BOTH
+    // branches below (local scan, per-partition totals) read `ranged`, and
+    // correctness requires them to see the SAME partition boundaries.
+    // Without materialization that only holds while Catalyst reuses the
+    // exchange — repartitionByRange's boundary sampling is seeded per-RDD,
+    // so two independent executions can split rows differently and silently
+    // misalign __ps_pid. Checkpoint (vs cache) because its blocks are
     // released by the ContextCleaner when the plan is garbage collected —
     // a library call must not pin storage memory until someone remembers
-    // to unpersist.
-    val ranged = df.repartitionByRange(n, order: _*)
-      .withColumn("__ps_pid", spark_partition_id())
-      .localCheckpoint()
+    // to unpersist. Lineage.truncate honors spark.graft.reliableCheckpoint,
+    // so on a preemptible cluster the materialization survives executor
+    // loss instead of failing the query.
+    val ranged = Lineage.truncate(df.repartitionByRange(n, order: _*)
+      .withColumn("__ps_pid", spark_partition_id()))
     val local = Window.partitionBy(col("__ps_pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val scanned = ranged.withColumn("__ps_local", agg(value).over(local))

@@ -445,6 +445,148 @@ object AdvancedQueries {
         coalesce(min(col("vkey")), lit(-1)).as("min_or_default"))
   }
 
+  /** Adversarial cross-engine semantics gate (r10 verdict item #7): every
+    * other oracle row runs over the driver's well-formed synthetic tables,
+    * so the clean data never exercises the edge semantics two engines most
+    * often disagree on. This query CONSTRUCTS the hostile values inside
+    * both engines — NaN / ±0.0 / ±Infinity doubles, 4-byte UTF-8
+    * (U+1F600 built from its hex bytes, so no source-encoding dependence),
+    * the empty string, NULL-propagating concat, and a single 10 MiB
+    * document — threads them through the operators whose edge behavior is
+    * genuinely engine-divergent-in-the-wild (grouping, distinct, min/max,
+    * array sort, char-vs-byte length, char-based substring, sha256 over
+    * UTF-8 bytes), and mixes NaN into the REAL events/documents parquet so
+    * the gate also covers hostile-values-meet-real-data. Pinned semantics
+    * (verified identical in Spark and DuckDB 1.0, and now hash-gated every
+    * round): grouping normalizes -0.0 to 0.0 and all NaNs to one NaN
+    * group; NaN sorts greatest (last ASC, max) and ±Infinity sort outside
+    * all finite values; length() counts characters while octet_length()
+    * counts UTF-8 bytes; substring indexes characters; split('', sep)
+    * yields one empty element; concat propagates NULL. Deliberately
+    * EXCLUDED: float division by zero (Spark gives ±Inf/NaN, DuckDB 1.0
+    * gives NULL — a true engine divergence, so NaN is built by CAST
+    * instead) and double→int casts (Spark truncates, DuckDB rounds — the
+    * [[qNullSemantics]] FLOOR lesson). Scale: every probe is O(1) or a
+    * constant-size slice; the events probe is one pruned scan with
+    * map-side aggregation.
+    */
+  def qHostileSemantics(s: SparkSession, dir: String): DataFrame = {
+    val emoji = "decode(unhex('F09F9880'), 'UTF-8')" // U+1F600, 4 UTF-8 bytes
+    val hostile = "array(CAST('NaN' AS DOUBLE), CAST('NaN' AS DOUBLE), " +
+      "CAST('0.0' AS DOUBLE), CAST('-0.0' AS DOUBLE), " +
+      "CAST('Infinity' AS DOUBLE), CAST('-Infinity' AS DOUBLE), CAST('1.0' AS DOUBLE))"
+    val one = s.range(1)
+    def probe(name: String, n1: Column = lit(null), n2: Column = lit(null),
+              d: Column = lit(null), str: Column = lit(null)) = Seq(
+      lit(name).as("probe"), n1.cast("bigint").as("n1"), n2.cast("bigint").as("n2"),
+      d.cast("double").as("d"), str.cast("string").as("s"))
+
+    val vals = one.select(explode(expr(hostile)).as("v"))
+    val groups = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    // grouping doubles: -0.0 merges with 0.0, the two NaNs form ONE group
+    val pGroups = groups.agg(count(lit(1)).as("gn"),
+        max(when(expr("isnan(v)"), col("c"))).as("nanc"))
+      .select(probe("nan_zero_groups",
+        n1 = col("gn"), n2 = col("nanc")): _*)
+    // the merged zero group keys as +0.0 (NormalizeFloatingNumbers — and
+    // the gate's repr-exact canon WOULD see a -0.0 key)
+    val pNegZero = groups.filter(col("v") === 0.0)
+      .select(probe("negzero_key", n1 = col("c"), d = col("v")): _*)
+    // NaN sorts greatest, -Infinity least; max picks NaN over +Infinity
+    val pSort = one.select(probe("nan_sort",
+      d = expr(s"element_at(array_sort($hostile), -1)")): _*)
+    val pSortFirst = one.select(probe("inf_sort_first",
+      d = expr(s"element_at(array_sort($hostile), 1)")): _*)
+    val pMinMax = vals.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .select(probe("nan_minmax", d = col("mx") - col("mn")): _*) // NaN - -Inf = NaN
+    // 4-byte UTF-8: char length 3, byte length 6; upper() leaves it intact
+    val pEmoji = one.select(probe("utf8_emoji",
+      n1 = expr(s"length(upper(concat('a', $emoji, 'b')))"),
+      n2 = expr(s"octet_length(concat('a', $emoji, 'b'))"),
+      str = expr(s"upper(concat('a', $emoji, 'b'))")): _*)
+    // char-based substring straddling the 4-byte char
+    val pSubstr = one.select(probe("utf8_substr",
+      n2 = expr(s"octet_length(substring(concat($emoji, 'abc'), 1, 2))"),
+      str = expr(s"substring(concat($emoji, 'abc'), 1, 2)")): _*)
+    // real parquet text wrapped in 4-byte chars: char vs byte sums + a
+    // sha256 over the UTF-8 bytes of the wrapped text
+    val pDocs = Tables.documents(s, dir).filter(col("doc_id") < 4)
+      .select(expr(s"concat($emoji, text, $emoji)").as("w"))
+      .agg(sum(expr("length(w)")).as("cl"), sum(expr("octet_length(w)")).as("bl"),
+        max(expr("sha2(w, 256)")).as("h"))
+      .select(probe("utf8_docs", n1 = col("cl"), n2 = col("bl"), str = col("h")): _*)
+    val pEmpty = one.select(probe("empty_string",
+      n1 = expr("size(split('', ' '))"), n2 = expr("length('')")): _*)
+    val pNullCat = one.select(probe("null_concat",
+      n1 = expr("CASE WHEN concat(CAST(NULL AS STRING), 'a') IS NULL THEN 1 ELSE 0 END"),
+      str = expr("concat(CAST(NULL AS STRING), 'a')")): _*)
+    // one 10 MiB document: length + sha256 prove the engines agree on a
+    // single value far past any inline/dictionary page threshold
+    val pBig = one.select(probe("big_doc",
+      n1 = expr("length(repeat('abcdefgh', 1310720))"),
+      str = expr("sha2(repeat('abcdefgh', 1310720), 256)")): _*)
+    // hostile values meeting real data: NaN injected into every 7th event
+    // of a constant-size slice; distinct counts NaN once, max is NaN
+    val pEvents = Tables.events(s, dir).filter(col("event_id") < 2000)
+      .select(when(col("event_id") % 7 === 0, expr("CAST('NaN' AS DOUBLE)"))
+        .otherwise(col("value")).as("v"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("nd"), max(col("v")).as("mx"))
+      .select(probe("nan_in_data", n1 = col("n"), n2 = col("nd"), d = col("mx")): _*)
+
+    Seq(pGroups, pNegZero, pSort, pSortFirst, pMinMax, pEmoji, pSubstr,
+      pDocs, pEmpty, pNullCat, pBig, pEvents)
+      .reduce(_.unionByName(_))
+  }
+
+  val qHostileSemanticsSql: String = {
+    val emoji = "decode(from_hex('F09F9880'))"
+    val hostile = "['NaN'::DOUBLE, 'NaN'::DOUBLE, '0.0'::DOUBLE, '-0.0'::DOUBLE, " +
+      "'Infinity'::DOUBLE, '-Infinity'::DOUBLE, '1.0'::DOUBLE]"
+    s"""WITH hv AS (SELECT unnest($hostile) AS v),
+       |g AS (SELECT v, COUNT(*) AS c FROM hv GROUP BY v)
+       |SELECT 'nan_zero_groups' AS probe,
+       |  (SELECT COUNT(*) FROM g) AS n1,
+       |  (SELECT MAX(CASE WHEN isnan(v) THEN c END) FROM g) AS n2,
+       |  CAST(NULL AS DOUBLE) AS d, CAST(NULL AS VARCHAR) AS s
+       |UNION ALL
+       |SELECT 'negzero_key', (SELECT c FROM g WHERE v = 0.0),
+       |  NULL, (SELECT v FROM g WHERE v = 0.0), NULL
+       |UNION ALL
+       |SELECT 'nan_sort', NULL, NULL, (list_sort($hostile))[-1], NULL
+       |UNION ALL
+       |SELECT 'inf_sort_first', NULL, NULL, (list_sort($hostile))[1], NULL
+       |UNION ALL
+       |SELECT 'nan_minmax', NULL, NULL,
+       |  (SELECT MAX(v) - MIN(v) FROM hv), NULL
+       |UNION ALL
+       |SELECT 'utf8_emoji', len(upper('a' || $emoji || 'b')),
+       |  strlen('a' || $emoji || 'b'), NULL, upper('a' || $emoji || 'b')
+       |UNION ALL
+       |SELECT 'utf8_substr', NULL,
+       |  strlen(substring($emoji || 'abc', 1, 2)), NULL,
+       |  substring($emoji || 'abc', 1, 2)
+       |UNION ALL
+       |SELECT 'utf8_docs', w.cl, w.bl, NULL, w.h FROM (
+       |  SELECT CAST(SUM(len($emoji || text || $emoji)) AS BIGINT) AS cl,
+       |         CAST(SUM(strlen($emoji || text || $emoji)) AS BIGINT) AS bl,
+       |         MAX(sha256($emoji || text || $emoji)) AS h
+       |  FROM documents WHERE doc_id < 4) w
+       |UNION ALL
+       |SELECT 'empty_string', len(string_split('', ' ')), len(''), NULL, NULL
+       |UNION ALL
+       |SELECT 'null_concat',
+       |  CASE WHEN (NULL || 'a') IS NULL THEN 1 ELSE 0 END, NULL, NULL,
+       |  NULL || 'a'
+       |UNION ALL
+       |SELECT 'big_doc', len(repeat('abcdefgh', 1310720)), NULL, NULL,
+       |  sha256(repeat('abcdefgh', 1310720))
+       |UNION ALL
+       |SELECT 'nan_in_data', e.n, e.nd, e.mx, NULL FROM (
+       |  SELECT COUNT(*) AS n, COUNT(DISTINCT v) AS nd, MAX(v) AS mx FROM (
+       |    SELECT CASE WHEN event_id % 7 = 0 THEN 'NaN'::DOUBLE ELSE value END AS v
+       |    FROM events WHERE event_id < 2000) t) e""".stripMargin
+  }
+
   val qNullSemanticsSql: String =
     """SELECT event_type, NULLIF(CAST(FLOOR(value) AS INT) % 5, 0) AS vkey,
       |  COUNT(*) AS n,
@@ -1091,6 +1233,7 @@ object AdvancedQueries {
     "q_not_in_nulls" -> ((qNotInNulls _, Some(qNotInNullsSql))),
     "q_correlation" -> ((qCorrelation _, Some(qCorrelationSql))),
     "q_null_semantics" -> ((qNullSemantics _, Some(qNullSemanticsSql))),
+    "q_hostile_semantics" -> ((qHostileSemantics _, Some(qHostileSemanticsSql))),
     "q_having" -> ((qHaving _, Some(qHavingSql))),
     "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_asof_native" -> ((qAsofNative _, Some(qAsofJoinSql))),

@@ -492,14 +492,28 @@ object LearnQueries {
     * excluded in both engines (the DP unroll bound; raise it with the
     * loop literal).
     */
-  /** The shared unigram-LM pipeline (word frequencies, candidate pieces,
-    * Viterbi segmentations) — one implementation for q_unigram_lm (the
-    * E-step view) and q_unigram_refit (the M-step view), so the two can
-    * never drift apart. Returns (wf, pieces, seg) where seg has one row
-    * per word: (w, cnt, seg, sc).
+  /** The shared unigram-LM pipeline (candidate pieces + Viterbi
+    * segmentations) — one implementation for q_unigram_lm (the E-step
+    * view) and q_unigram_refit (the M-step view), so the two can never
+    * drift apart. Returns (pieces, seg) where seg has one row per word:
+    * (w, cnt, seg, sc).
+    *
+    * MEMOIZED per (session, sf dir): the 12-round lattice DP is eager
+    * (each round Lineage.truncates), so a second caller in the same sweep
+    * — q_unigram_refit after q_unigram_lm — would rebuild and re-cache
+    * the whole pipeline for nothing. Both returned frames are vocab-sized
+    * and lineage-truncated, and the corpus-sized intermediates (wf,
+    * edges) are unpersisted before return, so the memo holds kilobytes,
+    * not the lattice.
     */
-  private def unigramPipeline(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+  private val unigramMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def unigramPipeline(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    unigramMemo.computeIfAbsent((s, dir), _ => unigramBuild(s, dir))
+
+  private def unigramBuild(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val maxLen = 12
     val wf = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
@@ -546,14 +560,21 @@ object LearnQueries {
       // analysis before a byte moves (the ConnectedComponents lesson)
       best = graft.ops.Lineage.truncate(best.unionByName(top))
     }
-    val seg = wf.join(best, Seq("w"))
+    // materialize the two vocab-sized outputs while wf/edges are still
+    // cached, then release the cached inputs: nothing downstream re-reads
+    // the corpus, and a full-registry sweep no longer holds the lattice
+    // pipeline's cache for the session lifetime (r10 verdict item).
+    val segM = graft.ops.Lineage.truncate(wf.join(best, Seq("w"))
       .filter(col("j") === length(col("w")))
-      .select(col("w"), col("cnt"), expr("substring(path, 2)").as("seg"), col("sc"))
-    (wf, pieces, seg)
+      .select(col("w"), col("cnt"), expr("substring(path, 2)").as("seg"), col("sc")))
+    val piecesM = graft.ops.Lineage.truncate(pieces)
+    wf.unpersist()
+    edges.unpersist()
+    (piecesM, segM)
   }
 
   def qUnigramLm(s: SparkSession, dir: String): DataFrame = {
-    val (_, _, seg) = unigramPipeline(s, dir)
+    val (_, seg) = unigramPipeline(s, dir)
     seg.select(col("w").as("word"), col("cnt"), col("seg"),
       size(split(col("seg"), "\\|")).cast("long").as("n_pieces"),
       r6(col("sc").cast("double")).as("score"))
@@ -571,7 +592,7 @@ object LearnQueries {
     * vocab-sized segmentation table.
     */
   def qUnigramRefit(s: SparkSession, dir: String): DataFrame = {
-    val (_, pieces, seg) = unigramPipeline(s, dir)
+    val (pieces, seg) = unigramPipeline(s, dir)
     val newc = seg.select(col("cnt"), explode(split(col("seg"), "\\|")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("cnt")).as("new_cnt"))
     pieces.join(newc, Seq("piece"), "left")

@@ -375,6 +375,17 @@ object NorthStarQueries {
     */
   def qImagePhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The planted-pair guarantee (30 near-dup pairs at ids 2k/2k+1) needs
+    // ALL of doc_ids 0..59 present: on a smaller corpus the pair set would
+    // silently shrink and the "all 30 pairs found" invariant (InvariantsSpec)
+    // would degrade with no gate signal — both engines see the same truncated
+    // corpus, so the oracle can't catch it. Fail fast instead (pre-flight
+    // count is a pruned single-column scan; ScaleGuard discipline).
+    val nSeeds = Tables.documents(s, dir).filter(col("doc_id") < 60).count()
+    require(nSeeds == 60,
+      s"q_image_phash needs documents with dense doc_ids 0..59 (found $nSeeds " +
+        "of 60): the planted near-dup pairs (2k, 2k+1) and the 30-pair " +
+        "recall guarantee assume all 60 generator images exist")
     val media = Tables.documents(s, dir)
       .filter(col("doc_id") < 60)
       .select(col("doc_id")).as[Long]
@@ -413,6 +424,8 @@ object NorthStarQueries {
         }
         (m.media_id, hi, lo)
       }
+      // released by the harness's per-query clearCache (Bench/Verify):
+      // feeds bands + both pair-side joins of the returned plan
     }.toDF("media_id", "hi", "lo").persist()
     val bands = hashed.select(col("media_id"),
       posexplode(array(

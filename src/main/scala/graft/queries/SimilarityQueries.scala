@@ -535,10 +535,20 @@ object SimilarityQueries {
     * the similarity range (16-bit bands retain ~93% recall at s ≥ 0.99
     * but ~19% at 0.95 — the classic LSH b×r tradeoff; add bands/probes
     * to buy recall back). [[qEmbeddingNeardupScaled]] is that
-    * configuration as a first-class oracle-gated query.
+    * configuration as a first-class oracle-gated query. A
+    * [[graft.ops.ScaleGuard]] pre-flight turns this sizing rule into a
+    * fail-fast error above demonstration scale (override:
+    * `spark.graft.allowDemoScale=true`).
     */
-  def qEmbeddingNeardup(s: SparkSession, dir: String): DataFrame =
+  def qEmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
+    graft.ops.ScaleGuard.check(Tables.embeddings(s, dir),
+      "q_embedding_neardup",
+      "Fixed 8-bit SRP bands (256 buckets) make candidate-pair volume " +
+        "~N²·bands/2^b — quadratic in N; the production rule is band bits " +
+        "∝ log₂N",
+      "q_embedding_neardup_scaled")
     embeddingNeardup(s, dir, bandBits = 8)
+  }
 
   /** The corpus-scale SRP configuration: 16-bit bands (65 536 buckets per
     * band) over the same 64-bit fingerprint, so per-bucket occupancy — and
@@ -980,8 +990,15 @@ object SimilarityQueries {
     * expected cluster size ~32 at ANY corpus size) and is the
     * configuration to rehearse at 100×.
     */
-  def qSemdedup(s: SparkSession, dir: String): DataFrame =
+  def qSemdedup(s: SparkSession, dir: String): DataFrame = {
+    graft.ops.ScaleGuard.check(Tables.embeddings(s, dir),
+      "q_semdedup",
+      "Fixed k = 64 centroids make within-cluster pair volume Σ|c|² ≈ " +
+        "N²/k — quadratic in N; the paper's rule is k ∝ N so |c| stays " +
+        "constant",
+      "q_semdedup_scaled (or q_semdedup_ivf)")
     semdedup(s, dir, col("vec_id") < 64)
+  }
 
   /** SemDeDup with the paper's k ∝ N sizing (see [[qSemdedup]] doc):
     * centroids = every 32nd vec_id, so cluster count tracks the corpus
@@ -1068,8 +1085,7 @@ object SimilarityQueries {
           col("cid")).as("dc"))
       .groupBy(col("vec_id")).agg(min(col("dc")).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"))
-      .localCheckpoint() // same multi-consumer materialization as semdedup
-    semdedupReport(e, assigned)
+    semdedupReport(e, graft.ops.Lineage.truncate(assigned)) // same multi-consumer materialization as semdedup
   }
 
   private def semdedup(s: SparkSession, dir: String,
@@ -1118,10 +1134,10 @@ object SimilarityQueries {
           col("cid")).as("dc"))
       .groupBy(col("vec_id")).agg(min(col("dc")).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"))
-      .localCheckpoint() // referenced by pairs (twice), members, and the
-                         // component→cluster lookup; without materializing,
-                         // the assignment crossJoins re-run per ref
-    semdedupReport(e, assigned)
+    // referenced by pairs (twice), members, and the component→cluster
+    // lookup; without materializing, the assignment crossJoins re-run per
+    // ref. Lineage.truncate honors spark.graft.reliableCheckpoint.
+    semdedupReport(e, graft.ops.Lineage.truncate(assigned))
   }
 
   /** Shared SemDeDup tail: within-cluster duplicate pairs, connected
@@ -1142,15 +1158,16 @@ object SimilarityQueries {
         (expr("decimal_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= 0.35)
       .select(col("cid"), col("va"), col("vb"))
-      .localCheckpoint() // the pair join is the expensive stage and is
-                         // referenced twice (components + per-cluster edge
-                         // counts); materialized it is |edges| rows
-    val comp = graft.ops.ConnectedComponents.run(edges, "va", "vb")
+    val edgesM = graft.ops.Lineage.truncate(edges)
+    // the pair join is the expensive stage and is referenced twice
+    // (components + per-cluster edge counts); materialized it is |edges|
+    // rows. Lineage.truncate honors spark.graft.reliableCheckpoint.
+    val comp = graft.ops.ConnectedComponents.run(edgesM, "va", "vb")
     val gstat = comp.join(assigned.select(col("vec_id").as("node"), col("cid")), "node")
       .groupBy(col("cid"), col("component")).agg(count(lit(1)).as("sz"))
     val gagg = gstat.groupBy(col("cid")).agg(
       count(lit(1)).as("n_groups"), sum(col("sz") - 1).cast("bigint").as("n_removed"))
-    val estat = edges.groupBy(col("cid")).agg(count(lit(1)).as("n_edges"))
+    val estat = edgesM.groupBy(col("cid")).agg(count(lit(1)).as("n_edges"))
     val cstat = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
     cstat.join(estat, Seq("cid"), "left").join(gagg, Seq("cid"), "left")
       .na.fill(0L, Seq("n_edges", "n_groups", "n_removed"))
@@ -1660,7 +1677,7 @@ object SimilarityQueries {
       |          AS DECIMAL(28,14))) AS xd
       |  FROM ashort a JOIN embeddings v ON v.vec_id = a.vec_id
       |    JOIN embeddings q ON q.vec_id = a.qid,
-      |    UNNEST(range(1, 65)) AS u(i)
+      |    UNNEST(range(1, len(v.embedding) + 1)) AS u(i)
       |  GROUP BY 1, 2, 3)
       |SELECT qid, rank, vec_id, ROUND(CAST(xd AS DOUBLE), 6) AS exact_dist,
       |  adc_rank, adc_rank <> rank AS moved
@@ -1943,10 +1960,12 @@ object SimilarityQueries {
       .select(col("q_id"), col("vec_id"), col("embedding"),
         dcos("q_emb", "embedding").as("rel"))
     val wRel = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("vec_id"))
-    val cands = scored.withColumn("rk", row_number().over(wRel))
-      .filter(col("rk") <= 10)
-      .select(col("q_id"), col("vec_id"), col("embedding"), col("rel"), col("rk"))
-      .localCheckpoint() // tiny (5×10 rows); stops the greedy joins re-scoring the corpus
+    // tiny (5×10 rows); Lineage.truncate stops the greedy joins re-scoring
+    // the corpus and honors spark.graft.reliableCheckpoint
+    val cands = graft.ops.Lineage.truncate(
+      scored.withColumn("rk", row_number().over(wRel))
+        .filter(col("rk") <= 10)
+        .select(col("q_id"), col("vec_id"), col("embedding"), col("rel"), col("rk")))
     val pair = cands.select(col("q_id"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
       .join(cands.select(col("q_id"), col("vec_id").as("b_id"), col("embedding").as("b_emb")), "q_id")
       .filter(col("a_id") =!= col("b_id"))

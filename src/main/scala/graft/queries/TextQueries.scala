@@ -856,6 +856,9 @@ object TextQueries {
         """transform(sequence(0, CAST(ceil(size(ws) / 8.0) AS INT) - 1),
           |          i -> array_join(slice(ws, i * 8 + 1, 8), ' '))""".stripMargin))
         .as(Seq("seg_no", "seg")))
+      // released by the harness's per-query clearCache (Bench/Verify):
+      // the persist feeds three branches of the RETURNED lazy plan, so an
+      // in-body unpersist would fire before the caller materializes
       .persist()
     val boiler = segs.groupBy(col("seg"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -1000,6 +1003,8 @@ object TextQueries {
       expr(s"(${Exact.md5IntExpr(s"concat('$r:', bigram)", 1, 3)}) % $w")
     val buckets = array((0 until d).map(bucket): _*)
     val exact = bi.groupBy(col("bigram")).agg(count(lit(1)).as("exact"))
+      // released by the harness's per-query clearCache (Bench/Verify);
+      // feeds two branches of the returned plan, so no in-body unpersist
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sketch = exact
       .select(col("exact"), posexplode(buckets).as(Seq("r", "bucket")))

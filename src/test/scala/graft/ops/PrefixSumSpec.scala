@@ -27,6 +27,32 @@ class PrefixSumSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("cumsum under the reliable-checkpoint flag matches and writes checkpoint files") {
+    // the multi-consumer materialization inside scanAgg goes through
+    // Lineage.truncate (r10 verdict item): with the flag set, the range-
+    // partitioned frame must take the reliable checkpoint() path — an
+    // executor loss mid-query on a preemptible cluster then recomputes
+    // from the checkpoint instead of failing the query
+    val df = graft.io.Seeds.fromMaps(spark, (1 to 40).map(i =>
+      Map[String, Any]("k" -> f"k$i%02d", "v" -> i)))
+    spark.conf.set(Lineage.FlagKey, "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ps_reliable").toString
+    spark.conf.set(Lineage.DirKey, dir)
+    try {
+      val got = PrefixSum.cumsum(df, col("v"), Seq(col("k")), "cum", partitions = 5)
+        .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("cum"))).toMap
+      val expected = (1 to 40).map(i => f"k$i%02d" -> (1 to i).map(_.toLong).sum).toMap
+      assert(got == expected)
+      val active = new java.net.URI(
+        spark.sparkContext.getCheckpointDir.get).getPath
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(active))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"no checkpoint files under $active")
+    } finally {
+      spark.conf.set(Lineage.FlagKey, "false")
+    }
+  }
+
   test("cumsum works for a single partition and preserves column set") {
     val df = graft.io.Seeds.fromMaps(spark, Seq(
       Map("k" -> "a", "v" -> 5), Map("k" -> "b", "v" -> 3), Map("k" -> "c", "v" -> 2)))

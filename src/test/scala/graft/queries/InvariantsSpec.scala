@@ -34,6 +34,40 @@ class InvariantsSpec extends SparkSpec {
     assert(lsh == brute, s"LSH missed ${brute -- lsh}, extra ${lsh -- brute}")
   }
 
+  test("q_hostile_semantics probes carry the hostile values they claim to") {
+    // the gate proves ENGINE AGREEMENT; this pins what the agreed values
+    // ARE, at the bit level the parquet/DuckDB canon can't see
+    val rows = AdvancedQueries.qHostileSemantics(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // the merged ±0.0 group keys as +0.0 — raw bits all zero, not the
+    // sign-bit-set -0.0 (repr-visible to the gate, but assert the bits)
+    val negZero = rows("negzero_key")
+    assert(negZero.getLong(1) == 2, "both zero spellings must merge")
+    assert(java.lang.Double.doubleToRawLongBits(negZero.getDouble(3)) == 0L)
+    // both NaNs form one group of two among five total groups
+    val g = rows("nan_zero_groups")
+    assert(g.getLong(1) == 5 && g.getLong(2) == 2)
+    // NaN sorts last, -Infinity first, and max-min propagates NaN
+    assert(java.lang.Double.isNaN(rows("nan_sort").getDouble(3)))
+    assert(rows("inf_sort_first").getDouble(3) == Double.NegativeInfinity)
+    assert(java.lang.Double.isNaN(rows("nan_minmax").getDouble(3)))
+    // the emoji really is one char / four UTF-8 bytes, and survives upper()
+    val e = rows("utf8_emoji")
+    assert(e.getLong(1) == 3 && e.getLong(2) == 6)
+    assert(e.getString(4) == "A😀B")
+    assert(rows("utf8_substr").getString(4).codePointAt(0) == 0x1F600)
+    // real parquet text passed through 4-byte wrapping: byte len exceeds
+    // char len by exactly the 8 emoji bytes minus 2 emoji chars per doc
+    // only if the text itself is ASCII — assert the diff is at least 4·(8-2)
+    val d = rows("utf8_docs")
+    assert(d.getLong(2) - d.getLong(1) >= 4 * 6)
+    // the 10 MiB doc is really 10 MiB
+    assert(rows("big_doc").getLong(1) == 10485760L)
+    // NaN met real data: max over the mixed slice is NaN, distinct < count
+    val n = rows("nan_in_data")
+    assert(java.lang.Double.isNaN(n.getDouble(3)) && n.getLong(2) < n.getLong(1))
+  }
+
   test("sessionization partitions events exactly: Σ session sizes = row count") {
     val sessions = AdvancedQueries.qSessionize(spark, sfDir)
     val total = sessions.agg(sum("n_events")).collect().head.getLong(0)
