@@ -931,9 +931,12 @@ object EvalQueries {
       sum(when(!col("is_ref"), 1L).otherwise(0L)).cast("bigint").as("cur_n"))
     val grid = bounds.select(col("barr"), explode(sequence(lit(0), lit(9))).as("bin"))
       .join(cnt, Seq("bin"), "left").na.fill(0L, Seq("ref_n", "cur_n"))
-    val tot = ev.agg(
-      sum(when(col("is_ref"), 1L).otherwise(0L)).cast("bigint").as("np"),
-      sum(when(!col("is_ref"), 1L).otherwise(0L)).cast("bigint").as("nq"))
+    // cohort totals = the bin counts' own sums (every value lands in
+    // exactly one of the 10 bins): a 10-row aggregate replaces a third
+    // full events scan
+    val tot = grid.agg(
+      sum(col("ref_n")).cast("bigint").as("np"),
+      sum(col("cur_n")).cast("bigint").as("nq"))
     val terms = grid.crossJoin(broadcast(tot))
       .withColumn("term_raw", expr(
         """(CAST(2 * ref_n + 1 AS DOUBLE) / CAST(2 * np + 10 AS DOUBLE)

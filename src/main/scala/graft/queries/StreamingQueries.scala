@@ -24,12 +24,30 @@ object StreamingQueries {
     * self-join needs two independent sources. ONE copy of the source
     * plumbing so a ts-conversion fix lands everywhere at once.
     */
+  /** File-stream a table that may be EITHER a single parquet file (the
+    * driver's sf layout) or a directory of part files (any real warehouse
+    * layout, the 100x rehearsal's ScaleUp output). The two need different
+    * source spellings: a directory streams directly (the file source
+    * requires a directory basePath), while a single file must be reached
+    * as dir + pathGlobFilter. Conflating them is the silent-zero trap the
+    * r11 rehearsal caught: pathGlobFilter matches leaf FILE names only,
+    * so over a directory-shaped table it matches nothing and every drain
+    * "succeeds" on zero rows (exposed as an nq=0 divide-by-zero once
+    * q_stream_drift derived cohort totals from the drained side).
+    */
+  private def streamTable(s: SparkSession, dir: String, table: String,
+                          schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = java.nio.file.Paths.get(dir, table)
+    val rd = s.readStream.schema(schema)
+    if (java.nio.file.Files.isDirectory(path)) rd.parquet(path.toString)
+    else rd.option("pathGlobFilter", table).parquet(dir)
+  }
+
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val raw = streamTable(s, dir, "events.parquet", schema)
     val fixed =
       if (schema("ts").dataType == LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -60,12 +78,13 @@ object StreamingQueries {
     * real cluster with sustained volume you would size this to cores, not
     * 8; the constant is the local drain-harness tune, not a semantic knob.
     */
-  private def drainToMemory(df: DataFrame, name: String, outputMode: String): DataFrame = {
+  private def drainToMemory(df: DataFrame, name: String, outputMode: String,
+                            width: Int = 8): DataFrame = {
     analyzedPlans(name) = df.queryExecution.analyzed
     val ckpt = java.nio.file.Files.createTempDirectory(s"${name}_ckpt").toString
     val sess = df.sparkSession
     val prevWidth = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    sess.conf.set("spark.sql.shuffle.partitions", width.toString)
     try {
       val q = df.writeStream
         .outputMode(outputMode)
@@ -75,6 +94,12 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
+        q.recentProgress.foreach { pr =>
+          System.err.println(s"[drain $name] batch ${pr.batchId} rows=${pr.numInputRows} " +
+            s"durationMs=${pr.durationMs}")
+        }
+      }
     } finally sess.conf.set("spark.sql.shuffle.partitions", prevWidth)
     sess.table(name)
   }
@@ -297,7 +322,12 @@ object StreamingQueries {
         col("c_ts") <= col("p_ts"))
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
-    drainToMemory(joined, "graft_stream_join", "append")
+    // stream-stream joins run FOUR state stores per partition (left/right
+    // x keyToNumValues/keyWithIndexToValue) and an extra watermark-
+    // finalization micro-batch, so the per-partition fixed cost is ~4x a
+    // stateful agg's: halve the drain width for this shape (same
+    // local-harness tune as the 8 above, not a semantic knob)
+    drainToMemory(joined, "graft_stream_join", "append", width = 4)
   }
 
   val qStreamJoinSql: String =
@@ -354,8 +384,7 @@ object StreamingQueries {
   def qStreamCuration(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    val docs = s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val docs = streamTable(s, dir, "documents.parquet", schema)
     val norm = sha2(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "), 256)
     val perForm = docs
@@ -462,13 +491,15 @@ object StreamingQueries {
     val refBins = ev.filter(col("is_ref"))
       .withColumn("bin", binOf(col("value")))
       .groupBy(col("bin")).agg(count(lit(1)).as("ref_n"))
-    val tot = ev.agg(
-      sum(when(col("is_ref"), 1L).otherwise(0L)).cast("bigint").as("np"),
-      sum(when(!col("is_ref"), 1L).otherwise(0L)).cast("bigint").as("nq"))
     val grid = s.range(0, 10).select(col("id").as("bin"))
       .join(refBins, Seq("bin"), "left")
       .join(drained, Seq("bin"), "left")
       .na.fill(0L, Seq("ref_n", "cur_n"))
+    // totals from the grid's own 10 rows (every value bins somewhere) —
+    // one fewer full events scan than aggregating the cohorts again
+    val tot = grid.agg(
+      sum(col("ref_n")).cast("bigint").as("np"),
+      sum(col("cur_n")).cast("bigint").as("nq"))
     val terms = grid.crossJoin(broadcast(tot))
       .withColumn("term_raw", expr(
         """(CAST(2 * ref_n + 1 AS DOUBLE) / CAST(2 * np + 10 AS DOUBLE)
