@@ -929,11 +929,17 @@ object EvalQueries {
     val cnt = binned.groupBy(col("bin")).agg(
       sum(when(col("is_ref"), 1L).otherwise(0L)).cast("bigint").as("ref_n"),
       sum(when(!col("is_ref"), 1L).otherwise(0L)).cast("bigint").as("cur_n"))
-    val grid = bounds.select(col("barr"), explode(sequence(lit(0), lit(9))).as("bin"))
-      .join(cnt, Seq("bin"), "left").na.fill(0L, Seq("ref_n", "cur_n"))
-    // cohort totals = the bin counts' own sums (every value lands in
-    // exactly one of the 10 bins): a 10-row aggregate replaces a third
-    // full events scan
+    // materialize the 10-row grid ONCE (Lineage.truncate): totals, the
+    // PSI terms, and the final projection all derive from it, and without
+    // truncation each downstream reference re-executes the whole
+    // bin-count subtree — events scan included — per use (and relies on
+    // exchange reuse the hostile-conf gate disables). After this, the
+    // events table is scanned exactly twice per run: once for the decile
+    // boundaries, once for the bin counts; cohort totals are the grid's
+    // own sums (every value lands in exactly one of the 10 bins).
+    val grid = graft.ops.Lineage.truncate(
+      bounds.select(col("barr"), explode(sequence(lit(0), lit(9))).as("bin"))
+        .join(cnt, Seq("bin"), "left").na.fill(0L, Seq("ref_n", "cur_n")))
     val tot = grid.agg(
       sum(col("ref_n")).cast("bigint").as("np"),
       sum(col("cur_n")).cast("bigint").as("nq"))

@@ -491,12 +491,17 @@ object StreamingQueries {
     val refBins = ev.filter(col("is_ref"))
       .withColumn("bin", binOf(col("value")))
       .groupBy(col("bin")).agg(count(lit(1)).as("ref_n"))
-    val grid = s.range(0, 10).select(col("id").as("bin"))
-      .join(refBins, Seq("bin"), "left")
-      .join(drained, Seq("bin"), "left")
-      .na.fill(0L, Seq("ref_n", "cur_n"))
-    // totals from the grid's own 10 rows (every value bins somewhere) —
-    // one fewer full events scan than aggregating the cohorts again
+    // 10-row grid materialized ONCE (Lineage.truncate) — every
+    // downstream reference (totals, terms, stat, final projection) would
+    // otherwise re-execute the ref-bin events scan and re-read the
+    // drained table per use; totals are then the grid's own sums (every
+    // value bins somewhere), so the batch side scans events exactly
+    // twice: boundaries + ref bins
+    val grid = graft.ops.Lineage.truncate(
+      s.range(0, 10).select(col("id").as("bin"))
+        .join(refBins, Seq("bin"), "left")
+        .join(drained, Seq("bin"), "left")
+        .na.fill(0L, Seq("ref_n", "cur_n")))
     val tot = grid.agg(
       sum(col("ref_n")).cast("bigint").as("np"),
       sum(col("cur_n")).cast("bigint").as("nq"))
