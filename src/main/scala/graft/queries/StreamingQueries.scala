@@ -65,18 +65,38 @@ object StreamingQueries {
   val analyzedPlans =
     scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
 
-  /** Drain a streaming frame with AvailableNow into a named memory sink
-    * and return the final table — ONE copy of the sink/checkpoint plumbing.
-    *
-    * Shuffle width: a streaming query's state-store partition count is
+  /** Drain width: a streaming query's state-store partition count is
     * frozen from `spark.sql.shuffle.partitions` at first start (per
-    * checkpoint), and every micro-batch then pays per-partition state-store
-    * open/commit regardless of data volume. The drain therefore narrows the
-    * session to 8 partitions around `.start()` (restored after) — streaming
-    * semantics are partition-count-invariant, and the fixed cost of a
-    * stateful micro-batch drops ~4× vs inheriting the batch width. On a
-    * real cluster with sustained volume you would size this to cores, not
-    * 8; the constant is the local drain-harness tune, not a semantic knob.
+    * checkpoint), and every micro-batch then pays per-partition
+    * state-store open/commit REGARDLESS of data volume — so the right
+    * width is a function of drained volume, not a constant. Narrow (8)
+    * for bench-scale drains, where the fixed cost dominates and 8 vs 32
+    * partitions is a ~4× trigger-cost cut; full session width for big
+    * drains, where state work dominates and narrowing would serialize it
+    * (the r11 honest 100× rehearsal measured q_stream_session pushing
+    * 10 M events through 8 state partitions). On-disk source bytes are
+    * the free, layout-agnostic volume proxy; streaming semantics are
+    * partition-count-invariant either way, so this is a harness tune,
+    * never a semantic knob.
+    */
+  private def drainWidth(s: SparkSession, dir: String, tables: String*): Int = {
+    def bytes(t: String): Long = {
+      val p = java.nio.file.Paths.get(dir, t)
+      if (java.nio.file.Files.isDirectory(p)) {
+        val st = java.nio.file.Files.list(p)
+        try st.mapToLong(f =>
+          if (java.nio.file.Files.isRegularFile(f)) java.nio.file.Files.size(f) else 0L).sum()
+        finally st.close()
+      }
+      else if (java.nio.file.Files.isRegularFile(p)) java.nio.file.Files.size(p)
+      else 0L
+    }
+    if (tables.map(bytes).sum > (64L << 20)) s.sparkContext.defaultParallelism else 8
+  }
+
+  /** Drain a streaming frame with AvailableNow into a named memory sink
+    * and return the final table — ONE copy of the sink/checkpoint plumbing
+    * (width: see [[drainWidth]]).
     */
   private def drainToMemory(df: DataFrame, name: String, outputMode: String,
                             width: Int = 8): DataFrame = {
@@ -107,7 +127,8 @@ object StreamingQueries {
   private def runEventStream(s: SparkSession, dir: String, name: String,
                              outputMode: String)
                             (transform: DataFrame => DataFrame): DataFrame =
-    drainToMemory(transform(eventStream(s, dir)), name, outputMode)
+    drainToMemory(transform(eventStream(s, dir)), name, outputMode,
+      width = drainWidth(s, dir, "events.parquet"))
 
   /** Tumbling 1-hour purchase/click value totals, computed by a streaming
     * query in complete mode. Complete-mode final state after AvailableNow ≡
@@ -327,7 +348,8 @@ object StreamingQueries {
     // finalization micro-batch, so the per-partition fixed cost is ~4x a
     // stateful agg's: halve the drain width for this shape (same
     // local-harness tune as the 8 above, not a semantic knob)
-    drainToMemory(joined, "graft_stream_join", "append", width = 4)
+    drainToMemory(joined, "graft_stream_join", "append",
+      width = math.max(4, drainWidth(s, dir, "events.parquet") / 2))
   }
 
   val qStreamJoinSql: String =
@@ -394,7 +416,8 @@ object StreamingQueries {
       .withColumn("norm_hash", norm)
       .groupBy(col("lang"), col("norm_hash"))
       .agg(count(lit(1)).as("c"))
-    drainToMemory(perForm, "graft_stream_curation", "complete")
+    drainToMemory(perForm, "graft_stream_curation", "complete",
+      width = drainWidth(s, dir, "documents.parquet"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_forms"),
         sum(col("c")).cast("bigint").as("n_docs"),
@@ -487,7 +510,8 @@ object StreamingQueries {
       .filter(col("event_type") === "purchase" && col("user_id") % 2 === 1)
       .withColumn("bin", binOf(col("value")))
       .groupBy(col("bin")).agg(count(lit(1)).as("cur_n"))
-    val drained = drainToMemory(curBins, "graft_stream_drift", "complete")
+    val drained = drainToMemory(curBins, "graft_stream_drift", "complete",
+      width = drainWidth(s, dir, "events.parquet"))
     val refBins = ev.filter(col("is_ref"))
       .withColumn("bin", binOf(col("value")))
       .groupBy(col("bin")).agg(count(lit(1)).as("ref_n"))
