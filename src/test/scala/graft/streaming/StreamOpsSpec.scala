@@ -179,6 +179,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming queries read directory-shaped tables (the silent-zero layout trap)") {
+    // r11 regression: dir + pathGlobFilter matches leaf FILE names only,
+    // so a table that is a DIRECTORY of part files (any warehouse layout,
+    // the ScaleUp rehearsal output) streamed zero rows and every drain
+    // "passed" empty. The layout-aware source must produce identical
+    // results for both layouts.
+    val single = graft.queries.StreamingQueries.qStreamTumbling(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(single.nonEmpty, "single-file layout must drain rows")
+    val dirLayout = tmpDir("graft_dirlayout")
+    val tableDir = java.nio.file.Paths.get(dirLayout, "events.parquet")
+    java.nio.file.Files.createDirectories(tableDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sfDir, "events.parquet"),
+      tableDir.resolve("part-00000.parquet"))
+    val dirShaped = graft.queries.StreamingQueries.qStreamTumbling(spark, dirLayout)
+      .collect().map(_.toString).sorted
+    assert(dirShaped.nonEmpty, "directory layout must drain rows, not silently zero")
+    assert(dirShaped.toSeq == single.toSeq)
+  }
+
   test("dedupWithinWatermark drops repeated keys inside the horizon") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
