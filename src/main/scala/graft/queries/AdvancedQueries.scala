@@ -587,6 +587,131 @@ object AdvancedQueries {
        |    FROM events WHERE event_id < 2000) t) e""".stripMargin
   }
 
+  /** The relational companion to [[qHostileSemantics]]: hostile values
+    * (NaN / NULL keys, duplicate keys) threaded through the RELATIONAL
+    * operators whose edge semantics differ most often across engines —
+    * equi/outer/anti joins, null-safe equality, set operations with their
+    * NULL-equals-NULL rule and ALL multiplicities, and ROLLUP's
+    * source-NULL vs total-row ambiguity (disambiguated by GROUPING, the
+    * reason that function exists). Pinned agreements (verified in DuckDB
+    * 1.0 and Spark, now hash-gated): equi-joins match NaN keys to NaN
+    * (both engines group/join on normalized doubles) but never NULL to
+    * NULL; null-safe equality (<=> / IS NOT DISTINCT FROM) does match
+    * NULLs; anti-join keeps the NULL-key row (the predicate is unknown,
+    * so no match exists); INTERSECT/EXCEPT treat NULLs and NaNs as equal
+    * (set ops use distinct-semantics, not predicate equality); ALL
+    * variants are exact multiset min/difference; inner-join duplicate
+    * keys multiply (3×2 = 6); and a NaN-salted self-join over the real
+    * events parquet reproduces the same match count in both engines.
+    */
+  def qHostileRelational(s: SparkSession, dir: String): DataFrame = {
+    val hvA = "array(CAST('NaN' AS DOUBLE), CAST('1.0' AS DOUBLE), CAST(NULL AS DOUBLE))"
+    val hvB = "array(CAST('NaN' AS DOUBLE), CAST('2.0' AS DOUBLE), CAST(NULL AS DOUBLE))"
+    val one = s.range(1)
+    def fr(arr: String) = one.select(explode(expr(arr)).as("v"))
+    val a = fr(hvA); val b = fr(hvB)
+    def probe(name: String, n: Column, d: Column = lit(null)) = Seq(
+      lit(name).as("probe"), n.cast("bigint").as("n"), d.cast("double").as("d"))
+
+    // NaN keys join each other; NULL keys never do
+    val pNanJoin = a.join(b, a("v") === b("v"))
+      .agg(count(lit(1)).as("c")).select(probe("nan_join", col("c")): _*)
+    // left join: NULL-key and unmatched rows survive with null right side
+    val pLeftNull = a.join(b.select(col("v").as("w")), a("v") === col("w"), "left")
+      .agg(sum(when(col("w").isNull, 1L).otherwise(0L)).as("c"))
+      .select(probe("left_join_null_rows", col("c")): _*)
+    // null-safe equality DOES match NULL to NULL (and NaN to NaN)
+    val pNullSafe = a.join(b, a("v") <=> b("v"))
+      .agg(count(lit(1)).as("c")).select(probe("nullsafe_join", col("c")): _*)
+    // anti-join keeps the NULL-key row: no match can be proven
+    val pAnti = a.join(b, a("v") === b("v"), "left_anti")
+      .agg(count(lit(1)).as("c")).select(probe("anti_join_keeps_null", col("c")): _*)
+    // set ops: NULL = NULL and NaN = NaN under distinct-semantics
+    val pIntersect = a.intersect(b)
+      .agg(count(lit(1)).as("c"), max(col("v")).as("m"))
+      .select(probe("intersect_null_nan", col("c"), col("m")): _*)
+    val dupA = one.select(explode(expr("array(1, 1, 1, 2)")).as("k"))
+    val dupB = one.select(explode(expr("array(1, 1, 3)")).as("k"))
+    val pIntAll = dupA.intersectAll(dupB)
+      .agg(count(lit(1)).as("c")).select(probe("intersect_all_mult", col("c")): _*)
+    val pExcAll = one.select(explode(expr("array(1, 1, 1)")).as("k"))
+      .exceptAll(one.select(explode(expr("array(1)")).as("k")))
+      .agg(count(lit(1)).as("c")).select(probe("except_all_mult", col("c")): _*)
+    // duplicate-key inner join multiplies: 3 x 2
+    val pDupMult = one.select(explode(expr("array(1, 1, 1)")).as("k"))
+      .join(one.select(explode(expr("array(1, 1)")).as("k")), "k")
+      .agg(count(lit(1)).as("c")).select(probe("dup_join_mult", col("c")): _*)
+    // ROLLUP: the source-NULL group (GROUPING = 0) vs the total (GROUPING = 1)
+    val rl = one.select(explode(expr("array(CAST(NULL AS INT), 1)")).as("k"))
+      .rollup(col("k")).agg(count(lit(1)).as("c"), grouping(col("k")).as("g"))
+    val pRollNull = rl.filter(col("g") === 0 && col("k").isNull)
+      .agg(sum(col("c")).as("c")).select(probe("rollup_null_group", col("c")): _*)
+    val pRollTot = rl.filter(col("g") === 1)
+      .agg(sum(col("c")).as("c")).select(probe("rollup_total_row", col("c")): _*)
+    // hostile meets real data: NaN-salt every 7th event's value, self-join
+    // on the double key — NaN keys match each other, so the NaN block
+    // contributes its count squared to the pair total
+    val ev = Tables.events(s, dir).filter(col("event_id") < 300)
+      .select(when(col("event_id") % 7 === 0, expr("CAST('NaN' AS DOUBLE)"))
+        .otherwise(col("value")).as("v"))
+    val pRealNan = ev.as("x").join(ev.as("y"), col("x.v") === col("y.v"))
+      .agg(count(lit(1)).as("c")).select(probe("nan_join_real", col("c")): _*)
+
+    Seq(pNanJoin, pLeftNull, pNullSafe, pAnti, pIntersect, pIntAll, pExcAll,
+      pDupMult, pRollNull, pRollTot, pRealNan).reduce(_.unionByName(_))
+  }
+
+  val qHostileRelationalSql: String = {
+    val hvA = "SELECT unnest(['NaN'::DOUBLE, '1.0'::DOUBLE, NULL::DOUBLE]) AS v"
+    val hvB = "SELECT unnest(['NaN'::DOUBLE, '2.0'::DOUBLE, NULL::DOUBLE]) AS v"
+    s"""WITH a AS ($hvA), b AS ($hvB),
+       |da AS (SELECT unnest([1, 1, 1, 2]) AS k),
+       |db AS (SELECT unnest([1, 1, 3]) AS k),
+       |rl AS (SELECT k, COUNT(*) AS c, GROUPING(k) AS g
+       |       FROM (SELECT unnest([NULL, 1]) AS k) t GROUP BY ROLLUP(k)),
+       |ev AS (SELECT CASE WHEN event_id % 7 = 0 THEN 'NaN'::DOUBLE ELSE value END AS v
+       |       FROM events WHERE event_id < 300)
+       |SELECT 'nan_join' AS probe,
+       |  (SELECT COUNT(*) FROM a JOIN b ON a.v = b.v) AS n,
+       |  CAST(NULL AS DOUBLE) AS d
+       |UNION ALL
+       |SELECT 'left_join_null_rows',
+       |  (SELECT COUNT(*) FILTER (WHERE b.v IS NULL)
+       |   FROM a LEFT JOIN b ON a.v = b.v), NULL
+       |UNION ALL
+       |SELECT 'nullsafe_join',
+       |  (SELECT COUNT(*) FROM a JOIN b ON a.v IS NOT DISTINCT FROM b.v), NULL
+       |UNION ALL
+       |SELECT 'anti_join_keeps_null',
+       |  (SELECT COUNT(*) FROM a
+       |   WHERE NOT EXISTS (SELECT 1 FROM b WHERE a.v = b.v)), NULL
+       |UNION ALL
+       |SELECT 'intersect_null_nan', i.c, i.m FROM (
+       |  SELECT COUNT(*) AS c, MAX(v) AS m FROM (
+       |    SELECT v FROM a INTERSECT SELECT v FROM b) t) i
+       |UNION ALL
+       |SELECT 'intersect_all_mult',
+       |  (SELECT COUNT(*) FROM (
+       |    SELECT k FROM da INTERSECT ALL SELECT k FROM db) t), NULL
+       |UNION ALL
+       |SELECT 'except_all_mult',
+       |  (SELECT COUNT(*) FROM (
+       |    SELECT unnest([1, 1, 1]) AS k EXCEPT ALL SELECT 1) t), NULL
+       |UNION ALL
+       |SELECT 'dup_join_mult',
+       |  (SELECT COUNT(*) FROM (SELECT unnest([1, 1, 1]) AS k) x
+       |   JOIN (SELECT unnest([1, 1]) AS k) y USING (k)), NULL
+       |UNION ALL
+       |SELECT 'rollup_null_group',
+       |  (SELECT CAST(SUM(c) AS BIGINT) FROM rl WHERE g = 0 AND k IS NULL), NULL
+       |UNION ALL
+       |SELECT 'rollup_total_row',
+       |  (SELECT CAST(SUM(c) AS BIGINT) FROM rl WHERE g = 1), NULL
+       |UNION ALL
+       |SELECT 'nan_join_real',
+       |  (SELECT COUNT(*) FROM ev x JOIN ev y ON x.v = y.v), NULL""".stripMargin
+  }
+
   val qNullSemanticsSql: String =
     """SELECT event_type, NULLIF(CAST(FLOOR(value) AS INT) % 5, 0) AS vkey,
       |  COUNT(*) AS n,
@@ -1234,6 +1359,7 @@ object AdvancedQueries {
     "q_correlation" -> ((qCorrelation _, Some(qCorrelationSql))),
     "q_null_semantics" -> ((qNullSemantics _, Some(qNullSemanticsSql))),
     "q_hostile_semantics" -> ((qHostileSemantics _, Some(qHostileSemanticsSql))),
+    "q_hostile_relational" -> ((qHostileRelational _, Some(qHostileRelationalSql))),
     "q_having" -> ((qHaving _, Some(qHavingSql))),
     "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_asof_native" -> ((qAsofNative _, Some(qAsofJoinSql))),

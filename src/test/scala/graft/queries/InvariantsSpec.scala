@@ -68,6 +68,34 @@ class InvariantsSpec extends SparkSpec {
     assert(java.lang.Double.isNaN(n.getDouble(3)) && n.getLong(2) < n.getLong(1))
   }
 
+  test("q_hostile_relational pins the join/set-op edge semantics it claims") {
+    val rows = AdvancedQueries.qHostileRelational(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def n(p: String) = rows(p).getLong(1)
+    // equality join: NaN matches NaN (the ONLY common key between the
+    // hostile frames), NULL never matches
+    assert(n("nan_join") == 1)
+    // left join keeps the NULL-key row AND the unmatched finite row
+    assert(n("left_join_null_rows") == 2)
+    // null-safe equality adds the NULL=NULL match
+    assert(n("nullsafe_join") == 2)
+    // anti-join keeps the NULL-key row (no match can be proven)
+    assert(n("anti_join_keeps_null") == 2)
+    // set ops treat NULL and NaN as equal under distinct-semantics
+    assert(n("intersect_null_nan") == 2)
+    assert(java.lang.Double.isNaN(rows("intersect_null_nan").getDouble(2)))
+    // exact multiset semantics: min(3,2) and 3-1
+    assert(n("intersect_all_mult") == 2 && n("except_all_mult") == 2)
+    assert(n("dup_join_mult") == 6)
+    // GROUPING disambiguates the source-NULL group from the total row
+    assert(n("rollup_null_group") == 1 && n("rollup_total_row") == 2)
+    // the NaN-salted self-join really has a quadratic NaN block: pairs
+    // must be at least the NaN count squared
+    val ev = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id") < 300 && col("event_id") % 7 === 0).count()
+    assert(n("nan_join_real") >= ev * ev && ev > 0)
+  }
+
   test("sessionization partitions events exactly: Σ session sizes = row count") {
     val sessions = AdvancedQueries.qSessionize(spark, sfDir)
     val total = sessions.agg(sum("n_events")).collect().head.getLong(0)
