@@ -712,6 +712,108 @@ object AdvancedQueries {
        |  (SELECT COUNT(*) FROM ev x JOIN ev y ON x.v = y.v), NULL""".stripMargin
   }
 
+  /** Window/ordering member of the hostile-gate family ([[qHostileSemantics]],
+    * [[qHostileRelational]]): NaN/NULL/±Infinity threaded through ORDER BY
+    * (explicit NULLS FIRST — the engines' DEFAULTS differ: Spark puts
+    * NULLs first ascending, DuckDB last, so every hostile ordering here
+    * spells the placement), RANK/DENSE_RANK tie semantics (the two NaNs
+    * TIE — both engines order doubles with NaN = NaN), a RANGE frame with
+    * a fractional double bound, LAG across a NULL value vs its default,
+    * FIRST_VALUE IGNORE NULLS, NTILE bucketing, and a NaN-salted
+    * top-k-per-group over the real events parquet. Probes emit full row
+    * sets (not aggregates) so the hash gate pins every per-row value.
+    * Scale note: the UNPARTITIONED windows here run over constant
+    * 3-5 row LITERAL frames — the one place a global window is
+    * scale-safe by construction; the real-data window partitions by
+    * event_type over a constant-size slice.
+    */
+  def qHostileWindow(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_hw")
+    s.sql("""
+      |WITH hv AS (
+      |  SELECT explode(array(CAST('NaN' AS DOUBLE), CAST('1.0' AS DOUBLE),
+      |    CAST(NULL AS DOUBLE), CAST('-Infinity' AS DOUBLE),
+      |    CAST('1.0' AS DOUBLE))) AS v),
+      |ordered AS (
+      |  SELECT v,
+      |    ROW_NUMBER() OVER (ORDER BY v ASC NULLS FIRST) AS rn,
+      |    RANK() OVER (ORDER BY v ASC NULLS FIRST) AS rk,
+      |    DENSE_RANK() OVER (ORDER BY v ASC NULLS FIRST) AS drk,
+      |    NTILE(2) OVER (ORDER BY v ASC NULLS FIRST) AS nt,
+      |    LAG(v, 1, CAST('-99.0' AS DOUBLE)) OVER (ORDER BY v ASC NULLS FIRST) AS lg,
+      |    FIRST_VALUE(v) IGNORE NULLS OVER (
+      |      ORDER BY v ASC NULLS FIRST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv
+      |  FROM hv),
+      |rngsrc AS (SELECT explode(array(CAST('1.0' AS DOUBLE),
+      |    CAST('1.5' AS DOUBLE), CAST('3.0' AS DOUBLE))) AS v),
+      |rng AS (
+      |  SELECT v, CAST(NULL AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS rk,
+      |    CAST(NULL AS BIGINT) AS drk, CAST(NULL AS BIGINT) AS nt,
+      |    CAST(NULL AS DOUBLE) AS lg,
+      |    SUM(v) OVER (ORDER BY v
+      |      RANGE BETWEEN 1.0 PRECEDING AND CURRENT ROW) AS fv
+      |  FROM rngsrc),
+      |salted AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 7 = 0 THEN CAST('NaN' AS DOUBLE)
+      |         ELSE value END AS v,
+      |    event_id
+      |  FROM events_hw WHERE event_id < 300),
+      |topk AS (
+      |  SELECT event_type, v, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY v DESC NULLS LAST, event_id) AS rn
+      |  FROM salted)
+      |SELECT 'ordered' AS probe, CAST(rn AS BIGINT) AS rn, v,
+      |  CAST(rk AS BIGINT) AS rk, CAST(drk AS BIGINT) AS drk,
+      |  CAST(nt AS BIGINT) AS nt, lg, fv FROM ordered
+      |UNION ALL
+      |SELECT 'range_frame', NULL, v, NULL, NULL, NULL, lg, fv FROM rng
+      |UNION ALL
+      |SELECT 'salted_topk', CAST(rn AS BIGINT), v, CAST(event_id AS BIGINT),
+      |  NULL, NULL, NULL, NULL
+      |FROM topk WHERE rn <= 3
+      |""".stripMargin)
+  }
+
+  val qHostileWindowSql: String =
+    """WITH hv AS (
+      |  SELECT unnest(['NaN'::DOUBLE, '1.0'::DOUBLE, NULL::DOUBLE,
+      |    '-Infinity'::DOUBLE, '1.0'::DOUBLE]) AS v),
+      |ordered AS (
+      |  SELECT v,
+      |    ROW_NUMBER() OVER (ORDER BY v ASC NULLS FIRST) AS rn,
+      |    RANK() OVER (ORDER BY v ASC NULLS FIRST) AS rk,
+      |    DENSE_RANK() OVER (ORDER BY v ASC NULLS FIRST) AS drk,
+      |    NTILE(2) OVER (ORDER BY v ASC NULLS FIRST) AS nt,
+      |    LAG(v, 1, '-99.0'::DOUBLE) OVER (ORDER BY v ASC NULLS FIRST) AS lg,
+      |    FIRST_VALUE(v IGNORE NULLS) OVER (
+      |      ORDER BY v ASC NULLS FIRST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv
+      |  FROM hv),
+      |rng AS (
+      |  SELECT v, SUM(v) OVER (ORDER BY v
+      |      RANGE BETWEEN 1.0 PRECEDING AND CURRENT ROW) AS fv
+      |  FROM (SELECT unnest(['1.0'::DOUBLE, '1.5'::DOUBLE, '3.0'::DOUBLE]) AS v) t),
+      |salted AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 7 = 0 THEN 'NaN'::DOUBLE ELSE value END AS v,
+      |    event_id
+      |  FROM events WHERE event_id < 300),
+      |topk AS (
+      |  SELECT event_type, v, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY v DESC NULLS LAST, event_id) AS rn
+      |  FROM salted)
+      |SELECT 'ordered' AS probe, rn, v, rk, drk, nt, lg, fv FROM ordered
+      |UNION ALL
+      |SELECT 'range_frame', NULL, v, NULL, NULL, NULL, NULL::DOUBLE, fv FROM rng
+      |UNION ALL
+      |SELECT 'salted_topk', rn, v, CAST(event_id AS BIGINT), NULL, NULL,
+      |  NULL, NULL
+      |FROM topk WHERE rn <= 3""".stripMargin
+
   val qNullSemanticsSql: String =
     """SELECT event_type, NULLIF(CAST(FLOOR(value) AS INT) % 5, 0) AS vkey,
       |  COUNT(*) AS n,
@@ -1360,6 +1462,7 @@ object AdvancedQueries {
     "q_null_semantics" -> ((qNullSemantics _, Some(qNullSemanticsSql))),
     "q_hostile_semantics" -> ((qHostileSemantics _, Some(qHostileSemanticsSql))),
     "q_hostile_relational" -> ((qHostileRelational _, Some(qHostileRelationalSql))),
+    "q_hostile_window" -> ((qHostileWindow _, Some(qHostileWindowSql))),
     "q_having" -> ((qHaving _, Some(qHavingSql))),
     "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_asof_native" -> ((qAsofNative _, Some(qAsofJoinSql))),

@@ -96,6 +96,27 @@ class InvariantsSpec extends SparkSpec {
     assert(n("nan_join_real") >= ev * ev && ev > 0)
   }
 
+  test("q_hostile_window pins the ordering edge semantics it claims") {
+    val rows = AdvancedQueries.qHostileWindow(spark, sfDir).collect()
+    val ord = rows.filter(_.getString(0) == "ordered")
+      .sortBy(_.getLong(1)).toSeq
+    // NULLS FIRST, then -Inf, the tied 1.0s, NaN last
+    assert(ord.head.isNullAt(2) && ord.head.getDouble(6) == -99.0) // lag default
+    assert(ord(1).getDouble(2) == Double.NegativeInfinity)
+    assert(ord(2).getLong(3) == 3 && ord(3).getLong(3) == 3) // rank ties
+    assert(java.lang.Double.isNaN(ord(4).getDouble(2)))
+    assert(ord(4).getLong(3) == 5 && ord(4).getLong(4) == 4) // rank 5, dense 4
+    // first_value ignore nulls skips the NULL to -Inf on every row
+    assert(ord.forall(_.getDouble(7) == Double.NegativeInfinity))
+    // fractional RANGE frame: 1.5 absorbs 1.0; 3.0 stands alone
+    val rng = rows.filter(_.getString(0) == "range_frame")
+      .map(r => r.getDouble(2) -> r.getDouble(7)).toMap
+    assert(rng(1.5) == 2.5 && rng(3.0) == 3.0)
+    // NaN-salted DESC top-k: NaN outranks every finite value
+    val topk = rows.filter(r => r.getString(0) == "salted_topk" && r.getLong(1) == 1)
+    assert(topk.nonEmpty && topk.forall(r => java.lang.Double.isNaN(r.getDouble(2))))
+  }
+
   test("sessionization partitions events exactly: Σ session sizes = row count") {
     val sessions = AdvancedQueries.qSessionize(spark, sfDir)
     val total = sessions.agg(sum("n_events")).collect().head.getLong(0)
