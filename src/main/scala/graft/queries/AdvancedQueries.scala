@@ -814,6 +814,95 @@ object AdvancedQueries {
       |  NULL, NULL
       |FROM topk WHERE rn <= 3""".stripMargin
 
+  /** Datetime member of the hostile-gate family: calendar edges the clean
+    * synthetic timestamps never reach — leap-day year-arithmetic clamping
+    * (2024-02-29 + 1 year → 2025-02-28), end-of-month month-add clamping
+    * (2024-01-31 + 1 month → 2024-02-29), last_day across a leap
+    * February, ISO week-of-year at year boundaries (2026-01-01 → week 1
+    * but 2026-12-31 AND 2027-01-01 → week 53), Monday-anchored
+    * date_trunc('week'), negative-epoch microseconds (one µs before the
+    * epoch → -1), pre-epoch day truncation, and year-9999 comparisons —
+    * plus a real-data probe grouping the events parquet by ISO weekday
+    * through each engine's own calendar stack. Day-of-week is spelled
+    * ISO-aligned on BOTH sides (Spark weekday()+1 ≡ DuckDB isodow):
+    * the engines' native dayofweek() NUMBERINGS genuinely diverge
+    * (Spark Sunday=1, DuckDB Sunday=0) — a pinned-by-construction
+    * exclusion, like months_between's fractional end-of-month rules vs
+    * datediff('month')'s boundary counting (also excluded: different
+    * functions, not different answers to the same question).
+    */
+  def qHostileDatetime(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_hd")
+    s.sql("""
+      |SELECT 'leap_add_year' AS probe,
+      |  CAST(DATE '2024-02-29' + INTERVAL 1 YEAR AS DATE) AS dt,
+      |  CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS BIGINT) AS n
+      |UNION ALL
+      |SELECT 'eom_add_month', CAST(DATE '2024-01-31' + INTERVAL 1 MONTH AS DATE),
+      |  NULL, NULL
+      |UNION ALL
+      |SELECT 'last_day_leap', last_day(DATE '2024-02-05'), NULL, NULL
+      |UNION ALL
+      |SELECT 'iso_week_jan1', NULL, NULL, CAST(weekofyear(DATE '2026-01-01') AS BIGINT)
+      |UNION ALL
+      |SELECT 'iso_week_dec31', NULL, NULL, CAST(weekofyear(DATE '2026-12-31') AS BIGINT)
+      |UNION ALL
+      |SELECT 'iso_week_next_jan1', NULL, NULL, CAST(weekofyear(DATE '2027-01-01') AS BIGINT)
+      |UNION ALL
+      |SELECT 'trunc_week_monday', CAST(date_trunc('week', DATE '2026-08-16') AS DATE),
+      |  NULL, NULL
+      |UNION ALL
+      |SELECT 'pre_epoch_micros', NULL, NULL,
+      |  unix_micros(TIMESTAMP '1969-12-31 23:59:59.999999')
+      |UNION ALL
+      |SELECT 'pre_epoch_trunc', NULL,
+      |  date_trunc('day', TIMESTAMP '1969-12-31 12:00:00'), NULL
+      |UNION ALL
+      |SELECT 'year_9999', NULL, NULL,
+      |  CAST(CASE WHEN TIMESTAMP '9999-12-31 23:59:59' >
+      |    TIMESTAMP '9999-01-01 00:00:00' THEN 1 ELSE 0 END AS BIGINT)
+      |UNION ALL
+      |SELECT concat('iso_dow_', CAST(weekday(ts) + 1 AS STRING)), NULL, NULL,
+      |  CAST(COUNT(*) AS BIGINT)
+      |FROM events_hd WHERE event_id < 2000
+      |GROUP BY weekday(ts) + 1
+      |""".stripMargin)
+  }
+
+  val qHostileDatetimeSql: String =
+    """SELECT 'leap_add_year' AS probe,
+      |  CAST(DATE '2024-02-29' + INTERVAL 1 YEAR AS DATE) AS dt,
+      |  CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS BIGINT) AS n
+      |UNION ALL
+      |SELECT 'eom_add_month', CAST(DATE '2024-01-31' + INTERVAL 1 MONTH AS DATE),
+      |  NULL, NULL
+      |UNION ALL
+      |SELECT 'last_day_leap', last_day(DATE '2024-02-05'), NULL, NULL
+      |UNION ALL
+      |SELECT 'iso_week_jan1', NULL, NULL, CAST(weekofyear(DATE '2026-01-01') AS BIGINT)
+      |UNION ALL
+      |SELECT 'iso_week_dec31', NULL, NULL, CAST(weekofyear(DATE '2026-12-31') AS BIGINT)
+      |UNION ALL
+      |SELECT 'iso_week_next_jan1', NULL, NULL, CAST(weekofyear(DATE '2027-01-01') AS BIGINT)
+      |UNION ALL
+      |SELECT 'trunc_week_monday', CAST(date_trunc('week', DATE '2026-08-16') AS DATE),
+      |  NULL, NULL
+      |UNION ALL
+      |SELECT 'pre_epoch_micros', NULL, NULL,
+      |  epoch_us(TIMESTAMP '1969-12-31 23:59:59.999999')
+      |UNION ALL
+      |SELECT 'pre_epoch_trunc', NULL,
+      |  date_trunc('day', TIMESTAMP '1969-12-31 12:00:00'), NULL
+      |UNION ALL
+      |SELECT 'year_9999', NULL, NULL,
+      |  CAST(CASE WHEN TIMESTAMP '9999-12-31 23:59:59' >
+      |    TIMESTAMP '9999-01-01 00:00:00' THEN 1 ELSE 0 END AS BIGINT)
+      |UNION ALL
+      |SELECT 'iso_dow_' || CAST(isodow(ts) AS VARCHAR), NULL, NULL,
+      |  CAST(COUNT(*) AS BIGINT)
+      |FROM events WHERE event_id < 2000
+      |GROUP BY isodow(ts)""".stripMargin
+
   val qNullSemanticsSql: String =
     """SELECT event_type, NULLIF(CAST(FLOOR(value) AS INT) % 5, 0) AS vkey,
       |  COUNT(*) AS n,
@@ -1463,6 +1552,7 @@ object AdvancedQueries {
     "q_hostile_semantics" -> ((qHostileSemantics _, Some(qHostileSemanticsSql))),
     "q_hostile_relational" -> ((qHostileRelational _, Some(qHostileRelationalSql))),
     "q_hostile_window" -> ((qHostileWindow _, Some(qHostileWindowSql))),
+    "q_hostile_datetime" -> ((qHostileDatetime _, Some(qHostileDatetimeSql))),
     "q_having" -> ((qHaving _, Some(qHavingSql))),
     "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_asof_native" -> ((qAsofNative _, Some(qAsofJoinSql))),

@@ -117,6 +117,27 @@ class InvariantsSpec extends SparkSpec {
     assert(topk.nonEmpty && topk.forall(r => java.lang.Double.isNaN(r.getDouble(2))))
   }
 
+  test("q_hostile_datetime pins the calendar edges it claims") {
+    val rows = AdvancedQueries.qHostileDatetime(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def dt(p: String) = rows(p).getDate(1).toString
+    assert(dt("leap_add_year") == "2025-02-28")   // leap day clamps
+    assert(dt("eom_add_month") == "2024-02-29")   // end-of-month clamps INTO leap day
+    assert(dt("last_day_leap") == "2024-02-29")
+    assert(dt("trunc_week_monday") == "2026-08-10") // Sunday truncates to prior Monday
+    assert(rows("iso_week_jan1").getLong(3) == 1)
+    assert(rows("iso_week_dec31").getLong(3) == 53)
+    assert(rows("iso_week_next_jan1").getLong(3) == 53) // ISO: 2027-01-01 belongs to 2026's week 53
+    assert(rows("pre_epoch_micros").getLong(3) == -1L)
+    assert(rows("pre_epoch_trunc").getTimestamp(2).toString.startsWith("1969-12-31 00:00:00"))
+    assert(rows("year_9999").getLong(3) == 1)
+    // the real-data ISO-weekday histogram covers the full slice
+    val dow = rows.keys.filter(_.startsWith("iso_dow_"))
+    assert(dow.nonEmpty)
+    assert(dow.map(k => rows(k).getLong(3)).sum ==
+      graft.Tables.events(spark, sfDir).filter(col("event_id") < 2000).count())
+  }
+
   test("sessionization partitions events exactly: Σ session sizes = row count") {
     val sessions = AdvancedQueries.qSessionize(spark, sfDir)
     val total = sessions.agg(sum("n_events")).collect().head.getLong(0)
