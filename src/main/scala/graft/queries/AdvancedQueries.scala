@@ -903,6 +903,128 @@ object AdvancedQueries {
       |FROM events WHERE event_id < 2000
       |GROUP BY isodow(ts)""".stripMargin
 
+  /** Numeric member of the hostile-gate family: the arithmetic edge rules
+    * both engines agree on, pinned — half-value rounding is AWAY FROM
+    * ZERO for doubles and decimals (2.5 → 3, -2.5 → -3; all probe values
+    * are exactly representable so the binary double and the decimal see
+    * the same half), modulo takes the DIVIDEND's sign (-7 % 3 = -1,
+    * 7 % -3 = 1), integer division TRUNCATES toward zero (-7 div 3 =
+    * -2, not floor's -3), pow(0,0) = 1 and a negative base to a
+    * fractional power is NaN, greatest/least skip NULLs (all-NULL is
+    * NULL), decimal scale-widening casts are exact, floor/ceil of -0.5
+    * straddle zero, two's-complement bitwise ops and arithmetic shifts
+    * on BIGINT — plus real-data probes (bit_xor aggregate and an exact
+    * DECIMAL sum over an events slice) through both engines' aggregate
+    * paths. Spelling notes that ARE the cross-engine lesson: DuckDB's
+    * `^` is power (its xor is `xor()`) while Spark's `^` is xor; Spark's
+    * `//` doesn't exist (its integer division is `div`). Documented
+    * exclusions (true divergences): sqrt(-1)/ln(0) (Spark NaN/-Inf,
+    * DuckDB throws), abs/sign of -0.0 (DuckDB abs keeps the sign bit,
+    * Spark's doesn't; Java signum returns -0.0, DuckDB integer 0),
+    * double→int CAST (Spark truncates, DuckDB rounds — the
+    * [[qNullSemantics]] FLOOR lesson), and INTEGER overflow (Spark ANSI
+    * throws, DuckDB widens to HUGEINT — the r10 Spearman lesson).
+    */
+  def qHostileNumeric(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_hn")
+    s.sql("""
+      |SELECT 'round_half_dbl' AS probe,
+      |  CAST(NULL AS BIGINT) AS n,
+      |  round(CAST('2.5' AS DOUBLE), 0) + round(CAST('-2.5' AS DOUBLE), 0) * 0.001
+      |    AS d,
+      |  CAST(NULL AS STRING) AS s
+      |UNION ALL
+      |SELECT 'round_half_dec', NULL, NULL,
+      |  CAST(CAST(round(CAST(2.5 AS DECIMAL(3,1)), 0) AS DECIMAL(10,4)) AS STRING)
+      |UNION ALL
+      |SELECT 'round_dec_125', NULL, NULL,
+      |  CAST(CAST(round(CAST(0.125 AS DECIMAL(4,3)), 2) AS DECIMAL(10,4)) AS STRING)
+      |UNION ALL
+      |SELECT 'mod_signs',
+      |  CAST((-7 % 3) * 100 + (7 % -3) * 10 + (-7 % -3) AS BIGINT), NULL, NULL
+      |UNION ALL
+      |SELECT 'int_div_trunc', CAST(-7 div 3 AS BIGINT), NULL, NULL
+      |UNION ALL
+      |SELECT 'pow_zero_zero', NULL, power(0, 0), NULL
+      |UNION ALL
+      |SELECT 'pow_neg_frac', NULL,
+      |  power(CAST('-8.0' AS DOUBLE), CAST(1.0 AS DOUBLE) / 3.0), NULL
+      |UNION ALL
+      |SELECT 'greatest_null', CAST(greatest(1, CAST(NULL AS INT)) AS BIGINT),
+      |  NULL, NULL
+      |UNION ALL
+      |SELECT 'least_null', CAST(least(1, CAST(NULL AS INT)) AS BIGINT), NULL, NULL
+      |UNION ALL
+      |SELECT 'dec_widen', NULL, NULL,
+      |  CAST(CAST(CAST(1.005 AS DECIMAL(4,3)) AS DECIMAL(10,6)) AS STRING)
+      |UNION ALL
+      |SELECT 'floor_ceil_neg_half',
+      |  CAST(floor(CAST(-0.5 AS DECIMAL(2,1))) * 10 +
+      |       ceil(CAST(-0.5 AS DECIMAL(2,1))) AS BIGINT), NULL, NULL
+      |UNION ALL
+      |SELECT 'bit_ops',
+      |  CAST((12 ^ 10) * 10000 + (12 & 10) * 100 + (12 | 10) + ~12 AS BIGINT),
+      |  NULL, NULL
+      |UNION ALL
+      |SELECT 'shifts',
+      |  CAST(shiftleft(CAST(1 AS BIGINT), 62) + shiftright(CAST(-8 AS BIGINT), 1)
+      |    AS BIGINT), NULL, NULL
+      |UNION ALL
+      |SELECT 'agg_bit_xor', CAST(bit_xor(event_id) AS BIGINT), NULL, NULL
+      |FROM events_hn WHERE event_id < 2000
+      |UNION ALL
+      |SELECT 'agg_dec_sum', NULL, NULL,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(20,4)) AS STRING)
+      |FROM events_hn WHERE event_id < 2000
+      |""".stripMargin)
+  }
+
+  val qHostileNumericSql: String =
+    """SELECT 'round_half_dbl' AS probe,
+      |  CAST(NULL AS BIGINT) AS n,
+      |  round('2.5'::DOUBLE, 0) + round('-2.5'::DOUBLE, 0) * 0.001 AS d,
+      |  CAST(NULL AS VARCHAR) AS s
+      |UNION ALL
+      |SELECT 'round_half_dec', NULL, NULL,
+      |  CAST(CAST(round(2.5::DECIMAL(3,1), 0) AS DECIMAL(10,4)) AS VARCHAR)
+      |UNION ALL
+      |SELECT 'round_dec_125', NULL, NULL,
+      |  CAST(CAST(round(0.125::DECIMAL(4,3), 2) AS DECIMAL(10,4)) AS VARCHAR)
+      |UNION ALL
+      |SELECT 'mod_signs',
+      |  CAST((-7 % 3) * 100 + (7 % -3) * 10 + (-7 % -3) AS BIGINT), NULL, NULL
+      |UNION ALL
+      |SELECT 'int_div_trunc', CAST(-7 // 3 AS BIGINT), NULL, NULL
+      |UNION ALL
+      |SELECT 'pow_zero_zero', NULL, pow(0, 0), NULL
+      |UNION ALL
+      |SELECT 'pow_neg_frac', NULL, pow('-8.0'::DOUBLE, 1.0::DOUBLE / 3.0), NULL
+      |UNION ALL
+      |SELECT 'greatest_null', CAST(greatest(1, NULL::INT) AS BIGINT), NULL, NULL
+      |UNION ALL
+      |SELECT 'least_null', CAST(least(1, NULL::INT) AS BIGINT), NULL, NULL
+      |UNION ALL
+      |SELECT 'dec_widen', NULL, NULL,
+      |  CAST(CAST(1.005::DECIMAL(4,3) AS DECIMAL(10,6)) AS VARCHAR)
+      |UNION ALL
+      |SELECT 'floor_ceil_neg_half',
+      |  CAST(floor(-0.5::DECIMAL(2,1)) * 10 + ceil(-0.5::DECIMAL(2,1)) AS BIGINT),
+      |  NULL, NULL
+      |UNION ALL
+      |SELECT 'bit_ops',
+      |  CAST(xor(12, 10) * 10000 + (12 & 10) * 100 + (12 | 10) + ~12 AS BIGINT),
+      |  NULL, NULL
+      |UNION ALL
+      |SELECT 'shifts',
+      |  CAST((1::BIGINT << 62) + (-8::BIGINT >> 1) AS BIGINT), NULL, NULL
+      |UNION ALL
+      |SELECT 'agg_bit_xor', CAST(bit_xor(event_id) AS BIGINT), NULL, NULL
+      |FROM events WHERE event_id < 2000
+      |UNION ALL
+      |SELECT 'agg_dec_sum', NULL, NULL,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(20,4)) AS VARCHAR)
+      |FROM events WHERE event_id < 2000""".stripMargin
+
   val qNullSemanticsSql: String =
     """SELECT event_type, NULLIF(CAST(FLOOR(value) AS INT) % 5, 0) AS vkey,
       |  COUNT(*) AS n,
@@ -1553,6 +1675,7 @@ object AdvancedQueries {
     "q_hostile_relational" -> ((qHostileRelational _, Some(qHostileRelationalSql))),
     "q_hostile_window" -> ((qHostileWindow _, Some(qHostileWindowSql))),
     "q_hostile_datetime" -> ((qHostileDatetime _, Some(qHostileDatetimeSql))),
+    "q_hostile_numeric" -> ((qHostileNumeric _, Some(qHostileNumericSql))),
     "q_having" -> ((qHaving _, Some(qHavingSql))),
     "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_asof_native" -> ((qAsofNative _, Some(qAsofJoinSql))),

@@ -138,6 +138,32 @@ class InvariantsSpec extends SparkSpec {
       graft.Tables.events(spark, sfDir).filter(col("event_id") < 2000).count())
   }
 
+  test("q_hostile_numeric pins the arithmetic edge rules it claims") {
+    val rows = AdvancedQueries.qHostileNumeric(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // half rounds AWAY FROM ZERO: 2.5 -> 3 and -2.5 -> -3 (3 + -3*0.001)
+    assert(rows("round_half_dbl").getDouble(2) == 2.997)
+    assert(rows("round_half_dec").getString(3) == "3.0000")
+    assert(rows("round_dec_125").getString(3) == "0.1300")
+    // modulo sign = dividend's: (-1)*100 + 1*10 + (-1)
+    assert(rows("mod_signs").getLong(1) == -91)
+    // integer division truncates toward zero, not floor
+    assert(rows("int_div_trunc").getLong(1) == -2)
+    assert(rows("pow_zero_zero").getDouble(2) == 1.0)
+    assert(java.lang.Double.isNaN(rows("pow_neg_frac").getDouble(2)))
+    assert(rows("greatest_null").getLong(1) == 1 && rows("least_null").getLong(1) == 1)
+    assert(rows("dec_widen").getString(3) == "1.005000")
+    assert(rows("floor_ceil_neg_half").getLong(1) == -10) // floor -1, ceil 0
+    // two's complement: 6*10000 + 8*100 + 14 + (-13)
+    assert(rows("bit_ops").getLong(1) == 60801)
+    assert(rows("shifts").getLong(1) == (1L << 62) - 4)
+    // the aggregates really ran over the slice
+    val slice = graft.Tables.events(spark, sfDir).filter(col("event_id") < 2000)
+    val xorRef = slice.select(col("event_id")).collect().map(_.getLong(0)).reduce(_ ^ _)
+    assert(rows("agg_bit_xor").getLong(1) == xorRef)
+    assert(rows("agg_dec_sum").getString(3).matches("""-?\d+\.\d{4}"""))
+  }
+
   test("sessionization partitions events exactly: Σ session sizes = row count") {
     val sessions = AdvancedQueries.qSessionize(spark, sfDir)
     val total = sessions.agg(sum("n_events")).collect().head.getLong(0)
