@@ -1025,6 +1025,124 @@ object AdvancedQueries {
       |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(20,4)) AS VARCHAR)
       |FROM events WHERE event_id < 2000""".stripMargin
 
+  /** String member of the hostile-gate family: the text-function edge
+    * rules both engines agree on, pinned — negative substring starts
+    * count from the END, multichar pad strings cycle and overlong inputs
+    * TRUNCATE, repeat with zero/negative count is empty, translate with
+    * a shorter to-alphabet DELETES the unmapped chars, regex split /
+    * extract-no-match ('' not NULL) / global replace, instr is 1-based
+    * with 0 for absent, reverse is CHARACTER-wise across 4-byte UTF-8,
+    * character-set trim, split_part past the last field is '' (not an
+    * error, not NULL), concat_ws skips NULLs (unlike bare concat — the
+    * [[qHostileSemantics]] null_concat probe) — plus real-data probes
+    * (regex-split token total and a substring/instr rollup) over the
+    * documents parquet. Spelling notes that are the lesson: DuckDB's
+    * regexp_replace replaces the FIRST match unless given the 'g' flag,
+    * Spark's always replaces all — the oracle spells 'g' explicitly.
+    * Documented exclusions (true divergences in DuckDB 1.0): substring
+    * START 0 (Spark treats 0 as 1 and returns 'hel'; DuckDB consumes a
+    * position and returns 'he'), negative left()/right() lengths
+    * (DuckDB drops from the opposite end, Spark returns ''), initcap
+    * and overlay (absent in DuckDB 1.0), and locale-dependent case
+    * mappings (ß, dotless i) which depend on ICU availability.
+    */
+  def qHostileString(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("docs_hs")
+    val emoji = "decode(unhex('F09F9880'), 'UTF-8')"
+    s.sql(s"""
+      |SELECT 'substr_negative' AS probe, CAST(NULL AS BIGINT) AS n,
+      |  substring('hello', -3, 2) AS s
+      |UNION ALL
+      |SELECT 'pad_cycle_trunc', NULL,
+      |  concat(lpad('7', 5, 'ab'), '|', rpad('7', 4, 'xy'), '|', lpad('hello', 3, '*'))
+      |UNION ALL
+      |SELECT 'repeat_zero_neg', NULL,
+      |  concat('[', repeat('ab', 0), '|', repeat('ab', -1), ']')
+      |UNION ALL
+      |SELECT 'left_overlong', NULL, left('hello', 99)
+      |UNION ALL
+      |SELECT 'translate_delete', NULL, translate('abcba', 'abc', 'xy')
+      |UNION ALL
+      |SELECT 'regex_split', NULL,
+      |  array_join(split('a1b22c', '[0-9]+'), '|')
+      |UNION ALL
+      |SELECT 'instr_pos', CAST(instr('abab', 'ab') * 10 + instr('hello', 'z') AS BIGINT),
+      |  NULL
+      |UNION ALL
+      |SELECT 'reverse_4byte', NULL, reverse(concat('a', $emoji, 'b'))
+      |UNION ALL
+      |SELECT 'trim_charset', NULL,
+      |  concat(trim('  x  '), '|', trim(BOTH 'x' FROM 'xxaxx'), '|',
+      |         ltrim('x', 'xxa'))
+      |UNION ALL
+      |SELECT 'split_part_oob', NULL,
+      |  concat('[', split_part('a,b,c', ',', 2), '|', split_part('a,b', ',', 9), ']')
+      |UNION ALL
+      |SELECT 'concat_ws_null', NULL,
+      |  concat_ws(',', 'a', CAST(NULL AS STRING), 'b')
+      |UNION ALL
+      |SELECT 'regex_nomatch', NULL,
+      |  concat('[', regexp_extract('a123b', '([0-9]+)', 1), '|',
+      |         regexp_extract('abc', '([0-9]+)', 1), ']')
+      |UNION ALL
+      |SELECT 'regex_replace_all', NULL, regexp_replace('a1b2', '[0-9]', 'X')
+      |UNION ALL
+      |SELECT 'doc_regex_tokens', CAST(SUM(size(split(text, '[^a-z]+'))) AS BIGINT),
+      |  NULL
+      |FROM docs_hs WHERE doc_id < 50
+      |UNION ALL
+      |SELECT 'doc_instr_rollup',
+      |  CAST(SUM(instr(text, 'e') * 3 + length(substring(text, -5))) AS BIGINT), NULL
+      |FROM docs_hs WHERE doc_id < 50
+      |""".stripMargin)
+  }
+
+  val qHostileStringSql: String = {
+    val emoji = "decode(from_hex('F09F9880'))"
+    s"""SELECT 'substr_negative' AS probe, CAST(NULL AS BIGINT) AS n,
+       |  substring('hello', -3, 2) AS s
+       |UNION ALL
+       |SELECT 'pad_cycle_trunc', NULL,
+       |  lpad('7', 5, 'ab') || '|' || rpad('7', 4, 'xy') || '|' || lpad('hello', 3, '*')
+       |UNION ALL
+       |SELECT 'repeat_zero_neg', NULL,
+       |  '[' || repeat('ab', 0) || '|' || repeat('ab', -1) || ']'
+       |UNION ALL
+       |SELECT 'left_overlong', NULL, left('hello', 99)
+       |UNION ALL
+       |SELECT 'translate_delete', NULL, translate('abcba', 'abc', 'xy')
+       |UNION ALL
+       |SELECT 'regex_split', NULL,
+       |  array_to_string(string_split_regex('a1b22c', '[0-9]+'), '|')
+       |UNION ALL
+       |SELECT 'instr_pos', CAST(instr('abab', 'ab') * 10 + instr('hello', 'z') AS BIGINT),
+       |  NULL
+       |UNION ALL
+       |SELECT 'reverse_4byte', NULL, reverse('a' || $emoji || 'b')
+       |UNION ALL
+       |SELECT 'trim_charset', NULL,
+       |  trim('  x  ') || '|' || trim('xxaxx', 'x') || '|' || ltrim('xxa', 'x')
+       |UNION ALL
+       |SELECT 'split_part_oob', NULL,
+       |  '[' || split_part('a,b,c', ',', 2) || '|' || split_part('a,b', ',', 9) || ']'
+       |UNION ALL
+       |SELECT 'concat_ws_null', NULL, concat_ws(',', 'a', NULL, 'b')
+       |UNION ALL
+       |SELECT 'regex_nomatch', NULL,
+       |  '[' || regexp_extract('a123b', '([0-9]+)', 1) || '|' ||
+       |  regexp_extract('abc', '([0-9]+)', 1) || ']'
+       |UNION ALL
+       |SELECT 'regex_replace_all', NULL, regexp_replace('a1b2', '[0-9]', 'X', 'g')
+       |UNION ALL
+       |SELECT 'doc_regex_tokens',
+       |  CAST(SUM(len(string_split_regex(text, '[^a-z]+'))) AS BIGINT), NULL
+       |FROM documents WHERE doc_id < 50
+       |UNION ALL
+       |SELECT 'doc_instr_rollup',
+       |  CAST(SUM(instr(text, 'e') * 3 + len(substring(text, -5))) AS BIGINT), NULL
+       |FROM documents WHERE doc_id < 50""".stripMargin
+  }
+
   val qNullSemanticsSql: String =
     """SELECT event_type, NULLIF(CAST(FLOOR(value) AS INT) % 5, 0) AS vkey,
       |  COUNT(*) AS n,
@@ -1676,6 +1794,7 @@ object AdvancedQueries {
     "q_hostile_window" -> ((qHostileWindow _, Some(qHostileWindowSql))),
     "q_hostile_datetime" -> ((qHostileDatetime _, Some(qHostileDatetimeSql))),
     "q_hostile_numeric" -> ((qHostileNumeric _, Some(qHostileNumericSql))),
+    "q_hostile_string" -> ((qHostileString _, Some(qHostileStringSql))),
     "q_having" -> ((qHaving _, Some(qHavingSql))),
     "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_asof_native" -> ((qAsofNative _, Some(qAsofJoinSql))),

@@ -164,6 +164,28 @@ class InvariantsSpec extends SparkSpec {
     assert(rows("agg_dec_sum").getString(3).matches("""-?\d+\.\d{4}"""))
   }
 
+  test("q_hostile_string pins the text-function edge rules it claims") {
+    val rows = AdvancedQueries.qHostileString(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def s(p: String) = rows(p).getString(2)
+    assert(s("substr_negative") == "ll")       // negative start counts from end
+    assert(s("pad_cycle_trunc") == "abab7|7xyx|hel") // pad cycles; overlong truncates
+    assert(s("repeat_zero_neg") == "[|]")      // zero and negative both empty
+    assert(s("left_overlong") == "hello")
+    assert(s("translate_delete") == "xyyx")    // unmapped 'c' deleted
+    assert(s("regex_split") == "a|b|c")
+    assert(rows("instr_pos").getLong(1) == 10) // first match 1-based; absent = 0
+    assert(s("reverse_4byte") == "b😀a")       // char-wise, 4-byte char intact
+    assert(s("trim_charset") == "x|a|a")
+    assert(s("split_part_oob") == "[b|]")      // past-the-end field is ''
+    assert(s("concat_ws_null") == "a,b")       // ws variant skips NULL
+    assert(s("regex_nomatch") == "[123|]")     // no-match extract is '' not NULL
+    assert(s("regex_replace_all") == "aXbX")   // Spark replaces ALL (oracle spells 'g')
+    // real-data rollups really covered the slice
+    assert(rows("doc_regex_tokens").getLong(1) > 0)
+    assert(rows("doc_instr_rollup").getLong(1) > 0)
+  }
+
   test("sessionization partitions events exactly: Σ session sizes = row count") {
     val sessions = AdvancedQueries.qSessionize(spark, sfDir)
     val total = sessions.agg(sum("n_events")).collect().head.getLong(0)
