@@ -1143,6 +1143,132 @@ object AdvancedQueries {
        |FROM documents WHERE doc_id < 50""".stripMargin
   }
 
+  /** Collection/JSON member of the hostile-gate family: array, map, and
+    * JSON-path edge rules the engines agree on, pinned — array_sort
+    * places NULLs LAST while sort_array(ASC) places them FIRST (the two
+    * spellings map exactly to DuckDB's list_sort default vs 'NULLS
+    * FIRST'), slices with negative starts count from the end,
+    * array_position returns 0 (not NULL) for absent, membership is true
+    * for a present element and NULL when probing for NULL, DISTINCT
+    * composes with sort for a canonical element set, JSON path
+    * extraction agrees on nested objects / array indexing / missing
+    * paths (NULL), and map lookup yields the value or NULL — plus
+    * real-data probes (token array_position rollup and one document's
+    * canonical sorted-distinct token prefix) over the documents parquet.
+    * Documented exclusions (true DuckDB-1.0 divergences):
+    * array_contains with a NULL element and NO match (Spark NULL, DuckDB
+    * false), array_distinct ELEMENT ORDER (Spark keeps first-seen,
+    * DuckDB doesn't — hence the sort composition here), flatten over a
+    * NULL inner array (Spark NULL, DuckDB skips it), and arrays_zip
+    * (Spark emits named structs, DuckDB tuples — a shape, not value,
+    * mismatch).
+    */
+  def qHostileCollection(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("docs_hc")
+    s.sql("""
+      |SELECT 'sort_nulls_last' AS probe, CAST(NULL AS BIGINT) AS n,
+      |  concat('[', array_join(array_sort(array(3, NULL, 1)), ',', 'N'), ']') AS s
+      |UNION ALL
+      |SELECT 'sort_nulls_first', NULL,
+      |  concat('[', array_join(sort_array(array(3, NULL, 1)), ',', 'N'), ']')
+      |UNION ALL
+      |SELECT 'slice_mid', NULL,
+      |  array_join(slice(array(1, 2, 3, 4, 5), 2, 3), ',')
+      |UNION ALL
+      |SELECT 'slice_negative', NULL,
+      |  array_join(slice(array(1, 2, 3, 4, 5), -2, 2), ',')
+      |UNION ALL
+      |SELECT 'position_absent',
+      |  CAST(array_position(array(10, 20, 30), 20) * 10 +
+      |       array_position(array(10), 99) AS BIGINT), NULL
+      |UNION ALL
+      |SELECT 'contains_present',
+      |  CAST(CASE WHEN array_contains(array(1, NULL), 1) THEN 1 ELSE 0 END
+      |    AS BIGINT), NULL
+      |UNION ALL
+      |SELECT 'contains_null_probe',
+      |  CAST(CASE WHEN array_contains(array(1, NULL), CAST(NULL AS INT)) IS NULL
+      |    THEN 1 ELSE 0 END AS BIGINT), NULL
+      |UNION ALL
+      |SELECT 'sorted_distinct', NULL,
+      |  array_join(array_sort(array_distinct(array(3, 1, 3, 2, 1))), ',')
+      |UNION ALL
+      |SELECT 'json_nested', NULL,
+      |  get_json_object('{"a": {"b": 7}, "c": [1,2]}', '$.a.b')
+      |UNION ALL
+      |SELECT 'json_array_idx', NULL,
+      |  get_json_object('{"c": [1,2]}', '$.c[1]')
+      |UNION ALL
+      |SELECT 'json_missing',
+      |  CAST(CASE WHEN get_json_object('{"a":1}', '$.missing') IS NULL
+      |    THEN 1 ELSE 0 END AS BIGINT), NULL
+      |UNION ALL
+      |SELECT 'map_lookup',
+      |  CAST(element_at(map('a', 1, 'b', 2), 'a') * 10 +
+      |       CASE WHEN element_at(map('a', 1), 'z') IS NULL THEN 1 ELSE 0 END
+      |    AS BIGINT), NULL
+      |UNION ALL
+      |SELECT 'doc_token_position',
+      |  CAST(SUM(array_position(split(text, ' '), 'the')) AS BIGINT), NULL
+      |FROM docs_hc WHERE doc_id < 50
+      |UNION ALL
+      |SELECT 'doc_sorted_tokens', NULL,
+      |  array_join(slice(array_sort(array_distinct(split(text, ' '))), 1, 5), '|')
+      |FROM docs_hc WHERE doc_id = 0
+      |""".stripMargin)
+  }
+
+  val qHostileCollectionSql: String =
+    """SELECT 'sort_nulls_last' AS probe, CAST(NULL AS BIGINT) AS n,
+      |  '[' || array_to_string(list_transform(list_sort([3, NULL, 1]),
+      |    x -> coalesce(CAST(x AS VARCHAR), 'N')), ',') || ']' AS s
+      |UNION ALL
+      |SELECT 'sort_nulls_first', NULL,
+      |  '[' || array_to_string(list_transform(list_sort([3, NULL, 1], 'ASC', 'NULLS FIRST'),
+      |    x -> coalesce(CAST(x AS VARCHAR), 'N')), ',') || ']'
+      |UNION ALL
+      |SELECT 'slice_mid', NULL, array_to_string(([1,2,3,4,5])[2:4], ',')
+      |UNION ALL
+      |SELECT 'slice_negative', NULL, array_to_string(([1,2,3,4,5])[-2:], ',')
+      |UNION ALL
+      |SELECT 'position_absent',
+      |  CAST(list_position([10, 20, 30], 20) * 10 +
+      |       list_position([10], 99) AS BIGINT), NULL
+      |UNION ALL
+      |SELECT 'contains_present',
+      |  CAST(CASE WHEN list_contains([1, NULL], 1) THEN 1 ELSE 0 END AS BIGINT),
+      |  NULL
+      |UNION ALL
+      |SELECT 'contains_null_probe',
+      |  CAST(CASE WHEN list_contains([1, NULL], NULL::INT) IS NULL
+      |    THEN 1 ELSE 0 END AS BIGINT), NULL
+      |UNION ALL
+      |SELECT 'sorted_distinct', NULL,
+      |  array_to_string(list_sort(list_distinct([3, 1, 3, 2, 1])), ',')
+      |UNION ALL
+      |SELECT 'json_nested', NULL,
+      |  json_extract_string('{"a": {"b": 7}, "c": [1,2]}', '$.a.b')
+      |UNION ALL
+      |SELECT 'json_array_idx', NULL,
+      |  json_extract_string('{"c": [1,2]}', '$.c[1]')
+      |UNION ALL
+      |SELECT 'json_missing',
+      |  CAST(CASE WHEN json_extract_string('{"a":1}', '$.missing') IS NULL
+      |    THEN 1 ELSE 0 END AS BIGINT), NULL
+      |UNION ALL
+      |SELECT 'map_lookup',
+      |  CAST(map_extract(MAP {'a': 1, 'b': 2}, 'a')[1] * 10 +
+      |       CASE WHEN len(map_extract(MAP {'a': 1}, 'z')) = 0 THEN 1 ELSE 0 END
+      |    AS BIGINT), NULL
+      |UNION ALL
+      |SELECT 'doc_token_position',
+      |  CAST(SUM(list_position(string_split(text, ' '), 'the')) AS BIGINT), NULL
+      |FROM documents WHERE doc_id < 50
+      |UNION ALL
+      |SELECT 'doc_sorted_tokens', NULL,
+      |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], '|')
+      |FROM documents WHERE doc_id = 0""".stripMargin
+
   val qNullSemanticsSql: String =
     """SELECT event_type, NULLIF(CAST(FLOOR(value) AS INT) % 5, 0) AS vkey,
       |  COUNT(*) AS n,
@@ -1795,6 +1921,7 @@ object AdvancedQueries {
     "q_hostile_datetime" -> ((qHostileDatetime _, Some(qHostileDatetimeSql))),
     "q_hostile_numeric" -> ((qHostileNumeric _, Some(qHostileNumericSql))),
     "q_hostile_string" -> ((qHostileString _, Some(qHostileStringSql))),
+    "q_hostile_collection" -> ((qHostileCollection _, Some(qHostileCollectionSql))),
     "q_having" -> ((qHaving _, Some(qHavingSql))),
     "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_asof_native" -> ((qAsofNative _, Some(qAsofJoinSql))),

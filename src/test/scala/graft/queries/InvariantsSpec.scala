@@ -186,6 +186,24 @@ class InvariantsSpec extends SparkSpec {
     assert(rows("doc_instr_rollup").getLong(1) > 0)
   }
 
+  test("q_hostile_collection pins the array/map/json edge rules it claims") {
+    val rows = AdvancedQueries.qHostileCollection(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def s(p: String) = rows(p).getString(2)
+    assert(s("sort_nulls_last") == "[1,3,N]")   // array_sort: NULLs last
+    assert(s("sort_nulls_first") == "[N,1,3]")  // sort_array ASC: NULLs first
+    assert(s("slice_mid") == "2,3,4" && s("slice_negative") == "4,5")
+    assert(rows("position_absent").getLong(1) == 20) // found 2, absent 0
+    assert(rows("contains_present").getLong(1) == 1)
+    assert(rows("contains_null_probe").getLong(1) == 1) // NULL probe -> NULL
+    assert(s("sorted_distinct") == "1,2,3")
+    assert(s("json_nested") == "7" && s("json_array_idx") == "2")
+    assert(rows("json_missing").getLong(1) == 1)
+    assert(rows("map_lookup").getLong(1) == 11) // found 1*10, missing NULL -> +1
+    assert(rows("doc_token_position").getLong(1) > 0)
+    assert(s("doc_sorted_tokens").split("\\|").length == 5)
+  }
+
   test("sessionization partitions events exactly: Σ session sizes = row count") {
     val sessions = AdvancedQueries.qSessionize(spark, sfDir)
     val total = sessions.agg(sum("n_events")).collect().head.getLong(0)
