@@ -72,9 +72,10 @@ object ScaleRehearsal {
       } catch {
         // a ScaleGuard refusal is the guard WORKING, not a sweep failure:
         // the demonstration-scale configs are designed to refuse big
-        // corpora and point at their scale twins (which the sweep runs)
-        case e: IllegalStateException
-            if Option(e.getMessage).exists(_.contains("DEMONSTRATION-SCALE")) =>
+        // corpora and point at their scale twins (which the sweep runs).
+        // Matched by CLASS — an unrelated failure that quotes the guard's
+        // message must not masquerade as a skip (r12 advice item).
+        case e: graft.ops.ScaleGuardRefusal =>
           skipped += 1
           println(s"[rehearsal] $n SKIPPED (ScaleGuard): " +
             s"${e.getMessage.takeWhile(_ != '.')}")

@@ -28,16 +28,22 @@ object SimilarityQueries {
 
   /** Distinct word-3-shingles per doc: (doc_id, shingle). Shared by the
     * MinHash and n-gram queries. Docs with <3 tokens drop out (none at any
-    * sf, but the guard keeps sequence() from reversing).
+    * sf, but the guard keeps sequence() from reversing). Parameterized on
+    * the docs frame so the hostile-corpus gate
+    * (HostileCorpusQueries) runs the SAME shingling code over its
+    * degenerate slice — one source of truth, no drift.
     */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  private[queries] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .filter(size(toks) >= 3)
       // tokenize ONCE into tk; referencing split() inside the transform
       // lambda would re-split the whole text per element (3 × n_tokens
       // full splits per doc)
       .withColumn("tk", toks)
       .select(col("doc_id"), explode(array_distinct(ngrams("tk", 3))).as("shingle"))
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(s, dir))
 
   /** MinHash + LSH near-dup pairs with exact Jaccard verification.
     *
@@ -58,11 +64,18 @@ object SimilarityQueries {
     * 0.07↔0.98 gap) — and the oracle replicates the same banding, so even a
     * miss would match bit-for-bit.
     */
-  def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(Tables.documents(s, dir))
+
+  /** The whole qMinhashLsh pipeline over an arbitrary (doc_id, text) frame
+    * — shared with the hostile-corpus gate so degenerate documents exercise
+    * the production banding code, not a copy.
+    */
+  private[queries] def minhashPairs(docs: DataFrame): DataFrame = {
     // cache: shingles feed three consumers (signatures, intersection
     // counts ×2, sizes ×2) — materialize once instead of re-exploding the
     // corpus per consumer. At corpus scale this is the shingle TABLE.
-    val sh = shingles(s, dir).cache()
+    val sh = shinglesOf(docs).cache()
     val numHashes = 8
     val rowsPerBand = 2
     val aggs = (0 until numHashes).map(i =>
@@ -546,7 +559,7 @@ object SimilarityQueries {
       "Fixed 8-bit SRP bands (256 buckets) make candidate-pair volume " +
         "~N²·bands/2^b — quadratic in N; the production rule is band bits " +
         "∝ log₂N",
-      "q_embedding_neardup_scaled")
+      "q_embedding_neardup_scaled", memoKey = dir)
     embeddingNeardup(s, dir, bandBits = 8)
   }
 
@@ -996,7 +1009,7 @@ object SimilarityQueries {
       "Fixed k = 64 centroids make within-cluster pair volume Σ|c|² ≈ " +
         "N²/k — quadratic in N; the paper's rule is k ∝ N so |c| stays " +
         "constant",
-      "q_semdedup_scaled (or q_semdedup_ivf)")
+      "q_semdedup_scaled (or q_semdedup_ivf)", memoKey = dir)
     semdedup(s, dir, col("vec_id") < 64)
   }
 

@@ -37,9 +37,15 @@ object StreamingQueries {
     */
   private def streamTable(s: SparkSession, dir: String, table: String,
                           schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val path = java.nio.file.Paths.get(dir, table)
+    // Layout detection via the Hadoop FileSystem API, NOT java.nio: nio only
+    // answers for local paths, so an hdfs:// or s3a:// warehouse dir would
+    // have silently fallen into the glob branch — re-creating the exact
+    // zero-rows drain this helper exists to prevent (r12 advice item). The
+    // FS resolved here is by construction the one the stream source reads.
+    val path = new org.apache.hadoop.fs.Path(dir, table)
+    val fs = path.getFileSystem(s.sessionState.newHadoopConf())
     val rd = s.readStream.schema(schema)
-    if (java.nio.file.Files.isDirectory(path)) rd.parquet(path.toString)
+    if (fs.exists(path) && fs.getFileStatus(path).isDirectory) rd.parquet(path.toString)
     else rd.option("pathGlobFilter", table).parquet(dir)
   }
 
@@ -80,16 +86,13 @@ object StreamingQueries {
     * never a semantic knob.
     */
   private def drainWidth(s: SparkSession, dir: String, tables: String*): Int = {
+    // Hadoop FS (not java.nio) for the same reason as [[streamTable]]: on a
+    // non-local warehouse nio reports 0 bytes and every drain would run at
+    // the narrow bench width. getContentSummary handles file + directory.
     def bytes(t: String): Long = {
-      val p = java.nio.file.Paths.get(dir, t)
-      if (java.nio.file.Files.isDirectory(p)) {
-        val st = java.nio.file.Files.list(p)
-        try st.mapToLong(f =>
-          if (java.nio.file.Files.isRegularFile(f)) java.nio.file.Files.size(f) else 0L).sum()
-        finally st.close()
-      }
-      else if (java.nio.file.Files.isRegularFile(p)) java.nio.file.Files.size(p)
-      else 0L
+      val p = new org.apache.hadoop.fs.Path(dir, t)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
     }
     if (tables.map(bytes).sum > (64L << 20)) s.sparkContext.defaultParallelism else 8
   }

@@ -77,6 +77,45 @@ class ScaleGuardSpec extends SparkSpec {
     SimilarityQueries.qSemdedup(spark, sfDir)
   }
 
+  test("a refusal is the dedicated ScaleGuardRefusal type (class, not message)") {
+    // sweep harnesses classify guard skips by CLASS; an unrelated failure
+    // quoting the guard's message must not be mistaken for a skip
+    intercept[ScaleGuardRefusal] {
+      ScaleGuard.check(spark.range(ScaleGuard.DefaultMaxRows + 1).toDF("id"),
+        "q_demo", "rule", "twin")
+    }
+  }
+
+  test("malformed conf values fail naming the key, not with a bare parse error") {
+    withConf(ScaleGuard.AllowKey -> "1") {
+      val e = intercept[IllegalArgumentException] {
+        ScaleGuard.check(spark.range(1).toDF("id"), "q_demo", "rule", "twin")
+      }
+      assert(e.getMessage.contains(ScaleGuard.AllowKey))
+    }
+    withConf(ScaleGuard.MaxRowsKey -> "lots") {
+      val e = intercept[IllegalArgumentException] {
+        ScaleGuard.check(spark.range(1).toDF("id"), "q_demo", "rule", "twin")
+      }
+      assert(e.getMessage.contains(ScaleGuard.MaxRowsKey))
+    }
+  }
+
+  test("pre-flight count is memoized per (session, query, key)") {
+    ScaleGuard.clearMemo()
+    val df = spark.range(3).toDF("id")
+    ScaleGuard.check(df, "q_memo_demo", "rule", "twin", memoKey = "k1")
+    assert(ScaleGuard.memoSize == 1, "first keyed check must populate the memo")
+    ScaleGuard.check(df, "q_memo_demo", "rule", "twin", memoKey = "k1")
+    assert(ScaleGuard.memoSize == 1, "same key must hit the memo, not re-count")
+    ScaleGuard.check(df, "q_memo_demo", "rule", "twin", memoKey = "k2")
+    assert(ScaleGuard.memoSize == 2, "a different key must count separately")
+    ScaleGuard.check(df, "q_memo_demo", "rule", "twin")
+    assert(ScaleGuard.memoSize == 2, "an empty key must not be memoized")
+    ScaleGuard.clearMemo()
+    assert(ScaleGuard.memoSize == 0)
+  }
+
   test("no bare localCheckpoint in main source outside Lineage.scala") {
     // every lineage truncation must honor spark.graft.reliableCheckpoint
     // (r10 verdict item #2) — Lineage.truncate is the single doorway
