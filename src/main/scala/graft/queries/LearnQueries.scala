@@ -509,23 +509,54 @@ object LearnQueries {
   private val unigramMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
 
-  private def unigramPipeline(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    unigramMemo.computeIfAbsent((s, dir), _ => unigramBuild(s, dir))
+  /** Drop memoized lattices. Bench calls this alongside clearCache before
+    * EVERY timed sample: the memo otherwise defeats the best-of-N protocol
+    * — only the first sample builds the lattice, so the published min is a
+    * memo hit (~0.03 s) instead of the query's real cost (~4.7 s), a ~150×
+    * understatement (r12 advice item, medium). Correctness sweeps (Verify)
+    * keep the memo across queries — there the sharing between q_unigram_lm
+    * and q_unigram_refit is the point, and nothing is being timed.
+    */
+  def clearMemo(): Unit = unigramMemo.clear()
+
+  private def unigramPipeline(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // memo key includes the corpus file's (mtime, size): a regenerated
+    // documents.parquet within one session must rebuild, not serve stale
+    val p = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val stamp =
+      if (fs.exists(p)) { val st = fs.getFileStatus(p); s"${st.getModificationTime}:${st.getLen}" }
+      else "absent"
+    unigramMemo.computeIfAbsent((s, s"$dir@$stamp"), _ => unigramBuild(s, dir))
+  }
 
   private def unigramBuild(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val maxLen = 12
     val wf = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "" && length(col("w")) <= maxLen)
+      .filter(col("w") =!= "" && length(col("w")) <= 12)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    unigramFromWf(wf, minCount = 500)
+  }
+
+  /** The unigram-LM lattice pipeline over an arbitrary word-frequency
+    * frame (w, cnt) — parameterized so the hostile-corpus gate
+    * (HostileCorpusQueries) runs the SAME 12-round Viterbi DP over planted
+    * degenerate words (UTF-8 4-byte pieces, all-same-char runs, score
+    * ties) with its own piece-count floor. Words longer than 12 chars are
+    * the caller's to exclude (the DP unroll bound).
+    */
+  private[queries] def unigramFromWf(wf0: DataFrame, minCount: Long)
+      : (DataFrame, DataFrame) = {
+    val maxLen = 12
+    val wf = wf0
       .persist() // vocab-sized; feeds candidates, the lattice, and the final join
     val occ = wf.select(col("cnt"), explode(expr(
         """flatten(transform(sequence(1, length(w)), i ->
           |  transform(sequence(1, least(4, length(w) - i + 1)),
           |            l -> substring(w, i, l))))""".stripMargin)).as("piece"))
     val pieces = occ.groupBy(col("piece")).agg(sum(col("cnt")).as("pc"))
-      .filter(col("pc") >= 500 || length(col("piece")) === 1)
+      .filter(col("pc") >= minCount || length(col("piece")) === 1)
     val tot = pieces.agg(sum(col("pc")).as("tot"))
     val plp = pieces.crossJoin(broadcast(tot))
       .select(col("piece"), expr(
@@ -601,7 +632,13 @@ object LearnQueries {
         (coalesce(col("new_cnt"), lit(0L)) > 0).as("keep"))
   }
 
-  private val unigramCtes: String = {
+  /** The oracle-side twin of [[unigramFromWf]]: the full lattice CTE chain
+    * over a caller-supplied `wf` relation body (must yield columns w, cnt;
+    * the caller owns the len(w) <= 12 exclusion) and piece-count floor —
+    * one generator for both the documents oracle and the hostile-corpus
+    * gate's planted word set.
+    */
+  private[queries] def unigramCtesFor(wfBody: String, minCount: Long): String = {
     // every round CTE is MATERIALIZED: ball_j references ball_{j-1} twice
     // (directly and through b_j), so DuckDB's default CTE inlining would
     // expand the lattice pipeline 2^12 times — the oracle-side twin of the
@@ -618,16 +655,14 @@ object LearnQueries {
          |ball$j AS MATERIALIZED (SELECT * FROM ball${j - 1} UNION ALL SELECT * FROM b$j)""".stripMargin
     }.mkString(",\n")
     s"""WITH wf AS MATERIALIZED (
-       |  SELECT w, COUNT(*) AS cnt FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-       |  WHERE w <> '' AND len(w) <= 12 GROUP BY w),
+       |$wfBody),
        |occ AS (
        |  SELECT substring(w, CAST(i AS INT), CAST(l AS INT)) AS piece, cnt
        |  FROM wf, UNNEST(range(1, len(w) + 1)) AS u(i), UNNEST(range(1, 5)) AS v(l)
        |  WHERE i + l - 1 <= len(w)),
        |pieces AS (
        |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS pc FROM occ GROUP BY piece
-       |  HAVING SUM(cnt) >= 500 OR len(piece) = 1),
+       |  HAVING SUM(cnt) >= $minCount OR len(piece) = 1),
        |tt AS (SELECT CAST(SUM(pc) AS BIGINT) AS tot FROM pieces),
        |plp AS (SELECT piece,
        |          CAST(CAST(LN(CAST(pc AS DOUBLE)) - LN(CAST(tot AS DOUBLE)) AS DOUBLE)
@@ -644,6 +679,12 @@ object LearnQueries {
        |                 '' AS path FROM wf),
        |$rounds""".stripMargin
   }
+
+  private val unigramCtes: String = unigramCtesFor(
+    """  SELECT w, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE w <> '' AND len(w) <= 12 GROUP BY w""".stripMargin,
+    minCount = 500)
 
   val qUnigramLmSql: String =
     unigramCtes + """
