@@ -29,7 +29,8 @@ object SparkEntry {
       NorthStarQueries.all,
       AnalyticsQueries.all,
       LearnQueries.all,
-      EvalQueries.all
+      EvalQueries.all,
+      HostileCorpusQueries.all
     )
 
   private val merged: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = {

@@ -633,21 +633,36 @@ object TextQueries {
     * with a bounded explode (≈n_tok/stride rows per doc); no shuffle at
     * all until a downstream consumer aggregates.
     */
-  def qChunk(s: SparkSession, dir: String): DataFrame = {
+  def qChunk(s: SparkSession, dir: String): DataFrame =
+    chunksOf(Tables.documents(s, dir).filter(col("doc_id") < 50))
+
+  /** The whole qChunk transform over an arbitrary (doc_id, text) frame —
+    * shared with the hostile-corpus gate (HostileCorpusQueries).
+    *
+    * Chunk TEXTS are built inside one per-doc transform and only then
+    * exploded: the previous spelling exploded chunk INDICES first and
+    * sliced afterwards, which carried the doc's whole token array into
+    * every chunk row — ~20 GB streamed for one 10 MiB document
+    * (n_chunks × |doc|, quadratic in doc length). The hostile-corpus gate
+    * is what exposed it; now each output row carries only its own ~width
+    * tokens. chunk_tokens is recovered by re-splitting the chunk text —
+    * exact, because tokens are space-free by construction of the split.
+    */
+  private[queries] def chunksOf(docs: DataFrame): DataFrame = {
     val width = 64
     val stride = 48
-    Tables.documents(s, dir)
-      .filter(col("doc_id") < 50)
+    docs
       .withColumn("tk", toks)
       .withColumn("n_tok", size(col("tk")))
       .withColumn("n_chunks", expr(
         s"CAST((greatest(n_tok - $width, 0) + $stride - 1) DIV $stride + 1 AS INT)"))
-      .select(col("doc_id"), col("tk"),
-        explode(expr("sequence(0, n_chunks - 1)")).as("chunk"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, n_chunks - 1),
+           |          c -> array_join(slice(tk, c * $stride + 1, $width), ' '))""".stripMargin))
+        .as(Seq("chunk", "chunk_text")))
       .select(col("doc_id"), col("chunk"),
-        expr(s"size(slice(tk, chunk * $stride + 1, $width))").as("chunk_tokens"),
-        sha2(expr(s"array_join(slice(tk, chunk * $stride + 1, $width), ' ')"), 256)
-          .as("chunk_sha"))
+        size(split(col("chunk_text"), " ")).as("chunk_tokens"),
+        sha2(col("chunk_text"), 256).as("chunk_sha"))
   }
 
   val qChunkSql: String =
@@ -849,8 +864,16 @@ object TextQueries {
     * bounded by the doc's own length — document bodies shuffle once, on
     * the doc_id key, to reassemble. No driver state, no windows.
     */
-  def qLineDedup(s: SparkSession, dir: String): DataFrame = {
-    val segs = Tables.documents(s, dir)
+  def qLineDedup(s: SparkSession, dir: String): DataFrame =
+    lineDedupOf(Tables.documents(s, dir))
+
+  /** The whole qLineDedup transform over an arbitrary (doc_id, text) frame
+    * — shared with the hostile-corpus gate
+    * (HostileCorpusQueries) so degenerate documents run the production
+    * segmentation/anti-join/reassembly code, not a copy.
+    */
+  private[queries] def lineDedupOf(docs: DataFrame): DataFrame = {
+    val segs = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(0, CAST(ceil(size(ws) / 8.0) AS INT) - 1),

@@ -756,4 +756,93 @@ class InvariantsSpec extends SparkSpec {
       assert(d == expect, s"($qid,$vid): exact_dist $d != replay $expect")
     }
   }
+
+  // ---- hostile-corpus gates: the oracle proves ENGINE AGREEMENT; these
+  // pin what the agreed values ARE, so a both-engines-wrong drift in the
+  // degenerate-document semantics cannot pass silently.
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private val shaEmpty = sha256Hex("")
+
+  test("q_hostile_corpus_dedup: planted pairs and degenerate shingle counts are exact") {
+    val rows = HostileCorpusQueries.qHostileCorpusDedup(spark, sfDir).collect()
+    val pairs = rows.filter(r => r.getString(0) == "pair" && r.getLong(1) >= 9000000L)
+      .map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    // mono↔seed and 10MiB↔seed share their single shingle (J=1.0); the
+    // exact duplicate is 1.0; the 20-common-word near-dups score 18/20
+    assert(pairs == Map(
+      (9000003L, 9000009L) -> 1.0, (9000004L, 9000010L) -> 1.0,
+      (9000006L, 9000008L) -> 1.0,
+      (9000006L, 9000007L) -> 0.9, (9000007L, 9000008L) -> 0.9), s"pairs: $pairs")
+    val sh = rows.filter(_.getString(0) == "shingles")
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // empty doc EXCLUDED (0); whitespace/mono/10MiB/UTF-8/seed docs each
+    // collapse to ONE distinct shingle; the 21-word docs have 19
+    assert(sh == Map(
+      9000001L -> 0.0, 9000002L -> 1.0, 9000003L -> 1.0, 9000004L -> 1.0,
+      9000005L -> 1.0, 9000006L -> 19.0, 9000007L -> 19.0, 9000008L -> 19.0,
+      9000009L -> 1.0, 9000010L -> 1.0), s"shingles: $sh")
+  }
+
+  test("q_hostile_corpus_lines: the one-segment seeds delete whole degenerate docs") {
+    val rows = HostileCorpusQueries.qHostileCorpusLines(spark, sfDir).collect()
+      .filter(_.getLong(0) >= 9000000L)
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // 12 500 identical segments in the mono and 10 MiB docs all match the
+    // single-seg seed doc → both reassemble to the EMPTY string
+    assert(rows(9000003L) == ((12500L, 12500L, 0L, shaEmpty)))
+    assert(rows(9000004L) == ((12500L, 12500L, 0L, shaEmpty)))
+    // exact-dup pair drops whole; the near-dup keeps exactly its tail seg
+    assert(rows(9000006L) == ((3L, 3L, 0L, shaEmpty)))
+    assert(rows(9000008L) == ((3L, 3L, 0L, shaEmpty)))
+    assert(rows(9000007L) == ((3L, 2L, 21L, sha256Hex("w17 w18 w19 w20 uniqb"))))
+    assert(rows(9000009L) == ((1L, 1L, 0L, shaEmpty)))
+    assert(rows(9000010L) == ((1L, 1L, 0L, shaEmpty)))
+    // WITHIN-doc repetition is not boilerplate (df counts distinct docs):
+    // the UTF-8 doc's 6 identical segments survive → doc absent here,
+    // as are the empty and whitespace docs (unique degenerate segments)
+    assert(!rows.contains(9000005L) && !rows.contains(9000001L) && !rows.contains(9000002L))
+  }
+
+  test("q_hostile_corpus_chunk: window arithmetic on empty/degenerate/100k-token docs") {
+    val rows = HostileCorpusQueries.qHostileCorpusChunk(spark, sfDir).collect()
+      .filter(_.getLong(0) >= 9000000L)
+      .groupBy(_.getLong(0))
+    def shas(id: Long) = rows(id).map(_.getString(3)).toSet
+    // the empty doc is ONE chunk of its single empty token; whitespace's 4
+    // empty tokens rejoin to the original three spaces
+    assert(rows(9000001L).length == 1 && shas(9000001L) == Set(shaEmpty))
+    assert(rows(9000002L).length == 1 && shas(9000002L) == Set(sha256Hex("   ")))
+    // both 100 000-token docs: exactly 2083 chunks, every one 64 tokens
+    // (2082·48+64 = 100000 — the last window lands exactly full) and all
+    // chunk texts identical
+    for (id <- Seq(9000003L, 9000004L)) {
+      assert(rows(id).length == 2083, s"$id chunk count")
+      assert(rows(id).map(_.getInt(2)).toSet == Set(64), s"$id chunk widths")
+      assert(shas(id).size == 1, s"$id chunk texts should all repeat")
+    }
+    // the 4-byte-UTF-8 doc: one 50-token chunk, sha of the exact bytes
+    val em3 = new String(Character.toChars(0x1F600)) * 3
+    assert(rows(9000005L).length == 1 && rows(9000005L).head.getInt(2) == 50)
+    assert(shas(9000005L) == Set(sha256Hex(Seq.fill(50)(em3).mkString(" "))))
+  }
+
+  test("q_hostile_corpus_segment: run pieces, symmetric scores, and the engineered tie") {
+    val rows = HostileCorpusQueries.qHostileCorpusSegment(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    val em3 = new String(Character.toChars(0x1F600)) * 3
+    assert(rows("aaaaaaaaaaaa")._1 == "aaaa|aaaa|aaaa", "12-char run segments as 3×aaaa")
+    assert(rows(em3) == ((em3, 1L, rows(em3)._3)), "4-byte-char word stays one piece")
+    // abab/baba plant symmetric piece counts → their Viterbi scores tie
+    assert(rows("abab")._3 == rows("baba")._3, "symmetric words must score identically")
+    assert(rows("abab")._1 == "abab" && rows("baba")._1 == "baba")
+    // 'juklm': all four 2-piece paths tie EXACTLY (every piece count = 7);
+    // the lexicographic path tie-break must pick 'jukl|m' ('|' sorts
+    // above letters, so longest-first-piece is the smallest path string)
+    assert(rows("juklm") == (("jukl|m", 2L, rows("juklm")._3)), s"tie-break: ${rows("juklm")}")
+    assert(rows("q")._1 == "q" && rows("q")._2 == 1L)
+  }
 }
