@@ -67,6 +67,8 @@ object AnalyticsQueries {
     * key would be finer (brand × size × name-prefix) to bound block
     * fan-out, exactly like the df-cap in qNgramJaccard. Codegen'd built-in
     * levenshtein — no UDF.
+    * Cost class: ANSWER-PROPORTIONAL — growth law + measured anchors in
+    * SCALE.md "Answer-proportional queries — sizing rules".
     */
   def qEditDistance(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -367,6 +369,8 @@ object AnalyticsQueries {
     * at the 30-min session gap: probe shuffles once on its single bucket,
     * intervals replicate ⌈len/1800⌉+1×, the pair meets in exactly one
     * bucket. The oracle is the naive BETWEEN join.
+    * Cost class: ANSWER-PROPORTIONAL — growth law + measured anchors in
+    * SCALE.md "Answer-proportional queries — sizing rules".
     */
   def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("epoch"), col("event_id"))
@@ -1455,6 +1459,8 @@ object AnalyticsQueries {
     * q_acf aggregate-table-quadratic pattern): 100 TB of events still
     * collapses to #hours rows before any pairing, which is why this shape
     * survives scale while a row-level tau would not.
+    * Cost class: ANSWER-PROPORTIONAL — growth law + measured anchors in
+    * SCALE.md "Answer-proportional queries — sizing rules".
     */
   def qKendall(s: SparkSession, dir: String): DataFrame = {
     val hourly = Tables.events(s, dir)
@@ -1768,6 +1774,8 @@ object AnalyticsQueries {
     * and both metrics are >= |len(a)-len(b)|, so every edge that can win
     * the vote has length gap <= 4. Components run O(log diameter) rounds
     * over matched edges only; the census is map-side-combinable.
+    * Cost class: ANSWER-PROPORTIONAL — growth law + measured anchors in
+    * SCALE.md "Answer-proportional queries — sizing rules".
     */
   def qEntityResolution(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)

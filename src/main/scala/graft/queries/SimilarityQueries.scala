@@ -282,6 +282,8 @@ object SimilarityQueries {
     * to the ROUNDED ratio so the gate cannot straddle a boundary.
     * Scale: identical plan skeleton to qNgramJaccard — equi-joins only,
     * candidate set never broadcast, fan-out bounded by the df cap.
+    * Cost class: ANSWER-PROPORTIONAL — growth law + measured anchors in
+    * SCALE.md "Answer-proportional queries — sizing rules".
     */
   def qContainment(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
@@ -1018,6 +1020,8 @@ object SimilarityQueries {
     * and per-cluster pair volume stays O(N), not O(N²). Same assignment,
     * pair, and component machinery; the oracle replays the same
     * centroid rule.
+    * Cost class: ANSWER-PROPORTIONAL — growth law + measured anchors in
+    * SCALE.md "Answer-proportional queries — sizing rules".
     */
   def qSemdedupScaled(s: SparkSession, dir: String): DataFrame =
     semdedup(s, dir, col("vec_id") % 32 === 0)
@@ -1811,6 +1815,8 @@ object SimilarityQueries {
     * planted near-dups (≈0.99) from everything else (≈0) — the same reason
     * the MinHash family shingles first. All pruning comparisons are
     * integer cross-multiplications — no float boundary exists anywhere.
+    * Cost class: ANSWER-PROPORTIONAL — growth law + measured anchors in
+    * SCALE.md "Answer-proportional queries — sizing rules".
     */
   def qJaccardJoin(s: SparkSession, dir: String): DataFrame = {
     graft.ops.PrefixFilterJoin
@@ -1857,6 +1863,8 @@ object SimilarityQueries {
     * Scale: both pair-producers are equi-joins (band key / rare-prefix
     * token); the audit join is pair-keyed; all three counts fold out of
     * one full-outer join in a single map-side-combinable aggregate.
+    * Cost class: ANSWER-PROPORTIONAL — growth law + measured anchors in
+    * SCALE.md "Answer-proportional queries — sizing rules".
     */
   def qLshRecall(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
