@@ -163,6 +163,9 @@ object GraftFunctions {
       FunctionIdentifier("morton_index"), mortonInfo, buildMorton _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("hilbert_index"), hilbertInfo, buildHilbert _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("unicode_normalize"), UnicodeNormalize.info,
+      UnicodeNormalize.build _)
     graft.plans.DotProductRewrite.install(spark)
   }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Declarative data validation — the reference's per-job marshmallow
@@ -52,5 +52,45 @@ object Validate {
   def enforce(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
     val bad = rules.map(_.violatedWhen).reduce(_ || _)
     (df.filter(!bad), df.filter(bad))
+  }
+
+  /** Embedding vetting — the screen every similarity/ANN kernel REQUIRES
+    * upstream at corpus scale. The exact-decimal kernels
+    * ([[graft.functions.DecimalDot]] — and the DuckDB-oracle decimal
+    * spelling they are contracted to) are UNEVALUABLE on non-finite
+    * components (`BigDecimal.valueOf(NaN)` throws; DuckDB errors casting
+    * nan/inf to DECIMAL), and a zero-norm vector turns every cosine into a
+    * division by zero — whose result the engines do not even agree on
+    * (Spark IEEE ±Inf/NaN vs DuckDB NULL, the scaladoc'd
+    * q_hostile_semantics exclusion). So: reject first, score second.
+    *
+    * Verdicts, first match wins:
+    * `null_embedding | dim_mismatch | null_component | non_finite |
+    * zero_norm | ok`.
+    *
+    * Two deliberate spellings, pinned cross-engine by
+    * q_hostile_embedding:
+    *  - NaN detection is `isnan(x)`, NOT `x <> x`: DuckDB's total order
+    *    makes NaN = NaN TRUE, so the self-inequality idiom silently never
+    *    fires there while firing in Spark — the worst kind of divergence.
+    *  - zero_norm is judged in the SAME DECIMAL(28,14) arithmetic the
+    *    kernels use: a vector of 1e-30 components has nonzero IEEE norm
+    *    but quantizes to EXACTLY zero at scale 14 in both engines, and
+    *    would divide by zero inside the exact cosine if let through.
+    *
+    * One narrow per-row pass, no shuffle; CASE branches evaluate lazily in
+    * both engines, so the decimal norm is never computed on a vector that
+    * would crash it.
+    */
+  def embeddingVerdict(s: SparkSession, embCol: String, dim: Int): Column = {
+    graft.functions.GraftFunctions.register(s)
+    val e = col(embCol)
+    val inf = expr("CAST('Infinity' AS DOUBLE)")
+    when(e.isNull, "null_embedding")
+      .when(size(e) =!= dim, "dim_mismatch")
+      .when(exists(e, x => x.isNull), "null_component")
+      .when(exists(e, x => isnan(x) || abs(x) === inf), "non_finite")
+      .when(expr(s"decimal_dot($embCol, $embCol)") === 0.0, "zero_norm")
+      .otherwise("ok")
   }
 }

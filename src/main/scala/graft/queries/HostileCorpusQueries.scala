@@ -297,12 +297,271 @@ object HostileCorpusQueries {
       |  ROUND(CAST(b.sc AS DOUBLE), 6) AS score
       |FROM wf JOIN ball12 b ON b.w = wf.w AND b.j = len(wf.w)""".stripMargin
 
+  // --------------------------------------------------- hostile embeddings --
+
+  /** Per-engine float-array spelling: `transform(n, elem)` renders a
+    * length-n FLOAT list whose element at 1-based index `i` is `elem` (an
+    * expression over `i`); `nullArr` is the NULL-typed empty spelling.
+    */
+  private case class VecDialect(transform: (Int, String) => String, nullArr: String)
+  private val sparkVec = VecDialect(
+    (n, e) => s"transform(sequence(1, $n), i -> $e)", "CAST(NULL AS ARRAY<FLOAT>)")
+  private val duckVec = VecDialect(
+    (n, e) => s"list_transform(range(1, ${n + 1}), i -> $e)", "CAST(NULL AS FLOAT[])")
+
+  /** (vec_id, embedding-expression) rows. Values chosen so every verdict
+    * class of [[graft.ops.Validate.embeddingVerdict]] appears, plus three
+    * 'ok' vectors whose pairwise cosines are EXACT by construction:
+    * const-1.0 vs const-2.0 → dot 128, norms sqrt(64)=8 / sqrt(256)=16,
+    * cosine 128/128 = 1.0 exactly; const-(-1.0) is antipodal → -1.0.
+    */
+  private def vecRows(d: VecDialect): Seq[(Long, String)] = {
+    def konst(n: Int, c: String) = d.transform(n, s"CAST('$c' AS FLOAT)")
+    def at1(c: String) =
+      d.transform(64, s"CAST(CASE WHEN i = 1 THEN $c ELSE '1.0' END AS FLOAT)")
+    Seq(
+      8000001L -> konst(64, "0.0"),        // zero vector        → zero_norm
+      8000002L -> at1("'NaN'"),            // NaN component      → non_finite
+      8000003L -> at1("'Infinity'"),       // +Inf component     → non_finite
+      8000004L -> at1("'-Infinity'"),      // −Inf component     → non_finite
+      8000005L -> konst(64, "1.0"),        // ok — scaled-dup anchor
+      8000006L -> konst(64, "2.0"),        // ok — cosine(8000005,·) = 1.0 exact
+      8000007L -> konst(64, "-1.0"),       // ok — antipodal     → −1.0 exact
+      8000008L -> konst(3, "1.0"),         // 3 components       → dim_mismatch
+      8000009L -> konst(64, "-0.0"),       // −0.0 squares to +0 → zero_norm
+      8000010L -> konst(64, "1e-30"),      // below the 14-dp decimal floor
+      8000011L -> at1("NULL"),             // NULL component     → null_component
+      8000012L -> d.nullArr                // NULL embedding     → null_embedding
+    )
+  }
+
+  private def vecSelect(d: VecDialect): String =
+    vecRows(d).map { case (id, e) =>
+      s"SELECT CAST($id AS BIGINT) AS vec_id, $e AS embedding"
+    }.mkString("\nUNION ALL\n")
+
+  private val cosineIds = Seq(0L, 1L, 2L, 8000005L, 8000006L, 8000007L)
+
+  /** Hostile EMBEDDINGS gate — the q_hostile_corpus discipline applied to
+    * the vector surface: a degenerate embedding slice (zero vector,
+    * NaN/±Inf components, NULL component, NULL embedding, wrong dimension,
+    * −0.0, a 1e-30 vector under the decimal quantization floor, an exact
+    * scaled duplicate, an antipodal pair) is constructed in-engine,
+    * UNIONed with real embeddings rows, screened by the production
+    * [[graft.ops.Validate.embeddingVerdict]], and only screened-'ok'
+    * vectors reach the production exact-cosine recipe (the q_cosine_topk
+    * kernel: fused decimal_dot, per-vector norms, r6 ranking).
+    *
+    * What the gate pins: (a) the verdict classification agrees
+    * cross-engine on every degenerate class — including the two subtle
+    * spellings embeddingVerdict documents (isnan-not-self-inequality; the
+    * decimal-floor zero norm); (b) the scaled-dup and antipodal cosines
+    * are EXACTLY ±1.0 through the real kernel; (c) hostile-vs-real and
+    * real-vs-real cosines ride the same exact-decimal contract unchanged.
+    * What it cannot express in SQL (InvariantsSpec pins in-JVM): that
+    * decimal_dot on the NaN vector actually THROWS — the reason the
+    * screen exists at all (both engines' exact spellings are unevaluable
+    * on non-finite input; DuckDB errors on the nan→DECIMAL cast).
+    *
+    * Scale: the hostile slice is 12 rows; the screen is one narrow
+    * per-row pass over vec_id < 30 ∪ slice; the cosine probe is a 6-row
+    * broadcast-cross (PlanSpec-allowlisted O(k) shape).
+    */
+  def qHostileEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val hostile = s.sql(vecSelect(sparkVec))
+    val real = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 30)
+    val vet = hostile.unionByName(real)
+      .withColumn("verdict", graft.ops.Validate.embeddingVerdict(s, "embedding", 64))
+    val screen = vet.filter(col("vec_id") >= 8000000L)
+      .select(lit("screen").as("probe"), col("vec_id").as("a"),
+        lit(null).cast("long").as("b"), col("verdict"),
+        lit(null).cast("double").as("cosine"))
+    val realAgg = vet.filter(col("vec_id") < 8000000L)
+      .agg(sum(when(col("verdict") === "ok", 1L).otherwise(0L)).as("n_ok"),
+        count(lit(1)).as("n"))
+      .select(lit("real_ok").as("probe"), col("n_ok").as("a"), col("n").as("b"),
+        lit(null).cast("string").as("verdict"), lit(null).cast("double").as("cosine"))
+    val ok = vet.filter(col("verdict") === "ok" && col("vec_id").isin(cosineIds: _*))
+      .withColumn("nrm", expr("SQRT(decimal_dot(embedding, embedding))"))
+    val pairs = broadcast(
+      ok.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na")))
+      .crossJoin(ok.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("nrm").as("nb")))
+      .filter(col("a") < col("b"))
+      .select(lit("cosine").as("probe"), col("a"), col("b"),
+        lit(null).cast("string").as("verdict"),
+        r6(expr("decimal_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine"))
+    screen.unionByName(realAgg).unionByName(pairs)
+  }
+
+  val qHostileEmbeddingSql: String = {
+    val inIds = cosineIds.mkString(", ")
+    s"""WITH hv AS (
+       |${vecSelect(duckVec)}
+       |UNION ALL
+       |SELECT vec_id, embedding FROM embeddings WHERE vec_id < 30),
+       |vet AS (SELECT vec_id, embedding,
+       |  CASE WHEN embedding IS NULL THEN 'null_embedding'
+       |       WHEN len(embedding) <> 64 THEN 'dim_mismatch'
+       |       WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN 'null_component'
+       |       WHEN len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+       |              OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) > 0 THEN 'non_finite'
+       |       WHEN CAST(list_sum(list_transform(embedding, x ->
+       |              CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE) = 0.0
+       |            THEN 'zero_norm'
+       |       ELSE 'ok' END AS verdict
+       |  FROM hv),
+       |ok AS (SELECT vec_id, embedding,
+       |         SQRT(CAST(list_sum(list_transform(embedding, x ->
+       |           CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE)) AS nrm
+       |       FROM vet WHERE verdict = 'ok' AND vec_id IN ($inIds))
+       |SELECT 'screen' AS probe, vec_id AS a, CAST(NULL AS BIGINT) AS b,
+       |  verdict, CAST(NULL AS DOUBLE) AS cosine
+       |FROM vet WHERE vec_id >= 8000000
+       |UNION ALL
+       |SELECT 'real_ok', CAST(SUM(CASE WHEN verdict = 'ok' THEN 1 ELSE 0 END) AS BIGINT),
+       |  CAST(COUNT(*) AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+       |FROM vet WHERE vec_id < 8000000
+       |UNION ALL
+       |SELECT 'cosine', x.vec_id, y.vec_id, CAST(NULL AS VARCHAR),
+       |  ROUND(CAST(list_sum(list_transform(range(1, len(x.embedding) + 1), i ->
+       |      CAST(CAST(x.embedding[CAST(i AS INT)] AS DOUBLE)
+       |         * CAST(y.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE)
+       |    / (x.nrm * y.nrm), 6)
+       |FROM ok x JOIN ok y ON x.vec_id < y.vec_id""".stripMargin
+  }
+
+  // --------------------------------------------------- unicode identity --
+
+  /** Byte-distinct, render-identical document texts (Scala unicode escapes
+    * keep the source ASCII; the engines receive the exact UTF-8 bytes via
+    * their hex-decode spelling). Three NFC-equal pairs — composed vs
+    * decomposed é, combining marks in either order (canonical reordering:
+    * dot-below ccc 220 sorts under acute ccc 230, then e+dot-below
+    * composes to U+1EB9 while the acute stays combining), and the
+    * Angstrom-sign singleton U+212B → U+00C5 (NFC rewrites text that
+    * already LOOKS composed) — plus two compatibility-only pairs
+    * (ﬁ-ligature vs fi, NBSP vs space) that NFC must KEEP DISTINCT
+    * (NFKC folds them; DuckDB has no NFKC, so those foldings are pinned
+    * in-JVM by FunctionsSpec instead).
+    */
+  private val uniDocs: Seq[(Long, String)] = Seq(
+    7000001L -> "caf\u00e9",             // composed e-acute
+    7000002L -> "cafe\u0301",            // decomposed e + combining acute
+    7000003L -> "e\u0323\u0301",          // e + dot-below + acute
+    7000004L -> "e\u0301\u0323",          // e + acute + dot-below (mark order)
+    7000005L -> "\u212Bngstrom",         // Angstrom SIGN (NFC singleton)
+    7000006L -> "\u00C5ngstrom",         // letter A-with-ring
+    7000007L -> "\uFB01sh",              // fi ligature (NFKC-only fold)
+    7000008L -> "fish",
+    7000009L -> "a\u00A0b",              // NBSP (NFKC-only fold)
+    7000010L -> "a b"
+  )
+
+  private val uniPairs: Seq[(Long, Long)] = Seq(
+    (7000001L, 7000002L), (7000003L, 7000004L), (7000005L, 7000006L),
+    (7000007L, 7000008L), (7000009L, 7000010L))
+
+  private def hexOf(t: String): String =
+    t.getBytes("UTF-8").map("%02x".format(_)).mkString
+
+  private def uniSelect(decode: String => String): String =
+    uniDocs.map { case (id, t) =>
+      s"SELECT CAST($id AS BIGINT) AS doc_id, ${decode(hexOf(t))} AS text"
+    }.mkString("\nUNION ALL\n")
+
+  private val sparkHexDoc = (h: String) => s"decode(unhex('$h'), 'UTF-8')"
+  private val duckHexDoc = (h: String) => s"decode(from_hex('$h'))"
+
+  /** Unicode-normalization dedup — the byte-vs-render identity gate. The
+    * production kernel is the NEW codegen'd
+    * [[graft.functions.UnicodeNormalize]] (`unicode_normalize(text,
+    * 'NFC')` — Spark ships no Unicode normalization at all through 4.1),
+    * gated against DuckDB's `nfc_normalize` (utf8proc) over the identical
+    * byte constructions: the same visible text arrives composed,
+    * decomposed, mark-reordered, and as compatibility singletons, and
+    * EVERY byte-level dedup/shingle/sha operator in this engine treats
+    * them as distinct until this kernel runs first.
+    *
+    * Probes: per-doc NFC sha (the engines must normalize to the same
+    * bytes); planted-pair verdicts (three NFC-equal pairs MERGE, the two
+    * compatibility pairs must NOT); raw-vs-NFC distinct counts over the
+    * hostile ∪ real union; and real_changed = 0 (ASCII text is already
+    * NFC — the isNormalized fast path must not rewrite it).
+    * Scale: one narrow per-row pass + a 5-row literal pair join; the
+    * distinct counts are the q_normalized_dedup shape.
+    */
+  def qUnicodeDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val hostile = s.sql(uniSelect(sparkHexDoc))
+    val real = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 50)
+    val shas = hostile.unionByName(real)
+      .select(col("doc_id"), sha2(col("text"), 256).as("raw_sha"),
+        sha2(expr("unicode_normalize(text, 'NFC')"), 256).as("nfc_sha"))
+    val docProbe = shas.filter(col("doc_id") >= 7000000L)
+      .select(lit("doc").as("probe"), col("doc_id").as("a"),
+        lit(null).cast("long").as("b"), lit(null).cast("double").as("v"),
+        col("nfc_sha").as("s"))
+    import s.implicits._
+    val pairs = uniPairs.toDF("a", "b")
+      .join(shas.select(col("doc_id").as("a"), col("nfc_sha").as("sa")), Seq("a"))
+      .join(shas.select(col("doc_id").as("b"), col("nfc_sha").as("sb")), Seq("b"))
+      .select(lit("pair").as("probe"), col("a"), col("b"),
+        when(col("sa") === col("sb"), 1.0).otherwise(0.0).as("v"),
+        lit(null).cast("string").as("s"))
+    val counts = shas.agg(count(lit(1)).as("n"),
+        countDistinct(col("raw_sha")).as("dr"),
+        countDistinct(col("nfc_sha")).as("dn"))
+      .select(lit("counts").as("probe"), col("n").as("a"), col("dr").as("b"),
+        col("dn").cast("double").as("v"), lit(null).cast("string").as("s"))
+    val realChanged = shas.filter(col("doc_id") < 7000000L)
+      .agg(sum(when(col("nfc_sha") =!= col("raw_sha"), 1L).otherwise(0L)).as("ch"))
+      .select(lit("real_changed").as("probe"), col("ch").as("a"),
+        lit(null).cast("long").as("b"), lit(null).cast("double").as("v"),
+        lit(null).cast("string").as("s"))
+    docProbe.unionByName(pairs).unionByName(counts).unionByName(realChanged)
+  }
+
+  val qUnicodeDedupSql: String = {
+    val pairVals = uniPairs.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"""WITH docs_u AS (
+       |${uniSelect(duckHexDoc)}
+       |UNION ALL
+       |SELECT doc_id, text FROM documents WHERE doc_id < 50),
+       |shas AS (SELECT doc_id, sha256(text) AS raw_sha,
+       |                sha256(nfc_normalize(text)) AS nfc_sha
+       |         FROM docs_u),
+       |pairs(a, b) AS (SELECT * FROM (VALUES $pairVals))
+       |SELECT 'doc' AS probe, doc_id AS a, CAST(NULL AS BIGINT) AS b,
+       |  CAST(NULL AS DOUBLE) AS v, nfc_sha AS s
+       |FROM shas WHERE doc_id >= 7000000
+       |UNION ALL
+       |SELECT 'pair', p.a, p.b,
+       |  CASE WHEN x.nfc_sha = y.nfc_sha THEN CAST(1 AS DOUBLE)
+       |       ELSE CAST(0 AS DOUBLE) END, CAST(NULL AS VARCHAR)
+       |FROM pairs p JOIN shas x ON x.doc_id = p.a JOIN shas y ON y.doc_id = p.b
+       |UNION ALL
+       |SELECT 'counts', CAST(COUNT(*) AS BIGINT),
+       |  CAST(COUNT(DISTINCT raw_sha) AS BIGINT),
+       |  CAST(COUNT(DISTINCT nfc_sha) AS DOUBLE), CAST(NULL AS VARCHAR)
+       |FROM shas
+       |UNION ALL
+       |SELECT 'real_changed',
+       |  CAST(SUM(CASE WHEN nfc_sha <> raw_sha THEN 1 ELSE 0 END) AS BIGINT),
+       |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+       |FROM shas WHERE doc_id < 7000000""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry --
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_hostile_corpus_dedup" -> ((qHostileCorpusDedup _, Some(qHostileCorpusDedupSql))),
     "q_hostile_corpus_lines" -> ((qHostileCorpusLines _, Some(qHostileCorpusLinesSql))),
     "q_hostile_corpus_chunk" -> ((qHostileCorpusChunk _, Some(qHostileCorpusChunkSql))),
-    "q_hostile_corpus_segment" -> ((qHostileCorpusSegment _, Some(qHostileCorpusSegmentSql)))
+    "q_hostile_corpus_segment" -> ((qHostileCorpusSegment _, Some(qHostileCorpusSegmentSql))),
+    "q_hostile_embedding" -> ((qHostileEmbedding _, Some(qHostileEmbeddingSql))),
+    "q_unicode_dedup" -> ((qUnicodeDedup _, Some(qUnicodeDedupSql)))
   )
 }

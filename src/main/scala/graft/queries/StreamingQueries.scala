@@ -590,7 +590,138 @@ object StreamingQueries {
     * statistic bit-for-bit. */
   val qStreamDriftSql: String = EvalQueries.qPsiSql
 
+  // ------------------------------------------------- late-data semantics --
+
+  private val lateDelayUs = 3600000000L // the 1-hour watermark delay
+  private val lateBaseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+
+  /** (micro-batch, minute-of-day, value) — the planted disorder slice.
+    * Values are powers of two so every emitted sum uniquely decodes the
+    * exact set of surviving rows. See [[qStreamLate]] for what each row
+    * exercises.
+    */
+  private val lateRows: Seq[(Int, Int, Long)] = Seq(
+    (0, 600, 1L), (0, 630, 2L), (0, 725, 4L),
+    (1, 645, 8L), (1, 670, 16L), (1, 840, 32L),
+    (2, 650, 64L), (2, 750, 128L), (2, 810, 256L),
+    (3, 720, 512L), (3, 825, 1024L), (3, 900, 2048L))
+
+  /** Event-time DISORDER gate: out-of-order and late arrivals across
+    * micro-batch boundaries — the semantics 100 TB of real event traffic
+    * exercises constantly and the in-order events.parquet drains never
+    * touch. A REAL streaming execution (file source, four deterministic
+    * micro-batches, 1-hour tumbling aggregate, 1-hour watermark, append
+    * mode) is gated against a DuckDB replay of Spark's watermark algebra,
+    * probed empirically on this Spark build before the gate was written:
+    *
+    *   wm(N)        = max(wm(N−1), maxEventTime(batch N−1) − delay)
+    *   late filter  : batch N drops an input row iff its window END ≤
+    *                  wm(N−1) — one update STALER than eviction (the
+    *                  two-watermark model: late-event filtering uses the
+    *                  previous micro-batch's watermark, eviction the
+    *                  current one)
+    *   eviction     : after merging batch N, windows with end ≤ wm(N)
+    *                  finalize and emit (append mode emits exactly once)
+    *   cleanup      : AvailableNow runs one final zero-data batch when the
+    *                  last file still advances the watermark, so windows
+    *                  closed by the LAST batch's own max event time emit
+    *
+    * Each planted row makes one clause observable (minutes of day, v):
+    *  - 645/v=8 (batch 1): its window [600,660) already ends BELOW this
+    *    batch's eviction watermark (11:05), yet it is ACCEPTED and counted
+    *    — the late filter lags one update behind (filter wm here = −∞).
+    *    A single-watermark model gets this row wrong.
+    *  - 650/v=64 (batch 2): same window one batch later — now DROPPED
+    *    (end 11:00 ≤ filter wm 11:05).
+    *  - 720/v=512 (batch 3): the exact boundary — end 13:00 ≤ filter wm
+    *    13:00 → dropped (≤, not <).
+    *  - 750/v=128 (batch 2): late (12:30 < eviction wm 13:00) but its
+    *    window is still open → accepted AND emitted in the same batch.
+    *  - 825/v=1024 (batch 3): emitted only by the CLEANUP batch (the
+    *    900/v=2048 row advances the final watermark to 14:00).
+    *  - 840/v=32 and 900/v=2048: windows end above the final watermark —
+    *    held in state forever, NEVER emitted (absent from the gate).
+    *
+    * Scale: the slice is 12 rows / 4 files; semantics are what's under
+    * test. Real deployments hit this algebra with every disordered
+    * shard — a wrong mental model here silently drops or double-counts
+    * event-time data at any scale.
+    */
+  def qStreamLate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // Stage one parquet file per planted micro-batch with FIXED ascending
+    // mtimes: the file source lists in (modTime, path) order and
+    // maxFilesPerTrigger=1 turns each file into one micro-batch —
+    // deterministic batch membership, which is exactly what the oracle
+    // replays. Spark's writer output lands in a separate raw dir so the
+    // source dir holds ONLY the four leaf files.
+    val stage = java.nio.file.Files.createTempDirectory(ckptRoot(s), "late_src")
+    val raw = java.nio.file.Files.createTempDirectory(ckptRoot(s), "late_raw")
+    def rmTree(p: java.nio.file.Path): Unit =
+      try {
+        val st = java.nio.file.Files.walk(p)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+        finally st.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    try {
+      lateRows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (b, rows) =>
+        val sel = rows.map { case (_, m, v) =>
+          s"SELECT timestamp_micros(${lateBaseUs + m * 60000000L}L) AS ts, CAST($v AS BIGINT) AS v"
+        }.mkString(" UNION ALL ")
+        val tmp = raw.resolve(s"stage_$b")
+        s.sql(sel).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val st = java.nio.file.Files.list(tmp)
+          try st.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally st.close()
+        }
+        val dst = stage.resolve(f"b$b.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L * (b + 1)))
+      }
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType), StructField("v", LongType)))
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      val agg = src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sum_v"))
+        .select(unix_micros(col("w.start")).as("window_start_us"),
+          col("n_events"), col("sum_v"))
+      drainToMemory(agg, "graft_stream_late", "append")
+    } finally { rmTree(raw); rmTree(stage) }
+  }
+
+  /** DuckDB replay of the two-watermark algebra over the SAME planted
+    * rows (batch membership explicit) — generic in the data, not a
+    * hardcoded answer: running max of per-batch event-time maxima, a
+    * LAG-2 filter watermark (late filtering lags eviction by one update),
+    * survivor windows grouped, emission capped at the final watermark.
+    */
+  val qStreamLateSql: String = {
+    val vals = lateRows.map { case (b, m, v) =>
+      s"($b, ${lateBaseUs + m * 60000000L}, $v)"
+    }.mkString(", ")
+    s"""WITH raw(b, us, v) AS (SELECT * FROM (VALUES $vals)),
+       |bmax AS (SELECT b, MAX(us) AS mx FROM raw GROUP BY b),
+       |run AS (SELECT b, MAX(mx) OVER (ORDER BY b) AS rm FROM bmax),
+       |fwm AS (SELECT b, LAG(rm, 2) OVER (ORDER BY b) - $lateDelayUs AS filter_wm FROM run),
+       |surv AS (SELECT r.us - r.us % 3600000000 AS ws, r.v
+       |         FROM raw r JOIN fwm ON r.b = fwm.b
+       |         WHERE fwm.filter_wm IS NULL
+       |            OR r.us - r.us % 3600000000 + 3600000000 > fwm.filter_wm),
+       |final_wm AS (SELECT MAX(us) - $lateDelayUs AS wm FROM raw)
+       |SELECT ws AS window_start_us, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(v) AS BIGINT) AS sum_v
+       |FROM surv, final_wm
+       |WHERE ws + 3600000000 <= wm
+       |GROUP BY ws""".stripMargin
+  }
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_stream_late" -> ((qStreamLate _, Some(qStreamLateSql))),
     "q_stream_drift" -> ((qStreamDrift _, Some(qStreamDriftSql))),
     "q_stream_ohlc" -> ((qStreamOhlc _, Some(qStreamOhlcSql))),
     "q_stream_curation" -> ((qStreamCuration _, Some(qStreamCurationSql))),

@@ -41,6 +41,9 @@ class PlanSpec extends SparkSpec {
       // SemDeDup's nearest-centroid assignment: 64-row centroid table
       // broadcast-crossed against the corpus (the q_kmeans_step shape)
       "q_semdedup",
+      // hostile-embedding cosine probe: 6 screened vectors broadcast-
+      // crossed with themselves (O(k), k = 6 by construction)
+      "q_hostile_embedding",
       // 1-row scalar-totals broadcast-cross: PMI's (n_tok, t_bi) pair on
       // the bigram table, MI's grand total on the contingency table
       "q_pmi", "q_mutual_info",
@@ -162,6 +165,7 @@ class PlanSpec extends SparkSpec {
       "q_approx_topk" -> (perType + " (sketch rows)"),
       "q_count_min" -> (scalar + " + 1-row merge-linearity verdict"),
       "q_coreset" -> (kRows + " (<=8 selected centers per greedy round)"),
+      "q_hostile_embedding" -> (kRows + " (6 id-filtered screened vectors, cosine self-cross)"),
       "q_cosine_topk" -> kRows, "q_ndcg" -> kRows, "q_rrf" -> kRows,
       "q_ann_fullprobe" -> kRows, "q_ann_ivf" -> kRows, "q_ann_ivf_kernel" -> kRows,
       "q_kmeans_step" -> kRows, "q_pq" -> kRows, "q_ivf_pq" -> (kRows + " (8-row coarse, 16-row codebook, 64-row LUT)"),

@@ -360,4 +360,47 @@ class FunctionsSpec extends SparkSpec {
     assert(edge.getDouble(3) == 0.0)
     assert(edge.getDouble(4) == 25.0) // 3² + 4²
   }
+
+  test("unicode_normalize: known vectors, all four forms, idempotence, bad form") {
+    GraftFunctions.register(spark)
+    // known vectors (all pre-Unicode-3.0 — stable across JDK/ICU tables):
+    // composed vs decomposed, canonical mark reordering, the Angstrom-sign
+    // singleton, and the NFKC-only compatibility folds DuckDB can't gate
+    // (no nfkc function there — q_unicode_dedup covers the NFC contract)
+    def norm(sHex: String, form: String): String = spark.sql(
+      s"SELECT unicode_normalize(decode(unhex('$sHex'), 'UTF-8'), '$form') AS v")
+      .collect().head.getString(0)
+    def hex(t: String) = t.getBytes("UTF-8").map("%02x".format(_)).mkString
+    assert(norm(hex("cafe\u0301"), "NFC") == "caf\u00e9")
+    assert(norm(hex("caf\u00e9"), "NFD") == "cafe\u0301")
+    // canonical reordering: dot-below (ccc 220) sorts under acute (ccc
+    // 230); e+dot-below then composes to U+1EB9, the acute stays combining
+    assert(norm(hex("e\u0301\u0323"), "NFC") == "\u1eb9\u0301")
+    assert(norm(hex("e\u0323\u0301"), "NFC") == "\u1eb9\u0301")
+    // NFC rewrites singletons even in already-composed-looking text
+    assert(norm(hex("\u212b"), "NFC") == "\u00c5")
+    // NFKC compatibility folds (NFC must keep all three distinct)
+    assert(norm(hex("\ufb01sh"), "NFKC") == "fish")
+    assert(norm(hex("\uff21BC"), "NFKC") == "ABC")
+    assert(norm(hex("a\u00a0b"), "NFKC") == "a b")
+    assert(norm(hex("\ufb01sh"), "NFC") == "\ufb01sh")
+    // idempotence + ASCII identity (the isNormalized fast path)
+    assert(norm(hex("plain ascii"), "NFC") == "plain ascii")
+    assert(norm(hex(norm(hex("e\u0301\u0323"), "NFKD")), "NFKD")
+      == norm(hex("e\u0301\u0323"), "NFKD"))
+    // lowercase form name accepted; a non-form is an ANALYSIS error, and a
+    // non-literal form never reaches execution
+    assert(norm(hex("cafe\u0301"), "nfc") == "caf\u00e9")
+    val bad = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', 'NFX')").collect()
+    }
+    assert(bad.getMessage.contains("NFC"), s"unhelpful error: ${bad.getMessage}")
+    val nonLit = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', 'NF' || 'C')").collect()
+    }
+    assert(nonLit != null)
+    // NULL input → NULL
+    assert(spark.sql("SELECT unicode_normalize(CAST(NULL AS STRING), 'NFC')")
+      .collect().head.isNullAt(0))
+  }
 }

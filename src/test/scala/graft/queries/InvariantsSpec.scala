@@ -845,4 +845,99 @@ class InvariantsSpec extends SparkSpec {
     assert(rows("juklm") == (("jukl|m", 2L, rows("juklm")._3)), s"tie-break: ${rows("juklm")}")
     assert(rows("q")._1 == "q" && rows("q")._2 == 1L)
   }
+
+  test("q_hostile_embedding: screen verdicts, exact ±1.0 cosines, and the kernel crash") {
+    val rows = HostileCorpusQueries.qHostileEmbedding(spark, sfDir).collect()
+    val verdicts = rows.filter(_.getString(0) == "screen")
+      .map(r => r.getLong(1) -> r.getString(3)).toMap
+    assert(verdicts == Map(
+      8000001L -> "zero_norm", 8000002L -> "non_finite", 8000003L -> "non_finite",
+      8000004L -> "non_finite", 8000005L -> "ok", 8000006L -> "ok",
+      8000007L -> "ok", 8000008L -> "dim_mismatch", 8000009L -> "zero_norm",
+      8000010L -> "zero_norm", 8000011L -> "null_component",
+      8000012L -> "null_embedding"), s"verdicts: $verdicts")
+    // every real vector screens ok (the slice is the only degenerate data)
+    val Array(nOk, nAll) = rows.filter(_.getString(0) == "real_ok")
+      .flatMap(r => Seq(r.getLong(1), r.getLong(2)))
+    assert(nOk == nAll && nAll == 30L)
+    // scaled duplicate and antipodal pairs are EXACTLY ±1.0 through the
+    // production kernel (integer-exact norms by construction: √64=8, √256=16)
+    val cos = rows.filter(r => r.getString(0) == "cosine" && r.getLong(1) >= 8000000L)
+      .map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(4))).toMap
+    assert(cos == Map(
+      (8000005L, 8000006L) -> 1.0,
+      (8000005L, 8000007L) -> -1.0,
+      (8000006L, 8000007L) -> -1.0), s"cosines: $cos")
+    // scaled-dup consistency on real pairs: cosine(r, const-1.0) ==
+    // cosine(r, const-2.0) == -cosine(r, const-(-1.0)) for every real r
+    val hc = rows.filter(r => r.getString(0) == "cosine" && r.getLong(1) < 3L &&
+        r.getLong(2) >= 8000000L)
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(4)).toMap
+    for (r <- 0L to 2L) {
+      assert(hc((r, 8000005L)) == hc((r, 8000006L)), s"real $r: scale invariance")
+      assert(hc((r, 8000005L)) == -hc((r, 8000007L)), s"real $r: antipodal negation")
+    }
+    // the reason the screen exists: the exact-decimal kernel is
+    // UNEVALUABLE on non-finite components (BigDecimal.valueOf(NaN)
+    // throws; the DuckDB decimal cast errors) — assert the crash is real,
+    // so nobody "simplifies" the verdict order into scoring-then-checking
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val nanVec = spark.sql(
+      "SELECT transform(sequence(1, 4), i -> CAST(CASE WHEN i = 1 THEN 'NaN' ELSE '1.0' END AS FLOAT)) AS v")
+    val crash = intercept[Exception] {
+      nanVec.select(expr("decimal_dot(v, v)")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(crash).exists(_.isInstanceOf[NumberFormatException]),
+      s"expected the kernel's BigDecimal NaN crash, got: $crash")
+  }
+
+  test("q_stream_late: the two-watermark algebra emits exactly the planted survivors") {
+    // Every value is a power of two, so each sum uniquely decodes the set
+    // of rows that survived the late filter — see qStreamLate's scaladoc
+    // for the clause each row exercises. The oracle proves Spark ≡ the
+    // DuckDB replay; this pins what BOTH must say, so a both-sides-wrong
+    // model of the watermark algebra cannot pass silently.
+    val base = 1704067200000000L
+    def ws(minute: Int) = base + minute * 60000000L
+    val rows = StreamingQueries.qStreamLate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == Map(
+      ws(600) -> ((3L, 1L + 2L + 8L)),    // 645 ACCEPTED: filter wm lags eviction
+      ws(660) -> ((1L, 16L)),             // 650 dropped (end 11:00 <= 11:05)
+      ws(720) -> ((2L, 4L + 128L)),       // 720 dropped at the exact <= boundary
+      ws(780) -> ((2L, 256L + 1024L))     // emitted only by the cleanup batch
+    ), s"emitted: $rows")
+    // open windows (ends above the final watermark) must NEVER emit
+    assert(!rows.contains(ws(840)) && !rows.contains(ws(900)))
+  }
+
+  test("q_unicode_dedup: NFC merges canonical equivalents, keeps compatibility pairs") {
+    val rows = HostileCorpusQueries.qUnicodeDedup(spark, sfDir).collect()
+    val pairV = rows.filter(_.getString(0) == "pair")
+      .map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    // composed/decomposed, mark-reordered, and singleton pairs MERGE;
+    // ligature and NBSP pairs (NFKC-only folds) must stay DISTINCT
+    assert(pairV == Map(
+      (7000001L, 7000002L) -> 1.0, (7000003L, 7000004L) -> 1.0,
+      (7000005L, 7000006L) -> 1.0, (7000007L, 7000008L) -> 0.0,
+      (7000009L, 7000010L) -> 0.0), s"pairs: $pairV")
+    // the three merges are also visible in the distinct counts
+    val c = rows.filter(_.getString(0) == "counts").head
+    assert((c.getLong(1), c.getLong(2), c.getDouble(3)) == ((60L, 60L, 57.0)))
+    // ASCII real text is already NFC — the fast path must not rewrite it
+    assert(rows.filter(_.getString(0) == "real_changed").head.getLong(1) == 0L)
+    // and the doc shas agree with an independent in-JVM NFC + sha replay
+    val shas = rows.filter(_.getString(0) == "doc")
+      .map(r => r.getLong(1) -> r.getString(4)).toMap
+    val nfc = (t: String) =>
+      java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+    assert(shas(7000001L) == sha256Hex(nfc("caf\u00e9")))
+    assert(shas(7000002L) == sha256Hex(nfc("cafe\u0301")))
+    assert(shas(7000003L) == sha256Hex("\u1eb9\u0301"))
+    assert(shas(7000005L) == sha256Hex(nfc("\u212bngstrom")))
+    assert(shas(7000007L) == sha256Hex("\ufb01sh"))
+  }
 }
