@@ -648,31 +648,64 @@ object StreamingQueries {
     * event-time data at any scale.
     */
   def qStreamLate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     // Stage one parquet file per planted micro-batch with FIXED ascending
     // mtimes: the file source lists in (modTime, path) order and
     // maxFilesPerTrigger=1 turns each file into one micro-batch —
     // deterministic batch membership, which is exactly what the oracle
     // replays. Spark's writer output lands in a separate raw dir so the
     // source dir holds ONLY the four leaf files.
-    val stage = java.nio.file.Files.createTempDirectory(ckptRoot(s), "late_src")
-    val raw = java.nio.file.Files.createTempDirectory(ckptRoot(s), "late_raw")
-    def rmTree(p: java.nio.file.Path): Unit =
-      try {
-        val st = java.nio.file.Files.walk(p)
-        try st.sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
-        finally st.close()
-      } catch { case scala.util.control.NonFatal(_) => () }
+    val stage = stageBatches(s, "late", lateRows)
     try {
-      lateRows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (b, rows) =>
-        val sel = rows.map { case (_, m, v) =>
-          s"SELECT timestamp_micros(${lateBaseUs + m * 60000000L}L) AS ts, CAST($v AS BIGINT) AS v"
-        }.mkString(" UNION ALL ")
-        val tmp = raw.resolve(s"stage_$b")
-        s.sql(sel).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val src = s.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      val agg = src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sum_v"))
+        .select(unix_micros(col("w.start")).as("window_start_us"),
+          col("n_events"), col("sum_v"))
+      drainToMemory(agg, "graft_stream_late", "append")
+    } finally { rmTree(stage) }
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit =
+    try {
+      val st = java.nio.file.Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+      finally st.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private val stagedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Stage (micro-batch, minute-of-day, v) rows as one parquet leaf file
+    * per batch under a fresh temp dir, with FIXED ascending mtimes so the
+    * file source's (modTime, path) listing order IS the batch order.
+    * Batches with no rows for this side still get a (possibly empty)
+    * slot via their own file ONLY if present in `rows` — callers that
+    * need lockstep two-source batches must plant a row per batch per side.
+    */
+  private def stageBatches(s: SparkSession, tag: String,
+                           rows: Seq[(Int, Int, Long)]): java.nio.file.Path = {
+    val stage = java.nio.file.Files.createTempDirectory(ckptRoot(s), s"${tag}_src")
+    val raw = java.nio.file.Files.createTempDirectory(ckptRoot(s), s"${tag}_raw")
+    try {
+      // ONE write job for all batches (a per-batch job × 4 batches × 2
+      // sides was ~4 s of pure scheduling in the outer-join gate): a
+      // single-task partitioned write lands one part file per b=N subdir,
+      // and partitionBy drops `b` from the file payload — exactly the
+      // (ts, v) leaf schema the stream source reads.
+      val sel = rows.map { case (b, m, v) =>
+        s"SELECT $b AS b, timestamp_micros(${lateBaseUs + m * 60000000L}L) AS ts, CAST($v AS BIGINT) AS v"
+      }.mkString(" UNION ALL ")
+      s.sql(sel).repartition(1).write.partitionBy("b")
+        .mode("overwrite").parquet(raw.toString)
+      rows.map(_._1).distinct.sorted.foreach { b =>
         val part = {
-          val st = java.nio.file.Files.list(tmp)
+          val st = java.nio.file.Files.list(raw.resolve(s"b=$b"))
           try st.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
           finally st.close()
         }
@@ -681,17 +714,8 @@ object StreamingQueries {
         java.nio.file.Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(1000000L * (b + 1)))
       }
-      val schema = StructType(Seq(
-        StructField("ts", TimestampType), StructField("v", LongType)))
-      val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
-      val agg = src.withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour").as("w"))
-        .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sum_v"))
-        .select(unix_micros(col("w.start")).as("window_start_us"),
-          col("n_events"), col("sum_v"))
-      drainToMemory(agg, "graft_stream_late", "append")
-    } finally { rmTree(raw); rmTree(stage) }
+      stage
+    } finally rmTree(raw)
   }
 
   /** DuckDB replay of the two-watermark algebra over the SAME planted
@@ -720,8 +744,147 @@ object StreamingQueries {
        |GROUP BY ws""".stripMargin
   }
 
+  // --------------------------------------------- stream-stream outer join --
+
+  /** (micro-batch, minute-of-day, id) — LEFT (purchase-like) rows. */
+  private val outerL: Seq[(Int, Int, Long)] = Seq(
+    (0, 600, 1L), (0, 630, 2L), (0, 690, 80L),
+    (1, 900, 3L),
+    (2, 720, 4L), (2, 850, 5L),
+    (3, 865, 7L), (3, 955, 90L))
+
+  /** (micro-batch, minute-of-day, id) — RIGHT (click-like) rows. */
+  private val outerR: Seq[(Int, Int, Long)] = Seq(
+    (0, 605, 1L), (0, 692, 81L),
+    (1, 640, 2L), (1, 905, 3L),
+    (2, 700, 6L), (2, 630, 2L),
+    (3, 855, 5L), (3, 960, 91L))
+
+  /** Stream-stream LEFT OUTER join gate — the null-padding-timing
+    * semantics that make outer stream joins the most misunderstood
+    * operator in streaming SQL ("my outer rows are missing"): a
+    * null-padded result exists ONLY once the watermark proves no future
+    * match can arrive, and a left row whose window never closes under the
+    * final watermark is NEVER emitted at all. A real two-source streaming
+    * execution (one staged file per micro-batch per side,
+    * maxFilesPerTrigger=1 → lockstep batches, the q_stream_late
+    * technique) joins purchases to clicks on id with
+    * `r_ts ∈ [l_ts, l_ts + 30 min]`, both sides watermarked 1 h, and is
+    * gated by a DuckDB replay of the empirically probed algebra:
+    *
+    *   wm(N)    = min over the two streams of (running max event time
+    *              through batch N−1) − delay  (multipleWatermarkPolicy =
+    *              min, the default), monotone
+    *   input    : batch N drops a LEFT row iff l_ts + 30m ≤ wm(N−1) and a
+    *              RIGHT row iff r_ts ≤ wm(N−1) — the side-specific
+    *              condition-derived bounds, one watermark update STALER
+    *              than eviction (the two-watermark model, as in
+    *              [[qStreamLate]]; the ≤ boundary probed: a right row at
+    *              exactly the filter watermark is dropped)
+    *   match    : a surviving pair (l, r) emits iff the earlier-arriving
+    *              row is still in state when the later arrives — left
+    *              survives removal up to STRICTLY l_ts + 30m < wm (probed:
+    *              equality keeps it), and state removal runs AFTER the
+    *              batch's input joins (a match in the same batch that
+    *              would evict the partner still emits)
+    *   null-pad : an unmatched surviving left row emits (l, NULL) when
+    *              l_ts + 30m < wm strictly — at the batch that crosses
+    *              the bound, or the AvailableNow cleanup batch if the
+    *              last file's own data closes it; a left at EXACTLY
+    *              l_ts + 30m = final wm stays in state, emitting nothing
+    *   matched  : an already-matched left row evicted by the watermark
+    *              must NOT also null-pad (exactly-once outer semantics)
+    *
+    * Planted rows exercise each clause: in-batch match (#1), cross-batch
+    * late match into live state (#2 — and its second candidate at
+    * exactly the filter watermark is dropped, so the pair emits ONCE),
+    * same-batch match at high ts (#3), match in the partner's last live
+    * batch then watermark-evicted WITHOUT padding (#5), unmatched rows
+    * padded mid-stream (#4) and by the cleanup batch (#80), a
+    * never-closing left (#90) and an exact-boundary left (#7) that must
+    * BOTH stay unemitted, and right orphans (#6, #81, #91) invisible to
+    * a left outer join.
+    */
+  def qStreamOuter(s: SparkSession, dir: String): DataFrame = {
+    val stageL = stageBatches(s, "outerl", outerL)
+    val stageR = stageBatches(s, "outerr", outerR)
+    try {
+      def src(stage: java.nio.file.Path, p: String) =
+        s.readStream.schema(stagedSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+          .toDF(s"${p}_ts", s"${p}_id")
+      val l = src(stageL, "l").withWatermark("l_ts", "1 hour")
+      val r = src(stageR, "r").withWatermark("r_ts", "1 hour")
+      val j = l.join(r,
+        expr("l_id = r_id AND r_ts BETWEEN l_ts AND l_ts + INTERVAL 30 MINUTES"),
+        "left_outer")
+        .select(col("l_id"), unix_micros(col("l_ts")).as("l_us"),
+          unix_micros(col("r_ts")).as("r_us"))
+      // width 1, not the bench default 8: a stream-stream join opens FOUR
+      // state stores per partition per micro-batch, and this gate's data
+      // is 16 rows across 5 batches — pure fixed cost (see drainWidth)
+      drainToMemory(j, "graft_stream_outer", "append", width = 1)
+    } finally { rmTree(stageL); rmTree(stageR) }
+  }
+
+  /** DuckDB replay of the probed outer-join algebra over the SAME planted
+    * rows — generic in the data: per-side running maxima → min-of-streams
+    * watermark, lagged input filters with the side-specific bounds,
+    * pair-survival conditions (the earlier row must outlive the
+    * watermark at the later row's batch), strict-< null-pad emission
+    * capped at the final watermark.
+    */
+  val qStreamOuterSql: String = {
+    def vals(rows: Seq[(Int, Int, Long)]) = rows.map { case (b, m, id) =>
+      s"($b, ${(lateBaseUs + m * 60000000L) / 1000000L}, $id)"
+    }.mkString(", ")
+    val d = 1800L // 30 min in seconds
+    val delay = 3600L
+    s"""WITH rawl(b, us, id) AS (SELECT * FROM (VALUES ${vals(outerL)})),
+       |rawr(b, us, id) AS (SELECT * FROM (VALUES ${vals(outerR)})),
+       |batches AS (SELECT DISTINCT b FROM rawl UNION SELECT DISTINCT b FROM rawr),
+       |runs AS (
+       |  SELECT bb.b,
+       |    (SELECT MAX(us) FROM rawl WHERE rawl.b <= bb.b) AS rml,
+       |    (SELECT MAX(us) FROM rawr WHERE rawr.b <= bb.b) AS rmr
+       |  FROM batches bb),
+       |-- ev_wm(N): watermark in force DURING batch N (from data <= N-1);
+       |-- f_wm(N): the late-event filter watermark (one update staler) —
+       |-- ALSO the removal threshold a row must have outlived to still be
+       |-- in state when batch N's input joins (last removal ran at the end
+       |-- of batch N-1 under ev_wm(N-1) = f_wm(N))
+       |wm AS (SELECT b,
+       |         LAG(LEAST(rml, rmr), 1) OVER (ORDER BY b) - $delay AS ev_wm,
+       |         LAG(LEAST(rml, rmr), 2) OVER (ORDER BY b) - $delay AS f_wm
+       |       FROM runs),
+       |survl AS (SELECT l.* FROM rawl l JOIN wm ON wm.b = l.b
+       |          WHERE wm.f_wm IS NULL OR l.us + $d > wm.f_wm),
+       |survr AS (SELECT r.* FROM rawr r JOIN wm ON wm.b = r.b
+       |          WHERE wm.f_wm IS NULL OR r.us > wm.f_wm),
+       |pairs AS (
+       |  SELECT l.id, l.us AS l_us, r.us AS r_us
+       |  FROM survl l JOIN survr r ON l.id = r.id
+       |   AND r.us BETWEEN l.us AND l.us + $d
+       |   AND (r.b <= l.b OR l.us + $d >=
+       |        COALESCE((SELECT f_wm FROM wm WHERE wm.b = r.b), l.us + $d))
+       |   AND (l.b <= r.b OR r.us >=
+       |        COALESCE((SELECT f_wm FROM wm WHERE wm.b = l.b), r.us))),
+       |final_wm AS (
+       |  SELECT LEAST((SELECT MAX(us) FROM rawl), (SELECT MAX(us) FROM rawr))
+       |         - $delay AS wm)
+       |SELECT id AS l_id, CAST(l_us AS BIGINT) * 1000000 AS l_us,
+       |  CAST(r_us AS BIGINT) * 1000000 AS r_us
+       |FROM pairs
+       |UNION ALL
+       |SELECT l.id, CAST(l.us AS BIGINT) * 1000000, CAST(NULL AS BIGINT)
+       |FROM survl l, final_wm f
+       |WHERE l.us + $d < f.wm
+       |  AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id = l.id AND p.l_us = l.us)""".stripMargin
+  }
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_stream_late" -> ((qStreamLate _, Some(qStreamLateSql))),
+    "q_stream_outer" -> ((qStreamOuter _, Some(qStreamOuterSql))),
     "q_stream_drift" -> ((qStreamDrift _, Some(qStreamDriftSql))),
     "q_stream_ohlc" -> ((qStreamOhlc _, Some(qStreamOhlcSql))),
     "q_stream_curation" -> ((qStreamCuration _, Some(qStreamCurationSql))),

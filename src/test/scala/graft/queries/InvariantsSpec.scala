@@ -914,6 +914,28 @@ class InvariantsSpec extends SparkSpec {
     assert(!rows.contains(ws(840)) && !rows.contains(ws(900)))
   }
 
+  test("q_stream_outer: null-pads emit exactly when the watermark closes the window") {
+    val base = 1704067200000000L
+    def us(minute: Int) = base + minute * 60000000L
+    val rows = StreamingQueries.qStreamOuter(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows == Set(
+      (1L, us(600), us(605)),   // in-batch match
+      (2L, us(630), us(640)),   // cross-batch late match into live state —
+                                // and its second candidate at EXACTLY the
+                                // filter watermark was dropped (one row)
+      (3L, us(900), us(905)),   // same-batch match at high event time
+      (5L, us(850), us(855)),   // matched, then watermark-evicted WITHOUT
+                                // a null-pad (exactly-once outer semantics)
+      (4L, us(720), -1L),       // unmatched: padded when wm crossed 12:30
+      (80L, us(690), -1L)       // unmatched: padded by the cleanup batch
+    ), s"got: $rows")
+    // never emitted: right orphans (6, 81, 91), the never-closing left
+    // (90), and the exact-boundary left (7: l_ts+30m == final wm)
+    assert(!rows.exists(r => Set(6L, 7L, 81L, 90L, 91L).contains(r._1)))
+  }
+
   test("q_unicode_dedup: NFC merges canonical equivalents, keeps compatibility pairs") {
     val rows = HostileCorpusQueries.qUnicodeDedup(spark, sfDir).collect()
     val pairV = rows.filter(_.getString(0) == "pair")
