@@ -882,9 +882,130 @@ object StreamingQueries {
        |  AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id = l.id AND p.l_us = l.us)""".stripMargin
   }
 
+  // ------------------------------------------ event-time state timeouts --
+
+  /** (micro-batch, minute-of-day, user id) — the timeout gate's slice. */
+  private val timeoutRows: Seq[(Int, Int, Long)] = Seq(
+    (0, 600, 1L), (0, 610, 1L), (0, 605, 2L), (0, 750, 99L),
+    (1, 720, 1L), (1, 810, 98L), (1, 780, 96L),
+    (2, 735, 2L), (2, 690, 3L),
+    (3, 870, 97L))
+
+  /** Custom-state EVENT-TIME TIMEOUT gate — the session-finalizer pattern
+    * (flatMapGroupsWithState + GroupStateTimeout.EventTimeTimeout): state
+    * accumulates per user, re-arms a timeout at last-event + 30 min, and
+    * emits ONE closure record (user, n, last) when the watermark expires
+    * the session. q_stream_custom_state covers NoTimeout accumulation;
+    * this pins the semantics that make timeout-driven finalization
+    * correct, all probed empirically before the gate was written:
+    *
+    *  - a timeout fires STRICTLY (wm > timeoutTs; a session whose timeout
+    *    equals the final watermark stays open forever — u96)
+    *  - new data RESCUES an expired-but-unfired session: the data
+    *    invocation wins over the pending timeout, the session extends
+    *    (u1's 12:00 row lands after its 10:40 timeout had already expired
+    *    under the in-force watermark)
+    *  - fMGWS drops late input by the lagged (two-watermark) filter, and
+    *    the boundary drops: u3's only row sits at EXACTLY the filter
+    *    watermark → dropped → u3 must be entirely absent
+    *  - after a closure the key is reborn fresh: u2 closes (n=1), then a
+    *    later in-time row opens a SECOND session that closes separately —
+    *    two closure rows for one user, n reset between them
+    *  - the AvailableNow cleanup batch fires timeouts closed by the last
+    *    file's own data (u1, u2's second session, u99)
+    *
+    * The oracle replays the per-batch state machine in five chained CTE
+    * stages (the q_unigram_lm chained-DP precedent): surviving inputs per
+    * batch, closures = stateful users with no data whose timeout fell
+    * strictly below the batch's eviction watermark, state = merged
+    * survivors + reborn keys.
+    */
+  def qStreamTimeout(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val stage = stageBatches(s, "timeout", timeoutRows)
+    try {
+      val src = s.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      val closed = src.withWatermark("ts", "1 hour")
+        .select(col("v").as("id"), col("ts")).as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+          (id: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+           st: GroupState[(Long, Long)]) =>
+            if (st.hasTimedOut) {
+              val (n, last) = st.get
+              st.remove()
+              Iterator((id, n, last))
+            } else {
+              var (n, last) = st.getOption.getOrElse((0L, Long.MinValue))
+              rows.foreach { case (_, t) =>
+                val us = t.getTime * 1000L
+                n += 1; if (us > last) last = us
+              }
+              st.update((n, last))
+              st.setTimeoutTimestamp(last / 1000L + 30L * 60L * 1000L)
+              Iterator.empty
+            }
+        }.toDF("id", "n_events", "last_us")
+      drainToMemory(closed, "graft_stream_timeout", "update", width = 2)
+    } finally rmTree(stage)
+  }
+
+  /** Five chained replay stages over the planted slice: in_k = surviving
+    * inputs of batch k, c_k = closures fired during batch k, s_k = state
+    * after batch k. Stage count = planted batch count + the cleanup batch
+    * (data-specific, like the unigram oracle's 12 DP rounds).
+    */
+  val qStreamTimeoutSql: String = {
+    val vals = timeoutRows.map { case (b, m, id) =>
+      s"($b, ${(lateBaseUs + m * 60000000L) / 1000000L}, $id)"
+    }.mkString(", ")
+    val gap = 1800L
+    val delay = 3600L
+    def stage(k: Int, wmExpr: String): String =
+      s"""in$k AS (SELECT id, COUNT(*) AS cnt, MAX(us) AS mx
+         |         FROM surv WHERE b = $k GROUP BY id),
+         |c$k AS (SELECT s.id, s.n, s.last FROM s${k - 1} s
+         |        WHERE s.id NOT IN (SELECT id FROM in$k)
+         |          AND $wmExpr > s.last + $gap),
+         |s$k AS (
+         |  SELECT i.id, COALESCE(s.n, 0) + i.cnt AS n,
+         |         GREATEST(COALESCE(s.last, 0), i.mx) AS last
+         |  FROM in$k i LEFT JOIN s${k - 1} s USING (id)
+         |  UNION ALL
+         |  SELECT s.id, s.n, s.last FROM s${k - 1} s
+         |  WHERE s.id NOT IN (SELECT id FROM in$k)
+         |    AND NOT ($wmExpr > s.last + $gap))""".stripMargin
+    def evWm(k: Int) =
+      s"COALESCE((SELECT ev_wm FROM wm WHERE wm.b = $k), -922337203685477)"
+    s"""WITH raw(b, us, id) AS (SELECT * FROM (VALUES $vals)),
+       |bmax AS (SELECT b, MAX(us) AS mx FROM raw GROUP BY b),
+       |run AS (SELECT b, MAX(mx) OVER (ORDER BY b) AS rm FROM bmax),
+       |wm AS (SELECT b, LAG(rm, 1) OVER (ORDER BY b) - $delay AS ev_wm,
+       |               LAG(rm, 2) OVER (ORDER BY b) - $delay AS f_wm
+       |       FROM run),
+       |surv AS (SELECT r.* FROM raw r JOIN wm ON wm.b = r.b
+       |         WHERE wm.f_wm IS NULL OR r.us > wm.f_wm),
+       |s0 AS (SELECT id, COUNT(*) AS n, MAX(us) AS last
+       |       FROM surv WHERE b = 0 GROUP BY id),
+       |${stage(1, evWm(1))},
+       |${stage(2, evWm(2))},
+       |${stage(3, evWm(3))},
+       |final_wm AS (SELECT MAX(us) - $delay AS wm FROM raw),
+       |c4 AS (SELECT s.id, s.n, s.last FROM s3 s, final_wm f
+       |       WHERE f.wm > s.last + $gap)
+       |SELECT id, CAST(n AS BIGINT) AS n_events,
+       |  CAST(last AS BIGINT) * 1000000 AS last_us
+       |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+       |      UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)""".stripMargin
+  }
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_stream_late" -> ((qStreamLate _, Some(qStreamLateSql))),
     "q_stream_outer" -> ((qStreamOuter _, Some(qStreamOuterSql))),
+    "q_stream_timeout" -> ((qStreamTimeout _, Some(qStreamTimeoutSql))),
     "q_stream_drift" -> ((qStreamDrift _, Some(qStreamDriftSql))),
     "q_stream_ohlc" -> ((qStreamOhlc _, Some(qStreamOhlcSql))),
     "q_stream_curation" -> ((qStreamCuration _, Some(qStreamCurationSql))),

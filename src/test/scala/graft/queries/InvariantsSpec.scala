@@ -936,6 +936,26 @@ class InvariantsSpec extends SparkSpec {
     assert(!rows.exists(r => Set(6L, 7L, 81L, 90L, 91L).contains(r._1)))
   }
 
+  test("q_stream_timeout: strict expiry, data-rescue, rebirth, boundary drops") {
+    val base = 1704067200000000L
+    def us(minute: Int) = base + minute * 60000000L
+    val rows = StreamingQueries.qStreamTimeout(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      (1L, 3L, us(720)),   // RESCUED: the 12:00 row landed after u1's
+                           // 10:40 timeout had expired under the in-force
+                           // watermark — data invocation wins, session
+                           // extends, closes at the cleanup batch
+      (2L, 1L, us(605)),   // first session closes at batch 1
+      (2L, 1L, us(735)),   // REBORN second session, n reset, closes later
+      (99L, 1L, us(750))   // closed by the cleanup batch
+    ), s"closures: $rows")
+    // absent: u3 (its ONLY row sits at exactly the lagged filter
+    // watermark → dropped), u96 (timeout == final watermark → strict >
+    // keeps it open), u97/u98 (timeouts above the final watermark)
+    assert(!rows.exists(r => Set(3L, 96L, 97L, 98L).contains(r._1)))
+  }
+
   test("q_unicode_dedup: NFC merges canonical equivalents, keeps compatibility pairs") {
     val rows = HostileCorpusQueries.qUnicodeDedup(spark, sfDir).collect()
     val pairV = rows.filter(_.getString(0) == "pair")
