@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   * broadcast. All arithmetic is codegen'd higher-order functions — no UDFs.
   * Recall is tunable via nprobe (nprobe = #cells degenerates to the exact
   * scan); AnnSpec asserts recall against the brute-force oracle.
+  *
+  * Input contract: vectors must pass [[Validate.embeddingVerdict]]
+  * upstream on an untrusted corpus — the exact-decimal kernels are
+  * unevaluable on non-finite components and zero-norm vectors divide by
+  * zero inside every cosine (q_hostile_embedding pins both engines'
+  * behavior). The driver's embeddings tables are clean by construction,
+  * so the registry queries run unscreened; a 100 TB ingest would not be.
   */
 object Ann {
 

@@ -1002,10 +1002,104 @@ object StreamingQueries {
        |      UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)""".stripMargin
   }
 
+  // -------------------------------------------- dedup-state expiry --
+
+  /** (micro-batch, minute-of-day, key) — the dedup-expiry gate's slice. */
+  private val dedupExpiryRows: Seq[(Int, Int, Long)] = Seq(
+    (0, 600, 1L), (0, 600, 4L), (0, 690, 5L), (0, 750, 51L),
+    (1, 675, 4L), (1, 810, 52L),
+    (2, 760, 1L), (2, 720, 4L), (2, 690, 6L), (2, 840, 53L),
+    (3, 780, 5L), (3, 870, 54L))
+
+  /** dropDuplicatesWithinWatermark EXPIRY gate — the exactly-once vs
+    * at-least-once boundary of streaming dedup: the operator guarantees
+    * "no duplicates within the watermark delay", NOT global dedup, so a
+    * duplicate arriving after its key's state expired is RE-EMITTED — the
+    * trap a pipeline counting on global exactly-once hits at exactly the
+    * moment its data gets late enough to matter. q_stream_dedup gates the
+    * happy path (365-day delay — state never expires); this pins the
+    * expiry algebra, probed empirically before the gate was written:
+    *
+    *  - key state carries expiry = FIRST-occurrence ts + delay; a
+    *    duplicate dropped against live state does NOT refresh it (probed:
+    *    the refresh hypothesis predicts key 4 emits once; it emits twice)
+    *  - state evicts at the END of a batch under that batch's eviction
+    *    watermark, so a duplicate in the same batch that expires its key
+    *    is still dropped; re-emission needs a later batch
+    *  - late INPUT is filtered by the lagged two-watermark rule
+    *    (boundary inclusive: key 6's only row sits at exactly the filter
+    *    watermark → the key is entirely absent)
+    *  - eviction is INCLUSIVE (expiry ≤ wm evicts): key 5's expiry lands
+    *    EXACTLY on the eviction watermark of the batch before its
+    *    duplicate, and the duplicate RE-EMITS — note the asymmetry with
+    *    the rest of the stateful family, where removal is strict
+    *    (stream-stream join state at end == wm stays; a timeout equal to
+    *    the final watermark never fires). Same engine, three operators,
+    *    two boundary conventions — exactly why each is pinned.
+    *
+    * Scale note: this is why 100 TB dedup pairs this operator with a
+    * persisted exact-dedup state table ([[graft.ops.DedupState]]) — the
+    * streaming operator bounds its state by the watermark ON PURPOSE,
+    * trading global exactly-once for bounded memory.
+    */
+  def qStreamDedupExpiry(s: SparkSession, dir: String): DataFrame = {
+    val stage = stageBatches(s, "ddexp", dedupExpiryRows)
+    try {
+      val src = s.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      val out = src.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("v")
+        .select(col("v").as("id"), unix_micros(col("ts")).as("us"))
+      drainToMemory(out, "graft_stream_dedup_expiry", "append", width = 2)
+    } finally rmTree(stage)
+  }
+
+  /** Four chained replay stages (the q_stream_timeout oracle shape):
+    * in_k = late-filtered inputs, emit_k = keys absent from live state,
+    * live_k = (state ∪ new keys) minus end-of-batch evictions. Expiry is
+    * first-ts + delay, never refreshed. Eviction comparison: INCLUSIVE
+    * (expiry ≤ wm evicts — pinned by key 5 emitting twice).
+    */
+  val qStreamDedupExpirySql: String = {
+    val vals = dedupExpiryRows.map { case (b, m, id) =>
+      s"($b, ${(lateBaseUs + m * 60000000L) / 1000000L}, $id)"
+    }.mkString(", ")
+    val delay = 3600L
+    def evWm(k: Int) =
+      s"COALESCE((SELECT ev_wm FROM wm WHERE wm.b = $k), -922337203685477)"
+    def stage(k: Int): String =
+      s"""in$k AS (SELECT id, MIN(us) AS us FROM surv WHERE b = $k GROUP BY id),
+         |emit$k AS (SELECT i.id, i.us FROM in$k i
+         |           WHERE i.id NOT IN (SELECT id FROM live${k - 1})),
+         |live$k AS (
+         |  SELECT id, exp FROM (
+         |    SELECT id, exp FROM live${k - 1}
+         |    UNION ALL
+         |    SELECT id, us + $delay AS exp FROM emit$k) m
+         |  WHERE NOT (exp <= ${evWm(k)}))""".stripMargin
+    s"""WITH raw(b, us, id) AS (SELECT * FROM (VALUES $vals)),
+       |bmax AS (SELECT b, MAX(us) AS mx FROM raw GROUP BY b),
+       |run AS (SELECT b, MAX(mx) OVER (ORDER BY b) AS rm FROM bmax),
+       |wm AS (SELECT b, LAG(rm, 1) OVER (ORDER BY b) - $delay AS ev_wm,
+       |               LAG(rm, 2) OVER (ORDER BY b) - $delay AS f_wm
+       |       FROM run),
+       |surv AS (SELECT r.* FROM raw r JOIN wm ON wm.b = r.b
+       |         WHERE wm.f_wm IS NULL OR r.us > wm.f_wm),
+       |live_1(id, exp) AS (SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) WHERE FALSE),
+       |${stage(0).replace("live-1", "live_1")},
+       |${stage(1)},
+       |${stage(2)},
+       |${stage(3)}
+       |SELECT id, CAST(us AS BIGINT) * 1000000 AS us
+       |FROM (SELECT * FROM emit0 UNION ALL SELECT * FROM emit1
+       |      UNION ALL SELECT * FROM emit2 UNION ALL SELECT * FROM emit3)""".stripMargin
+  }
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_stream_late" -> ((qStreamLate _, Some(qStreamLateSql))),
     "q_stream_outer" -> ((qStreamOuter _, Some(qStreamOuterSql))),
     "q_stream_timeout" -> ((qStreamTimeout _, Some(qStreamTimeoutSql))),
+    "q_stream_dedup_expiry" -> ((qStreamDedupExpiry _, Some(qStreamDedupExpirySql))),
     "q_stream_drift" -> ((qStreamDrift _, Some(qStreamDriftSql))),
     "q_stream_ohlc" -> ((qStreamOhlc _, Some(qStreamOhlcSql))),
     "q_stream_curation" -> ((qStreamCuration _, Some(qStreamCurationSql))),

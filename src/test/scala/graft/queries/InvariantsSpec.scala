@@ -956,6 +956,26 @@ class InvariantsSpec extends SparkSpec {
     assert(!rows.exists(r => Set(3L, 96L, 97L, 98L).contains(r._1)))
   }
 
+  test("q_stream_dedup_expiry: at-least-once across expiry, no refresh, inclusive evict") {
+    val base = 1704067200000000L
+    def us(minute: Int) = base + minute * 60000000L
+    val rows = StreamingQueries.qStreamDedupExpiry(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set(
+      (1L, us(600)), (1L, us(760)),  // RE-EMITTED after state expiry: the
+                                     // operator is at-least-once, not
+                                     // global exactly-once
+      (4L, us(600)), (4L, us(720)),  // the mid-life duplicate did NOT
+                                     // refresh expiry (else one emit)
+      (5L, us(690)), (5L, us(780)),  // expiry == eviction wm EVICTS
+                                     // (inclusive — unlike join/timeout)
+      (51L, us(750)), (52L, us(810)), (53L, us(840)), (54L, us(870))
+    ), s"emitted: $rows")
+    // key 6: its only row sits at exactly the lagged filter watermark —
+    // dropped as late input, the key never exists downstream
+    assert(!rows.exists(_._1 == 6L))
+  }
+
   test("q_unicode_dedup: NFC merges canonical equivalents, keeps compatibility pairs") {
     val rows = HostileCorpusQueries.qUnicodeDedup(spark, sfDir).collect()
     val pairV = rows.filter(_.getString(0) == "pair")
