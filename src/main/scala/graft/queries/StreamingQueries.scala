@@ -1002,6 +1002,79 @@ object StreamingQueries {
        |      UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)""".stripMargin
   }
 
+  // ----------------------------------------- update-mode emission log --
+
+  /** (micro-batch, minute-of-day, value) — the update-mode gate's slice:
+    * the q_stream_late shape plus a late-but-open update (12:40), a
+    * dropped late row (10:50), and a boundary drop (12:10 lands at
+    * exactly the lagged filter watermark of its batch).
+    */
+  private val updateRows: Seq[(Int, Int, Long)] = Seq(
+    (0, 600, 1L), (0, 630, 2L), (0, 725, 4L),
+    (1, 645, 8L), (1, 670, 16L), (1, 840, 32L),
+    (2, 760, 64L), (2, 810, 128L), (2, 650, 256L),
+    (3, 730, 512L), (3, 900, 1024L))
+
+  /** UPDATE-mode windowed aggregation gate — the third output mode's
+    * emission contract (complete: q_stream_tumbling; append:
+    * q_stream_late). Update mode emits one row per (micro-batch, window
+    * updated in that batch) carrying the CUMULATIVE state — so the final
+    * sink content is an emission LOG, not a result table: a consumer
+    * must upsert by window (an append-only consumer double-counts every
+    * window that was updated twice). The gate drains the log and gates
+    * it row-for-row against a DuckDB replay (per-(window, batch) partial
+    * sums cumulated per window in batch order over the late-filtered
+    * survivors).
+    *
+    * Pinned semantics (probed first): windows still OPEN keep emitting
+    * updates (append mode would show nothing for them); late-but-open
+    * rows re-emit their window with merged state in the arrival batch;
+    * the late filter is the lagged two-watermark rule with an inclusive
+    * boundary (the 12:10 row, window end == its batch's filter
+    * watermark, is dropped). And one structural invariant the gate's
+    * oracle RELIES on: the filter watermark of batch N equals the
+    * eviction watermark of batch N−1, so a row that passes the filter
+    * can never target an already-evicted window — update-mode windows
+    * are never partially re-created, which is exactly what makes
+    * upsert-by-window consumers correct.
+    */
+  def qStreamUpdate(s: SparkSession, dir: String): DataFrame = {
+    val stage = stageBatches(s, "update", updateRows)
+    try {
+      val src = s.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      val agg = src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sum_v"))
+        .select(unix_micros(col("w.start")).as("window_start_us"),
+          col("n_events"), col("sum_v"))
+      drainToMemory(agg, "graft_stream_update", "update")
+    } finally rmTree(stage)
+  }
+
+  /** Replay: per-(window, batch) deltas over the late-filtered survivors,
+    * cumulated per window in batch order — one output row per update.
+    */
+  val qStreamUpdateSql: String = {
+    val vals = updateRows.map { case (b, m, v) =>
+      s"($b, ${lateBaseUs + m * 60000000L}, $v)"
+    }.mkString(", ")
+    s"""WITH raw(b, us, v) AS (SELECT * FROM (VALUES $vals)),
+       |bmax AS (SELECT b, MAX(us) AS mx FROM raw GROUP BY b),
+       |run AS (SELECT b, MAX(mx) OVER (ORDER BY b) AS rm FROM bmax),
+       |fwm AS (SELECT b, LAG(rm, 2) OVER (ORDER BY b) - $lateDelayUs AS filter_wm FROM run),
+       |surv AS (SELECT r.us - r.us % 3600000000 AS ws, r.b, r.v
+       |         FROM raw r JOIN fwm ON r.b = fwm.b
+       |         WHERE fwm.filter_wm IS NULL
+       |            OR r.us - r.us % 3600000000 + 3600000000 > fwm.filter_wm),
+       |g AS (SELECT ws, b, COUNT(*) AS dn, SUM(v) AS dsv
+       |      FROM surv GROUP BY ws, b)
+       |SELECT ws AS window_start_us,
+       |  CAST(SUM(dn) OVER (PARTITION BY ws ORDER BY b) AS BIGINT) AS n_events,
+       |  CAST(SUM(dsv) OVER (PARTITION BY ws ORDER BY b) AS BIGINT) AS sum_v
+       |FROM g""".stripMargin
+  }
+
   // -------------------------------------------- dedup-state expiry --
 
   /** (micro-batch, minute-of-day, key) — the dedup-expiry gate's slice. */
@@ -1100,6 +1173,7 @@ object StreamingQueries {
     "q_stream_outer" -> ((qStreamOuter _, Some(qStreamOuterSql))),
     "q_stream_timeout" -> ((qStreamTimeout _, Some(qStreamTimeoutSql))),
     "q_stream_dedup_expiry" -> ((qStreamDedupExpiry _, Some(qStreamDedupExpirySql))),
+    "q_stream_update" -> ((qStreamUpdate _, Some(qStreamUpdateSql))),
     "q_stream_drift" -> ((qStreamDrift _, Some(qStreamDriftSql))),
     "q_stream_ohlc" -> ((qStreamOhlc _, Some(qStreamOhlcSql))),
     "q_stream_curation" -> ((qStreamCuration _, Some(qStreamCurationSql))),

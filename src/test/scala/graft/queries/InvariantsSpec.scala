@@ -976,6 +976,26 @@ class InvariantsSpec extends SparkSpec {
     assert(!rows.exists(_._1 == 6L))
   }
 
+  test("q_stream_update: the emission log carries per-batch cumulative snapshots") {
+    val base = 1704067200000000L
+    def ws(minute: Int) = base + minute * 60000000L
+    val rows = StreamingQueries.qStreamUpdate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // an emission LOG: [10,11) and [12,13) each appear TWICE (their
+    // pre-update snapshot and the merged one), open windows appear even
+    // though append mode would hold them, and the boundary-late rows
+    // (10:50 and the 12:10 row at exactly the filter watermark) never
+    // contribute to any snapshot
+    assert(rows.toSet == Set(
+      (ws(600), 2L, 3L), (ws(600), 3L, 11L),
+      (ws(660), 1L, 16L),
+      (ws(720), 1L, 4L), (ws(720), 2L, 68L),
+      (ws(780), 1L, 128L),
+      (ws(840), 1L, 32L),
+      (ws(900), 1L, 1024L)), s"log: ${rows.toSet}")
+    assert(rows.length == 8, "each update row emitted exactly once")
+  }
+
   test("q_unicode_dedup: NFC merges canonical equivalents, keeps compatibility pairs") {
     val rows = HostileCorpusQueries.qUnicodeDedup(spark, sfDir).collect()
     val pairV = rows.filter(_.getString(0) == "pair")
