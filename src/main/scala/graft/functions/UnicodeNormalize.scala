@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.unsafe.types.UTF8String
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, NullType, StringType}
 
 /** Codegen'd Unicode normalization — `unicode_normalize(s, 'NFC')`.
   *
@@ -44,7 +44,11 @@ case class UnicodeNormalize(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     import TypeCheckResult._
-    if (left.dataType != StringType)
+    // NullType is accepted like Spark's own string builtins do (via their
+    // implicit cast): `unicode_normalize(NULL, 'NFC')` is a constant null,
+    // not an analysis error. (ImplicitCastInputTypes itself is not
+    // mixin-able here — AbstractDataType is private[sql].)
+    if (left.dataType != StringType && left.dataType != NullType)
       TypeCheckFailure(s"$prettyName expects a string input, got ${left.dataType}")
     else formOrNull match {
       case null => TypeCheckFailure(
@@ -64,7 +68,16 @@ case class UnicodeNormalize(left: Expression, right: Expression)
     case _ => null
   }
 
-  @transient private lazy val form: Normalizer.Form = formOrNull
+  @transient private lazy val form: Normalizer.Form = {
+    val f = formOrNull
+    // Belt-and-braces for an instance executed without the analysis check
+    // having run (e.g. hand-built and eval'd directly): fail with the
+    // contract, not an opaque NPE from form.name().
+    if (f == null) throw new IllegalStateException(
+      s"$prettyName form must be a literal 'NFC'|'NFD'|'NFKC'|'NFKD' " +
+        s"(got ${right.sql}); was analysis skipped?")
+    f
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val s = a.asInstanceOf[UTF8String].toString
@@ -75,6 +88,10 @@ case class UnicodeNormalize(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // NullType input → constant null (same shape Literal(null) generates);
+    // the nullSafeCodeGen path below would not typecheck on an Object-typed
+    // null child.
+    if (left.dataType == NullType) return ExprCode.forNullValue(dataType)
     val formConst = s"java.text.Normalizer.Form.${form.name()}"
     nullSafeCodeGen(ctx, ev, (a, _) => {
       val s = ctx.freshName("str")

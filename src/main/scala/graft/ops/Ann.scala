@@ -20,12 +20,17 @@ import org.apache.spark.sql.functions._
   * Recall is tunable via nprobe (nprobe = #cells degenerates to the exact
   * scan); AnnSpec asserts recall against the brute-force oracle.
   *
-  * Input contract: vectors must pass [[Validate.embeddingVerdict]]
-  * upstream on an untrusted corpus — the exact-decimal kernels are
-  * unevaluable on non-finite components and zero-norm vectors divide by
-  * zero inside every cosine (q_hostile_embedding pins both engines'
-  * behavior). The driver's embeddings tables are clean by construction,
-  * so the registry queries run unscreened; a 100 TB ingest would not be.
+  * Input contract: vectors must pass [[Validate.embeddingVerdict]] —
+  * the exact-decimal kernels are unevaluable on non-finite components and
+  * zero-norm vectors divide by zero inside every cosine
+  * (q_hostile_embedding pins both engines' behavior). The screen is now
+  * WIRED IN: pass `screenDim = Some(dim)` to [[ivfTopK]]/[[bruteTopK]]
+  * and both sides are filtered to verdict-'ok' rows BEFORE any kernel or
+  * centroid sees them (a NaN corpus vector would otherwise poison its
+  * cell centroid, not just its own scores). The driver's embeddings
+  * tables are clean by construction, so the clean-corpus registry queries
+  * run unscreened; an untrusted ingest sets screenDim
+  * (q_ann_screened gates the screened path over hostile ∪ real vectors).
   */
 object Ann {
 
@@ -92,12 +97,14 @@ object Ann {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       cellCol: String = "label",
-      exactArith: Boolean = false): DataFrame = {
+      exactArith: Boolean = false,
+      screenDim: Option[Int] = None): DataFrame = {
     // BEFORE any DataFrame that references the kernels: Datasets analyze
     // eagerly at construction, so a later register() call is too late for
     // the probe-assignment plan built a few lines down
     graft.functions.GraftFunctions.register(spark)
-    val cents = broadcast(centroids(corpus, cellCol, embCol, exactArith))
+    val (queriesS, corpusS) = screened(spark, queries, corpus, embCol, screenDim)
+    val cents = broadcast(centroids(corpusS, cellCol, embCol, exactArith))
     // assign each query its nprobe nearest cells. In exactArith mode the
     // cell score is the ROUNDED decimal cosine with a cell tie-break, so
     // the probe CHOICE itself (not just the in-cell scores) is
@@ -107,7 +114,7 @@ object Ann {
       else cosineExpr("q_emb", "centroid")
     val wCell = Window.partitionBy(col(qIdCol)).orderBy(col("cell_sim").desc, col("cell"))
     val probes = broadcast(
-      queries.crossJoin(cents)
+      queriesS.crossJoin(cents)
         .withColumn("cell_sim", cellScore)
         .withColumn("cell_rank", row_number().over(wCell))
         .filter(col("cell_rank") <= nprobe)
@@ -118,13 +125,29 @@ object Ann {
       if (exactArith) decimalCosineExpr("q_emb", embCol)
       else expr(s"cosine_similarity(q_emb, $embCol)")
     probes
-      .join(corpus, probes("cell") === corpus(cellCol))
+      .join(corpusS, probes("cell") === corpusS(cellCol))
       .filter(col(qIdCol) =!= col(idCol))
       .withColumn("cosine", score)
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= k)
       .select(col(qIdCol), col("rnk"), col(idCol).as("neighbor"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** The embeddingVerdict screen applied to both sides of an ANN run:
+    * only verdict-'ok' rows (finite, right-dimensioned, nonzero-norm in
+    * the kernels' own DECIMAL(28,14) arithmetic) reach the kernels. One
+    * narrow per-row filter on each side — no shuffle, pushed to the scans.
+    * Queries carry their vector as `q_emb` (the ivfTopK/bruteTopK column
+    * convention).
+    */
+  private def screened(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+                       embCol: String, screenDim: Option[Int]): (DataFrame, DataFrame) =
+    screenDim match {
+      case Some(d) =>
+        (queries.filter(Validate.embeddingVerdict(spark, "q_emb", d) === "ok"),
+          corpus.filter(Validate.embeddingVerdict(spark, embCol, d) === "ok"))
+      case None => (queries, corpus)
+    }
 
   /** Exact brute-force top-k (the recall oracle and the small-corpus path). */
   def bruteTopK(
@@ -133,10 +156,12 @@ object Ann {
       k: Int = 5,
       qIdCol: String = "q_id",
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      screenDim: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
+    val (queriesS, corpusS) = screened(queries.sparkSession, queries, corpus, embCol, screenDim)
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))
-    broadcast(queries).crossJoin(corpus)
+    broadcast(queriesS).crossJoin(corpusS)
       .filter(col(qIdCol) =!= col(idCol))
       .withColumn("cosine", expr(s"cosine_similarity(q_emb, $embCol)"))
       .withColumn("rnk", row_number().over(w))

@@ -90,7 +90,10 @@ object Validate {
       .when(size(e) =!= dim, "dim_mismatch")
       .when(exists(e, x => x.isNull), "null_component")
       .when(exists(e, x => isnan(x) || abs(x) === inf), "non_finite")
-      .when(expr(s"decimal_dot($embCol, $embCol)") === 0.0, "zero_norm")
+      // Column-based call (not string-interpolated expr text): a column
+      // name needing quoting (dots/spaces/hyphens) resolves identically
+      // to every other branch here instead of re-parsing as SQL.
+      .when(call_function("decimal_dot", e, e) === 0.0, "zero_norm")
       .otherwise("ok")
   }
 }

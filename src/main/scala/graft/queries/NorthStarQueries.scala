@@ -84,8 +84,9 @@ object NorthStarQueries {
       |FROM ranked WHERE rnk <= 5 GROUP BY q_id""".stripMargin
 
   /** Decimal cosine of two DuckDB lists — the exactArith ANN algebra
-    * (identical to q_ann_fullprobe's oracle), one line for embedding. */
-  private def dCos(a: String, b: String): String =
+    * (identical to q_ann_fullprobe's oracle), one line for embedding.
+    * Shared with the screened-ANN gate (HostileCorpusQueries). */
+  private[queries] def dCos(a: String, b: String): String =
     s"ROUND(CAST(list_sum(list_transform(range(1, len($a) + 1), i -> " +
       s"CAST(CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE) " +
       s"/ (SQRT(CAST(list_sum(list_transform($a, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE)) " +

@@ -706,8 +706,20 @@ object StreamingQueries {
       rows.map(_._1).distinct.sorted.foreach { b =>
         val part = {
           val st = java.nio.file.Files.list(raw.resolve(s"b=$b"))
-          try st.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-          finally st.close()
+          val parts =
+            try {
+              val l = new java.util.ArrayList[java.nio.file.Path]()
+              st.filter(p => p.toString.endsWith(".parquet")).forEach(p => { l.add(p); () })
+              l
+            } finally st.close()
+          // The single-task repartition(1) write must land exactly one
+          // part file per b=N partition; if session config (e.g.
+          // maxRecordsPerFile) ever rolls more, copying just one would
+          // silently drop planted rows and fail the gate confusingly.
+          require(parts.size == 1,
+            s"stageBatches($tag): expected exactly 1 parquet part under b=$b, " +
+              s"found ${parts.size} — writer rolled files (check maxRecordsPerFile)")
+          parts.get(0)
         }
         val dst = stage.resolve(f"b$b.parquet")
         java.nio.file.Files.copy(part, dst)

@@ -399,8 +399,12 @@ class FunctionsSpec extends SparkSpec {
       spark.sql("SELECT unicode_normalize('x', 'NF' || 'C')").collect()
     }
     assert(nonLit != null)
-    // NULL input → NULL
+    // NULL input → NULL — both the typed and the UNTYPED spelling (the
+    // bare NULL literal is NullType; builtin-string ergonomics say it
+    // analyzes as a constant null, not a type error)
     assert(spark.sql("SELECT unicode_normalize(CAST(NULL AS STRING), 'NFC')")
+      .collect().head.isNullAt(0))
+    assert(spark.sql("SELECT unicode_normalize(NULL, 'NFC')")
       .collect().head.isNullAt(0))
   }
 }
