@@ -1180,7 +1180,122 @@ object StreamingQueries {
        |      UNION ALL SELECT * FROM emit2 UNION ALL SELECT * FROM emit3)""".stripMargin
   }
 
+  // ------------------------------------------------- crash recovery --
+
+  /** (micro-batch, minute-of-day, v) — powers of two, so every sink sum
+    * uniquely decodes its contributing rows. Batches 0-1 run BEFORE the
+    * planned stop, 2-3 after the restart; window [11:00,12:00) mixes a
+    * pre-stop row (700/4) with a post-restart row (710/8), so its sum 12
+    * is unforgeable proof the state store survived the restart.
+    */
+  private val recoveryRows: Seq[(Int, Int, Long)] = Seq(
+    (0, 600, 1L), (0, 605, 2L),
+    (1, 700, 4L),
+    (2, 710, 8L),
+    (3, 800, 16L))
+
+  private val recoveryDelayUs = 1800000000L // 30-minute watermark delay
+
+  /** Run evidence the SQL gate cannot express: the execution really did
+    * span a stop + restart (two distinct runIds; run 2's batch ids
+    * continue past run 1's, never overlapping). InvariantsSpec asserts it.
+    */
+  private[queries] final case class RecoveryEvidence(
+    runIds: Seq[String], run1Batches: Seq[Long], run2Batches: Seq[Long])
+
+  /** The D9/C3 streaming analog made a registry gate (r13): a stateful
+    * windowed aggregation with a REAL, REUSED checkpoint and a
+    * transactional parquet sink is run to completion on half its input,
+    * STOPPED, given the rest of the input, and RESTARTED from the same
+    * checkpoint. The final sink must be exactly-once:
+    *  - [10:00,11:00) emitted by run 1's cleanup batch (wm 670 ≥ 660) and
+    *    NOT re-emitted by run 2 (a restart that replayed batch 0-1 would
+    *    double it; the file sink's _spark_metadata manifest is the
+    *    transactional boundary the batch readback honors);
+    *  - [11:00,12:00) emitted by run 2 with sum 4+8: its state (the
+    *    pre-stop 700/4 row) and the 670 watermark must both have been
+    *    restored from the checkpoint — a fresh-state restart would emit
+    *    sum 8, a reset watermark would emit nothing;
+    *  - [13:00,14:00) held in state past the final watermark, never
+    *    emitted (absent).
+    * The oracle replays the same algebra generically (windows closed by
+    * the FINAL watermark over all rows; no row here is late-dropped).
+    *
+    * Scale: recovery is the normal 1000-executor operating mode — every
+    * production stream restarts (deploys, preemptions); this pins that
+    * the engine's restart honors the reference's exactly-once ETLState
+    * contract (bert/etl/__init__.py:24-84) at the sink.
+    */
+  private[queries] def streamRecoveryRun(s: SparkSession, dir: String): (DataFrame, RecoveryEvidence) = {
+    val staged = stageBatches(s, "recovery", recoveryRows)
+    val src = java.nio.file.Files.createTempDirectory(ckptRoot(s), "recovery_src")
+    val ckptDir = java.nio.file.Files.createTempDirectory(ckptRoot(s), "recovery_ckpt")
+    // the sink outlives this call (the returned frame reads it lazily) —
+    // root it on disk tmp, not the tmpfs checkpoint root
+    val sinkDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), "recovery_sink")
+    def moveIn(b: Int): Unit = {
+      val f = staged.resolve(f"b$b.parquet")
+      val dst = src.resolve(f"b$b.parquet")
+      val t = java.nio.file.Files.getLastModifiedTime(f)
+      java.nio.file.Files.move(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst, t)
+      ()
+    }
+    def runOnce(): (String, Seq[Long]) = {
+      val agg = s.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sum_v"))
+        .select(unix_micros(col("w.start")).as("window_start_us"),
+          col("n_events"), col("sum_v"))
+      analyzedPlans("graft_stream_recovery") = agg.queryExecution.analyzed
+      val prevWidth = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = agg.writeStream.outputMode("append").format("parquet")
+          .option("path", sinkDir.toString)
+          .option("checkpointLocation", ckptDir.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        (q.runId.toString, q.recentProgress.map(_.batchId).toSeq)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevWidth)
+    }
+    try {
+      moveIn(0); moveIn(1)
+      val (run1, b1) = runOnce()
+      moveIn(2); moveIn(3)
+      val (run2, b2) = runOnce()
+      (s.read.parquet(sinkDir.toString),
+        RecoveryEvidence(Seq(run1, run2), b1, b2))
+    } finally { rmTree(staged); rmTree(src); rmTree(ckptDir) }
+  }
+
+  def qStreamRecovery(s: SparkSession, dir: String): DataFrame =
+    streamRecoveryRun(s, dir)._1
+
+  /** Generic replay: per-window totals over ALL rows, emission capped at
+    * the final watermark (no row in this slice is late-dropped, so the
+    * one-run replay equals the two-run exactly-once union — that equality
+    * IS the gate).
+    */
+  val qStreamRecoverySql: String = {
+    val vals = recoveryRows.map { case (b, m, v) =>
+      s"($b, ${lateBaseUs + m * 60000000L}, $v)"
+    }.mkString(", ")
+    s"""WITH raw(b, us, v) AS (SELECT * FROM (VALUES $vals)),
+       |wm AS (SELECT MAX(us) - $recoveryDelayUs AS w FROM raw),
+       |agg AS (SELECT us - us % 3600000000 AS ws, COUNT(*) AS n, SUM(v) AS s
+       |        FROM raw GROUP BY 1)
+       |SELECT ws AS window_start_us, CAST(n AS BIGINT) AS n_events,
+       |  CAST(s AS BIGINT) AS sum_v
+       |FROM agg, wm WHERE ws + 3600000000 <= wm.w""".stripMargin
+  }
+
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_stream_recovery" -> ((qStreamRecovery _, Some(qStreamRecoverySql))),
     "q_stream_late" -> ((qStreamLate _, Some(qStreamLateSql))),
     "q_stream_outer" -> ((qStreamOuter _, Some(qStreamOuterSql))),
     "q_stream_timeout" -> ((qStreamTimeout _, Some(qStreamTimeoutSql))),

@@ -961,6 +961,26 @@ class InvariantsSpec extends SparkSpec {
       ("raw", 7100002L, 7100003L) -> 0.9), s"planted: $planted")
   }
 
+  test("q_stream_recovery: the run provably spans a stop/restart and is exactly-once") {
+    val (df, ev) = StreamingQueries.streamRecoveryRun(spark, sfDir)
+    // restart evidence the SQL gate cannot see: two DISTINCT streaming
+    // runs against the one checkpoint, run 2's batch ids CONTINUING past
+    // run 1's (a fresh-checkpoint restart would restart at batch 0)
+    assert(ev.runIds.distinct.size == 2, s"runIds: ${ev.runIds}")
+    assert(ev.run1Batches.nonEmpty && ev.run2Batches.nonEmpty, ev)
+    assert(ev.run2Batches.min > ev.run1Batches.max,
+      s"batch ids must continue, not overlap: ${ev.run1Batches} then ${ev.run2Batches}")
+    // exactly-once sink: each closed window exactly once, sums decode the
+    // planted rows — [11:00,12:00) mixes a pre-stop and post-restart row
+    // (state restored), [10:00,11:00) is not re-emitted by run 2 (sink
+    // manifest honored), [13:00,14:00) held open (absent)
+    val base = 1704067200000000L
+    def ws(minute: Int) = base + minute * 60000000L
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == Set((ws(600), 2L, 3L), (ws(660), 2L, 12L)), rows.toSeq)
+    assert(rows.length == 2, "no window emitted twice")
+  }
+
   test("q_stream_late: the two-watermark algebra emits exactly the planted survivors") {
     // Every value is a power of two, so each sum uniquely decodes the set
     // of rows that survived the late filter — see qStreamLate's scaladoc
