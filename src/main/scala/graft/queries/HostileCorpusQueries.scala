@@ -80,11 +80,20 @@ object HostileCorpusQueries {
       s"SELECT CAST($id AS BIGINT) AS doc_id, $e AS text"
     }.mkString("\nUNION ALL\n")
 
-  /** The hostile slice ∪ real documents with doc_id < maxReal (Spark). */
+  /** The hostile slice ∪ real documents with doc_id < maxReal (Spark).
+    *
+    * localCheckpoint: the 10 MiB document constant-folds into a 10 MB
+    * literal; left in the lineage it is re-serialized and re-canonicalized
+    * with EVERY downstream stage plan (measured: ~10 s of pure
+    * plan-processing across the dedup gate's six shuffle rounds, 4× the
+    * gate's actual data work). Materializing the ≤40-row slice once
+    * truncates the literal out of every consumer plan.
+    */
   private def hostileUnion(s: SparkSession, dir: String, maxReal: Int): DataFrame =
     s.sql(hostileSelect(sparkEm)).unionByName(
       Tables.documents(s, dir).select(col("doc_id"), col("text"))
         .filter(col("doc_id") < maxReal))
+      .localCheckpoint()
 
   /** The same union as a DuckDB CTE body (MATERIALIZED — multiple
     * consumers must not re-expand the 10 MiB repeat).
@@ -112,10 +121,14 @@ object HostileCorpusQueries {
     */
   def qHostileCorpusDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = hostileUnion(s, dir, 30)
-    val pairs = SimilarityQueries.minhashPairs(docs)
+    // ONE cached shingle table feeds both the banding pipeline and the
+    // per-doc diag — shingling the 10 MiB doc is this gate's deliberate
+    // stressor and must be paid once, not once per consumer.
+    val sh = SimilarityQueries.shinglesOf(docs).cache()
+    val pairs = SimilarityQueries.minhashPairsOfShingles(sh)
       .select(lit("pair").as("probe"), col("doc_a").as("a"), col("doc_b").as("b"),
         r6(col("jaccard")).as("v"))
-    val sizes = SimilarityQueries.shinglesOf(docs)
+    val sizes = sh
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     import s.implicits._
     val diag = docRows("''").map(_._1).toDF("doc_id")

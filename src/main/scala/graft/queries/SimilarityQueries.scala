@@ -84,11 +84,18 @@ object SimilarityQueries {
     * — shared with the hostile-corpus gate so degenerate documents exercise
     * the production banding code, not a copy.
     */
-  private[queries] def minhashPairs(docs: DataFrame, nfc: Boolean = false): DataFrame = {
+  private[queries] def minhashPairs(docs: DataFrame, nfc: Boolean = false): DataFrame =
     // cache: shingles feed three consumers (signatures, intersection
     // counts ×2, sizes ×2) — materialize once instead of re-exploding the
     // corpus per consumer. At corpus scale this is the shingle TABLE.
-    val sh = shinglesOf(docs, nfc).cache()
+    minhashPairsOfShingles(shinglesOf(docs, nfc).cache())
+
+  /** The banding/verify pipeline from an already-built (and ideally
+    * cached) shingle table — callers that also consume the shingles
+    * directly (the hostile-corpus gate's per-doc diag) pass ONE cached
+    * frame here instead of shingling the corpus twice.
+    */
+  private[queries] def minhashPairsOfShingles(sh: DataFrame): DataFrame = {
     val numHashes = 8
     val rowsPerBand = 2
     val aggs = (0 until numHashes).map(i =>
