@@ -82,18 +82,19 @@ object HostileCorpusQueries {
 
   /** The hostile slice ∪ real documents with doc_id < maxReal (Spark).
     *
-    * localCheckpoint: the 10 MiB document constant-folds into a 10 MB
+    * Lineage.truncate: the 10 MiB document constant-folds into a 10 MB
     * literal; left in the lineage it is re-serialized and re-canonicalized
     * with EVERY downstream stage plan (measured: ~10 s of pure
     * plan-processing across the dedup gate's six shuffle rounds, 4× the
     * gate's actual data work). Materializing the ≤40-row slice once
-    * truncates the literal out of every consumer plan.
+    * truncates the literal out of every consumer plan (through the
+    * reliable-checkpoint doorway, per the ScaleGuardSpec policy).
     */
   private def hostileUnion(s: SparkSession, dir: String, maxReal: Int): DataFrame =
-    s.sql(hostileSelect(sparkEm)).unionByName(
-      Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        .filter(col("doc_id") < maxReal))
-      .localCheckpoint()
+    graft.ops.Lineage.truncate(
+      s.sql(hostileSelect(sparkEm)).unionByName(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") < maxReal)))
 
   /** The same union as a DuckDB CTE body (MATERIALIZED — multiple
     * consumers must not re-expand the 10 MiB repeat).
@@ -676,10 +677,17 @@ object HostileCorpusQueries {
     val b1Ids = Set(7000001L, 7000005L, 7000007L)
     val b2Ids = Set(7000002L, 7000003L, 7000004L, 7000006L, 7000008L)
     val real = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val batch1 = s.sql(hexSelect(uniDocs.filter(d => b1Ids(d._1)), sparkHexDoc))
-      .unionByName(real.filter(col("doc_id") < 25))
-    val batch2 = s.sql(hexSelect(uniDocs.filter(d => b2Ids(d._1)), sparkHexDoc))
-      .unionByName(real.filter(col("doc_id") >= 25 && col("doc_id") < 50))
+    // Lineage.truncate: without it the hostile rows' literal texts
+    // constant-fold into per-row CONSTANT state hashes, and Catalyst
+    // splits the anti-join into one constant-key nested-loop join per
+    // hostile row; truncated, each batch anti-joins the state in ONE
+    // equi hash join — the operator's real production shape.
+    val batch1 = graft.ops.Lineage.truncate(
+      s.sql(hexSelect(uniDocs.filter(d => b1Ids(d._1)), sparkHexDoc))
+        .unionByName(real.filter(col("doc_id") < 25)))
+    val batch2 = graft.ops.Lineage.truncate(
+      s.sql(hexSelect(uniDocs.filter(d => b2Ids(d._1)), sparkHexDoc))
+        .unionByName(real.filter(col("doc_id") >= 25 && col("doc_id") < 50)))
     // real parquet state, one per equivalence contract (mixing them is
     // the bug the scaladoc warns about). The dirs outlive this call —
     // the returned frame reads them lazily when the driver writes it.

@@ -44,6 +44,10 @@ class PlanSpec extends SparkSpec {
       // hostile-embedding cosine probe: 6 screened vectors broadcast-
       // crossed with themselves (O(k), k = 6 by construction)
       "q_hostile_embedding",
+      // the screened IVF run (q_ann_ivf's exact shape: query×centroid
+      // assignment over the 10-row broadcast centroid table; the verdict
+      // screen is a per-row filter, not a join)
+      "q_ann_screened",
       // 1-row scalar-totals broadcast-cross: PMI's (n_tok, t_bi) pair on
       // the bigram table, MI's grand total on the contingency table
       "q_pmi", "q_mutual_info",
@@ -166,6 +170,7 @@ class PlanSpec extends SparkSpec {
       "q_count_min" -> (scalar + " + 1-row merge-linearity verdict"),
       "q_coreset" -> (kRows + " (<=8 selected centers per greedy round)"),
       "q_hostile_embedding" -> (kRows + " (6 id-filtered screened vectors, cosine self-cross)"),
+      "q_ann_screened" -> (kRows + " (q_ann_ivf's shape over the screened hostile ∪ real slice)"),
       "q_cosine_topk" -> kRows, "q_ndcg" -> kRows, "q_rrf" -> kRows,
       "q_ann_fullprobe" -> kRows, "q_ann_ivf" -> kRows, "q_ann_ivf_kernel" -> kRows,
       "q_kmeans_step" -> kRows, "q_pq" -> kRows, "q_ivf_pq" -> (kRows + " (8-row coarse, 16-row codebook, 64-row LUT)"),
@@ -288,6 +293,24 @@ class PlanSpec extends SparkSpec {
   test("top-k queries plan TakeOrderedAndProject, not a global sort") {
     for (q <- Seq("q_topk", "q3_join", "q10_returns"))
       assert(planOf(q).contains("TakeOrderedAndProject"), s"$q does a global sort")
+  }
+
+  test("the ANN embedding screen is shuffle-neutral (a fused filter, not a join)") {
+    // same corpus, same plan, screen on vs off: the verdict screen must
+    // ride the existing scans as a per-row filter — identical exchange
+    // count, no added join
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def plan(sd: Option[Int]): String =
+      graft.ops.Ann.ivfTopK(spark, qs, emb, k = 5, nprobe = 2,
+        exactArith = true, screenDim = sd).queryExecution.executedPlan.toString
+    def exchanges(p: String) = "Exchange".r.findAllIn(p).size
+    def joins(p: String) = "Join".r.findAllIn(p).size
+    val (on, off) = (plan(Some(64)), plan(None))
+    assert(exchanges(on) == exchanges(off),
+      s"screen added a shuffle: ${exchanges(on)} vs ${exchanges(off)}")
+    assert(joins(on) == joins(off), "screen added a join")
   }
 
   test("q_edit_distance broadcasts the self-join side (no SMJ duplicate-key buffering)") {
