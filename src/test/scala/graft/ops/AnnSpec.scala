@@ -44,6 +44,27 @@ class AnnSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("bruteTopK with screenDim drops degenerate vectors and keeps results exact") {
+    // hostile corpus rows: a NaN vector (must be screened out of the
+    // neighbor set) and a wrong-dimension vector (dim_mismatch)
+    val hostile = spark.sql(
+      """SELECT CAST(8000002 AS BIGINT) AS vec_id,
+        |  transform(sequence(1, 64), i -> CAST(CASE WHEN i = 1 THEN 'NaN' ELSE '1.0' END AS FLOAT)) AS embedding,
+        |  2 AS label
+        |UNION ALL
+        |SELECT CAST(8000008 AS BIGINT),
+        |  transform(sequence(1, 3), i -> CAST('1.0' AS FLOAT)), 8""".stripMargin)
+    val corpus = hostile.unionByName(emb.filter(col("vec_id") < 100))
+    val screened = Ann.bruteTopK(queries, corpus, k = 5, screenDim = Some(64)).collect()
+    val clean = Ann.bruteTopK(queries, emb.filter(col("vec_id") < 100), k = 5).collect()
+    // no degenerate vector survives into any top-k…
+    assert(!screened.exists(r => r.getLong(2) >= 8000000L))
+    // …and on the surviving clean rows the results are identical to the
+    // hostile-free run (the screen only removes, never perturbs)
+    assert(screened.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet ==
+      clean.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+  }
+
   test("ivf with nprobe=2 searches only probed cells") {
     val res = Ann.ivfTopK(spark, queries, emb, k = 5, nprobe = 2)
     val withLabel = res.join(emb.select(col("vec_id").as("neighbor"), col("label")), "neighbor")
