@@ -24,24 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object DedupState {
 
-  /** Key hash with an optional NFC pre-pass: with `nfc = true` every
-    * STRING key column is unicode-normalized (the codegen'd
-    * [[graft.functions.UnicodeNormalize]] kernel) before hashing, so
-    * byte-distinct, render-identical spellings of the same text (composed
-    * vs decomposed é, mark order, compatibility singletons — the
-    * q_unicode_dedup classes) dedup as ONE key. Raw-byte identity stays
-    * the default: which equivalence a pipeline dedups under is a contract
-    * the caller must choose knowingly. Non-string keys pass through
-    * unchanged either way.
+  /** Key hash = [[Identity.contentHash]] (ONE content-identity
+    * implementation in the engine, gated by q_dedup_nfc /
+    * q_class_roundtrip). `nfc = true` dedups under NFC text identity —
+    * see contentHash's scaladoc for the equivalence contract.
     */
-  private def hashCol(df: DataFrame, cols: Seq[String], nfc: Boolean) = {
-    val keys = cols.map { c =>
-      if (nfc && df.schema(c).dataType == org.apache.spark.sql.types.StringType)
-        call_function("unicode_normalize", col(c), lit("NFC")).as(c)
-      else col(c)
-    }
-    sha2(to_json(struct(keys: _*)), 256)
-  }
+  private def hashCol(df: DataFrame, cols: Seq[String], nfc: Boolean) =
+    Identity.contentHash(df, cols, nfc)
 
   /** Rows of `df` whose key-hash is NOT in the state table. Also drops
     * in-batch duplicates (keep-any via dropDuplicates on the hash — the
@@ -51,7 +40,6 @@ object DedupState {
     */
   def filterNew(spark: SparkSession, df: DataFrame, statePath: String, keyCols: Seq[String],
                 nfc: Boolean = false): DataFrame = {
-    if (nfc) graft.functions.GraftFunctions.register(spark)
     val withHash = df.withColumn("__state_hash", hashCol(df, keyCols, nfc))
       .dropDuplicates("__state_hash")
     val out =
@@ -67,11 +55,9 @@ object DedupState {
     * read-modify-write of a single object).
     */
   def commit(spark: SparkSession, df: DataFrame, statePath: String, keyCols: Seq[String],
-             nfc: Boolean = false): Unit = {
-    if (nfc) graft.functions.GraftFunctions.register(spark)
+             nfc: Boolean = false): Unit =
     df.select(hashCol(df, keyCols, nfc).as("seen_hash")).distinct()
       .write.mode(SaveMode.Append).parquet(statePath)
-  }
 
   def stateSize(spark: SparkSession, statePath: String): Long =
     if (exists(spark, statePath)) spark.read.parquet(statePath).count() else 0L

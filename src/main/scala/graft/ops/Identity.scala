@@ -19,14 +19,29 @@ object Identity {
     * empty). to_json(struct(...)) preserves field order as given, so the
     * canonical form is stable under column reordering at call sites that
     * pass explicit names. Codegen'd end-to-end.
+    *
+    * `nfc = true` unicode-normalizes every STRING column (the codegen'd
+    * [[graft.functions.UnicodeNormalize]] kernel) before hashing, so
+    * byte-distinct render-identical spellings share an identity — the
+    * q_unicode_dedup classes. This is THE content-hash implementation:
+    * [[DedupState]] builds its state keys here, so the q_dedup_nfc gate
+    * covers this code path end-to-end. Raw bytes stay the default; which
+    * equivalence an identity dedups under is a caller contract.
     */
-  def contentHash(df: DataFrame, cols: Seq[String] = Nil): Column = {
-    val fields = (if (cols.isEmpty) df.columns.toSeq else cols).map(df.col)
+  def contentHash(df: DataFrame, cols: Seq[String] = Nil, nfc: Boolean = false): Column = {
+    if (nfc) graft.functions.GraftFunctions.register(df.sparkSession)
+    val names = if (cols.isEmpty) df.columns.toSeq else cols
+    val fields = names.map { c =>
+      if (nfc && df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+        call_function("unicode_normalize", df.col(c), lit("NFC")).as(c)
+      else df.col(c)
+    }
     sha2(to_json(struct(fields: _*)), 256)
   }
 
-  def withIdentity(df: DataFrame, idCol: String = "identity", cols: Seq[String] = Nil): DataFrame =
-    df.withColumn(idCol, contentHash(df, cols))
+  def withIdentity(df: DataFrame, idCol: String = "identity", cols: Seq[String] = Nil,
+                   nfc: Boolean = false): DataFrame =
+    df.withColumn(idCol, contentHash(df, cols, nfc))
 
   /** Globally unique id (the reference's uuid4 tail) — explicitly NOT a
     * content hash. */

@@ -1226,14 +1226,24 @@ object StreamingQueries {
     * the engine's restart honors the reference's exactly-once ETLState
     * contract (bert/etl/__init__.py:24-84) at the sink.
     */
-  private[queries] def streamRecoveryRun(s: SparkSession, dir: String): (DataFrame, RecoveryEvidence) = {
-    val staged = stageBatches(s, "recovery", recoveryRows)
-    val src = java.nio.file.Files.createTempDirectory(ckptRoot(s), "recovery_src")
-    val ckptDir = java.nio.file.Files.createTempDirectory(ckptRoot(s), "recovery_ckpt")
+  /** The stop/restart machinery shared by the crash-recovery gates: stage
+    * all batches, expose only those with batch id ≤ `phase1MaxBatch`, run
+    * `build`'s streaming query to completion (AvailableNow) against a
+    * REUSED checkpoint + transactional parquet sink, expose the rest,
+    * run a SECOND query from the same checkpoint, and return the sink
+    * readback (which honors the sink's `_spark_metadata` manifest) plus
+    * the two runs' identities.
+    */
+  private def recoveryHarness(s: SparkSession, tag: String,
+      rows: Seq[(Int, Int, Long)], phase1MaxBatch: Int,
+      build: DataFrame => DataFrame): (DataFrame, RecoveryEvidence) = {
+    val staged = stageBatches(s, tag, rows)
+    val src = java.nio.file.Files.createTempDirectory(ckptRoot(s), s"${tag}_rsrc")
+    val ckptDir = java.nio.file.Files.createTempDirectory(ckptRoot(s), s"${tag}_rckpt")
     // the sink outlives this call (the returned frame reads it lazily) —
     // root it on disk tmp, not the tmpfs checkpoint root
     val sinkDir = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), "recovery_sink")
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), s"${tag}_rsink")
     def moveIn(b: Int): Unit = {
       val f = staged.resolve(f"b$b.parquet")
       val dst = src.resolve(f"b$b.parquet")
@@ -1243,18 +1253,13 @@ object StreamingQueries {
       ()
     }
     def runOnce(): (String, Seq[Long]) = {
-      val agg = s.readStream.schema(stagedSchema)
-        .option("maxFilesPerTrigger", "1").parquet(src.toString)
-        .withWatermark("ts", "30 minutes")
-        .groupBy(window(col("ts"), "1 hour").as("w"))
-        .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sum_v"))
-        .select(unix_micros(col("w.start")).as("window_start_us"),
-          col("n_events"), col("sum_v"))
-      analyzedPlans("graft_stream_recovery") = agg.queryExecution.analyzed
+      val out = build(s.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString))
+      analyzedPlans(s"graft_$tag") = out.queryExecution.analyzed
       val prevWidth = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        val q = agg.writeStream.outputMode("append").format("parquet")
+        val q = out.writeStream.outputMode("append").format("parquet")
           .option("path", sinkDir.toString)
           .option("checkpointLocation", ckptDir.toString)
           .trigger(Trigger.AvailableNow())
@@ -1263,18 +1268,77 @@ object StreamingQueries {
         (q.runId.toString, q.recentProgress.map(_.batchId).toSeq)
       } finally s.conf.set("spark.sql.shuffle.partitions", prevWidth)
     }
+    val batches = rows.map(_._1).distinct.sorted
     try {
-      moveIn(0); moveIn(1)
+      batches.filter(_ <= phase1MaxBatch).foreach(moveIn)
       val (run1, b1) = runOnce()
-      moveIn(2); moveIn(3)
+      batches.filter(_ > phase1MaxBatch).foreach(moveIn)
       val (run2, b2) = runOnce()
       (s.read.parquet(sinkDir.toString),
         RecoveryEvidence(Seq(run1, run2), b1, b2))
     } finally { rmTree(staged); rmTree(src); rmTree(ckptDir) }
   }
 
+  private[queries] def streamRecoveryRun(s: SparkSession, dir: String): (DataFrame, RecoveryEvidence) =
+    recoveryHarness(s, "stream_recovery", recoveryRows, phase1MaxBatch = 1, src =>
+      src.withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sum_v"))
+        .select(unix_micros(col("w.start")).as("window_start_us"),
+          col("n_events"), col("sum_v")))
+
   def qStreamRecovery(s: SparkSession, dir: String): DataFrame =
     streamRecoveryRun(s, dir)._1
+
+  /** (micro-batch, minute-of-day, id) for the dedup-state recovery gate:
+    * id=1 is sent in batch 0 (pre-stop) and RE-SENT in batch 2 (post-
+    * restart, different event time 610 vs 600, within the watermark) —
+    * dropping it requires the dedup state store to have survived the
+    * restart. The 2-hour delay keeps every key's state alive through the
+    * final watermark (680 < the earliest expiry 840), so unlike
+    * q_stream_dedup_expiry nothing is legitimately re-emittable: the sink
+    * must hold each id EXACTLY once, at its first-occurrence event time.
+    */
+  private val recoveryDedupRows: Seq[(Int, Int, Long)] = Seq(
+    (0, 600, 1L), (0, 605, 2L),
+    (1, 700, 3L),
+    (2, 610, 1L), (2, 710, 4L),
+    (3, 800, 5L))
+
+  /** The crash-recovery gate for the OTHER stateful store (r13):
+    * q_stream_recovery pins windowed-aggregation state across a
+    * stop/restart; this pins `dropDuplicatesWithinWatermark` state — the
+    * streaming twin of the reference's ETLState exactly-once contract
+    * (bert/etl/__init__.py:24-84). Run 2 replays a pre-stop id from the
+    * restored state: a fresh-state restart would emit id=1 twice (the
+    * exact failure the reference's S3-document state had on concurrent
+    * runs, SURVEY §1.4), a lost watermark would change nothing here (the
+    * probe isolates STATE, where the agg gate's probe mixes both).
+    * Evidence of the actual stop/restart is pinned in InvariantsSpec via
+    * [[RecoveryEvidence]], as for q_stream_recovery.
+    */
+  private[queries] def streamRecoveryDedupRun(s: SparkSession, dir: String): (DataFrame, RecoveryEvidence) =
+    recoveryHarness(s, "stream_recovery_dedup", recoveryDedupRows, phase1MaxBatch = 1, src =>
+      src.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("v")
+        .select(unix_micros(col("ts")).as("us"), col("v").as("id")))
+
+  def qStreamRecoveryDedup(s: SparkSession, dir: String): DataFrame =
+    streamRecoveryDedupRun(s, dir)._1
+
+  /** Replay: each id exactly once at its FIRST (batch, event-time)
+    * occurrence — the duplicate's later timestamp must never surface.
+    */
+  val qStreamRecoveryDedupSql: String = {
+    val vals = recoveryDedupRows.map { case (b, m, v) =>
+      s"($b, ${lateBaseUs + m * 60000000L}, $v)"
+    }.mkString(", ")
+    s"""WITH raw(b, us, v) AS (SELECT * FROM (VALUES $vals)),
+       |ranked AS (SELECT b, us, v,
+       |    ROW_NUMBER() OVER (PARTITION BY v ORDER BY b, us) AS rn FROM raw)
+       |SELECT CAST(us AS BIGINT) AS us, CAST(v AS BIGINT) AS id
+       |FROM ranked WHERE rn = 1""".stripMargin
+  }
 
   /** Generic replay: per-window totals over ALL rows, emission capped at
     * the final watermark (no row in this slice is late-dropped, so the
@@ -1296,6 +1360,7 @@ object StreamingQueries {
 
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_stream_recovery" -> ((qStreamRecovery _, Some(qStreamRecoverySql))),
+    "q_stream_recovery_dedup" -> ((qStreamRecoveryDedup _, Some(qStreamRecoveryDedupSql))),
     "q_stream_late" -> ((qStreamLate _, Some(qStreamLateSql))),
     "q_stream_outer" -> ((qStreamOuter _, Some(qStreamOuterSql))),
     "q_stream_timeout" -> ((qStreamTimeout _, Some(qStreamTimeoutSql))),

@@ -981,6 +981,21 @@ class InvariantsSpec extends SparkSpec {
     assert(rows.length == 2, "no window emitted twice")
   }
 
+  test("q_stream_recovery_dedup: dedup state survives the restart (exactly-once ids)") {
+    val (df, ev) = StreamingQueries.streamRecoveryDedupRun(spark, sfDir)
+    assert(ev.runIds.distinct.size == 2, s"runIds: ${ev.runIds}")
+    assert(ev.run2Batches.min > ev.run1Batches.max,
+      s"batch ids must continue: ${ev.run1Batches} then ${ev.run2Batches}")
+    val base = 1704067200000000L
+    def us(minute: Int) = base + minute * 60000000L
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // each id once, at its FIRST event time — id=1's post-restart replay
+    // (minute 610) must be swallowed by the RESTORED dedup state
+    assert(rows.toSet == Set((us(600), 1L), (us(605), 2L), (us(700), 3L),
+      (us(710), 4L), (us(800), 5L)), rows.toSeq)
+    assert(rows.length == 5, "a replayed id was re-emitted: state lost on restart")
+  }
+
   test("q_stream_late: the two-watermark algebra emits exactly the planted survivors") {
     // Every value is a power of two, so each sum uniquely decodes the set
     // of rows that survived the late filter — see qStreamLate's scaladoc
