@@ -1234,27 +1234,33 @@ object StreamingQueries {
     * readback (which honors the sink's `_spark_metadata` manifest) plus
     * the two runs' identities.
     */
-  private def recoveryHarness(s: SparkSession, tag: String,
-      rows: Seq[(Int, Int, Long)], phase1MaxBatch: Int,
-      build: DataFrame => DataFrame): (DataFrame, RecoveryEvidence) = {
-    val staged = stageBatches(s, tag, rows)
-    val src = java.nio.file.Files.createTempDirectory(ckptRoot(s), s"${tag}_rsrc")
+  /** Multi-source generalization: one staged file-source per (subTag,
+    * rows) pair, all advancing in LOCKSTEP (every batch id present on
+    * every side, maxFilesPerTrigger=1, fixed mtimes — the q_stream_outer
+    * staging discipline), one checkpoint, one transactional sink.
+    */
+  private def recoveryHarnessN(s: SparkSession, tag: String,
+      sources: Seq[(String, Seq[(Int, Int, Long)])], phase1MaxBatch: Int,
+      build: Seq[DataFrame] => DataFrame): (DataFrame, RecoveryEvidence) = {
+    val stagedAll = sources.map { case (sub, rows) => (stageBatches(s, s"${tag}_$sub", rows), rows) }
+    val srcs = sources.map { case (sub, _) =>
+      java.nio.file.Files.createTempDirectory(ckptRoot(s), s"${tag}_${sub}_rsrc") }
     val ckptDir = java.nio.file.Files.createTempDirectory(ckptRoot(s), s"${tag}_rckpt")
     // the sink outlives this call (the returned frame reads it lazily) —
     // root it on disk tmp, not the tmpfs checkpoint root
     val sinkDir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), s"${tag}_rsink")
-    def moveIn(b: Int): Unit = {
-      val f = staged.resolve(f"b$b.parquet")
-      val dst = src.resolve(f"b$b.parquet")
+    def moveIn(i: Int, b: Int): Unit = {
+      val f = stagedAll(i)._1.resolve(f"b$b.parquet")
+      val dst = srcs(i).resolve(f"b$b.parquet")
       val t = java.nio.file.Files.getLastModifiedTime(f)
       java.nio.file.Files.move(f, dst)
       java.nio.file.Files.setLastModifiedTime(dst, t)
       ()
     }
     def runOnce(): (String, Seq[Long]) = {
-      val out = build(s.readStream.schema(stagedSchema)
-        .option("maxFilesPerTrigger", "1").parquet(src.toString))
+      val out = build(srcs.map(src => s.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)))
       analyzedPlans(s"graft_$tag") = out.queryExecution.analyzed
       val prevWidth = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1268,16 +1274,25 @@ object StreamingQueries {
         (q.runId.toString, q.recentProgress.map(_.batchId).toSeq)
       } finally s.conf.set("spark.sql.shuffle.partitions", prevWidth)
     }
-    val batches = rows.map(_._1).distinct.sorted
     try {
-      batches.filter(_ <= phase1MaxBatch).foreach(moveIn)
+      stagedAll.zipWithIndex.foreach { case ((_, rows), i) =>
+        rows.map(_._1).distinct.sorted.filter(_ <= phase1MaxBatch).foreach(moveIn(i, _)) }
       val (run1, b1) = runOnce()
-      batches.filter(_ > phase1MaxBatch).foreach(moveIn)
+      stagedAll.zipWithIndex.foreach { case ((_, rows), i) =>
+        rows.map(_._1).distinct.sorted.filter(_ > phase1MaxBatch).foreach(moveIn(i, _)) }
       val (run2, b2) = runOnce()
       (s.read.parquet(sinkDir.toString),
         RecoveryEvidence(Seq(run1, run2), b1, b2))
-    } finally { rmTree(staged); rmTree(src); rmTree(ckptDir) }
+    } finally {
+      stagedAll.foreach(p => rmTree(p._1)); srcs.foreach(rmTree); rmTree(ckptDir)
+    }
   }
+
+  private def recoveryHarness(s: SparkSession, tag: String,
+      rows: Seq[(Int, Int, Long)], phase1MaxBatch: Int,
+      build: DataFrame => DataFrame): (DataFrame, RecoveryEvidence) =
+    recoveryHarnessN(s, tag, Seq(("src", rows)), phase1MaxBatch,
+      dfs => build(dfs.head))
 
   private[queries] def streamRecoveryRun(s: SparkSession, dir: String): (DataFrame, RecoveryEvidence) =
     recoveryHarness(s, "stream_recovery", recoveryRows, phase1MaxBatch = 1, src =>
@@ -1326,6 +1341,69 @@ object StreamingQueries {
   def qStreamRecoveryDedup(s: SparkSession, dir: String): DataFrame =
     streamRecoveryDedupRun(s, dir)._1
 
+  /** LEFT rows (batch, minute, id) for the join-state recovery gate. */
+  private val recoveryJoinL: Seq[(Int, Int, Long)] = Seq(
+    (0, 600, 1L), (0, 605, 2L),
+    (1, 700, 3L),
+    (2, 710, 4L),
+    (3, 900, 9L))
+
+  /** RIGHT rows — id 3's right row arrives POST-restart (batch 2) while
+    * its left partner (700) arrived PRE-stop (batch 1): the match can
+    * only emit from RESTORED join buffer state. */
+  private val recoveryJoinR: Seq[(Int, Int, Long)] = Seq(
+    (0, 602, 1L),
+    (1, 640, 2L),
+    (2, 705, 3L), (2, 715, 4L),
+    (3, 901, 8L))
+
+  /** The third stateful store across a stop/restart (r13 triptych:
+    * windowed-agg state → q_stream_recovery, dedup state →
+    * q_stream_recovery_dedup, and here the stream-stream JOIN buffer):
+    * an event-time-range inner join (r.ts ∈ [l.ts, l.ts + 1h], both
+    * sides watermarked 30 min) runs on batches 0-1, stops, and restarts
+    * on batches 2-3 from the same checkpoint. Pins: the id-3 pair joins
+    * ACROSS the restart (its left row was buffered pre-stop — a
+    * fresh-state restart silently loses the match, the worst failure
+    * mode because nothing crashes); pre-stop matches (ids 1, 2) are not
+    * re-emitted through the sink manifest; the same-run post-restart
+    * match (id 4) and the unmatched boundary rows (9 left / 8 right)
+    * behave as in a single run. The oracle replays the whole join
+    * batch-obliviously — for an INNER join with no late-dropped rows,
+    * single-run replay ≡ exactly-once two-run union, and that equality
+    * IS the gate.
+    */
+  private[queries] def streamRecoveryJoinRun(s: SparkSession, dir: String): (DataFrame, RecoveryEvidence) =
+    recoveryHarnessN(s, "stream_recovery_join",
+      Seq(("l", recoveryJoinL), ("r", recoveryJoinR)), phase1MaxBatch = 1, {
+        case Seq(l, r) =>
+          val lw = l.withWatermark("ts", "30 minutes")
+            .select(col("ts").as("l_ts"), col("v").as("id"))
+          val rw = r.withWatermark("ts", "30 minutes")
+            .select(col("ts").as("r_ts"), col("v").as("r_id"))
+          lw.join(rw, col("id") === col("r_id") &&
+              col("r_ts") >= col("l_ts") &&
+              col("r_ts") <= col("l_ts") + expr("interval 1 hour"))
+            .select(col("id"), unix_micros(col("l_ts")).as("l_us"),
+              unix_micros(col("r_ts")).as("r_us"))
+        case dfs => throw new IllegalStateException(s"expected 2 sources, got ${dfs.size}")
+      })
+
+  def qStreamRecoveryJoin(s: SparkSession, dir: String): DataFrame =
+    streamRecoveryJoinRun(s, dir)._1
+
+  val qStreamRecoveryJoinSql: String = {
+    def vals(rows: Seq[(Int, Int, Long)]) = rows.map { case (b, m, v) =>
+      s"($b, ${lateBaseUs + m * 60000000L}, $v)"
+    }.mkString(", ")
+    s"""WITH lraw(b, us, v) AS (SELECT * FROM (VALUES ${vals(recoveryJoinL)})),
+       |rraw(b, us, v) AS (SELECT * FROM (VALUES ${vals(recoveryJoinR)}))
+       |SELECT CAST(l.v AS BIGINT) AS id, CAST(l.us AS BIGINT) AS l_us,
+       |  CAST(r.us AS BIGINT) AS r_us
+       |FROM lraw l JOIN rraw r ON l.v = r.v
+       |  AND r.us >= l.us AND r.us <= l.us + 3600000000""".stripMargin
+  }
+
   /** Replay: each id exactly once at its FIRST (batch, event-time)
     * occurrence — the duplicate's later timestamp must never surface.
     */
@@ -1361,6 +1439,7 @@ object StreamingQueries {
   def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_stream_recovery" -> ((qStreamRecovery _, Some(qStreamRecoverySql))),
     "q_stream_recovery_dedup" -> ((qStreamRecoveryDedup _, Some(qStreamRecoveryDedupSql))),
+    "q_stream_recovery_join" -> ((qStreamRecoveryJoin _, Some(qStreamRecoveryJoinSql))),
     "q_stream_late" -> ((qStreamLate _, Some(qStreamLateSql))),
     "q_stream_outer" -> ((qStreamOuter _, Some(qStreamOuterSql))),
     "q_stream_timeout" -> ((qStreamTimeout _, Some(qStreamTimeoutSql))),

@@ -996,6 +996,23 @@ class InvariantsSpec extends SparkSpec {
     assert(rows.length == 5, "a replayed id was re-emitted: state lost on restart")
   }
 
+  test("q_stream_recovery_join: the join buffer survives the restart (cross-restart match)") {
+    val (df, ev) = StreamingQueries.streamRecoveryJoinRun(spark, sfDir)
+    assert(ev.runIds.distinct.size == 2, s"runIds: ${ev.runIds}")
+    assert(ev.run2Batches.min > ev.run1Batches.max,
+      s"batch ids must continue: ${ev.run1Batches} then ${ev.run2Batches}")
+    val base = 1704067200000000L
+    def us(minute: Int) = base + minute * 60000000L
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // id 3 is THE probe: left row buffered pre-stop, right row arrives
+    // post-restart — its presence proves the join state store was
+    // restored (a fresh-state restart loses it silently, nothing crashes)
+    assert(rows.toSet == Set(
+      (1L, us(600), us(602)), (2L, us(605), us(640)),
+      (3L, us(700), us(705)), (4L, us(710), us(715))), rows.toSeq)
+    assert(rows.length == 4, "a pre-stop match was re-emitted or a probe duplicated")
+  }
+
   test("q_stream_late: the two-watermark algebra emits exactly the planted survivors") {
     // Every value is a power of two, so each sum uniquely decodes the set
     // of rows that survived the late filter — see qStreamLate's scaladoc
