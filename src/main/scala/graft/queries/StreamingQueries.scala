@@ -1341,6 +1341,62 @@ object StreamingQueries {
   def qStreamRecoveryDedup(s: SparkSession, dir: String): DataFrame =
     streamRecoveryDedupRun(s, dir)._1
 
+  /** (batch, minute, v) for the custom-state recovery gate; key = v % 2.
+    * Batches 2-3 (post-restart) emit per-key CUMULATIVE snapshots that
+    * can only be right if the arbitrary GroupState survived the restart:
+    * k0 reaches (n=3, sum=14) and k1 (n=2, sum=4) only by adding run-2
+    * rows onto run-1 state. */
+  private val recoveryStateRows: Seq[(Int, Int, Long)] = Seq(
+    (0, 600, 1L), (0, 605, 2L),
+    (1, 700, 4L),
+    (2, 710, 8L),
+    (3, 800, 3L))
+
+  /** The FOURTH stateful store across a stop/restart — arbitrary
+    * user-defined GroupState (flatMapGroupsWithState), completing the
+    * recovery coverage of every stateful streaming operator family this
+    * engine ships (windowed agg / dedup / join buffer / custom state).
+    * Each micro-batch emits the touched key's cumulative (n, sum)
+    * snapshot; the emission log is deterministic (one row per touched
+    * (batch, key), all tuples distinct), and the post-restart snapshots
+    * are unforgeable proof the serialized state round-tripped the
+    * checkpoint — the D9 restart contract for the reference's
+    * accumulate-forever ETLState semantics (bert/etl/__init__.py:24-84).
+    * The oracle replays per-(batch, key) running totals in batch order.
+    */
+  private[queries] def streamRecoveryStateRun(s: SparkSession, dir: String): (DataFrame, RecoveryEvidence) = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    recoveryHarness(s, "stream_recovery_state", recoveryStateRows, phase1MaxBatch = 1, src =>
+      src.select(unix_micros(col("ts")).as("us"), col("v")).as[(Long, Long)]
+        .groupByKey(_._2 % 2)
+        .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (k: Long, rows: Iterator[(Long, Long)], st: GroupState[(Long, Long)]) =>
+            var (n, sum) = st.getOption.getOrElse((0L, 0L))
+            rows.foreach { case (_, v) => n += 1; sum += v }
+            st.update((n, sum))
+            Iterator((k, n, sum))
+        }
+        .toDF("key", "n", "sum_v"))
+  }
+
+  def qStreamRecoveryState(s: SparkSession, dir: String): DataFrame =
+    streamRecoveryStateRun(s, dir)._1
+
+  val qStreamRecoveryStateSql: String = {
+    val vals = recoveryStateRows.map { case (b, m, v) =>
+      s"($b, ${lateBaseUs + m * 60000000L}, $v)"
+    }.mkString(", ")
+    s"""WITH raw(b, us, v) AS (SELECT * FROM (VALUES $vals)),
+       |per AS (SELECT v % 2 AS k, b, COUNT(*) AS nb, SUM(v) AS sb
+       |        FROM raw GROUP BY 1, 2)
+       |SELECT CAST(k AS BIGINT) AS key,
+       |  CAST(SUM(nb) OVER (PARTITION BY k ORDER BY b) AS BIGINT) AS n,
+       |  CAST(SUM(sb) OVER (PARTITION BY k ORDER BY b) AS BIGINT) AS sum_v
+       |FROM per""".stripMargin
+  }
+
   /** LEFT rows (batch, minute, id) for the join-state recovery gate. */
   private val recoveryJoinL: Seq[(Int, Int, Long)] = Seq(
     (0, 600, 1L), (0, 605, 2L),
@@ -1440,6 +1496,7 @@ object StreamingQueries {
     "q_stream_recovery" -> ((qStreamRecovery _, Some(qStreamRecoverySql))),
     "q_stream_recovery_dedup" -> ((qStreamRecoveryDedup _, Some(qStreamRecoveryDedupSql))),
     "q_stream_recovery_join" -> ((qStreamRecoveryJoin _, Some(qStreamRecoveryJoinSql))),
+    "q_stream_recovery_state" -> ((qStreamRecoveryState _, Some(qStreamRecoveryStateSql))),
     "q_stream_late" -> ((qStreamLate _, Some(qStreamLateSql))),
     "q_stream_outer" -> ((qStreamOuter _, Some(qStreamOuterSql))),
     "q_stream_timeout" -> ((qStreamTimeout _, Some(qStreamTimeoutSql))),

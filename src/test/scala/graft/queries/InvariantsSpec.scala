@@ -1013,6 +1013,23 @@ class InvariantsSpec extends SparkSpec {
     assert(rows.length == 4, "a pre-stop match was re-emitted or a probe duplicated")
   }
 
+  test("q_stream_recovery_state: arbitrary GroupState round-trips the checkpoint") {
+    val (df, ev) = StreamingQueries.streamRecoveryStateRun(spark, sfDir)
+    assert(ev.runIds.distinct.size == 2, s"runIds: ${ev.runIds}")
+    assert(ev.run2Batches.min > ev.run1Batches.max,
+      s"batch ids must continue: ${ev.run1Batches} then ${ev.run2Batches}")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // post-restart snapshots are cumulative OVER run-1 state: k0 (n=3,
+    // sum=14) and k1 (n=2, sum=4) are only reachable by adding run-2 rows
+    // onto restored run-1 counters — fresh state would emit (1,8)/(1,3)
+    assert(rows.toSet == Set(
+      (1L, 1L, 1L), (0L, 1L, 2L),   // batch 0
+      (0L, 2L, 6L),                 // batch 1 (pre-stop)
+      (0L, 3L, 14L),                // batch 2 (post-restart, cumulative)
+      (1L, 2L, 4L)), rows.toSeq)    // batch 3 (post-restart, cumulative)
+    assert(rows.length == 5, "emission log: one row per touched (batch, key)")
+  }
+
   test("q_stream_late: the two-watermark algebra emits exactly the planted survivors") {
     // Every value is a power of two, so each sum uniquely decodes the set
     // of rows that survived the late filter — see qStreamLate's scaladoc
