@@ -139,6 +139,14 @@ object Ann {
     * narrow per-row filter on each side — no shuffle, pushed to the scans.
     * Queries carry their vector as `q_emb` (the ivfTopK/bruteTopK column
     * convention).
+    *
+    * Cost honesty: the filter re-evaluates PER CONSUMER SCAN — ivfTopK
+    * reads the corpus twice (centroid build + probe equi-join), so every
+    * surviving row pays the verdict's exact-decimal self dot product
+    * twice. For one-shot screening that is the right trade (no
+    * materialization); a pipeline running MANY ANN queries over one
+    * untrusted corpus should instead persist the screened corpus once
+    * upstream (filter + write, DedupState-style) and run unscreened here.
     */
   private def screened(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
                        embCol: String, screenDim: Option[Int]): (DataFrame, DataFrame) =

@@ -690,9 +690,9 @@ object HostileCorpusQueries {
         .unionByName(real.filter(col("doc_id") >= 25 && col("doc_id") < 50)))
     // real parquet state, one per equivalence contract (mixing them is
     // the bug the scaladoc warns about). The dirs outlive this call —
-    // the returned frame reads them lazily when the driver writes it.
-    val root = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), "dedup_nfc_")
+    // the returned frame reads them lazily when the driver writes it —
+    // and are reaped by Scratch's shutdown hook at JVM exit.
+    val root = graft.ops.Scratch.dir("dedup_nfc_")
     val nfcState = root.resolve("nfc").toString
     val rawState = root.resolve("raw").toString
     DedupState.commit(s, batch1, nfcState, Seq("text"), nfc = true)
@@ -789,38 +789,11 @@ object HostileCorpusQueries {
     nfcPairs.unionByName(rawPairs)
   }
 
-  /** One full MinHash-LSH replay (the qMinhashLshSql pipeline) as a CTE
-    * chain under prefix `p`, shingling `textExpr` over docs CTE `docsCte`.
-    */
-  private def duckMinhashCtes(p: String, docsCte: String, textExpr: String): String = {
-    val hashes = (0 until 8).map(i =>
-      s"min(md5('$i:' || shingle)) AS h$i").mkString(",\n       |  ")
-    s"""${p}t AS (SELECT doc_id, string_split($textExpr, ' ') AS tk FROM $docsCte
-       |          WHERE len(string_split($textExpr, ' ')) >= 3),
-       |${p}sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
-       |           FROM ${p}t, UNNEST(range(1, len(tk)-1)) AS u(i)),
-       |${p}sig AS (SELECT doc_id,
-       |  $hashes
-       |  FROM ${p}sh GROUP BY doc_id),
-       |${p}bands AS (
-       |  SELECT doc_id, 0 AS band, h0||h1 AS bkey FROM ${p}sig UNION ALL
-       |  SELECT doc_id, 1, h2||h3 FROM ${p}sig UNION ALL
-       |  SELECT doc_id, 2, h4||h5 FROM ${p}sig UNION ALL
-       |  SELECT doc_id, 3, h6||h7 FROM ${p}sig),
-       |${p}cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |             FROM ${p}bands x JOIN ${p}bands y ON x.band = y.band AND x.bkey = y.bkey
-       |             WHERE x.doc_id < y.doc_id),
-       |${p}inter AS (SELECT doc_a, doc_b, count(*) AS inter
-       |              FROM ${p}cand JOIN ${p}sh sa ON doc_a = sa.doc_id
-       |              JOIN ${p}sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
-       |              GROUP BY doc_a, doc_b),
-       |${p}sizes AS (SELECT doc_id, count(*) AS n_sh FROM ${p}sh GROUP BY doc_id),
-       |${p}pairs AS (SELECT doc_a, doc_b,
-       |                CAST(inter AS DOUBLE) / (za.n_sh + zb.n_sh - inter) AS jaccard
-       |              FROM ${p}inter JOIN ${p}sizes za ON doc_a = za.doc_id
-       |              JOIN ${p}sizes zb ON doc_b = zb.doc_id
-       |              WHERE CAST(inter AS DOUBLE) / (za.n_sh + zb.n_sh - inter) >= 0.8)""".stripMargin
-  }
+  // The MinHash-LSH DuckDB replay is the SHARED spelling in
+  // SimilarityQueries.duckMinhashCtes — one source of truth with
+  // q_minhash_lsh, so a banding-parameter change cannot fork the oracles.
+  private def duckMinhashCtes(p: String, docsCte: String, textExpr: String): String =
+    SimilarityQueries.duckMinhashCtes(p, docsCte, textExpr)
 
   val qShingleNfcSql: String =
     s"""WITH docs_s AS (

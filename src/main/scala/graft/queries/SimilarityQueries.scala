@@ -129,35 +129,47 @@ object SimilarityQueries {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** ONE DuckDB spelling of the whole MinHash-LSH replay (the
+    * minhashPairs pipeline: word-3-shingles, 8 md5 permutation-mins,
+    * 4 bands × 2 rows, exact-Jaccard verify at 0.8) as a CTE chain under
+    * prefix `p`, shingling `textExpr` over docs relation `docsCte` —
+    * shared by q_minhash_lsh and the hostile/NFC gates so a banding-
+    * parameter change cannot silently fork the oracles. The final CTE is
+    * `${p}pairs(doc_a, doc_b, jaccard)`.
+    */
+  private[queries] def duckMinhashCtes(p: String, docsCte: String, textExpr: String): String = {
+    val hashes = (0 until 8).map(i =>
+      s"min(md5('$i:' || shingle)) AS h$i").mkString(",\n       |  ")
+    s"""${p}t AS (SELECT doc_id, string_split($textExpr, ' ') AS tk FROM $docsCte
+       |          WHERE len(string_split($textExpr, ' ')) >= 3),
+       |${p}sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+       |           FROM ${p}t, UNNEST(range(1, len(tk)-1)) AS u(i)),
+       |${p}sig AS (SELECT doc_id,
+       |  $hashes
+       |  FROM ${p}sh GROUP BY doc_id),
+       |${p}bands AS (
+       |  SELECT doc_id, 0 AS band, h0||h1 AS bkey FROM ${p}sig UNION ALL
+       |  SELECT doc_id, 1, h2||h3 FROM ${p}sig UNION ALL
+       |  SELECT doc_id, 2, h4||h5 FROM ${p}sig UNION ALL
+       |  SELECT doc_id, 3, h6||h7 FROM ${p}sig),
+       |${p}cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |             FROM ${p}bands x JOIN ${p}bands y ON x.band = y.band AND x.bkey = y.bkey
+       |             WHERE x.doc_id < y.doc_id),
+       |${p}inter AS (SELECT doc_a, doc_b, count(*) AS inter
+       |              FROM ${p}cand JOIN ${p}sh sa ON doc_a = sa.doc_id
+       |              JOIN ${p}sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+       |              GROUP BY doc_a, doc_b),
+       |${p}sizes AS (SELECT doc_id, count(*) AS n_sh FROM ${p}sh GROUP BY doc_id),
+       |${p}pairs AS (SELECT doc_a, doc_b,
+       |                CAST(inter AS DOUBLE) / (za.n_sh + zb.n_sh - inter) AS jaccard
+       |              FROM ${p}inter JOIN ${p}sizes za ON doc_a = za.doc_id
+       |              JOIN ${p}sizes zb ON doc_b = zb.doc_id
+       |              WHERE CAST(inter AS DOUBLE) / (za.n_sh + zb.n_sh - inter) >= 0.8)""".stripMargin
+  }
+
   val qMinhashLshSql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-      |           WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
-      |       FROM t, UNNEST(range(1, len(tk)-1)) AS u(i)),
-      |sig AS (SELECT doc_id,
-      |  min(md5('0:' || shingle)) AS h0,  min(md5('1:' || shingle)) AS h1,
-      |  min(md5('2:' || shingle)) AS h2,  min(md5('3:' || shingle)) AS h3,
-      |  min(md5('4:' || shingle)) AS h4,  min(md5('5:' || shingle)) AS h5,
-      |  min(md5('6:' || shingle)) AS h6,  min(md5('7:' || shingle)) AS h7
-      |  FROM sh GROUP BY doc_id),
-      |bands AS (
-      |  SELECT doc_id, 0 AS band, h0||h1 AS bkey FROM sig UNION ALL
-      |  SELECT doc_id, 1, h2||h3 FROM sig UNION ALL
-      |  SELECT doc_id, 2, h4||h5 FROM sig UNION ALL
-      |  SELECT doc_id, 3, h6||h7 FROM sig),
-      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
-      |         WHERE x.doc_id < y.doc_id),
-      |inter AS (SELECT doc_a, doc_b, count(*) AS inter
-      |          FROM cand JOIN sh sa ON doc_a = sa.doc_id
-      |          JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
-      |          GROUP BY doc_a, doc_b),
-      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
-      |SELECT doc_a, doc_b,
-      |  CAST(inter AS DOUBLE) / (za.n_sh + zb.n_sh - inter) AS jaccard
-      |FROM inter JOIN sizes za ON doc_a = za.doc_id
-      |JOIN sizes zb ON doc_b = zb.doc_id
-      |WHERE CAST(inter AS DOUBLE) / (za.n_sh + zb.n_sh - inter) >= 0.8""".stripMargin
+    s"""WITH ${duckMinhashCtes("", "documents", "text")}
+       |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin
 
   /** Near-duplicate CLUSTERS: the MinHash-LSH verified pairs (same
     * pipeline as q_minhash_lsh) fed through distributed connected

@@ -1247,9 +1247,10 @@ object StreamingQueries {
       java.nio.file.Files.createTempDirectory(ckptRoot(s), s"${tag}_${sub}_rsrc") }
     val ckptDir = java.nio.file.Files.createTempDirectory(ckptRoot(s), s"${tag}_rckpt")
     // the sink outlives this call (the returned frame reads it lazily) —
-    // root it on disk tmp, not the tmpfs checkpoint root
-    val sinkDir = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), s"${tag}_rsink")
+    // root it on disk tmp (not the tmpfs checkpoint root); Scratch's
+    // shutdown hook reaps it at JVM exit so repeated bench samples don't
+    // accumulate tmp dirs unboundedly
+    val sinkDir = graft.ops.Scratch.dir(s"${tag}_rsink")
     def moveIn(i: Int, b: Int): Unit = {
       val f = stagedAll(i)._1.resolve(f"b$b.parquet")
       val dst = srcs(i).resolve(f"b$b.parquet")
@@ -1309,10 +1310,15 @@ object StreamingQueries {
     * id=1 is sent in batch 0 (pre-stop) and RE-SENT in batch 2 (post-
     * restart, different event time 610 vs 600, within the watermark) —
     * dropping it requires the dedup state store to have survived the
-    * restart. The 2-hour delay keeps every key's state alive through the
-    * final watermark (680 < the earliest expiry 840), so unlike
-    * q_stream_dedup_expiry nothing is legitimately re-emittable: the sink
-    * must hold each id EXACTLY once, at its first-occurrence event time.
+    * restart. State expires when the watermark reaches FIRST-occurrence
+    * ts + delay (q_stream_dedup_expiry's probed boundary), so the
+    * earliest expiry here is 600 + 2h = minute 720; the final watermark
+    * is 800 − 2h = 680 < 720, a 40-minute margin — every key's state
+    * stays alive, and unlike q_stream_dedup_expiry nothing is
+    * legitimately re-emittable: the sink must hold each id EXACTLY once,
+    * at its first-occurrence event time. (A planted row later than
+    * minute 840 would push the watermark past 720 and break the probe —
+    * extend the delay if the slice ever grows.)
     */
   private val recoveryDedupRows: Seq[(Int, Int, Long)] = Seq(
     (0, 600, 1L), (0, 605, 2L),
