@@ -25,11 +25,18 @@ def main(paths):
         for q, v in r["queries"].items():
             queries[q] = min(v, queries.get(q, float("inf")))
     errors = {}
+    for i, r in enumerate(runs):
+        for q, e in r.get("errors", {}).items():
+            errors.setdefault(q, []).append("run%d: %s" % (i + 1, e))
+    # a query that succeeded in ANY run has a timing; report the FULL
+    # per-run error list for queries that failed in EVERY run (keeping
+    # only the last run's message hid distinct failure modes — r13 advice)
+    errors = {q: msgs for q, msgs in errors.items() if q not in queries}
+    # expected-vs-timed: a query failing in every run would otherwise
+    # silently deflate the total; make the registry gap visible
+    expected = set()
     for r in runs:
-        errors.update(r.get("errors", {}))
-    # a query that succeeded in ANY run has a timing; only report errors
-    # for queries that failed in EVERY run
-    errors = {q: e for q, e in errors.items() if q not in queries}
+        expected |= set(r["queries"]) | set(r.get("errors", {}))
     stream = sum(v for q, v in queries.items() if q.startswith("q_stream"))
     total = sum(queries.values())
     out = {
@@ -37,6 +44,9 @@ def main(paths):
         "value": round(total, 3),
         "unit": "sec",
         "n_runs": len(runs),
+        "n_queries_timed": len(queries),
+        "n_queries_expected": len(expected),
+        "never_succeeded": sorted(expected - set(queries)),
         "batch_total": round(total - stream, 3),
         "streaming_total": round(stream, 3),
         "queries": {q: round(v, 3) for q, v in sorted(queries.items())},

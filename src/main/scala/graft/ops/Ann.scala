@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * scale path beside the exact scan (queries.SimilarityQueries.qCosineTopk).
   *
   * IVF (inverted-file) structure:
-  *  1. coarse-quantize the corpus into cells (here: k-means-style centroids
-  *     computed as per-`label` means — the testdata ships cluster labels;
-  *     a production build would Lloyd-iterate the same aggregates)
+  *  1. coarse-quantize the corpus into cells — either pre-assigned cell
+  *     ids (the testdata ships cluster labels) or, for the real unlabeled
+  *     case, cells TRAINED by [[fit]] (Lloyd iterations over the same
+  *     centroid aggregates; gated by q_ann_trained)
   *  2. a query probes only the `nprobe` nearest cells, then scores
   *     exact cosine within them.
   *
@@ -33,6 +34,118 @@ import org.apache.spark.sql.functions._
   * (q_ann_screened gates the screened path over hostile ∪ real vectors).
   */
 object Ann {
+
+  /** A trained IVF coarse quantizer: `assigned` = the corpus plus an int
+    * `cell` column (nearest trained centroid), `centroids` = the trained
+    * k×dim table (cell, centroid: array<double>) — O(k) rows, broadcastable.
+    */
+  final case class IvfModel(assigned: DataFrame, centroids: DataFrame)
+
+  /** Train IVF cells from an UNLABELED corpus — the production path the
+    * [[centroids]] scaladoc promised ("a production build would
+    * Lloyd-iterate the same aggregates"): a real 100 TB embedding table has
+    * no label column, so the coarse quantizer must be LEARNED.
+    *
+    * `iters` Lloyd rounds (Lloyd 1982), each = one assignment pass + (for
+    * all but the last round) one centroid update:
+    *  - init: centroids = the embeddings of the k LOWEST ids (the
+    *    q_kmeans_step seeding — deterministic, oracle-replicable; ORDER BY
+    *    id LIMIT k is a TakeOrderedAndProject, no global sort materialized);
+    *  - assignment is a NARROW map — the k×dim centroid matrix rides along
+    *    as a literal (k·dim doubles, a few KB — far below the folded-literal
+    *    plan-cost class Lineage.truncate exists for), each row computes its
+    *    k squared distances via the codegen'd decimal_sqdist kernel
+    *    (exactArith) or a double HOF fold, and argmins in-expression
+    *    (array_position of array_min = first minimum = lowest cell id, the
+    *    q_kmeans_step (dist, cid) tie-break). ZERO shuffle per assignment.
+    *  - update: per-(cell, dim) mean — posexplode + groupBy, map-side
+    *    combinable to k·dim rows per partition; only the k·dim result
+    *    touches the driver per round (the qCoreset/qBpeMerges control-plane
+    *    discipline: state is O(k·dim) numbers, never data). exactArith
+    *    accumulates each dim in DECIMAL(28,14) (Exact.dMean14) so every
+    *    round — and therefore the final assignment — is bit-reproducible by
+    *    a SQL oracle; the default double avg is the production kernel.
+    *
+    * A cell whose membership becomes empty is DROPPED (k shrinks) — the
+    * standard Lloyd degeneracy, chosen over respawn heuristics because it
+    * is deterministic and oracle-replicable (an empty cell simply has no
+    * mean row on either engine).
+    *
+    * Scale: iters sequential corpus scans (inherent to Lloyd — each round
+    * depends on the previous), each a narrow map + a tiny-key aggregate;
+    * at 100 TB the standard mitigation is to fit on a uniform sample
+    * (Lloyd centroids are means — sampling error is O(1/√s)) and run only
+    * the final assignment over the full corpus; this method composes that
+    * way directly: fit(sample, …).centroids → assign full corpus.
+    *
+    * `screenDim` applies [[Validate.embeddingVerdict]] BEFORE the seed
+    * selection — one hostile NaN vector among the k lowest ids would
+    * otherwise poison a seed centroid exactly like the unscreened-centroid
+    * hazard q_ann_screened pins.
+    */
+  def fit(corpus: DataFrame, k: Int, iters: Int,
+          idCol: String = "vec_id", embCol: String = "embedding",
+          cellCol: String = "cell", exactArith: Boolean = false,
+          screenDim: Option[Int] = None): IvfModel = {
+    require(k > 0, "fit needs k > 0 cells")
+    require(iters > 0, "fit needs at least one Lloyd round")
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val c = screenDim match {
+      case Some(d) => corpus.filter(Validate.embeddingVerdict(spark, embCol, d) === "ok")
+      case None => corpus
+    }
+    // deterministic seeds: the k lowest-id embeddings, cell ids 0..k-1 in
+    // id order. O(k·dim) driver bytes — control plane, not data.
+    var cells: Seq[Int] = 0 until k
+    var cents: Seq[Seq[Double]] =
+      c.select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(k).collect()
+        .map(_.getSeq[Number](1).map(_.doubleValue()).toSeq).toSeq
+    require(cents.size == k, s"fit(k=$k) needs k corpus rows, got ${cents.size}")
+
+    // one narrow assignment pass under the current literal centroids:
+    // dists[i] = sqdist(emb, cents[i]); cell = cells[argmin] (first-min =
+    // lowest cell id, matching ROW_NUMBER ... ORDER BY dist, cid rn=1)
+    def assigned(): DataFrame = {
+      val centsLit = typedlit(cents)
+      val dists =
+        if (exactArith)
+          transform(centsLit, ce => call_function("decimal_sqdist", col(embCol), ce))
+        else
+          transform(centsLit, ce => aggregate(
+            zip_with(col(embCol), ce, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (acc, v) => acc + v))
+      c.withColumn(cellCol,
+        element_at(typedlit(cells), array_position(dists, array_min(dists)).cast("int")))
+    }
+
+    for (_ <- 1 until iters) {
+      val mean =
+        if (exactArith) graft.queries.Exact.dMean14(col("v")).as("cv")
+        else avg(col("v")).as("cv")
+      val rows = assigned()
+        .select(col(cellCol), posexplode(col(embCol)).as(Seq("dim", "v")))
+        .groupBy(col(cellCol), col("dim")).agg(mean)
+        .collect()
+      val byCell = rows.groupBy(_.getInt(0)).map { case (cell, rs) =>
+        cell -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      cells = byCell.keys.toSeq.sorted
+      cents = cells.map(byCell)
+    }
+    val centTable = spark.createDataFrame(
+      spark.sparkContext.parallelize(cells.zip(cents).map { case (cl, ce) =>
+        org.apache.spark.sql.Row(cl, ce)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false))))
+    IvfModel(assigned(), centTable)
+  }
 
   /** HOF cosine for mixed/double arrays (centroid comparisons — tiny
     * inputs, codegen irrelevant). The hot float×float corpus scan uses the
@@ -146,7 +259,8 @@ object Ann {
     * twice. For one-shot screening that is the right trade (no
     * materialization); a pipeline running MANY ANN queries over one
     * untrusted corpus should instead persist the screened corpus once
-    * upstream (filter + write, DedupState-style) and run unscreened here.
+    * upstream — [[Validate.screenToTable]] is that one-call helper
+    * (gated by q_ann_screened_table) — and run unscreened here.
     */
   private def screened(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
                        embCol: String, screenDim: Option[Int]): (DataFrame, DataFrame) =

@@ -35,11 +35,16 @@ object DedupState {
   /** Rows of `df` whose key-hash is NOT in the state table. Also drops
     * in-batch duplicates (keep-any via dropDuplicates on the hash — the
     * reference's in-run `contains` check as items stream by).
-    * `nfc = true` dedups under NFC text identity (see [[hashCol]]); use
-    * the same flag in [[commit]] or the state keys won't line up.
+    * `nfc = true` dedups under NFC text identity (see [[hashCol]]); the
+    * state dir RECORDS its identity mode (a `_graft_identity_mode` marker
+    * written by the first [[commit]]) and both entry points fail fast on a
+    * mismatched flag — a silent mismatch would treat every row as new (or
+    * drop nothing), corrupting incremental dedup with no error (r13
+    * advice).
     */
   def filterNew(spark: SparkSession, df: DataFrame, statePath: String, keyCols: Seq[String],
                 nfc: Boolean = false): DataFrame = {
+    checkMode(spark, statePath, nfc)
     val withHash = df.withColumn("__state_hash", hashCol(df, keyCols, nfc))
       .dropDuplicates("__state_hash")
     val out =
@@ -52,12 +57,52 @@ object DedupState {
 
   /** Record these rows' hashes as seen (the reference's synchronize —
     * bert/etl/__init__.py:49-63 — but append-only parquet, no
-    * read-modify-write of a single object).
+    * read-modify-write of a single object). The first commit also stamps
+    * the state dir's identity mode; later calls (and [[filterNew]]) must
+    * match it.
     */
   def commit(spark: SparkSession, df: DataFrame, statePath: String, keyCols: Seq[String],
-             nfc: Boolean = false): Unit =
+             nfc: Boolean = false): Unit = {
+    checkMode(spark, statePath, nfc)
     df.select(hashCol(df, keyCols, nfc).as("seen_hash")).distinct()
       .write.mode(SaveMode.Append).parquet(statePath)
+    recordMode(spark, statePath, nfc)
+  }
+
+  private def modeName(nfc: Boolean): String = if (nfc) "nfc" else "raw"
+
+  private def modeMarker(statePath: String) =
+    new org.apache.hadoop.fs.Path(statePath, "_graft_identity_mode")
+
+  /** Fail fast when the caller's identity mode disagrees with the mode the
+    * state was built under. Underscore-prefixed, so parquet scans of the
+    * state dir skip the marker (the _SUCCESS convention).
+    */
+  private def checkMode(spark: SparkSession, statePath: String, nfc: Boolean): Unit = {
+    val marker = modeMarker(statePath)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val stored = try {
+        val buf = new Array[Byte](16) // marker is 3 bytes; bounded read
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8").trim
+      } finally in.close()
+      require(stored == modeName(nfc),
+        s"DedupState at $statePath was built under identity mode '$stored' but this call " +
+          s"uses '${modeName(nfc)}' — mixed modes silently corrupt incremental dedup " +
+          "(every row looks new, or nothing is dropped). Use one mode per state path.")
+    }
+  }
+
+  private def recordMode(spark: SparkSession, statePath: String, nfc: Boolean): Unit = {
+    val marker = modeMarker(statePath)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val out = fs.create(marker, true)
+      try out.write(modeName(nfc).getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   def stateSize(spark: SparkSession, statePath: String): Long =
     if (exists(spark, statePath)) spark.read.parquet(statePath).count() else 0L

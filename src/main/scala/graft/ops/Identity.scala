@@ -31,6 +31,18 @@ object Identity {
   def contentHash(df: DataFrame, cols: Seq[String] = Nil, nfc: Boolean = false): Column = {
     if (nfc) graft.functions.GraftFunctions.register(df.sparkSession)
     val names = if (cols.isEmpty) df.columns.toSeq else cols
+    // nfc normalizes TOP-LEVEL string columns only. A string nested inside
+    // an array/map/struct would silently keep BYTE identity while the
+    // caller believes it got NFC — fail fast instead (r13 advice).
+    // Stringless columns (numbers, dates, binaries) pass through: they
+    // carry no NFC expectation.
+    if (nfc) names.foreach { c =>
+      val t = df.schema(c).dataType
+      require(t == org.apache.spark.sql.types.StringType || !containsString(t),
+        s"contentHash(nfc = true): column '$c' has type ${t.simpleString}, whose NESTED " +
+          "strings would be hashed by raw bytes, not NFC. Normalize/flatten the column " +
+          "upstream, or hash it without nfc.")
+    }
     val fields = names.map { c =>
       if (nfc && df.schema(c).dataType == org.apache.spark.sql.types.StringType)
         call_function("unicode_normalize", df.col(c), lit("NFC")).as(c)
@@ -46,4 +58,17 @@ object Identity {
   /** Globally unique id (the reference's uuid4 tail) — explicitly NOT a
     * content hash. */
   def uniqueId: Column = expr("uuid()")
+
+  /** Does this type contain a string anywhere (itself, array element, map
+    * key/value, struct field — recursively)? */
+  private def containsString(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case StringType => true
+      case a: ArrayType => containsString(a.elementType)
+      case m: MapType => containsString(m.keyType) || containsString(m.valueType)
+      case s: StructType => s.fields.exists(f => containsString(f.dataType))
+      case _ => false
+    }
+  }
 }

@@ -82,6 +82,26 @@ object Validate {
     * both engines, so the decimal norm is never computed on a vector that
     * would crash it.
     */
+  /** Persist-once screening — [[graft.ops.Ann]]'s scaladoc'd trade made a
+    * code path: `screenDim` on ivfTopK/bruteTopK re-evaluates the verdict
+    * (an exact-decimal self dot product per row) on EVERY consumer scan,
+    * which is right for a one-shot query but wasteful for a pipeline
+    * running MANY ANN queries over one untrusted corpus. This filters to
+    * verdict-'ok' rows ONCE, writes the survivors as a parquet table
+    * (DedupState-style: the screen's cost is paid at ingest, downstream
+    * scans are plain columnar reads with pushdown intact), and returns the
+    * read-back frame — run the downstream operators UNSCREENED over it.
+    * Gated by q_ann_screened_table: same hostile ∪ real corpus as
+    * q_ann_screened, identical oracle, screened through this table instead
+    * of per-scan filters.
+    */
+  def screenToTable(s: SparkSession, corpus: DataFrame, embCol: String, dim: Int,
+                    path: String): DataFrame = {
+    corpus.filter(embeddingVerdict(s, embCol, dim) === "ok")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    s.read.parquet(path)
+  }
+
   def embeddingVerdict(s: SparkSession, embCol: String, dim: Int): Column = {
     graft.functions.GraftFunctions.register(s)
     val e = col(embCol)

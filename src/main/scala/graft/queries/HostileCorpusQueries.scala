@@ -124,8 +124,10 @@ object HostileCorpusQueries {
     val docs = hostileUnion(s, dir, 30)
     // ONE cached shingle table feeds both the banding pipeline and the
     // per-doc diag — shingling the 10 MiB doc is this gate's deliberate
-    // stressor and must be paid once, not once per consumer.
-    val sh = SimilarityQueries.shinglesOf(docs).cache()
+    // stressor and must be paid once, not once per consumer. Caches.swap
+    // bounds the persist to one generation across builder re-invocations.
+    val sh = graft.ops.Caches.swap("hostile_corpus_dedup:shingles",
+      SimilarityQueries.shinglesOf(docs))
     val pairs = SimilarityQueries.minhashPairsOfShingles(sh)
       .select(lit("pair").as("probe"), col("doc_a").as("a"), col("doc_b").as("b"),
         r6(col("jaccard")).as("v"))
@@ -522,6 +524,31 @@ object HostileCorpusQueries {
        |SELECT q_id, rnk, vec_id AS neighbor, cosine FROM ranked WHERE rnk <= 5""".stripMargin
   }
 
+  /** The PERSIST-ONCE screened path ([[graft.ops.Validate.screenToTable]],
+    * r14): the same hostile ∪ real corpus as q_ann_screened, but screened
+    * ONCE into a parquet table at ingest — the trade [[graft.ops.Ann]]'s
+    * scaladoc documents for pipelines running many ANN queries over one
+    * untrusted corpus (per-scan verdict re-evaluation → one columnar
+    * table whose downstream scans keep pushdown and pay zero screening) —
+    * then the SAME ivfTopK run UNSCREENED over the table. Must
+    * hash-match q_ann_screened's oracle exactly: the two screening
+    * placements are semantically interchangeable, and this gate pins that.
+    */
+  def qAnnScreenedTable(s: SparkSession, dir: String): DataFrame = {
+    val hostile = s.sql(vecSelect(sparkVec))
+      .withColumn("label", (col("vec_id") % 10).cast("int"))
+    val corpus = hostile.unionByName(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 200))
+    val tbl = graft.ops.Scratch.dir("ann_screened_tbl")
+    val screenedCorpus = graft.ops.Validate.screenToTable(
+      s, corpus, "embedding", 64, tbl.resolve("corpus").toString)
+    val queries = screenedCorpus
+      .filter(col("vec_id") < 5 || col("vec_id").isin(8000002L, 8000005L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    graft.ops.Ann.ivfTopK(s, queries, screenedCorpus, k = 5, nprobe = 2,
+      exactArith = true)
+  }
+
   // --------------------------------------------------- unicode identity --
 
   /** Byte-distinct, render-identical document texts (Scala unicode escapes
@@ -697,7 +724,9 @@ object HostileCorpusQueries {
     val rawState = root.resolve("raw").toString
     DedupState.commit(s, batch1, nfcState, Seq("text"), nfc = true)
     DedupState.commit(s, batch1, rawState, Seq("text"))
-    val freshNfc = DedupState.filterNew(s, batch2, nfcState, Seq("text"), nfc = true).cache()
+    // cached: six probe aggregates below share it; one generation resident
+    val freshNfc = graft.ops.Caches.swap("dedup_nfc:fresh",
+      DedupState.filterNew(s, batch2, nfcState, Seq("text"), nfc = true))
     val freshRaw = DedupState.filterNew(s, batch2, rawState, Seq("text"))
     def probe(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("v")).select(lit(name).as("probe"), col("v"))
@@ -816,6 +845,7 @@ object HostileCorpusQueries {
     "q_hostile_embedding" -> ((qHostileEmbedding _, Some(qHostileEmbeddingSql))),
     "q_unicode_dedup" -> ((qUnicodeDedup _, Some(qUnicodeDedupSql))),
     "q_ann_screened" -> ((qAnnScreened _, Some(qAnnScreenedSql))),
+    "q_ann_screened_table" -> ((qAnnScreenedTable _, Some(qAnnScreenedSql))),
     "q_dedup_nfc" -> ((qDedupNfc _, Some(qDedupNfcSql))),
     "q_shingle_nfc" -> ((qShingleNfc _, Some(qShingleNfcSql)))
   )

@@ -140,6 +140,78 @@ object NorthStarQueries {
       |  FROM scored)
       |SELECT q_id, rnk, vec_id AS neighbor, cosine FROM ranked WHERE rnk <= 5""".stripMargin
 
+  /** IVF over cells TRAINED from the unlabeled corpus — Ann.fit's Lloyd
+    * loop (2 rounds, k=4, exactArith) composed into ivfTopK, the full
+    * production shape for a label-less 100 TB embedding table: seed on the
+    * 4 lowest vec_ids, one assignment + one exact-decimal centroid update
+    * + the final assignment, then probe the 2 nearest trained cells per
+    * query and score exact decimal cosine within them. The oracle UNROLLS
+    * the training: seed CTE → decimal-sqdist argmin (dist, cid tie order
+    * = Spark's first-minimum array_position) → exact per-dim mean CTE →
+    * second argmin → member-mean probe centroids → the q_ann_ivf probe
+    * pipeline. Every half-step is decimal-exact, so the trained cell
+    * boundaries — not just the final scores — are hash-gated across
+    * engines. AnnSpec adds the value-level checks a hash can't express:
+    * Lloyd monotonicity (round-2 distortion ≤ round-1) and recall vs
+    * bruteTopK ground truth.
+    */
+  def qAnnTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = Ann.fit(emb.select(col("vec_id"), col("embedding")),
+      k = 4, iters = 2, exactArith = true)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Ann.ivfTopK(s, queries, model.assigned, k = 5, nprobe = 2,
+      cellCol = "cell", exactArith = true)
+  }
+
+  /** The decimal-sqdist argmin assignment under a centroid CTE `cname`
+    * (cid, dim, cv) — one Lloyd half-step, shared by both training rounds.
+    * Mirrors Ann.fit's kernel exactly: per-dim term CAST((x−cv)·(x−cv) AS
+    * DECIMAL(28,14)), exact decimal sum, argmin tie-broken by cid.
+    */
+  private def lloydAssignSql(cname: String): String =
+    s"""SELECT vec_id, cid FROM (
+       |  SELECT d.vec_id, d.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.dist, d.cid) AS rn
+       |  FROM (SELECT x.vec_id, c.cid,
+       |          SUM(CAST((x.x - c.cv) * (x.x - c.cv) AS DECIMAL(28,14))) AS dist
+       |        FROM x JOIN $cname c USING (dim) GROUP BY 1, 2) d)
+       |WHERE rn = 1""".stripMargin
+
+  val qAnnTrainedSql: String =
+    s"""WITH x AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+      |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+      |c0 AS (SELECT s.cid, x.dim, x.x AS cv FROM seeds s JOIN x USING (vec_id)),
+      |a1 AS (${lloydAssignSql("c0")}),
+      |c1 AS (SELECT a.cid, x.dim,
+      |         CAST(SUM(CAST(x.x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cv
+      |       FROM a1 a JOIN x USING (vec_id) GROUP BY 1, 2),
+      |a2 AS (${lloydAssignSql("c1")}),
+      |pc0 AS (SELECT a.cid AS cell, x.dim,
+      |          CAST(SUM(CAST(x.x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS mean_v
+      |        FROM a2 a JOIN x USING (vec_id) GROUP BY 1, 2),
+      |pc AS (SELECT cell, list(mean_v ORDER BY dim) AS centroid FROM pc0 GROUP BY cell),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+      |cellsim AS (SELECT q.q_id, p.cell, ${dCos("q.q_emb", "p.centroid")} AS cell_sim
+      |            FROM q CROSS JOIN pc p),
+      |probes AS (SELECT q_id, cell FROM (
+      |             SELECT q_id, cell,
+      |               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cell_sim DESC, cell) AS cell_rank
+      |             FROM cellsim)
+      |           WHERE cell_rank <= 2),
+      |scored AS (SELECT q.q_id, e.vec_id, ${dCos("q.q_emb", "e.embedding")} AS cosine
+      |           FROM q JOIN probes p ON q.q_id = p.q_id
+      |           JOIN a2 m ON m.cid = p.cell
+      |           JOIN embeddings e ON e.vec_id = m.vec_id
+      |           WHERE q.q_id <> e.vec_id),
+      |ranked AS (SELECT q_id, vec_id, cosine,
+      |             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+      |           FROM scored)
+      |SELECT q_id, rnk, vec_id AS neighbor, cosine FROM ranked WHERE rnk <= 5""".stripMargin
+
   /** Multimodal VIDEO feature pipeline, REAL end-to-end (r9: the last
     * stubbed kind went real): one animated GIF per document (8×4
     * grayscale, 1 or 4 frames by n_chars parity, pixel p of frame f
@@ -508,6 +580,7 @@ object NorthStarQueries {
     "q_ann_ivf" -> ((qAnnIvf _, Some(qAnnIvfSql))),
     "q_ann_ivf_kernel" -> ((qAnnIvfKernel _, Some(qAnnIvfKernelSql))),
     "q_ann_fullprobe" -> ((qAnnFullprobe _, Some(qAnnFullprobeSql))),
+    "q_ann_trained" -> ((qAnnTrained _, Some(qAnnTrainedSql))),
     "q_multimodal" -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_audio_decode" -> ((qAudioDecode _, Some(qAudioDecodeSql))),
     "q_image_decode" -> ((qImageDecode _, Some(qImageDecodeSql))),

@@ -1272,7 +1272,19 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        (q.runId.toString, q.recentProgress.map(_.batchId).toSeq)
+        // recentProgress is a ring buffer capped by
+        // numRecentProgressUpdates (default 100): a run ever exceeding it
+        // would silently truncate run 1's batch list and make the
+        // run2.min > run1.max evidence pin pass or fail SPURIOUSLY (r13
+        // advice). The gates run a handful of batches; assert we are
+        // nowhere near the cap so the evidence is provably complete.
+        val prog = q.recentProgress
+        val cap = s.conf.get("spark.sql.streaming.numRecentProgressUpdates").toInt
+        require(prog.length < cap,
+          s"recovery evidence would be truncated: ${prog.length} progress updates " +
+            s">= retention cap $cap — read batch ids from the checkpoint offsets " +
+            "log instead of recentProgress for slices this long")
+        (q.runId.toString, prog.map(_.batchId).toSeq)
       } finally s.conf.set("spark.sql.shuffle.partitions", prevWidth)
     }
     try {

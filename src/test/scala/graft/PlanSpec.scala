@@ -48,6 +48,9 @@ class PlanSpec extends SparkSpec {
       // assignment over the 10-row broadcast centroid table; the verdict
       // screen is a per-row filter, not a join)
       "q_ann_screened",
+      // same q_ann_ivf probe shape: query×centroid assignment over the
+      // O(k) trained-cell / screened-table centroid broadcast
+      "q_ann_trained", "q_ann_screened_table",
       // 1-row scalar-totals broadcast-cross: PMI's (n_tok, t_bi) pair on
       // the bigram table, MI's grand total on the contingency table
       "q_pmi", "q_mutual_info",
@@ -171,6 +174,9 @@ class PlanSpec extends SparkSpec {
       "q_coreset" -> (kRows + " (<=8 selected centers per greedy round)"),
       "q_hostile_embedding" -> (kRows + " (6 id-filtered screened vectors, cosine self-cross)"),
       "q_ann_screened" -> (kRows + " (q_ann_ivf's shape over the screened hostile ∪ real slice)"),
+      "q_ann_trained" -> (kRows + " (q_ann_ivf's shape over Ann.fit's k=4 trained cells; " +
+        "fit's own assignment is a narrow literal-centroid map, no join)"),
+      "q_ann_screened_table" -> (kRows + " (q_ann_ivf's shape over the persist-once screened table)"),
       "q_cosine_topk" -> kRows, "q_ndcg" -> kRows, "q_rrf" -> kRows,
       "q_ann_fullprobe" -> kRows, "q_ann_ivf" -> kRows, "q_ann_ivf_kernel" -> kRows,
       "q_kmeans_step" -> kRows, "q_pq" -> kRows, "q_ivf_pq" -> (kRows + " (8-row coarse, 16-row codebook, 64-row LUT)"),

@@ -65,6 +65,73 @@ class AnnSpec extends SparkSpec {
       clean.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
   }
 
+  test("fit: every row gets exactly one trained cell; centroids table matches") {
+    val model = Ann.fit(emb.select(col("vec_id"), col("embedding")), k = 4, iters = 2)
+    val n = emb.count()
+    assert(model.assigned.count() == n)
+    assert(model.assigned.filter(col("cell").isNull).count() == 0)
+    val usedCells = model.assigned.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val modelCells = model.centroids.collect().map(_.getInt(0)).toSet
+    // assignment only ever lands on a trained (non-degenerate) cell…
+    assert(usedCells.subsetOf(modelCells))
+    assert(modelCells.subsetOf((0 until 4).toSet))
+    // …and every centroid keeps the corpus dimensionality
+    assert(model.centroids.collect().forall(_.getSeq[Double](1).size == 64))
+  }
+
+  test("fit: Lloyd distortion is monotone non-increasing across rounds") {
+    // J(assignment) = total sqdist to the assignment's own member means —
+    // Lloyd's objective after the update half-step; classic monotonicity
+    // guarantees J(iters=2) <= J(iters=1)
+    def distortion(assigned: org.apache.spark.sql.DataFrame): Double = {
+      val cents = Ann.centroids(assigned, "cell", "embedding")
+        .withColumnRenamed("cell", "c_cell")
+      assigned.join(broadcast(cents), col("cell") === col("c_cell"))
+        .withColumn("d", expr(
+          """aggregate(zip_with(embedding, centroid, (x, y) ->
+            |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+            |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+        .agg(sum(col("d"))).collect()(0).getDouble(0)
+    }
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val j1 = distortion(Ann.fit(corpus, k = 4, iters = 1).assigned)
+    val j2 = distortion(Ann.fit(corpus, k = 4, iters = 2).assigned)
+    val j3 = distortion(Ann.fit(corpus, k = 4, iters = 3).assigned)
+    assert(j2 <= j1 + 1e-9, s"round 2 worsened Lloyd objective: $j1 -> $j2")
+    assert(j3 <= j2 + 1e-9, s"round 3 worsened Lloyd objective: $j2 -> $j3")
+  }
+
+  test("fit-trained ivf: recall@5 vs bruteTopK beats the random-cell expectation") {
+    // trained cells are GEOMETRIC (unlike the testdata's random labels), so
+    // probing the 2 nearest of 4 trained cells must recover well over the
+    // ~nprobe/k = 50% a random partition would give
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val model = Ann.fit(corpus, k = 4, iters = 2)
+    val ivf = Ann.ivfTopK(spark, queries, model.assigned, k = 5, nprobe = 2,
+      cellCol = "cell")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Ann.bruteTopK(queries, corpus, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"trained-cell recall@5 = $recall, expected >= 0.6")
+  }
+
+  test("fit with screenDim trains only on verdict-ok vectors") {
+    // a NaN vector with the LOWEST id would poison seed centroid 0 unscreened
+    val hostile = spark.sql(
+      """SELECT CAST(-1 AS BIGINT) AS vec_id,
+        |  transform(sequence(1, 64), i -> CAST('NaN' AS FLOAT)) AS embedding""".stripMargin)
+    val corpus = hostile.unionByName(emb.select(col("vec_id"), col("embedding")))
+    val model = Ann.fit(corpus, k = 4, iters = 2, screenDim = Some(64))
+    // the hostile row is screened out of both training and assignment…
+    assert(model.assigned.filter(col("vec_id") === -1L).count() == 0)
+    // …and the trained model equals the hostile-free fit exactly
+    val clean = Ann.fit(emb.select(col("vec_id"), col("embedding")), k = 4, iters = 2)
+    assert(model.centroids.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSet ==
+      clean.centroids.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSet)
+  }
+
   test("ivf with nprobe=2 searches only probed cells") {
     val res = Ann.ivfTopK(spark, queries, emb, k = 5, nprobe = 2)
     val withLabel = res.join(emb.select(col("vec_id").as("neighbor"), col("label")), "neighbor")

@@ -31,6 +31,42 @@ class DedupStateSpec extends SparkSpec {
     assert(DedupState.filterNew(spark, batch, state, Seq("k")).count() == 2)
   }
 
+  test("state dir records its identity mode; a mismatched flag fails fast") {
+    val state = tmpDir("state") + "/s_mode"
+    val batch = Seeds.fromMaps(spark, Seq(Map("k" -> "café")))
+    DedupState.commit(spark, batch, state, Seq("k"), nfc = true)
+    // matching mode keeps working, marker is invisible to the parquet scan
+    assert(DedupState.stateSize(spark, state) == 1)
+    assert(DedupState.filterNew(spark, batch, state, Seq("k"), nfc = true).count() == 0)
+    // a mismatched caller corrupts incremental dedup silently — must throw
+    val e1 = intercept[IllegalArgumentException] {
+      DedupState.filterNew(spark, batch, state, Seq("k"))
+    }
+    assert(e1.getMessage.contains("identity mode"))
+    val e2 = intercept[IllegalArgumentException] {
+      DedupState.commit(spark, batch, state, Seq("k"))
+    }
+    assert(e2.getMessage.contains("identity mode"))
+  }
+
+  test("contentHash(nfc) refuses columns with nested strings") {
+    val df = spark.sql(
+      """SELECT 'a' AS s, array('x', 'y') AS arr,
+        |named_struct('t', 'z', 'n', 1) AS st, 7 AS num""".stripMargin)
+    // top-level string + stringless columns: fine
+    assert(df.select(Identity.contentHash(df, Seq("s", "num"), nfc = true)).count() == 1)
+    val e = intercept[IllegalArgumentException] {
+      df.select(Identity.contentHash(df, Seq("s", "arr"), nfc = true)).collect()
+    }
+    assert(e.getMessage.contains("arr"))
+    val e2 = intercept[IllegalArgumentException] {
+      df.select(Identity.contentHash(df, Seq("st"), nfc = true)).collect()
+    }
+    assert(e2.getMessage.contains("st"))
+    // raw-byte identity never restricts types
+    assert(df.select(Identity.contentHash(df, Nil)).count() == 1)
+  }
+
   test("memoize computes once and serves from cache after") {
     val memo = tmpDir("memo")
     var computes = 0

@@ -39,6 +39,26 @@ class ValidateProfileSpec extends SparkSpec {
     assert(o.map(_.getLong(0)).toSeq == Seq(99L))
   }
 
+  test("screenToTable persists exactly the verdict-ok rows, once") {
+    val corpus = spark.sql(
+      """SELECT CAST(1 AS BIGINT) AS vec_id,
+        |  transform(sequence(1, 8), i -> CAST(i AS FLOAT)) AS embedding
+        |UNION ALL SELECT CAST(2 AS BIGINT),
+        |  transform(sequence(1, 8), i -> CAST('NaN' AS FLOAT))
+        |UNION ALL SELECT CAST(3 AS BIGINT),
+        |  transform(sequence(1, 3), i -> CAST(i AS FLOAT))
+        |UNION ALL SELECT CAST(4 AS BIGINT),
+        |  transform(sequence(1, 8), i -> CAST(0.5 AS FLOAT))""".stripMargin)
+    val path = tmpDir("screened") + "/corpus"
+    val out = Validate.screenToTable(spark, corpus, "embedding", 8, path)
+    // only the finite, right-dimensioned rows survive…
+    assert(out.select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    // …the table is REAL (re-readable without the source frame)…
+    assert(spark.read.parquet(path).count() == 2)
+    // …and schema is preserved for unscreened downstream operators
+    assert(out.schema.fieldNames.toSeq == corpus.schema.fieldNames.toSeq)
+  }
+
   test("profile emits one row per column metric with sane values") {
     val p = Profile.profile(spark, Tables.customer(spark, sfDir))
     val byKey = p.collect().map(r =>
