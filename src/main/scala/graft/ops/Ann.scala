@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -103,21 +103,9 @@ object Ann {
         .map(_.getSeq[Number](1).map(_.doubleValue()).toSeq).toSeq
     require(cents.size == k, s"fit(k=$k) needs k corpus rows, got ${cents.size}")
 
-    // one narrow assignment pass under the current literal centroids:
-    // dists[i] = sqdist(emb, cents[i]); cell = cells[argmin] (first-min =
-    // lowest cell id, matching ROW_NUMBER ... ORDER BY dist, cid rn=1)
-    def assigned(): DataFrame = {
-      val centsLit = typedlit(cents)
-      val dists =
-        if (exactArith)
-          transform(centsLit, ce => call_function("decimal_sqdist", col(embCol), ce))
-        else
-          transform(centsLit, ce => aggregate(
-            zip_with(col(embCol), ce, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-            lit(0.0), (acc, v) => acc + v))
-      c.withColumn(cellCol,
-        element_at(typedlit(cells), array_position(dists, array_min(dists)).cast("int")))
-    }
+    // one narrow assignment pass under the current literal centroids
+    def assigned(): DataFrame =
+      c.withColumn(cellCol, assignExpr(embCol, cells, cents, exactArith))
 
     for (_ <- 1 until iters) {
       val mean =
@@ -145,6 +133,49 @@ object Ann {
             org.apache.spark.sql.types.DoubleType, containsNull = false),
           nullable = false))))
     IvfModel(assigned(), centTable)
+  }
+
+  /** Nearest-trained-cell for every corpus row — the second half of the
+    * 100 TB composition [[fit]]'s scaladoc describes: fit on a uniform
+    * SAMPLE (Lloyd centroids are means; sampling error is O(1/√s)), then
+    * assign the FULL corpus in one narrow pass under the trained
+    * centroids. `centroids` is an [[IvfModel.centroids]]-shaped table
+    * (cell int, centroid array<double>) — O(k·dim), collected to the
+    * driver as control plane and re-shipped as the same few-KB literal
+    * the training rounds use, so assignment adds ZERO shuffle at any
+    * corpus size. Same argmin algebra as [[fit]] (first-minimum =
+    * (dist, cid) tie order): assigning the fit's own corpus under its
+    * returned centroids reproduces `IvfModel.assigned` exactly (AnnSpec).
+    */
+  def assign(corpus: DataFrame, centroids: DataFrame,
+             embCol: String = "embedding", cellCol: String = "cell",
+             exactArith: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val rows = centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).sortBy(_._1)
+    require(rows.nonEmpty, "assign needs a nonempty centroid table")
+    corpus.withColumn(cellCol,
+      assignExpr(embCol, rows.map(_._1).toSeq, rows.map(_._2).toSeq, exactArith))
+  }
+
+  /** The narrow literal-centroid argmin shared by [[fit]] and [[assign]]:
+    * dists[i] = sqdist(emb, cents[i]) — the codegen'd decimal_sqdist
+    * kernel (exactArith) or a double HOF fold — and cell = cells[argmin],
+    * where array_position-of-array_min takes the FIRST minimum = lowest
+    * cell id, matching ROW_NUMBER ... ORDER BY dist, cid rn=1 in the
+    * q_ann_trained oracle. cells/cents must be sorted by cell id.
+    */
+  private def assignExpr(embCol: String, cells: Seq[Int], cents: Seq[Seq[Double]],
+                         exactArith: Boolean): Column = {
+    val centsLit = typedlit(cents)
+    val dists =
+      if (exactArith)
+        transform(centsLit, ce => call_function("decimal_sqdist", col(embCol), ce))
+      else
+        transform(centsLit, ce => aggregate(
+          zip_with(col(embCol), ce, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v))
+    element_at(typedlit(cells), array_position(dists, array_min(dists)).cast("int"))
   }
 
   /** HOF cosine for mixed/double arrays (centroid comparisons — tiny

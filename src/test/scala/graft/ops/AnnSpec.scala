@@ -117,6 +117,26 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"trained-cell recall@5 = $recall, expected >= 0.6")
   }
 
+  test("assign composes fit-on-a-sample with full-corpus assignment") {
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val sample = corpus.filter(col("vec_id") % 2 === 0) // uniform half
+    val model = Ann.fit(sample, k = 4, iters = 2)
+    val full = Ann.assign(corpus, model.centroids)
+    // every corpus row (sampled or not) gets exactly one trained cell
+    assert(full.count() == corpus.count())
+    assert(full.filter(col("cell").isNull).count() == 0)
+    val modelCells = model.centroids.collect().map(_.getInt(0)).toSet
+    assert(full.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSet.subsetOf(modelCells))
+    // same centroids + same argmin algebra: assigning the fit's own
+    // corpus reproduces the model's assignment bit-for-bit
+    val reassigned = Ann.assign(sample, model.centroids)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val original = model.assigned
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(reassigned == original)
+  }
+
   test("fit with screenDim trains only on verdict-ok vectors") {
     // a NaN vector with the LOWEST id would poison seed centroid 0 unscreened
     val hostile = spark.sql(
