@@ -135,6 +135,32 @@ object Ann {
     IvfModel(assigned(), centTable)
   }
 
+  /** Persist a trained IVF index as the thing that makes IVF pay at
+    * 100 TB: the assigned corpus written PARTITIONED BY cell (plus the
+    * k-row centroid table beside it), so a probe join reads only the
+    * nprobe/k of the data it scores. With the corpus laid out by cell,
+    * Spark's dynamic partition pruning turns [[ivfTopK]]'s broadcast
+    * probe join into a partition-pruned scan — the broadcast probe set's
+    * cell ids become a runtime partition filter on the corpus read
+    * (AnnSpec pins `dynamicpruning` in the index scan, and the gate
+    * q_ann_index hash-matches q_ann_trained's oracle through the full
+    * write → read-back → probe path). Without the layout, every probe
+    * scans the whole corpus and IVF only saves kernel evaluations.
+    */
+  def writeIndex(model: IvfModel, path: String, cellCol: String = "cell"): Unit = {
+    model.assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(cellCol).parquet(s"$path/corpus")
+    model.centroids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/centroids")
+  }
+
+  /** Read back a persisted IVF index. `assigned`'s `cell` column is the
+    * partition key — filters and probe joins on it prune to the matching
+    * cell directories. */
+  def readIndex(spark: SparkSession, path: String): IvfModel =
+    IvfModel(spark.read.parquet(s"$path/corpus"),
+      spark.read.parquet(s"$path/centroids"))
+
   /** Nearest-trained-cell for every corpus row — the second half of the
     * 100 TB composition [[fit]]'s scaladoc describes: fit on a uniform
     * SAMPLE (Lloyd centroids are means; sampling error is O(1/√s)), then
@@ -242,13 +268,21 @@ object Ann {
       embCol: String = "embedding",
       cellCol: String = "label",
       exactArith: Boolean = false,
-      screenDim: Option[Int] = None): DataFrame = {
+      screenDim: Option[Int] = None,
+      storedCentroids: Option[DataFrame] = None): DataFrame = {
     // BEFORE any DataFrame that references the kernels: Datasets analyze
     // eagerly at construction, so a later register() call is too late for
     // the probe-assignment plan built a few lines down
     graft.functions.GraftFunctions.register(spark)
     val (queriesS, corpusS) = screened(spark, queries, corpus, embCol, screenDim)
-    val cents = broadcast(centroids(corpusS, cellCol, embCol, exactArith))
+    // index-serving shape: a persisted (cell, centroid) table (readIndex)
+    // replaces the centroid-build pass — the ONLY corpus read left is the
+    // probe equi-join, which a cell-partitioned index layout prunes to
+    // the probed cells (see writeIndex). Derived-centroid mode (None)
+    // keeps the self-contained q_ann_ivf shape.
+    val cents = broadcast(storedCentroids
+      .map(_.select(col("cell"), col("centroid")))
+      .getOrElse(centroids(corpusS, cellCol, embCol, exactArith)))
     // assign each query its nprobe nearest cells. In exactArith mode the
     // cell score is the ROUNDED decimal cosine with a cell tie-break, so
     // the probe CHOICE itself (not just the in-cell scores) is

@@ -212,6 +212,65 @@ object NorthStarQueries {
       |           FROM scored)
       |SELECT q_id, rnk, vec_id AS neighbor, cosine FROM ranked WHERE rnk <= 5""".stripMargin
 
+  /** The PERSISTED-index serving path (r14): Ann.fit → Ann.writeIndex
+    * (assigned corpus PARTITIONED BY cell + the trained centroid table) →
+    * Ann.readIndex → ivfTopK with `storedCentroids`. Two things differ
+    * from q_ann_trained and are exactly what an index buys at 100 TB:
+    * the centroid-build corpus pass disappears (probes rank against the
+    * STORED trained centroids — the oracle's probe CTE reads c1, not
+    * member means), and the one remaining corpus read — the probe
+    * equi-join — runs against the cell-partitioned layout, where the
+    * broadcast probe set dynamic-partition-prunes the scan to the probed
+    * cell directories (AnnSpec pins the `dynamicpruning` partition filter
+    * in the executed plan). The oracle unrolls the same training as
+    * q_ann_trained, then serves from the stored artifacts' algebra:
+    * double centroids round-trip parquet bit-exactly, so the whole
+    * write → read → probe path is hash-gated.
+    */
+  def qAnnIndex(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = Ann.fit(emb.select(col("vec_id"), col("embedding")),
+      k = 4, iters = 2, exactArith = true)
+    val idx = graft.ops.Scratch.dir("ann_index")
+    Ann.writeIndex(model, idx.toString)
+    val stored = Ann.readIndex(s, idx.toString)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Ann.ivfTopK(s, queries, stored.assigned, k = 5, nprobe = 2,
+      cellCol = "cell", exactArith = true,
+      storedCentroids = Some(stored.centroids))
+  }
+
+  val qAnnIndexSql: String =
+    s"""WITH x AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+      |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+      |c0 AS (SELECT s.cid, x.dim, x.x AS cv FROM seeds s JOIN x USING (vec_id)),
+      |a1 AS (${lloydAssignSql("c0")}),
+      |c1 AS (SELECT a.cid, x.dim,
+      |         CAST(SUM(CAST(x.x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cv
+      |       FROM a1 a JOIN x USING (vec_id) GROUP BY 1, 2),
+      |a2 AS (${lloydAssignSql("c1")}),
+      |pc AS (SELECT cid AS cell, list(cv ORDER BY dim) AS centroid FROM c1 GROUP BY cid),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+      |cellsim AS (SELECT q.q_id, p.cell, ${dCos("q.q_emb", "p.centroid")} AS cell_sim
+      |            FROM q CROSS JOIN pc p),
+      |probes AS (SELECT q_id, cell FROM (
+      |             SELECT q_id, cell,
+      |               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cell_sim DESC, cell) AS cell_rank
+      |             FROM cellsim)
+      |           WHERE cell_rank <= 2),
+      |scored AS (SELECT q.q_id, e.vec_id, ${dCos("q.q_emb", "e.embedding")} AS cosine
+      |           FROM q JOIN probes p ON q.q_id = p.q_id
+      |           JOIN a2 m ON m.cid = p.cell
+      |           JOIN embeddings e ON e.vec_id = m.vec_id
+      |           WHERE q.q_id <> e.vec_id),
+      |ranked AS (SELECT q_id, vec_id, cosine,
+      |             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+      |           FROM scored)
+      |SELECT q_id, rnk, vec_id AS neighbor, cosine FROM ranked WHERE rnk <= 5""".stripMargin
+
   /** Multimodal VIDEO feature pipeline, REAL end-to-end (r9: the last
     * stubbed kind went real): one animated GIF per document (8×4
     * grayscale, 1 or 4 frames by n_chars parity, pixel p of frame f
@@ -581,6 +640,7 @@ object NorthStarQueries {
     "q_ann_ivf_kernel" -> ((qAnnIvfKernel _, Some(qAnnIvfKernelSql))),
     "q_ann_fullprobe" -> ((qAnnFullprobe _, Some(qAnnFullprobeSql))),
     "q_ann_trained" -> ((qAnnTrained _, Some(qAnnTrainedSql))),
+    "q_ann_index" -> ((qAnnIndex _, Some(qAnnIndexSql))),
     "q_multimodal" -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_audio_decode" -> ((qAudioDecode _, Some(qAudioDecodeSql))),
     "q_image_decode" -> ((qImageDecode _, Some(qImageDecodeSql))),

@@ -50,7 +50,7 @@ class PlanSpec extends SparkSpec {
       "q_ann_screened",
       // same q_ann_ivf probe shape: query×centroid assignment over the
       // O(k) trained-cell / screened-table centroid broadcast
-      "q_ann_trained", "q_ann_screened_table",
+      "q_ann_trained", "q_ann_screened_table", "q_ann_index",
       // 1-row scalar-totals broadcast-cross: PMI's (n_tok, t_bi) pair on
       // the bigram table, MI's grand total on the contingency table
       "q_pmi", "q_mutual_info",
@@ -177,6 +177,8 @@ class PlanSpec extends SparkSpec {
       "q_ann_trained" -> (kRows + " (q_ann_ivf's shape over Ann.fit's k=4 trained cells; " +
         "fit's own assignment is a narrow literal-centroid map, no join)"),
       "q_ann_screened_table" -> (kRows + " (q_ann_ivf's shape over the persist-once screened table)"),
+      "q_ann_index" -> (kRows + " (stored k-row centroid table + broadcast probe set; " +
+        "the corpus read is the DPP-pruned partitioned index scan)"),
       "q_cosine_topk" -> kRows, "q_ndcg" -> kRows, "q_rrf" -> kRows,
       "q_ann_fullprobe" -> kRows, "q_ann_ivf" -> kRows, "q_ann_ivf_kernel" -> kRows,
       "q_kmeans_step" -> kRows, "q_pq" -> kRows, "q_ivf_pq" -> (kRows + " (8-row coarse, 16-row codebook, 64-row LUT)"),

@@ -137,6 +137,28 @@ class AnnSpec extends SparkSpec {
     assert(reassigned == original)
   }
 
+  test("persisted index: probe join prunes the cell-partitioned scan; serving matches") {
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val model = Ann.fit(corpus, k = 4, iters = 2)
+    val dir = tmpDir("annidx") + "/idx"
+    Ann.writeIndex(model, dir)
+    val stored = Ann.readIndex(spark, dir)
+    val served = Ann.ivfTopK(spark, queries, stored.assigned, k = 5, nprobe = 2,
+      cellCol = "cell", storedCentroids = Some(stored.centroids))
+    // the probe equi-join's corpus scan carries a dynamic partition-pruning
+    // filter — only the probed cell directories are read (the thing the
+    // partitioned layout exists for)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the index scan:\n${plan.take(3000)}")
+    // write → read → serve returns exactly what serving the in-memory
+    // model returns (doubles round-trip parquet bit-exactly)
+    val direct = Ann.ivfTopK(spark, queries, model.assigned, k = 5, nprobe = 2,
+      cellCol = "cell", storedCentroids = Some(model.centroids))
+    assert(served.collect().map(_.toString).toSet ==
+      direct.collect().map(_.toString).toSet)
+  }
+
   test("fit with screenDim trains only on verdict-ok vectors") {
     // a NaN vector with the LOWEST id would poison seed centroid 0 unscreened
     val hostile = spark.sql(
