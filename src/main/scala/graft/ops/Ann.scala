@@ -161,6 +161,27 @@ object Ann {
     IvfModel(spark.read.parquet(s"$path/corpus"),
       spark.read.parquet(s"$path/centroids"))
 
+  /** Incremental ingest for a growing corpus — the reason the index keeps
+    * its centroids beside the data: new rows are [[assign]]ed under the
+    * STORED centroids (one narrow pass, no retraining, no touch of the
+    * existing data) and appended into the matching cell directories.
+    * Equivalent by construction to rebuilding the corpus layout from
+    * scratch under the same centroids (AnnSpec pins append-then-serve ≡
+    * rebuild-then-serve). Centroids drift as the corpus grows — the
+    * standard maintenance trade; re-[[fit]] (on a sample) and rewrite
+    * when recall degrades. Append atomicity is parquet's usual
+    * task-commit story; concurrent appends to one index need an external
+    * writer lock, same as any path-based table without a transaction log.
+    */
+  def appendToIndex(spark: SparkSession, newRows: DataFrame, path: String,
+                    embCol: String = "embedding", cellCol: String = "cell",
+                    exactArith: Boolean = false): Unit = {
+    val stored = readIndex(spark, path)
+    assign(newRows, stored.centroids, embCol, cellCol, exactArith)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy(cellCol).parquet(s"$path/corpus")
+  }
+
   /** Nearest-trained-cell for every corpus row — the second half of the
     * 100 TB composition [[fit]]'s scaladoc describes: fit on a uniform
     * SAMPLE (Lloyd centroids are means; sampling error is O(1/√s)), then

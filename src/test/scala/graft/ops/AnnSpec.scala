@@ -159,6 +159,32 @@ class AnnSpec extends SparkSpec {
       direct.collect().map(_.toString).toSet)
   }
 
+  test("appendToIndex: incremental ingest equals a same-centroid rebuild") {
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val half1 = corpus.filter(col("vec_id") < 250)
+    val half2 = corpus.filter(col("vec_id") >= 250)
+    val model = Ann.fit(half1, k = 4, iters = 2)
+    val dir = tmpDir("annappend") + "/idx"
+    Ann.writeIndex(model, dir)
+    Ann.appendToIndex(spark, half2, dir)
+    val grown = Ann.readIndex(spark, dir)
+    // the grown index covers the full corpus, each row exactly once…
+    assert(grown.assigned.count() == corpus.count())
+    assert(grown.assigned.select("vec_id").distinct().count() == corpus.count())
+    // …appended rows landed on the STORED centroids' argmin cells
+    // (identical to assigning the full corpus under the same centroids)
+    val rebuilt = Ann.assign(corpus, model.centroids)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val stored = grown.assigned
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("cell"))).toSet
+    assert(stored == rebuilt)
+    // …and serving the grown index can surface appended rows as neighbors
+    val served = Ann.ivfTopK(spark, queries, grown.assigned, k = 5, nprobe = 4,
+      cellCol = "cell", storedCentroids = Some(grown.centroids))
+      .collect().map(_.getLong(2)).toSet
+    assert(served.exists(_ >= 250L), "no appended row ever surfaced in any top-5")
+  }
+
   test("fit with screenDim trains only on verdict-ok vectors") {
     // a NaN vector with the LOWEST id would poison seed centroid 0 unscreened
     val hostile = spark.sql(
