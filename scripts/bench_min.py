@@ -33,10 +33,15 @@ def main(paths):
     # only the last run's message hid distinct failure modes — r13 advice)
     errors = {q: msgs for q, msgs in errors.items() if q not in queries}
     # expected-vs-timed: a query failing in every run would otherwise
-    # silently deflate the total; make the registry gap visible
+    # silently deflate the total; make the registry gap visible. The
+    # expected COUNT comes from the registry itself (Bench's n_registered,
+    # stamped by the JVM that owns the query map) — a union of run outputs
+    # cannot see a query that every run silently skipped.
     expected = set()
     for r in runs:
         expected |= set(r["queries"]) | set(r.get("errors", {}))
+    n_expected = max(
+        [r.get("n_registered", 0) for r in runs] + [len(expected)])
     stream = sum(v for q, v in queries.items() if q.startswith("q_stream"))
     total = sum(queries.values())
     out = {
@@ -45,7 +50,7 @@ def main(paths):
         "unit": "sec",
         "n_runs": len(runs),
         "n_queries_timed": len(queries),
-        "n_queries_expected": len(expected),
+        "n_queries_expected": n_expected,
         "never_succeeded": sorted(expected - set(queries)),
         "batch_total": round(total - stream, 3),
         "streaming_total": round(stream, 3),

@@ -133,6 +133,10 @@ object Bench {
     val batchTotal = total - streamingTotal
     val meta =
       s""""batch_total":${f"$batchTotal%.3f"},"streaming_total":${f"$streamingTotal%.3f"},""" +
+      // the REGISTRY size, from the JVM that owns it: bench_min.py checks
+      // timed-vs-registered so a query silently dropped from the registry
+      // (or never reached by a crashed sweep) deflates no artifact unseen
+      s""""n_registered":${SparkEntry.queries.size},""" +
       s""""loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}""""
     def line(qs: collection.Map[String, Double]): String =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$meta,"queries":${qsJson(qs)},"errors":$errs,"sf":"${esc(sfDir)}","detail":"${esc(out)}"}"""

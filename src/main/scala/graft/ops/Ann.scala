@@ -172,12 +172,24 @@ object Ann {
     * when recall degrades. Append atomicity is parquet's usual
     * task-commit story; concurrent appends to one index need an external
     * writer lock, same as any path-based table without a transaction log.
+    *
+    * `screenDim` matters MORE here than on any query path: a query-time
+    * hostile vector poisons one result set, but an appended one is
+    * PERSISTED — its all-NaN distances land it deterministically in a
+    * cell, and every later probe of that cell scores it cosine = NaN,
+    * which `desc` ordering ranks ABOVE every real neighbor, forever. An
+    * index built from screened data should screen its ingest too.
     */
   def appendToIndex(spark: SparkSession, newRows: DataFrame, path: String,
                     embCol: String = "embedding", cellCol: String = "cell",
-                    exactArith: Boolean = false): Unit = {
+                    exactArith: Boolean = false,
+                    screenDim: Option[Int] = None): Unit = {
     val stored = readIndex(spark, path)
-    assign(newRows, stored.centroids, embCol, cellCol, exactArith)
+    val rows = screenDim match {
+      case Some(d) => newRows.filter(Validate.embeddingVerdict(spark, embCol, d) === "ok")
+      case None => newRows
+    }
+    assign(rows, stored.centroids, embCol, cellCol, exactArith)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy(cellCol).parquet(s"$path/corpus")
   }

@@ -23,11 +23,17 @@ object Caches {
 
   /** Cache `df` under `key`, releasing the previous generation cached
     * under the same key (non-blocking: the old blocks drop as their last
-    * readers finish). Returns the cached frame.
+    * readers finish). Returns the cached frame. Synchronized, and the new
+    * frame is cached BEFORE the old is released: an unsynchronized
+    * put-then-cache would let two concurrent callers interleave into two
+    * resident generations — the exact state this class exists to prevent.
+    * The map holds at most one (small) plan per call site and the sites
+    * are a fixed code-level set, so retention is bounded by construction.
     */
-  def swap(key: String, df: DataFrame): DataFrame = {
+  def swap(key: String, df: DataFrame): DataFrame = synchronized {
+    df.cache()
     val prev = live.put(key, df)
     if ((prev != null) && (prev ne df)) prev.unpersist(blocking = false)
-    df.cache()
+    df
   }
 }

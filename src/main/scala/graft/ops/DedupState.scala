@@ -64,9 +64,15 @@ object DedupState {
   def commit(spark: SparkSession, df: DataFrame, statePath: String, keyCols: Seq[String],
              nfc: Boolean = false): Unit = {
     checkMode(spark, statePath, nfc)
+    // stamp the mode BEFORE the data lands: stamping after would leave a
+    // crash window (hashes written, no marker) in which a later
+    // wrong-mode caller passes checkMode, appends mixed-mode hashes, and
+    // then certifies the corrupted state as ITS mode. A marker-only dir
+    // from a crash between these lines is harmless — filterNew/stateSize
+    // treat a dir with no data files as empty state.
+    recordMode(spark, statePath, nfc)
     df.select(hashCol(df, keyCols, nfc).as("seen_hash")).distinct()
       .write.mode(SaveMode.Append).parquet(statePath)
-    recordMode(spark, statePath, nfc)
   }
 
   private def modeName(nfc: Boolean): String = if (nfc) "nfc" else "raw"
@@ -107,8 +113,17 @@ object DedupState {
   def stateSize(spark: SparkSession, statePath: String): Long =
     if (exists(spark, statePath)) spark.read.parquet(statePath).count() else 0L
 
+  /** State "exists" = the dir holds at least one DATA file. Underscore
+    * entries (the mode marker, _SUCCESS) don't count — a marker-only dir
+    * left by a commit that crashed before its parquet write is empty
+    * state, not an unreadable table.
+    */
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 }

@@ -82,6 +82,21 @@ object Validate {
     * both engines, so the decimal norm is never computed on a vector that
     * would crash it.
     */
+  def embeddingVerdict(s: SparkSession, embCol: String, dim: Int): Column = {
+    graft.functions.GraftFunctions.register(s)
+    val e = col(embCol)
+    val inf = expr("CAST('Infinity' AS DOUBLE)")
+    when(e.isNull, "null_embedding")
+      .when(size(e) =!= dim, "dim_mismatch")
+      .when(exists(e, x => x.isNull), "null_component")
+      .when(exists(e, x => isnan(x) || abs(x) === inf), "non_finite")
+      // Column-based call (not string-interpolated expr text): a column
+      // name needing quoting (dots/spaces/hyphens) resolves identically
+      // to every other branch here instead of re-parsing as SQL.
+      .when(call_function("decimal_dot", e, e) === 0.0, "zero_norm")
+      .otherwise("ok")
+  }
+
   /** Persist-once screening — [[graft.ops.Ann]]'s scaladoc'd trade made a
     * code path: `screenDim` on ivfTopK/bruteTopK re-evaluates the verdict
     * (an exact-decimal self dot product per row) on EVERY consumer scan,
@@ -100,20 +115,5 @@ object Validate {
     corpus.filter(embeddingVerdict(s, embCol, dim) === "ok")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
     s.read.parquet(path)
-  }
-
-  def embeddingVerdict(s: SparkSession, embCol: String, dim: Int): Column = {
-    graft.functions.GraftFunctions.register(s)
-    val e = col(embCol)
-    val inf = expr("CAST('Infinity' AS DOUBLE)")
-    when(e.isNull, "null_embedding")
-      .when(size(e) =!= dim, "dim_mismatch")
-      .when(exists(e, x => x.isNull), "null_component")
-      .when(exists(e, x => isnan(x) || abs(x) === inf), "non_finite")
-      // Column-based call (not string-interpolated expr text): a column
-      // name needing quoting (dots/spaces/hyphens) resolves identically
-      // to every other branch here instead of re-parsing as SQL.
-      .when(call_function("decimal_dot", e, e) === 0.0, "zero_norm")
-      .otherwise("ok")
   }
 }

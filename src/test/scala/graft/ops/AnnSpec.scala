@@ -185,6 +185,25 @@ class AnnSpec extends SparkSpec {
     assert(served.exists(_ >= 250L), "no appended row ever surfaced in any top-5")
   }
 
+  test("appendToIndex with screenDim rejects hostile rows at ingest") {
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val model = Ann.fit(corpus.filter(col("vec_id") < 250), k = 4, iters = 2)
+    val dir = tmpDir("annappend_s") + "/idx"
+    Ann.writeIndex(model, dir)
+    // a NaN vector in the ingest batch: unscreened it would PERSIST into a
+    // cell and rank cosine=NaN above every real neighbor forever
+    val hostile = spark.sql(
+      """SELECT CAST(9000001 AS BIGINT) AS vec_id,
+        |  transform(sequence(1, 64), i -> CAST('NaN' AS FLOAT)) AS embedding""".stripMargin)
+    Ann.appendToIndex(spark, hostile.unionByName(corpus.filter(col("vec_id") >= 250)),
+      dir, screenDim = Some(64))
+    val grown = Ann.readIndex(spark, dir)
+    assert(grown.assigned.filter(col("vec_id") === 9000001L).count() == 0)
+    val served = Ann.ivfTopK(spark, queries, grown.assigned, k = 5, nprobe = 2,
+      cellCol = "cell", storedCentroids = Some(grown.centroids)).collect()
+    assert(served.forall(r => !r.getDouble(3).isNaN && r.getLong(2) != 9000001L))
+  }
+
   test("fit with screenDim trains only on verdict-ok vectors") {
     // a NaN vector with the LOWEST id would poison seed centroid 0 unscreened
     val hostile = spark.sql(

@@ -49,6 +49,25 @@ class DedupStateSpec extends SparkSpec {
     assert(e2.getMessage.contains("identity mode"))
   }
 
+  test("a marker-only state dir (commit crashed before its data write) is empty state") {
+    val state = tmpDir("state") + "/s_crash"
+    val batch = Seeds.fromMaps(spark, Seq(Map("k" -> "a")))
+    // simulate the crash window: the mode marker landed, the parquet didn't
+    val p = new org.apache.hadoop.fs.Path(state, "_graft_identity_mode")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write("raw".getBytes("UTF-8")); out.close()
+    assert(DedupState.stateSize(spark, state) == 0)
+    assert(DedupState.filterNew(spark, batch, state, Seq("k")).count() == 1)
+    // the stamped mode still guards a wrong-mode retry
+    intercept[IllegalArgumentException] {
+      DedupState.filterNew(spark, batch, state, Seq("k"), nfc = true)
+    }
+    // a correct-mode retry completes the interrupted commit
+    DedupState.commit(spark, batch, state, Seq("k"))
+    assert(DedupState.stateSize(spark, state) == 1)
+  }
+
   test("contentHash(nfc) refuses columns with nested strings") {
     val df = spark.sql(
       """SELECT 'a' AS s, array('x', 'y') AS arr,
