@@ -133,10 +133,14 @@ object Bench {
     val batchTotal = total - streamingTotal
     val meta =
       s""""batch_total":${f"$batchTotal%.3f"},"streaming_total":${f"$streamingTotal%.3f"},""" +
-      // the REGISTRY size, from the JVM that owns it: bench_min.py checks
-      // timed-vs-registered so a query silently dropped from the registry
-      // (or never reached by a crashed sweep) deflates no artifact unseen
-      s""""n_registered":${SparkEntry.queries.size},""" +
+      // the EXPECTED-set size, from the JVM that owns the registry:
+      // bench_min.py checks timed-vs-expected so a query silently dropped
+      // from the registry (or never reached by a crashed sweep) deflates no
+      // artifact unseen. A deliberate `only` subset run stamps the SUBSET
+      // size (plus a flag) — stamping the full registry there made a dev
+      // subset artifact indistinguishable from mass query loss (r14 advice).
+      s""""n_registered":${if (only.nonEmpty) only.size else SparkEntry.queries.size},""" +
+      s""""subset":${only.nonEmpty},""" +
       s""""loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}""""
     def line(qs: collection.Map[String, Double]): String =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$meta,"queries":${qsJson(qs)},"errors":$errs,"sf":"${esc(sfDir)}","detail":"${esc(out)}"}"""

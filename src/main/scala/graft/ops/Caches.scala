@@ -29,11 +29,22 @@ object Caches {
     * resident generations — the exact state this class exists to prevent.
     * The map holds at most one (small) plan per call site and the sites
     * are a fixed code-level set, so retention is bounded by construction.
+    *
+    * Same-plan generations: Spark's CacheManager keys entries by
+    * CANONICALIZED plan, not DataFrame instance. When the new generation's
+    * plan sameResults the previous one's, the `cache()` above was a no-op
+    * hit on the previous entry, and unpersisting `prev` would evict that
+    * one SHARED entry — leaving the new generation uncached, the opposite
+    * of the invariant (r14 advice). The release is skipped in that case:
+    * both instances then share the single resident entry, which is still
+    * "at most one generation per site".
     */
   def swap(key: String, df: DataFrame): DataFrame = synchronized {
     df.cache()
     val prev = live.put(key, df)
-    if ((prev != null) && (prev ne df)) prev.unpersist(blocking = false)
+    if ((prev != null) && (prev ne df) &&
+        !prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+      prev.unpersist(blocking = false)
     df
   }
 }

@@ -101,12 +101,30 @@ object DedupState {
     }
   }
 
+  /** Stamp the state dir's identity mode, exactly once. `overwrite = false`
+    * makes the filesystem the arbiter of two CONCURRENT first commits with
+    * different modes: with overwrite both would pass [[checkMode]] (no
+    * marker yet), both would write markers (last wins), and mixed-mode
+    * hashes would land in the state — the silent corruption the marker
+    * exists to prevent (r14 advice). Losing the create race is fine: the
+    * loser re-validates against the winner's marker and fails fast on a
+    * mode mismatch BEFORE its data lands.
+    */
   private def recordMode(spark: SparkSession, statePath: String, nfc: Boolean): Unit = {
     val marker = modeMarker(statePath)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
-      val out = fs.create(marker, true)
-      try out.write(modeName(nfc).getBytes("UTF-8")) finally out.close()
+      try {
+        val out = fs.create(marker, false)
+        try out.write(modeName(nfc).getBytes("UTF-8")) finally out.close()
+      } catch {
+        case e: java.io.IOException =>
+          // lost the create race (FileAlreadyExistsException, or a raw
+          // "file exists" IOException from FS impls that don't subclass
+          // it): validate against the winner. Anything else is a real
+          // I/O failure — rethrow rather than certify an unstamped dir.
+          if (fs.exists(marker)) checkMode(spark, statePath, nfc) else throw e
+      }
     }
   }
 

@@ -37,4 +37,28 @@ class CacheDisciplineSpec extends SparkSpec {
     assert(afterThird <= afterFirst,
       s"storage grew across sweeps: $afterFirst -> $afterThird")
   }
+
+  test("Caches.swap keeps a same-plan new generation cached (shared entry survives)") {
+    import org.apache.spark.sql.functions.col
+    // two INSTANCES with the same canonicalized plan: CacheManager keys by
+    // plan, so b.cache() is a no-op hit on a's entry — swap must not
+    // unpersist a (that would evict the one shared entry and leave the new
+    // generation uncached, the opposite of the documented invariant)
+    val a = spark.range(10).toDF("n").filter(col("n") > 2)
+    val b = spark.range(10).toDF("n").filter(col("n") > 2)
+    try {
+      // Dataset.storageLevel IS a cache-manager lookup on the canonicalized
+      // plan: NONE means no resident entry covers this frame
+      Caches.swap("spec_sameplan", a)
+      Caches.swap("spec_sameplan", b)
+      assert(b.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "same-plan swap evicted the shared cache entry")
+      // a genuinely NEW plan still releases the old generation
+      val c = spark.range(10).toDF("n").filter(col("n") > 3)
+      Caches.swap("spec_sameplan", c)
+      assert(c.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "distinct-plan swap failed to release the previous generation")
+    } finally spark.catalog.clearCache()
+  }
 }
