@@ -156,10 +156,94 @@ object Ann {
 
   /** Read back a persisted IVF index. `assigned`'s `cell` column is the
     * partition key — filters and probe joins on it prune to the matching
-    * cell directories. */
-  def readIndex(spark: SparkSession, path: String): IvfModel =
-    IvfModel(spark.read.parquet(s"$path/corpus"),
-      spark.read.parquet(s"$path/centroids"))
+    * cell directories. Resolves [[currentRoot]] first, so a
+    * [[replaceIndex]]-managed index serves its newest COMPLETE version. */
+  def readIndex(spark: SparkSession, path: String): IvfModel = {
+    val root = currentRoot(spark, path)
+    IvfModel(spark.read.parquet(s"$root/corpus"),
+      spark.read.parquet(s"$root/centroids"))
+  }
+
+  /** The current data root of an index at `path`. A [[replaceIndex]]-managed
+    * index holds immutable versions `v1, v2, …`, each stamped with a
+    * `_complete` marker AFTER its corpus+centroids are fully written;
+    * current = the highest complete version. A flat ([[writeIndex]]-laid)
+    * index resolves to itself. Marker-gated resolution is what makes the
+    * replace swap crash-safe WITHOUT a pointer file: a version that crashed
+    * mid-write has no marker and is invisible, and there is no
+    * delete-then-rename pointer window in which readers see nothing —
+    * every reader deterministically lands on the newest version whose
+    * write certifiably finished.
+    */
+  def currentRoot(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) path
+    else {
+      val versions = fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+        .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_complete")))
+        .map(_.getPath.getName.drop(1).toLong)
+      if (versions.isEmpty) path else s"$path/v${versions.max}"
+    }
+  }
+
+  /** Atomically REPLACE an index with a freshly trained model — the
+    * re-fit-on-drift path ([[recallDrift]] measures when) and the analog of
+    * the reference's replace-all ETLDataset.update
+    * (/root/reference/bert/etl/__init__.py:133-164), which rewrites the
+    * whole dataset object rather than mutating in place. Discipline is
+    * [[graft.ops.Caches.swap]] applied to paths: the new generation is
+    * fully written BEFORE it becomes current, and the old generation is
+    * retained (for in-flight readers / rollback) until [[pruneIndexVersions]].
+    *
+    * Mechanics: the model lands under `path/v<N+1>/` and a `_complete`
+    * marker is created LAST; [[currentRoot]] resolves to the highest
+    * complete version, so the single marker create IS the atomic commit —
+    * a crash at any earlier point leaves an unmarked (invisible) version
+    * dir that the next replace simply supersedes. A pre-existing flat
+    * layout at the root is shadowed, not deleted. Single writer per index,
+    * as everywhere on this path-based layout. Returns the new root.
+    */
+  def replaceIndex(spark: SparkSession, model: IvfModel, path: String,
+                   cellCol: String = "cell"): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    val existing = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+    val next = (existing :+ 0L).max + 1
+    val vroot = s"$path/v$next"
+    writeIndex(model, vroot, cellCol)
+    val marker = new org.apache.hadoop.fs.Path(vroot, "_complete")
+    fs.create(marker, true).close()
+    vroot
+  }
+
+  /** Delete superseded index versions, keeping the newest `keep` complete
+    * ones (default: current only) plus any incomplete dirs newer than the
+    * current version (a replace may be mid-write). Also removes a flat
+    * root layout once a complete version shadows it. Run when no reader
+    * still holds the old generation — same single-writer caveat as every
+    * mutation of this path-based layout.
+    */
+  def pruneIndexVersions(spark: SparkSession, path: String, keep: Int = 1): Unit = {
+    require(keep >= 1, "pruneIndexVersions must keep at least the current version")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val complete = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_complete")))
+      .sortBy(_.getPath.getName.drop(1).toLong)
+    if (complete.isEmpty) return
+    complete.dropRight(keep).foreach(st => fs.delete(st.getPath, true))
+    // flat leftovers are shadowed by any complete version — reclaim them
+    Seq("corpus", "centroids").foreach { d =>
+      val flat = new org.apache.hadoop.fs.Path(p, d)
+      if (fs.exists(flat)) fs.delete(flat, true)
+    }
+  }
 
   /** Incremental ingest for a growing corpus — the reason the index keeps
     * its centroids beside the data: new rows are [[assign]]ed under the
@@ -184,6 +268,7 @@ object Ann {
                     embCol: String = "embedding", cellCol: String = "cell",
                     exactArith: Boolean = false,
                     screenDim: Option[Int] = None): Unit = {
+    val root = currentRoot(spark, path)
     val stored = readIndex(spark, path)
     val rows = screenDim match {
       case Some(d) => newRows.filter(Validate.embeddingVerdict(spark, embCol, d) === "ok")
@@ -191,7 +276,261 @@ object Ann {
     }
     assign(rows, stored.centroids, embCol, cellCol, exactArith)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy(cellCol).parquet(s"$path/corpus")
+      .partitionBy(cellCol).parquet(s"$root/corpus")
+  }
+
+  /** Idempotently ingest ONE micro-batch into a persisted index — the unit
+    * [[streamIngest]] drives from `foreachBatch`, exposed for batch callers
+    * that manage their own batch ids. Returns true when the batch was
+    * published by THIS call, false when the ledger shows it already
+    * committed (a replay).
+    *
+    * Exactly-once contract (the append-vs-checkpoint boundary, pinned in
+    * AnnSpec): Structured Streaming's checkpoint commits a batch only
+    * AFTER `foreachBatch` returns, so any crash makes the engine re-offer
+    * the same rows under the SAME deterministic `batchId`. Idempotence is
+    * layered so every crash point converges:
+    *   1. a ledger marker (`corpus/_graft_ingest/b<id>`, created LAST) is
+    *      the batch's commit record — a replay of a fully-published batch
+    *      is a metadata no-op;
+    *   2. the batch is first staged under `_staging/b<id>` (Overwrite mode
+    *      — a retried partial staging is replaced wholesale, and
+    *      underscore dirs are invisible to readers);
+    *   3. publishing renames staged parts to DETERMINISTIC destination
+    *      names (`ingest-b<id>-p<seq>.parquet`) after wiping any
+    *      `ingest-b<id>-*` leftovers — so a crash mid-publish (some files
+    *      moved, no ledger) re-runs as wipe + full re-publish instead of
+    *      accumulating duplicates.
+    * The one external requirement is the layout's usual one: a single
+    * writer per index (no concurrent ingest/compaction) — parquet dirs
+    * without a transaction log cannot arbitrate writers.
+    */
+  def ingestBatch(spark: SparkSession, batch: DataFrame, batchId: Long, path: String,
+                  embCol: String = "embedding", cellCol: String = "cell",
+                  exactArith: Boolean = false,
+                  screenDim: Option[Int] = None): Boolean = {
+    val root = currentRoot(spark, path)
+    val corpusDir = new org.apache.hadoop.fs.Path(s"$root/corpus")
+    val fs = corpusDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = new org.apache.hadoop.fs.Path(corpusDir, s"_graft_ingest/b$batchId")
+    val staging = new org.apache.hadoop.fs.Path(s"$root/_staging/b$batchId")
+    if (fs.exists(ledger)) {
+      // committed replay: nothing to publish; reclaim a staging dir a
+      // crash may have stranded between ledger write and cleanup
+      fs.delete(staging, true)
+      return false
+    }
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val rows = screenDim match {
+      case Some(d) => batch.filter(Validate.embeddingVerdict(spark, embCol, d) === "ok")
+      case None => batch
+    }
+    assign(rows, centroids, embCol, cellCol, exactArith)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(cellCol).parquet(staging.toString)
+    // wipe a previous attempt's partial publish of THIS batch, then move
+    // staged parts to their deterministic destinations
+    val stale = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(corpusDir, s"$cellCol=*/ingest-b$batchId-*")))
+      .getOrElse(Array.empty)
+    stale.foreach(st => fs.delete(st.getPath, false))
+    val cellDirs = Option(fs.listStatus(staging)).getOrElse(Array.empty)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$cellCol="))
+    cellDirs.foreach { cd =>
+      val parts = fs.listStatus(cd.getPath).map(_.getPath)
+        .filter(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
+        .sortBy(_.getName)
+      val dstDir = new org.apache.hadoop.fs.Path(corpusDir, cd.getPath.getName)
+      fs.mkdirs(dstDir)
+      parts.zipWithIndex.foreach { case (src, i) =>
+        val dst = new org.apache.hadoop.fs.Path(dstDir, f"ingest-b$batchId-p$i%05d.parquet")
+        require(fs.rename(src, dst), s"ingestBatch: rename $src -> $dst failed")
+      }
+    }
+    // ledger marker LAST: the batch is committed iff this file exists
+    fs.mkdirs(ledger.getParent)
+    fs.create(ledger, true).close()
+    fs.delete(staging, true)
+    true
+  }
+
+  /** Streaming ingest into a persisted IVF index — the composition of the
+    * engine's two headline subsystems (the reference's core premise is
+    * stream-driven dataflow: DynamoDB Streams → Lambda binding,
+    * /root/reference/bert/deploy/utils.py:881-901). Each micro-batch is
+    * assigned under the STORED centroids and published into the
+    * cell-partitioned layout via [[ingestBatch]], whose ledger +
+    * deterministic-name publish makes the whole pipeline exactly-once
+    * across restarts (see its scaladoc for the crash-point analysis;
+    * q_stream_ann_ingest hash-gates a 3-batch drain against a
+    * batch-rebuild oracle, and AnnSpec pins the restart/replay cases).
+    *
+    * `screenDim` should be set for any untrusted stream: an unscreened
+    * hostile vector would be PERSISTED into a cell and outrank every real
+    * neighbor forever (see [[appendToIndex]]). Centroids are read once per
+    * micro-batch (k rows — control plane). Default trigger is
+    * AvailableNow (drain-what-exists, then stop — the staged-gate shape);
+    * pass ProcessingTime for a long-lived ingester.
+    */
+  def streamIngest(stream: DataFrame, path: String, checkpoint: String,
+                   embCol: String = "embedding", cellCol: String = "cell",
+                   exactArith: Boolean = false, screenDim: Option[Int] = None,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestBatch(batch.sparkSession, batch.toDF(), batchId, path,
+          embCol, cellCol, exactArith, screenDim)
+        ()
+      }
+      .start()
+
+  final case class CompactStats(cellsCompacted: Int, filesBefore: Int, filesAfter: Int)
+
+  /** Rewrite fragmented cell directories down to `maxFilesPerCell` files —
+    * the maintenance pass that keeps streaming ingest from becoming the
+    * small-file problem at 100 TB cadence: every [[ingestBatch]] adds one
+    * file set per touched cell, so after N batches a hot cell holds O(N)
+    * small files and every probe pays O(N) opens for it. Only cells OVER
+    * the threshold are rewritten (at scale that's the handful of hot cells,
+    * never the whole index), with a narrow `coalesce` — no shuffle.
+    *
+    * Crash-safety per cell: the compacted replacement is fully written
+    * under `_compact/` first, then swapped in as rename(live → dot-prefixed
+    * `.old`, invisible to readers) + rename(compacted → live) + delete.
+    * A crash between the renames leaves the cell dark until the next
+    * compactIndex call, whose opening HEAL pass renames any orphaned
+    * `.old` back into place; serving results are bit-identical before and
+    * after (AnnSpec). Two preconditions, both the layout's standing ones:
+    * single writer (no concurrent ingest), and no reader mid-query during
+    * the swap — a log-less parquet dir cannot give cross-file snapshot
+    * isolation (an ACID table format is the upgrade path).
+    *
+    * In-flight ingest debris: data files named `ingest-b<id>-*` whose
+    * batch has NO ledger marker belong to an uncommitted batch — the
+    * stream's checkpoint WILL re-offer that batch, and its retry wipes and
+    * re-publishes those names. Folding them into a compacted file first
+    * would turn the retry into duplication, so compaction deletes them
+    * up front (exactly the wipe the retry would perform).
+    */
+  def compactIndex(spark: SparkSession, path: String, maxFilesPerCell: Int = 1,
+                   cellCol: String = "cell"): CompactStats = {
+    require(maxFilesPerCell >= 1, "compactIndex needs maxFilesPerCell >= 1")
+    val root = currentRoot(spark, path)
+    val corpusDir = new org.apache.hadoop.fs.Path(s"$root/corpus")
+    val fs = corpusDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldSuffix = ".graft_old"
+    def cellDirs() = Option(fs.listStatus(corpusDir)).getOrElse(Array.empty)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$cellCol="))
+    // HEAL: a crash between the two swap renames leaves `.cell=N.graft_old`
+    // with no live twin — restore it before anything else reads the layout
+    Option(fs.listStatus(corpusDir)).getOrElse(Array.empty)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".") &&
+        st.getPath.getName.endsWith(oldSuffix))
+      .foreach { st =>
+        val liveName = st.getPath.getName.stripPrefix(".").stripSuffix(oldSuffix)
+        val live = new org.apache.hadoop.fs.Path(corpusDir, liveName)
+        if (!fs.exists(live)) require(fs.rename(st.getPath, live),
+          s"compactIndex: heal rename ${st.getPath} -> $live failed")
+        else fs.delete(st.getPath, true)
+      }
+    // drop uncommitted ingest debris (no ledger ⇒ the batch will be retried
+    // and re-published under these exact names — see scaladoc)
+    val ledgerDir = new org.apache.hadoop.fs.Path(corpusDir, "_graft_ingest")
+    val ingestName = "ingest-b(\\d+)-.*".r
+    cellDirs().foreach { cd =>
+      fs.listStatus(cd.getPath).foreach { st =>
+        st.getPath.getName match {
+          case ingestName(bid) =>
+            if (!fs.exists(new org.apache.hadoop.fs.Path(ledgerDir, s"b$bid")))
+              fs.delete(st.getPath, false)
+          case _ => ()
+        }
+      }
+    }
+    def dataFiles(cd: org.apache.hadoop.fs.Path) =
+      fs.listStatus(cd).map(_.getPath)
+        .filter(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
+    val before = cellDirs().map(cd => cd.getPath.getName -> dataFiles(cd.getPath).length).toMap
+    var compacted = 0
+    before.foreach { case (cellName, n) =>
+      if (n > maxFilesPerCell) {
+        val live = new org.apache.hadoop.fs.Path(corpusDir, cellName)
+        val tmp = new org.apache.hadoop.fs.Path(s"$root/_compact/$cellName")
+        // a leaf cell dir read returns the payload columns only (the cell
+        // value lives in the dir name) — exactly what the replacement
+        // files must hold
+        spark.read.parquet(live.toString)
+          .coalesce(maxFilesPerCell)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+        // drop the _SUCCESS marker so the swapped-in dir holds data files only
+        fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+        val old = new org.apache.hadoop.fs.Path(corpusDir, s".$cellName$oldSuffix")
+        require(fs.rename(live, old), s"compactIndex: rename $live -> $old failed")
+        require(fs.rename(tmp, live), s"compactIndex: rename $tmp -> $live failed")
+        fs.delete(old, true)
+        compacted += 1
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_compact"), true)
+    val after = cellDirs().map(cd => dataFiles(cd.getPath).length).sum
+    CompactStats(compacted, before.values.sum, after)
+  }
+
+  /** Stored-vs-refit recall@`k`: [[recallDrift]]'s return. `drift` > 0 means
+    * a re-fit would recover that much recall — the measured re-fit trigger
+    * the index maintenance story needs ("re-fit when recall degrades" is
+    * unanswerable without this number). */
+  final case class RecallDrift(recallStored: Double, recallRefit: Double) {
+    def drift: Double = recallRefit - recallStored
+  }
+
+  /** Measure centroid drift of a persisted index: serve `queries` from the
+    * STORED index and from a FRESH re-fit of the index's own current
+    * corpus, score both against the exact brute-force ground truth over
+    * that corpus, and return the two recall@k figures. Drift accumulates
+    * as [[ingestBatch]]/[[appendToIndex]] grow the corpus under frozen
+    * centroids (appended clusters straddle stale cell boundaries and a
+    * probe misses the half across the line — AnnSpec plants exactly that);
+    * when `drift` crosses the operator's threshold, re-[[fit]] and
+    * [[replaceIndex]].
+    *
+    * Cost/scale: ground truth is a brute-force scan over the corpus PER
+    * QUERY — pass a small probe sample (tens of queries), not production
+    * traffic; `sampleMod` > 1 re-fits on the `idCol % sampleMod == 0`
+    * uniform slice (the fit-on-sample composition [[fit]] documents).
+    * Returns two scalars — control plane, not a data path.
+    */
+  def recallDrift(spark: SparkSession, path: String, queries: DataFrame,
+                  refitK: Int, k: Int = 5, nprobe: Int = 2, refitIters: Int = 2,
+                  sampleMod: Int = 1, qIdCol: String = "q_id",
+                  idCol: String = "vec_id", embCol: String = "embedding",
+                  cellCol: String = "cell", exactArith: Boolean = false): RecallDrift = {
+    val stored = readIndex(spark, path)
+    val corpus = stored.assigned.drop(cellCol)
+    val truth = bruteTopK(queries, corpus, k, qIdCol, idCol, embCol)
+      .select(col(qIdCol), col("neighbor"))
+    val servedStored = ivfTopK(spark, queries, stored.assigned, k, nprobe,
+      qIdCol, idCol, embCol, cellCol, exactArith,
+      storedCentroids = Some(stored.centroids))
+    val sample =
+      if (sampleMod <= 1) corpus
+      else corpus.filter(pmod(col(idCol), lit(sampleMod)) === 0)
+    val refit = fit(sample, refitK, refitIters, idCol, embCol, cellCol, exactArith)
+    val servedRefit = ivfTopK(spark, queries,
+      assign(corpus, refit.centroids, embCol, cellCol, exactArith),
+      k, nprobe, qIdCol, idCol, embCol, cellCol, exactArith,
+      storedCentroids = Some(refit.centroids))
+    def recall(served: DataFrame): Double = {
+      val tot = truth.count()
+      if (tot == 0L) 1.0
+      else served.select(col(qIdCol), col("neighbor"))
+        .join(truth, Seq(qIdCol, "neighbor"), "left_semi").count().toDouble / tot
+    }
+    RecallDrift(recall(servedStored), recall(servedRefit))
   }
 
   /** Nearest-trained-cell for every corpus row — the second half of the
@@ -223,9 +562,20 @@ object Ann {
     * where array_position-of-array_min takes the FIRST minimum = lowest
     * cell id, matching ROW_NUMBER ... ORDER BY dist, cid rn=1 in the
     * q_ann_trained oracle. cells/cents must be sorted by cell id.
+    *
+    * Dimensionality is ENFORCED per row (r14 advice): without the guard, a
+    * null or wrong-length vector null-pads inside zip_with, every distance
+    * comes out null, and the row gets a null cell — which [[appendToIndex]]
+    * would silently PERSIST under the default partition, invisible to
+    * probes yet counted in the corpus. A mismatched row now raises instead
+    * (screened paths never trip it: `screenDim` filters wrong-dimension
+    * rows to verdict != 'ok' before any kernel runs).
     */
   private def assignExpr(embCol: String, cells: Seq[Int], cents: Seq[Seq[Double]],
                          exactArith: Boolean): Column = {
+    val dim = cents.head.size
+    require(cents.forall(_.size == dim),
+      s"assignExpr: centroid table mixes dimensions (${cents.map(_.size).distinct.sorted.mkString(", ")})")
     val centsLit = typedlit(cents)
     val dists =
       if (exactArith)
@@ -234,7 +584,12 @@ object Ann {
         transform(centsLit, ce => aggregate(
           zip_with(col(embCol), ce, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
           lit(0.0), (acc, v) => acc + v))
-    element_at(typedlit(cells), array_position(dists, array_min(dists)).cast("int"))
+    val cell = element_at(typedlit(cells), array_position(dists, array_min(dists)).cast("int"))
+    when(size(col(embCol)) === dim, cell).otherwise(raise_error(concat(
+      lit(s"Ann: embedding dimension mismatch — centroids are $dim-dimensional, row has "),
+      coalesce(size(col(embCol)).cast("string"), lit("null")),
+      lit(" components. Screen the input (screenDim) or fix the ingest; a silently " +
+        "null-assigned row would be invisible to probes yet persisted in the corpus."))))
   }
 
   /** HOF cosine for mixed/double arrays (centroid comparisons — tiny

@@ -241,11 +241,24 @@ object NorthStarQueries {
       storedCentroids = Some(stored.centroids))
   }
 
-  val qAnnIndexSql: String =
+  /** Serve-from-STORED-centroids oracle, parameterized by the trained cell
+    * count `k`: the q_ann_trained Lloyd unroll (2 rounds, seeds = the k
+    * lowest vec_ids), probes ranked against c1 — the trained table
+    * [[graft.ops.Ann.writeIndex]] persists — and in-cell exact-decimal
+    * scoring over the a2 membership. Shared verbatim by every gate whose
+    * final state is "the full corpus laid out under a k-cell trained
+    * index": q_ann_index (write → read → serve), q_stream_ann_ingest
+    * (3-micro-batch streamed ingest — append ORDER cannot affect a set
+    * union, so the streamed corpus must hash-match the batch rebuild),
+    * q_ann_compact (ingest + compaction must be serve-invariant), and
+    * q_ann_replace at k=5 (a swapped index must serve the NEW training —
+    * leaking the old k=4 generation hash-mismatches).
+    */
+  private def annStoredServeSql(k: Int): String =
     s"""WITH x AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
       |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
       |seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
-      |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+      |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
       |c0 AS (SELECT s.cid, x.dim, x.x AS cv FROM seeds s JOIN x USING (vec_id)),
       |a1 AS (${lloydAssignSql("c0")}),
       |c1 AS (SELECT a.cid, x.dim,
@@ -270,6 +283,150 @@ object NorthStarQueries {
       |             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
       |           FROM scored)
       |SELECT q_id, rnk, vec_id AS neighbor, cosine FROM ranked WHERE rnk <= 5""".stripMargin
+
+  val qAnnIndexSql: String = annStoredServeSql(4)
+
+  private val embStagedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))))
+
+  /** Stage `df` (vec_id, embedding, b) as ONE parquet leaf file per
+    * distinct `b` under a fresh scratch dir, with FIXED ascending mtimes:
+    * the file stream source lists in (modTime, path) order, so with
+    * maxFilesPerTrigger=1 file b IS micro-batch b — deterministic batch
+    * membership, the StreamingQueries.stageBatches discipline applied to
+    * embedding rows. One write job for all batches (partitionBy drops `b`
+    * from the payload, leaving exactly the (vec_id, embedding) leaf schema
+    * the stream reads).
+    */
+  private def stageEmbeddingBatches(s: SparkSession, df: DataFrame): java.nio.file.Path = {
+    val stage = graft.ops.Scratch.dir("annstage_src")
+    val raw = graft.ops.Scratch.dir("annstage_raw")
+    df.repartition(1).write.partitionBy("b").mode("overwrite").parquet(raw.toString)
+    val batches = df.select("b").distinct().collect().map(_.getInt(0)).sorted
+    batches.foreach { b =>
+      val listing = java.nio.file.Files.list(raw.resolve(s"b=$b"))
+      val parts =
+        try {
+          val l = new java.util.ArrayList[java.nio.file.Path]()
+          listing.filter(p => p.toString.endsWith(".parquet")).forEach(p => { l.add(p); () })
+          l
+        } finally listing.close()
+      require(parts.size == 1,
+        s"stageEmbeddingBatches: expected exactly 1 parquet part under b=$b, found ${parts.size}")
+      val dst = stage.resolve(f"b$b.parquet")
+      java.nio.file.Files.copy(parts.get(0), dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L * (b + 1)))
+    }
+    stage
+  }
+
+  /** STREAMED ingest into the persisted trained index — the composition of
+    * the engine's two headline subsystems, and the round-15 headline gate:
+    * the reference's core premise is stream-driven dataflow (DynamoDB
+    * Streams → Lambda, /root/reference/bert/deploy/utils.py:881-901), so
+    * the index must grow FROM A STREAM, not only via batch appends. Train
+    * on the full corpus (the q_ann_trained Lloyd unroll), persist a base
+    * index holding only the vec_id % 4 = 0 quarter, then drain the other
+    * three quarters through a REAL streaming execution — file source,
+    * maxFilesPerTrigger=1 over three mtime-ordered staged files = three
+    * deterministic micro-batches — into [[graft.ops.Ann.streamIngest]]
+    * (foreachBatch → ledgered, deterministic-name ingestBatch publishes;
+    * screen ON, the untrusted-stream posture). Serving the drained index
+    * must hash-match the BATCH-REBUILD oracle (annStoredServeSql over the
+    * full table): a lost batch, a duplicated replay, a wrong-cell
+    * assignment under the stored centroids, or a screen that perturbed
+    * clean rows all break the gate. Exactly-once across crash points is
+    * AnnSpec's job (replay no-op, partial-publish convergence, checkpoint
+    * restart); the gate pins the end-to-end composition.
+    */
+  def qStreamAnnIngest(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val model = Ann.fit(corpus, k = 4, iters = 2, exactArith = true)
+    val idx = graft.ops.Scratch.dir("ann_stream_idx").toString
+    Ann.writeIndex(
+      Ann.IvfModel(model.assigned.filter(col("vec_id") % 4 === 0), model.centroids), idx)
+    val stage = stageEmbeddingBatches(s,
+      corpus.filter(col("vec_id") % 4 =!= 0)
+        .withColumn("b", (col("vec_id") % 4 - 1).cast("int")))
+    val ckpt = graft.ops.Scratch.dir("ann_stream_ckpt").toString
+    val src = s.readStream.schema(embStagedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    Ann.streamIngest(src, idx, ckpt, exactArith = true, screenDim = Some(64))
+      .awaitTermination()
+    val stored = Ann.readIndex(s, idx)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Ann.ivfTopK(s, queries, stored.assigned, k = 5, nprobe = 2,
+      cellCol = "cell", exactArith = true,
+      storedCentroids = Some(stored.centroids))
+  }
+
+  val qStreamAnnIngestSql: String = annStoredServeSql(4)
+
+  /** Index COMPACTION is serve-invariant: grow the index the fragmenting
+    * way (base third + two appendToIndex batches — three file sets per
+    * touched cell), compact every cell to one file
+    * ([[graft.ops.Ann.compactIndex]]: per-cell coalesce rewrite behind a
+    * heal-able two-rename swap), and serve. The oracle is the
+    * batch-rebuild algebra — a compaction that drops, duplicates, or
+    * perturbs any row hash-mismatches. The file-count reduction itself
+    * (the thing compaction is FOR at streaming-ingest cadence) is
+    * measured in AnnSpec; the gate pins the invariant that makes the
+    * maintenance pass safe to run at all.
+    */
+  def qAnnCompact(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val model = Ann.fit(corpus, k = 4, iters = 2, exactArith = true)
+    val idx = graft.ops.Scratch.dir("ann_compact_idx").toString
+    Ann.writeIndex(
+      Ann.IvfModel(model.assigned.filter(col("vec_id") % 3 === 0), model.centroids), idx)
+    Ann.appendToIndex(s, corpus.filter(col("vec_id") % 3 === 1), idx, exactArith = true)
+    Ann.appendToIndex(s, corpus.filter(col("vec_id") % 3 === 2), idx, exactArith = true)
+    Ann.compactIndex(s, idx, maxFilesPerCell = 1)
+    val stored = Ann.readIndex(s, idx)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Ann.ivfTopK(s, queries, stored.assigned, k = 5, nprobe = 2,
+      cellCol = "cell", exactArith = true,
+      storedCentroids = Some(stored.centroids))
+  }
+
+  val qAnnCompactSql: String = annStoredServeSql(4)
+
+  /** Index REPLACE serves the new generation: write a k=4 trained index,
+    * then [[graft.ops.Ann.replaceIndex]] it with a k=5 re-fit (the
+    * re-fit-on-drift path [[graft.ops.Ann.recallDrift]] triggers —
+    * the reference's replace-all ETLDataset.update,
+    * /root/reference/bert/etl/__init__.py:133-164, as an index rebuild).
+    * The swap is marker-committed (version dir fully written, `_complete`
+    * created LAST, readers resolve the highest complete version — no
+    * pointer-rename window). The oracle unrolls the k=5 training: if
+    * serving leaked the old k=4 generation — stale centroids, stale
+    * membership, or a readIndex that ignored the version layout — the
+    * hash breaks. Version retention/pruning is AnnSpec's.
+    */
+  def qAnnReplace(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val idx = graft.ops.Scratch.dir("ann_replace_idx").toString
+    Ann.writeIndex(Ann.fit(corpus, k = 4, iters = 2, exactArith = true), idx)
+    Ann.replaceIndex(s, Ann.fit(corpus, k = 5, iters = 2, exactArith = true), idx)
+    val stored = Ann.readIndex(s, idx)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Ann.ivfTopK(s, queries, stored.assigned, k = 5, nprobe = 2,
+      cellCol = "cell", exactArith = true,
+      storedCentroids = Some(stored.centroids))
+  }
+
+  val qAnnReplaceSql: String = annStoredServeSql(5)
 
   /** Multimodal VIDEO feature pipeline, REAL end-to-end (r9: the last
     * stubbed kind went real): one animated GIF per document (8×4
@@ -641,6 +798,9 @@ object NorthStarQueries {
     "q_ann_fullprobe" -> ((qAnnFullprobe _, Some(qAnnFullprobeSql))),
     "q_ann_trained" -> ((qAnnTrained _, Some(qAnnTrainedSql))),
     "q_ann_index" -> ((qAnnIndex _, Some(qAnnIndexSql))),
+    "q_stream_ann_ingest" -> ((qStreamAnnIngest _, Some(qStreamAnnIngestSql))),
+    "q_ann_compact" -> ((qAnnCompact _, Some(qAnnCompactSql))),
+    "q_ann_replace" -> ((qAnnReplace _, Some(qAnnReplaceSql))),
     "q_multimodal" -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_audio_decode" -> ((qAudioDecode _, Some(qAudioDecodeSql))),
     "q_image_decode" -> ((qImageDecode _, Some(qImageDecodeSql))),

@@ -51,6 +51,9 @@ class PlanSpec extends SparkSpec {
       // same q_ann_ivf probe shape: query×centroid assignment over the
       // O(k) trained-cell / screened-table centroid broadcast
       "q_ann_trained", "q_ann_screened_table", "q_ann_index",
+      // the q_ann_index serve shape over the grown/compacted/replaced
+      // index: stored O(k) centroid table crossed with the 10-row query set
+      "q_stream_ann_ingest", "q_ann_compact", "q_ann_replace",
       // 1-row scalar-totals broadcast-cross: PMI's (n_tok, t_bi) pair on
       // the bigram table, MI's grand total on the contingency table
       "q_pmi", "q_mutual_info",
@@ -179,6 +182,9 @@ class PlanSpec extends SparkSpec {
       "q_ann_screened_table" -> (kRows + " (q_ann_ivf's shape over the persist-once screened table)"),
       "q_ann_index" -> (kRows + " (stored k-row centroid table + broadcast probe set; " +
         "the corpus read is the DPP-pruned partitioned index scan)"),
+      "q_stream_ann_ingest" -> (kRows + " (q_ann_index's serve shape over the stream-grown index)"),
+      "q_ann_compact" -> (kRows + " (q_ann_index's serve shape over the compacted index)"),
+      "q_ann_replace" -> (kRows + " (q_ann_index's serve shape over the k=5 replaced generation)"),
       "q_cosine_topk" -> kRows, "q_ndcg" -> kRows, "q_rrf" -> kRows,
       "q_ann_fullprobe" -> kRows, "q_ann_ivf" -> kRows, "q_ann_ivf_kernel" -> kRows,
       "q_kmeans_step" -> kRows, "q_pq" -> kRows, "q_ivf_pq" -> (kRows + " (8-row coarse, 16-row codebook, 64-row LUT)"),

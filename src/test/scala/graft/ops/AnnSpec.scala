@@ -219,6 +219,261 @@ class AnnSpec extends SparkSpec {
       clean.centroids.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSet)
   }
 
+  private def fsFor(dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("ingestBatch: committed replays are no-ops; partial publishes converge exactly-once") {
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val model = Ann.fit(corpus.filter(col("vec_id") < 250), k = 4, iters = 2)
+    val dir = tmpDir("anningest") + "/idx"
+    Ann.writeIndex(model, dir)
+    val baseN = Ann.readIndex(spark, dir).assigned.count()
+    val batch = corpus.filter(col("vec_id") >= 250 && col("vec_id") < 300)
+    val batchN = batch.count()
+    assert(Ann.ingestBatch(spark, batch, 0L, dir))
+    assert(Ann.readIndex(spark, dir).assigned.count() == baseN + batchN)
+    // replay of a COMMITTED batch (checkpoint re-offer after a crash
+    // between foreachBatch return and checkpoint commit): ledger no-op
+    assert(!Ann.ingestBatch(spark, batch, 0L, dir))
+    assert(Ann.readIndex(spark, dir).assigned.count() == baseN + batchN)
+    // crash BEFORE the ledger landed, publish partially done: simulate by
+    // deleting the ledger marker and one published file — the retry must
+    // wipe the batch's deterministic names and re-publish, never duplicate
+    val fs = fsFor(dir)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/corpus/_graft_ingest/b0"), false)
+    val published = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/corpus/cell=*/ingest-b0-*"))
+    assert(published.nonEmpty, "expected deterministic ingest-b0-* names in the cell dirs")
+    fs.delete(published.head.getPath, false)
+    assert(Ann.ingestBatch(spark, batch, 0L, dir))
+    val grown = Ann.readIndex(spark, dir)
+    assert(grown.assigned.count() == baseN + batchN)
+    assert(grown.assigned.select("vec_id").distinct().count() == baseN + batchN)
+    // a distinct batch id appends instead of replacing
+    val b1 = corpus.filter(col("vec_id") >= 300 && col("vec_id") < 320)
+    assert(Ann.ingestBatch(spark, b1, 1L, dir))
+    assert(Ann.readIndex(spark, dir).assigned.count() == baseN + batchN + b1.count())
+  }
+
+  test("streamIngest: micro-batches land exactly once; a checkpoint restart re-drains nothing") {
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val model = Ann.fit(corpus.filter(col("vec_id") < 250), k = 4, iters = 2)
+    val dir = tmpDir("annstream") + "/idx"
+    Ann.writeIndex(model, dir)
+    // stage two mtime-ordered leaf files = two deterministic micro-batches
+    val stage = java.nio.file.Paths.get(tmpDir("annstream_src"))
+    Seq(corpus.filter(col("vec_id") >= 250 && col("vec_id") < 300),
+        corpus.filter(col("vec_id") >= 300 && col("vec_id") < 350))
+      .zipWithIndex.foreach { case (df, i) =>
+        val raw = tmpDir(s"annstream_raw$i")
+        df.coalesce(1).write.mode("overwrite").parquet(raw)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(raw))
+        val p = try part.filter(_.toString.endsWith(".parquet")).findFirst().get()
+                finally part.close()
+        val dst = stage.resolve(s"b$i.parquet")
+        java.nio.file.Files.copy(p, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L * (i + 1)))
+      }
+    val ckpt = tmpDir("annstream_ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def drain(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      Ann.streamIngest(src, dir, ckpt).awaitTermination()
+    }
+    drain()
+    val expected = corpus.filter(col("vec_id") < 350).count()
+    assert(Ann.readIndex(spark, dir).assigned.count() == expected)
+    // both batches ledgered
+    val fs = fsFor(dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/corpus/_graft_ingest/b0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/corpus/_graft_ingest/b1")))
+    // RESTART against the same checkpoint: the source re-offers nothing,
+    // the index is unchanged — the exactly-once boundary end-to-end
+    drain()
+    val after = Ann.readIndex(spark, dir)
+    assert(after.assigned.count() == expected)
+    assert(after.assigned.select("vec_id").distinct().count() == expected)
+    // streamed rows sit on the stored centroids' argmin cells, identical
+    // to a batch rebuild under the same centroids
+    val rebuilt = Ann.assign(corpus.filter(col("vec_id") < 350), model.centroids)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(after.assigned.collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("cell"))).toSet == rebuilt)
+  }
+
+  test("compactIndex: hot cells collapse; serving is bit-identical; crashed swaps heal") {
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val model = Ann.fit(corpus.filter(col("vec_id") < 200), k = 4, iters = 2)
+    val dir = tmpDir("anncompact") + "/idx"
+    Ann.writeIndex(model, dir)
+    assert(Ann.ingestBatch(spark, corpus.filter(col("vec_id") >= 200 && col("vec_id") < 300), 0L, dir))
+    assert(Ann.ingestBatch(spark, corpus.filter(col("vec_id") >= 300 && col("vec_id") < 400), 1L, dir))
+    assert(Ann.ingestBatch(spark, corpus.filter(col("vec_id") >= 400), 2L, dir))
+    val servedBefore = Ann.ivfTopK(spark, queries,
+      Ann.readIndex(spark, dir).assigned, k = 5, nprobe = 4, cellCol = "cell",
+      storedCentroids = Some(Ann.readIndex(spark, dir).centroids))
+      .collect().map(_.toString).sorted
+    val stats = Ann.compactIndex(spark, dir, maxFilesPerCell = 1)
+    // the fragmentation (1 base + up to 3 ingest file sets per cell) is gone
+    assert(stats.filesBefore > stats.filesAfter,
+      s"no reduction: $stats")
+    val fs = fsFor(dir)
+    val cellDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/corpus"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+    cellDirs.foreach { cd =>
+      val n = fs.listStatus(cd.getPath)
+        .count(st => !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      assert(n <= 1, s"${cd.getPath.getName} still holds $n files")
+    }
+    // row set and serving are unchanged
+    val after = Ann.readIndex(spark, dir)
+    assert(after.assigned.count() == corpus.count())
+    assert(after.assigned.select("vec_id").distinct().count() == corpus.count())
+    val servedAfter = Ann.ivfTopK(spark, queries, after.assigned, k = 5,
+      nprobe = 4, cellCol = "cell", storedCentroids = Some(after.centroids))
+      .collect().map(_.toString).sorted
+    assert(servedAfter.toSeq == servedBefore.toSeq)
+    // HEAL: simulate a crash between the two swap renames — live dir gone,
+    // .old twin present. The next compactIndex restores it before work.
+    val victim = cellDirs.head.getPath
+    val old = new org.apache.hadoop.fs.Path(victim.getParent, s".${victim.getName}.graft_old")
+    assert(fs.rename(victim, old))
+    Ann.compactIndex(spark, dir, maxFilesPerCell = 1000)
+    assert(fs.exists(victim), "heal pass failed to restore the crashed cell swap")
+    assert(Ann.readIndex(spark, dir).assigned.count() == corpus.count())
+    // uncommitted ingest debris (no ledger) is dropped, not folded in:
+    // folding would duplicate the rows when the batch's retry re-publishes
+    val anyData = fs.listStatus(victim)
+      .filter(st => !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .head.getPath
+    val debris = new org.apache.hadoop.fs.Path(victim, "ingest-b99-p00000.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, anyData, fs, debris, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(Ann.readIndex(spark, dir).assigned.count() > corpus.count()) // debris visible
+    Ann.compactIndex(spark, dir, maxFilesPerCell = 1000)
+    assert(!fs.exists(debris), "uncommitted ingest debris survived compaction")
+    assert(Ann.readIndex(spark, dir).assigned.count() == corpus.count())
+  }
+
+  test("replaceIndex: readers resolve the newest COMPLETE version; prune reclaims the rest") {
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val dir = tmpDir("annreplace") + "/idx"
+    Ann.writeIndex(Ann.fit(corpus, k = 4, iters = 2), dir)
+    assert(Ann.readIndex(spark, dir).centroids.count() == 4)
+    // replace with a k=3 re-fit: readers must see the new generation
+    Ann.replaceIndex(spark, Ann.fit(corpus, k = 3, iters = 2), dir)
+    assert(Ann.currentRoot(spark, dir) == s"$dir/v1")
+    assert(Ann.readIndex(spark, dir).centroids.count() == 3)
+    // an INCOMPLETE version (crashed mid-write: dir exists, no _complete
+    // marker) is invisible — readers stay on v1
+    val fs = fsFor(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/v7/corpus"))
+    assert(Ann.currentRoot(spark, dir) == s"$dir/v1")
+    assert(Ann.readIndex(spark, dir).centroids.count() == 3)
+    // the next replace supersedes the crashed number rather than reusing it
+    Ann.replaceIndex(spark, Ann.fit(corpus, k = 2, iters = 2), dir)
+    assert(Ann.currentRoot(spark, dir) == s"$dir/v8")
+    assert(Ann.readIndex(spark, dir).centroids.count() == 2)
+    // appends land in the CURRENT version
+    val extra = spark.sql(
+      """SELECT CAST(900001 AS BIGINT) AS vec_id,
+        |  transform(sequence(1, 64), i -> CAST('0.5' AS FLOAT)) AS embedding""".stripMargin)
+    Ann.appendToIndex(spark, extra, dir)
+    assert(Ann.readIndex(spark, dir).assigned.filter(col("vec_id") === 900001L).count() == 1)
+    // prune: superseded versions and the shadowed flat layout reclaimed,
+    // the current generation intact
+    Ann.pruneIndexVersions(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/corpus")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v8")))
+    assert(Ann.readIndex(spark, dir).assigned.count() == corpus.count() + 1)
+  }
+
+  test("recallDrift: drifted ingest degrades stored recall; re-fit + replace restores it") {
+    import spark.implicits._
+    val dim = 8
+    def jitter(m: Int, d: Int): Double = ((m * 13 + d * 29) % 7) * 0.001
+    // base: two tight clusters on e1 (ids 3m) and e2 (ids 3m+1) — the two
+    // lowest ids seed one per cluster, so fit(k=2) trains centroids ~e1, ~e2
+    val baseRows = for (m <- 0 until 40; axis <- 0 to 1) yield {
+      val v = Array.tabulate(dim)(d =>
+        ((if (d == axis) 1.0 else 0.0) + jitter(m, d)).toFloat)
+      ((m * 3 + axis).toLong, v)
+    }
+    // drifted ingest: a NEW cluster near (e1+e2)/√2, planted to STRADDLE
+    // the stale A/B bisector — members come in pairs (p) whose two members
+    // differ only by a ±0.004 flip on dims 0/1 (opposite stale cells) and
+    // a tie-break epsilon, so each member's true nearest neighbor is its
+    // pair partner, ALWAYS across the stale boundary
+    val cRows = (0 until 40).map { m =>
+      val p = m / 2; val parity = m % 2
+      val flip = if (parity == 0) 0.004 else -0.004
+      val v = Array.tabulate(dim) { d =>
+        val x =
+          if (d == 0) 0.70 + flip
+          else if (d == 1) 0.70 - flip
+          else ((p * 31 + d * 17) % 11) * 0.05 +
+            (if (parity == 1 && d == 7) 0.0005 else 0.0)
+        x.toFloat
+      }
+      ((m * 3 + 2).toLong, v)
+    }
+    val base = baseRows.toDF("vec_id", "embedding")
+    val drifted = cRows.toDF("vec_id", "embedding")
+    val dir = tmpDir("anndrift") + "/idx"
+    Ann.writeIndex(Ann.fit(base, k = 2, iters = 2), dir)
+    Ann.appendToIndex(spark, drifted, dir)
+    val probes = drifted.filter(col("vec_id") <= 11)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // stale 2-cell index, nprobe=1: a probe only sees its own side of the
+    // straddled cluster — recall measurably below a k=3 re-fit, which
+    // gives the new cluster its own cell (seeds = ids 0, 1, 2 → one per
+    // cluster) and recovers everything
+    val d0 = Ann.recallDrift(spark, dir, probes, refitK = 3, nprobe = 1)
+    assert(d0.recallRefit >= 0.9, s"refit recall ${d0.recallRefit}")
+    assert(d0.drift >= 0.2,
+      s"planted drift not measured: stored=${d0.recallStored} refit=${d0.recallRefit}")
+    // the maintenance loop recallDrift exists to trigger: re-fit the
+    // index's own corpus, replaceIndex, and the drift is gone
+    val corpus = Ann.readIndex(spark, dir).assigned.drop("cell")
+    Ann.replaceIndex(spark, Ann.fit(corpus, k = 3, iters = 2), dir)
+    val d1 = Ann.recallDrift(spark, dir, probes, refitK = 3, nprobe = 1)
+    assert(d1.recallStored >= 0.9, s"post-replace stored recall ${d1.recallStored}")
+    assert(math.abs(d1.drift) <= 0.05, s"post-replace drift ${d1.drift}")
+  }
+
+  test("assign fails loudly on a dimension-mismatched row instead of null-assigning it") {
+    // unscreened, a 3-component vector null-pads inside zip_with: every
+    // distance null → null cell → silently persisted under the default
+    // partition if this reached appendToIndex (r14 advice). It must raise.
+    val model = Ann.fit(emb.select(col("vec_id"), col("embedding")), k = 4, iters = 1)
+    val bad = spark.sql(
+      """SELECT CAST(7000001 AS BIGINT) AS vec_id,
+        |  transform(sequence(1, 3), i -> CAST('1.0' AS FLOAT)) AS embedding""".stripMargin)
+    val ex = intercept[Throwable] {
+      Ann.assign(bad, model.centroids).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("dimension mismatch")),
+      s"expected a dimension-mismatch error, got: ${messages(ex).mkString(" | ")}")
+    // the same row under screenDim is FILTERED, not raised — the screen
+    // removes wrong-dimension rows before the kernel ever runs
+    val screened = Ann.fit(
+      bad.unionByName(emb.select(col("vec_id"), col("embedding"))),
+      k = 4, iters = 1, screenDim = Some(64))
+    assert(screened.assigned.filter(col("vec_id") === 7000001L).count() == 0)
+  }
+
   test("ivf with nprobe=2 searches only probed cells") {
     val res = Ann.ivfTopK(spark, queries, emb, k = 5, nprobe = 2)
     val withLabel = res.join(emb.select(col("vec_id").as("neighbor"), col("label")), "neighbor")
