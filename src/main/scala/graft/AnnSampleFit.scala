@@ -36,9 +36,23 @@ object AnnSampleFit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val emb = Tables.embeddings(spark, dir)
-    val corpus = emb.select(col("vec_id"), col("embedding"))
-    val queries = emb.filter(col("vec_id") < 10)
+    // dir = "clustered:<n>" synthesizes a deterministic 16-cluster corpus
+    // (center c lights dims 4c..4c+3; members add a small integer-formula
+    // jitter) — the geometry real embedding tables have and the uniform
+    // random testdata deliberately lacks. Together the two modes bracket
+    // the sample-fit claim: clustered = the expected case (sample means
+    // converge to cluster means), testdata = the adversarial bound (every
+    // point is boundary mass, so centroid perturbation costs recall).
+    val corpus =
+      if (dir.startsWith("clustered:")) {
+        val nSynth = dir.stripPrefix("clustered:").toLong
+        spark.range(nSynth).selectExpr("id AS vec_id",
+          """transform(sequence(0, 63), d -> CAST(
+            |  (CASE WHEN d >= (id % 16) * 4 AND d < (id % 16) * 4 + 4
+            |        THEN 1.0 ELSE 0.0 END)
+            |  + ((id * 13 + d * 29) % 7) * 0.01 AS FLOAT)) AS embedding""".stripMargin)
+      } else Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val queries = corpus.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val n = corpus.count()
 
@@ -54,7 +68,12 @@ object AnnSampleFit {
       m
     }
     val (sampleModel, tSampleFit) = timed {
-      Ann.fit(corpus.filter(pmod(col("vec_id"), lit(sampleMod)) === 0), k, iters = 2)
+      // hash-based 1/sampleMod selection: id-modulo sampling can ALIAS
+      // with id-structured data (the 100× synthetic offsets copies by a
+      // multiple of 10, so vec_id % 10 picks copies of the same base
+      // rows) — hashing makes the sample uniform regardless of layout
+      Ann.fit(corpus.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0),
+        k, iters = 2)
     }
     val (sampleAssigned, tAssign) = timed {
       val a = Ann.assign(corpus, sampleModel.centroids)
@@ -74,12 +93,25 @@ object AnnSampleFit {
         .count().toDouble / tot
     val rFull = recall(fullModel.assigned, fullModel.centroids)
     val rSample = recall(sampleAssigned, sampleModel.centroids)
+    // cell balance context: on unclustered data Lloyd cells can collapse
+    // (empty cells drop), which dominates what recall@nprobe means — report
+    // the surviving cell count and the biggest cell's corpus share so the
+    // recall numbers are interpretable
+    def balance(assigned: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val sizes = assigned.groupBy(col("cell")).count()
+        .collect().map(_.getLong(1))
+      (sizes.length.toLong, sizes.max.toDouble / n)
+    }
+    val (cellsFull, topFull) = balance(fullModel.assigned)
+    val (cellsSample, topSample) = balance(sampleAssigned)
 
     println(s"""{"metric":"ann_sample_fit","dir":"$dir","n_corpus":$n,""" +
       s""""k":$k,"sample_mod":$sampleMod,"nprobe":$nprobe,""" +
       f""""fit_full_sec":$tFull%.1f,"fit_sample_sec":$tSampleFit%.1f,""" +
       f""""assign_full_sec":$tAssign%.1f,""" +
-      f""""recall5_full":$rFull%.3f,"recall5_sample":$rSample%.3f}""")
+      f""""recall5_full":$rFull%.3f,"recall5_sample":$rSample%.3f,""" +
+      s""""cells_full":$cellsFull,"cells_sample":$cellsSample,""" +
+      f""""top_cell_share_full":$topFull%.3f,"top_cell_share_sample":$topSample%.3f}""")
     spark.stop()
   }
 }

@@ -390,13 +390,22 @@ object Ann {
 
   final case class CompactStats(cellsCompacted: Int, filesBefore: Int, filesAfter: Int)
 
-  /** Rewrite fragmented cell directories down to `maxFilesPerCell` files —
+  /** Rewrite fragmented cell directories to `targetFileBytes`-sized files —
     * the maintenance pass that keeps streaming ingest from becoming the
     * small-file problem at 100 TB cadence: every [[ingestBatch]] adds one
     * file set per touched cell, so after N batches a hot cell holds O(N)
-    * small files and every probe pays O(N) opens for it. Only cells OVER
-    * the threshold are rewritten (at scale that's the handful of hot cells,
-    * never the whole index), with a narrow `coalesce` — no shuffle.
+    * small files and every probe pays O(N) opens for it. Only cells whose
+    * file count exceeds TWICE their target count are rewritten (hysteresis
+    * — at scale that's the handful of hot cells, never the whole index),
+    * with a narrow `coalesce` — no shuffle.
+    *
+    * The target is BYTES, not a file count, because both extremes hurt:
+    * many small files pay per-file open/list cost, while "one file per
+    * cell" serializes the probe scan — a cell collapsed to a single file
+    * smaller than `maxPartitionBytes` is read by ONE task, and the 100×
+    * probe measured exactly that (serve 40.8 s over 2 single-file probed
+    * cells vs ~13 s over the fragmented layout). Size the target so a hot
+    * cell keeps at least a few files per executor that probes it.
     *
     * Crash-safety per cell: the compacted replacement is fully written
     * under `_compact/` first, then swapped in as rename(live → dot-prefixed
@@ -416,9 +425,10 @@ object Ann {
     * would turn the retry into duplication, so compaction deletes them
     * up front (exactly the wipe the retry would perform).
     */
-  def compactIndex(spark: SparkSession, path: String, maxFilesPerCell: Int = 1,
+  def compactIndex(spark: SparkSession, path: String,
+                   targetFileBytes: Long = 64L << 20,
                    cellCol: String = "cell"): CompactStats = {
-    require(maxFilesPerCell >= 1, "compactIndex needs maxFilesPerCell >= 1")
+    require(targetFileBytes >= 1L, "compactIndex needs targetFileBytes >= 1")
     val root = currentRoot(spark, path)
     val corpusDir = new org.apache.hadoop.fs.Path(s"$root/corpus")
     val fs = corpusDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -452,32 +462,57 @@ object Ann {
       }
     }
     def dataFiles(cd: org.apache.hadoop.fs.Path) =
-      fs.listStatus(cd).map(_.getPath)
-        .filter(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
-    val before = cellDirs().map(cd => cd.getPath.getName -> dataFiles(cd.getPath).length).toMap
-    var compacted = 0
-    before.foreach { case (cellName, n) =>
-      if (n > maxFilesPerCell) {
-        val live = new org.apache.hadoop.fs.Path(corpusDir, cellName)
-        val tmp = new org.apache.hadoop.fs.Path(s"$root/_compact/$cellName")
-        // a leaf cell dir read returns the payload columns only (the cell
-        // value lives in the dir name) — exactly what the replacement
-        // files must hold
-        spark.read.parquet(live.toString)
-          .coalesce(maxFilesPerCell)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
-        // drop the _SUCCESS marker so the swapped-in dir holds data files only
-        fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
-        val old = new org.apache.hadoop.fs.Path(corpusDir, s".$cellName$oldSuffix")
-        require(fs.rename(live, old), s"compactIndex: rename $live -> $old failed")
-        require(fs.rename(tmp, live), s"compactIndex: rename $tmp -> $live failed")
-        fs.delete(old, true)
-        compacted += 1
-      }
+      fs.listStatus(cd)
+        .filter(q => !q.getPath.getName.startsWith("_") && !q.getPath.getName.startsWith("."))
+    val before = cellDirs().map { cd =>
+      val files = dataFiles(cd.getPath)
+      cd.getPath.getName -> (files.length, files.map(_.getLen).sum)
+    }.toMap
+    // target count from bytes; rewrite only when fragmentation exceeds 2×
+    // the target (hysteresis — re-running compaction on an already-compact
+    // index is a metadata-only no-op)
+    val candidates = before.toSeq.collect {
+      case (cellName, (n, bytes))
+          if n > 2 * math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes) =>
+        cellName -> math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     }
+    // cells are independent (disjoint dirs, disjoint rename pairs), so the
+    // rewrites run CONCURRENTLY on a bounded pool — Spark schedules the
+    // per-cell read+write jobs together instead of paying one serial job
+    // latency per hot cell. A failure propagates after the pool drains;
+    // already-swapped cells stay swapped (compaction is incremental +
+    // idempotent) and a crashed swap is the heal pass's case.
+    if (candidates.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, candidates.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val work = candidates.map { case (cellName, outFiles) =>
+          scala.concurrent.Future {
+            val live = new org.apache.hadoop.fs.Path(corpusDir, cellName)
+            val tmp = new org.apache.hadoop.fs.Path(s"$root/_compact/$cellName")
+            // a leaf cell dir read returns the payload columns only (the
+            // cell value lives in the dir name) — exactly what the
+            // replacement files must hold
+            spark.read.parquet(live.toString)
+              .coalesce(outFiles)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+            // drop the _SUCCESS marker so the swapped-in dir holds data files only
+            fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+            val old = new org.apache.hadoop.fs.Path(corpusDir, s".$cellName$oldSuffix")
+            require(fs.rename(live, old), s"compactIndex: rename $live -> $old failed")
+            require(fs.rename(tmp, live), s"compactIndex: rename $tmp -> $live failed")
+            fs.delete(old, true)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(work), scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+    val compacted = candidates.size
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/_compact"), true)
     val after = cellDirs().map(cd => dataFiles(cd.getPath).length).sum
-    CompactStats(compacted, before.values.sum, after)
+    CompactStats(compacted, before.values.map(_._1).sum, after)
   }
 
   /** Stored-vs-refit recall@`k`: [[recallDrift]]'s return. `drift` > 0 means
@@ -511,14 +546,19 @@ object Ann {
                   cellCol: String = "cell", exactArith: Boolean = false): RecallDrift = {
     val stored = readIndex(spark, path)
     val corpus = stored.assigned.drop(cellCol)
+    // evaluated three times below (one total + two semi-joins): cache for
+    // the probe's duration, released before returning (Caches discipline)
     val truth = bruteTopK(queries, corpus, k, qIdCol, idCol, embCol)
-      .select(col(qIdCol), col("neighbor"))
+      .select(col(qIdCol), col("neighbor")).cache()
     val servedStored = ivfTopK(spark, queries, stored.assigned, k, nprobe,
       qIdCol, idCol, embCol, cellCol, exactArith,
       storedCentroids = Some(stored.centroids))
+    // hash-based 1/sampleMod selection, not id-modulo: structured ids
+    // (sharded ranges, offset copies) alias with a modulo and silently
+    // bias the re-fit sample toward one shard
     val sample =
       if (sampleMod <= 1) corpus
-      else corpus.filter(pmod(col(idCol), lit(sampleMod)) === 0)
+      else corpus.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
     val refit = fit(sample, refitK, refitIters, idCol, embCol, cellCol, exactArith)
     val servedRefit = ivfTopK(spark, queries,
       assign(corpus, refit.centroids, embCol, cellCol, exactArith),
@@ -530,7 +570,8 @@ object Ann {
       else served.select(col(qIdCol), col("neighbor"))
         .join(truth, Seq(qIdCol, "neighbor"), "left_semi").count().toDouble / tot
     }
-    RecallDrift(recall(servedStored), recall(servedRefit))
+    try RecallDrift(recall(servedStored), recall(servedRefit))
+    finally truth.unpersist(blocking = false)
   }
 
   /** Nearest-trained-cell for every corpus row — the second half of the

@@ -322,6 +322,14 @@ object NorthStarQueries {
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1000000L * (b + 1)))
     }
+    // raw is a staging byproduct; reclaim it now rather than at JVM exit
+    // (Bench re-invokes this builder per sample)
+    try {
+      val walk = java.nio.file.Files.walk(raw)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+      finally walk.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
     stage
   }
 
@@ -371,14 +379,14 @@ object NorthStarQueries {
 
   /** Index COMPACTION is serve-invariant: grow the index the fragmenting
     * way (base third + two appendToIndex batches — three file sets per
-    * touched cell), compact every cell to one file
+    * touched cell), compact every cell to target-size files
     * ([[graft.ops.Ann.compactIndex]]: per-cell coalesce rewrite behind a
-    * heal-able two-rename swap), and serve. The oracle is the
-    * batch-rebuild algebra — a compaction that drops, duplicates, or
-    * perturbs any row hash-mismatches. The file-count reduction itself
-    * (the thing compaction is FOR at streaming-ingest cadence) is
-    * measured in AnnSpec; the gate pins the invariant that makes the
-    * maintenance pass safe to run at all.
+    * heal-able two-rename swap, cells rewritten concurrently), and serve.
+    * The oracle is the batch-rebuild algebra — a compaction that drops,
+    * duplicates, or perturbs any row hash-mismatches. The file-count
+    * reduction itself (the thing compaction is FOR at streaming-ingest
+    * cadence) is measured in AnnSpec; the gate pins the invariant that
+    * makes the maintenance pass safe to run at all.
     */
   def qAnnCompact(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -389,7 +397,11 @@ object NorthStarQueries {
       Ann.IvfModel(model.assigned.filter(col("vec_id") % 3 === 0), model.centroids), idx)
     Ann.appendToIndex(s, corpus.filter(col("vec_id") % 3 === 1), idx, exactArith = true)
     Ann.appendToIndex(s, corpus.filter(col("vec_id") % 3 === 2), idx, exactArith = true)
-    Ann.compactIndex(s, idx, maxFilesPerCell = 1)
+    // 4 MB target: demonstration-scale — at the 100× rehearsal each ~13 MB
+    // cell compacts to 4 splittable files (a 64 MB production target would
+    // collapse it to ONE sub-maxPartitionBytes file and serialize the
+    // probed-cell scan on a single task; see compactIndex's scaladoc)
+    Ann.compactIndex(s, idx, targetFileBytes = 4L << 20)
     val stored = Ann.readIndex(s, idx)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

@@ -321,7 +321,7 @@ class AnnSpec extends SparkSpec {
       Ann.readIndex(spark, dir).assigned, k = 5, nprobe = 4, cellCol = "cell",
       storedCentroids = Some(Ann.readIndex(spark, dir).centroids))
       .collect().map(_.toString).sorted
-    val stats = Ann.compactIndex(spark, dir, maxFilesPerCell = 1)
+    val stats = Ann.compactIndex(spark, dir)
     // the fragmentation (1 base + up to 3 ingest file sets per cell) is gone
     assert(stats.filesBefore > stats.filesAfter,
       s"no reduction: $stats")
@@ -331,7 +331,9 @@ class AnnSpec extends SparkSpec {
     cellDirs.foreach { cd =>
       val n = fs.listStatus(cd.getPath)
         .count(st => !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-      assert(n <= 1, s"${cd.getPath.getName} still holds $n files")
+      // target count at this byte scale is 1; the 2× hysteresis means a
+      // cell already at <=2 files is deliberately left alone
+      assert(n <= 2, s"${cd.getPath.getName} still holds $n files")
     }
     // row set and serving are unchanged
     val after = Ann.readIndex(spark, dir)
@@ -346,7 +348,7 @@ class AnnSpec extends SparkSpec {
     val victim = cellDirs.head.getPath
     val old = new org.apache.hadoop.fs.Path(victim.getParent, s".${victim.getName}.graft_old")
     assert(fs.rename(victim, old))
-    Ann.compactIndex(spark, dir, maxFilesPerCell = 1000)
+    Ann.compactIndex(spark, dir)
     assert(fs.exists(victim), "heal pass failed to restore the crashed cell swap")
     assert(Ann.readIndex(spark, dir).assigned.count() == corpus.count())
     // uncommitted ingest debris (no ledger) is dropped, not folded in:
@@ -358,7 +360,7 @@ class AnnSpec extends SparkSpec {
     org.apache.hadoop.fs.FileUtil.copy(fs, anyData, fs, debris, false,
       spark.sparkContext.hadoopConfiguration)
     assert(Ann.readIndex(spark, dir).assigned.count() > corpus.count()) // debris visible
-    Ann.compactIndex(spark, dir, maxFilesPerCell = 1000)
+    Ann.compactIndex(spark, dir)
     assert(!fs.exists(debris), "uncommitted ingest debris survived compaction")
     assert(Ann.readIndex(spark, dir).assigned.count() == corpus.count())
   }
