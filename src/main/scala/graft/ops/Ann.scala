@@ -210,11 +210,28 @@ object Ann {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p)
+    val prevRoot = currentRoot(spark, path)
     val existing = fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
     val next = (existing :+ 0L).max + 1
     val vroot = s"$path/v$next"
     writeIndex(model, vroot, cellCol)
+    // CARRY the ingest ledger into the new generation BEFORE it becomes
+    // current: replace's contract is a re-fit of the index's OWN current
+    // corpus, so every ledgered batch's rows are inside `model` — without
+    // the carried markers, a stream restart re-offering a batch that
+    // published but never checkpoint-committed would find no ledger in
+    // the new generation and publish its rows a SECOND time (they are
+    // already in the rebuilt corpus). A model built from some OTHER
+    // corpus needs a fresh path, not a replace.
+    val prevLedger = new org.apache.hadoop.fs.Path(s"$prevRoot/corpus/_graft_ingest")
+    if (fs.exists(prevLedger)) {
+      val dstLedger = new org.apache.hadoop.fs.Path(s"$vroot/corpus/_graft_ingest")
+      fs.mkdirs(dstLedger)
+      fs.listStatus(prevLedger).foreach { st =>
+        fs.create(new org.apache.hadoop.fs.Path(dstLedger, st.getPath.getName), true).close()
+      }
+    }
     val marker = new org.apache.hadoop.fs.Path(vroot, "_complete")
     fs.create(marker, true).close()
     vroot
@@ -269,12 +286,15 @@ object Ann {
                     exactArith: Boolean = false,
                     screenDim: Option[Int] = None): Unit = {
     val root = currentRoot(spark, path)
-    val stored = readIndex(spark, path)
+    // read the centroids from the SAME resolved root the write targets —
+    // resolving twice (via readIndex) could straddle a concurrent replace
+    // and pair new centroids with the old generation's corpus
+    val centroids = spark.read.parquet(s"$root/centroids")
     val rows = screenDim match {
       case Some(d) => newRows.filter(Validate.embeddingVerdict(spark, embCol, d) === "ok")
       case None => newRows
     }
-    assign(rows, stored.centroids, embCol, cellCol, exactArith)
+    assign(rows, centroids, embCol, cellCol, exactArith)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy(cellCol).parquet(s"$root/corpus")
   }

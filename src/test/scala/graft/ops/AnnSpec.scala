@@ -399,6 +399,28 @@ class AnnSpec extends SparkSpec {
     assert(Ann.readIndex(spark, dir).assigned.count() == corpus.count() + 1)
   }
 
+  test("replaceIndex carries the ingest ledger: a cross-generation replay stays a no-op") {
+    // the compound crash: batch 0 publishes + ledgers, the stream dies
+    // BEFORE its checkpoint commits, the operator re-fits + replaces the
+    // index (the rebuilt corpus CONTAINS batch 0's rows), then the stream
+    // restarts and re-offers batch 0. Without the carried ledger the new
+    // generation would publish those rows a second time.
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val model = Ann.fit(corpus.filter(col("vec_id") < 250), k = 4, iters = 2)
+    val dir = tmpDir("annledger") + "/idx"
+    Ann.writeIndex(model, dir)
+    val batch = corpus.filter(col("vec_id") >= 250 && col("vec_id") < 300)
+    assert(Ann.ingestBatch(spark, batch, 0L, dir))
+    val grownCorpus = Ann.readIndex(spark, dir).assigned.drop("cell")
+    val n = grownCorpus.count()
+    Ann.replaceIndex(spark, Ann.fit(grownCorpus, k = 4, iters = 2), dir)
+    // the replay against the NEW generation is a ledger no-op
+    assert(!Ann.ingestBatch(spark, batch, 0L, dir))
+    assert(Ann.readIndex(spark, dir).assigned.count() == n)
+    assert(Ann.readIndex(spark, dir).assigned
+      .select("vec_id").distinct().count() == n)
+  }
+
   test("recallDrift: drifted ingest degrades stored recall; re-fit + replace restores it") {
     import spark.implicits._
     val dim = 8
