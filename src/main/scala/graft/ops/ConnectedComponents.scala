@@ -73,12 +73,24 @@ object ConnectedComponents {
       .cache()
 
     // node set from the UNFILTERED edge list, so a node appearing only in
-    // self-loops still gets a (singleton) component instead of vanishing
+    // self-loops still gets a (singleton) component instead of vanishing.
+    // Labels are SEEDED with least(self, min neighbor id) rather than self
+    // (r15 optimization, guide §1.2): at init every neighbor's label IS its
+    // id, so this folds the first neighbor-propagation step into the seed
+    // join for the cost of one aggregate over the cached edge table —
+    // shallow graphs (the near-dup norm: stars/cliques around one min node)
+    // then converge one full round (two joins + checkpoint + scan) earlier.
+    // The invariant the pointer jump relies on is preserved: the seed label
+    // is the id of a node in the same component, and the fixpoint (min id
+    // per component) is init-independent for any in-component seed.
+    val nbr0 = sym.groupBy(col("e_dst")).agg(min(col("e_src")).as("nmin"))
     var labels = Lineage.truncate(
       e.select(col("e_src").as("node"))
         .union(e.select(col("e_dst").as("node")))
         .distinct()
-        .withColumn("lbl", col("node")))
+        .join(nbr0, col("node") === col("e_dst"), "left")
+        .select(col("node"),
+          least(col("node"), coalesce(col("nmin"), col("node"))).as("lbl")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

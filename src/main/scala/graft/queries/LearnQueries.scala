@@ -394,27 +394,57 @@ object LearnQueries {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding")).persist()
     try {
+      // INCREMENTAL farthest-point traversal (r15 optimization, guide §1.2
+      // "the distributed algorithm"): min-dist-to-selection is maintained as
+      // a running column — round t folds ONLY the newest center in with
+      // least(md, decimal_sqdist(embedding, ce_t)) — instead of re-running
+      // a crossJoin over all t selected centers. Total kernel evals drop
+      // from O(k²·n/2) to O(k·n) (the classic incremental form of Gonzalez
+      // 1985), and each round is one narrow scan + TakeOrdered instead of
+      // broadcast + crossJoin + hash aggregate + sort. Exactness is
+      // unchanged: least() of the same DECIMAL(28,14) kernel values is the
+      // same min the aggregate computed (min is associative; least skips
+      // NULLs exactly as the min aggregate does), the pick order
+      // (md DESC, vec_id) and the per-pick distance-at-selection are
+      // bit-identical, and the final coverage radius is the fully-folded
+      // md's max — the oracle's unrolled CTE chain gates all of it.
       val seed = e.agg(min(col("vec_id"))).collect()(0).getLong(0)
+      val seedEmb = e.filter(col("vec_id") === seed)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
       var sel = Vector[Long](seed)
       val picks = Seq.newBuilder[org.apache.spark.sql.Row]
       picks += org.apache.spark.sql.Row(0, java.lang.Long.valueOf(seed), null)
+      // bind ce as a literal column (k·dim control-plane bytes, the Lloyd
+      // discipline — never a data-path collect)
+      def withCe(df: DataFrame, ce: Seq[Float]): DataFrame =
+        df.withColumn("ce", typedLit(ce))
+      var md = withCe(e, seedEmb)
+        .select(col("vec_id"), col("embedding"),
+          expr("decimal_sqdist(embedding, ce)").as("md"))
+        .persist()
+      var prev: DataFrame = null
       for (t <- 1 until k) {
-        val cents = e.filter(col("vec_id").isin(sel: _*))
-          .select(col("embedding").as("ce"))
-        val row = e.filter(!col("vec_id").isin(sel: _*))
-          .crossJoin(broadcast(cents))
-          .withColumn("dist", expr("decimal_sqdist(embedding, ce)"))
-          .groupBy(col("vec_id")).agg(min(col("dist")).as("md"))
-          .orderBy(col("md").desc, col("vec_id")).limit(1).collect()(0)
+        val row = md.filter(!col("vec_id").isin(sel: _*))
+          .orderBy(col("md").desc, col("vec_id"))
+          .select(col("vec_id"), col("md"), col("embedding"))
+          .limit(1).collect()(0)
         val id = row.getLong(0)
         sel = sel :+ id
         picks += org.apache.spark.sql.Row(t, java.lang.Long.valueOf(id), row.getDecimal(1))
+        val ce = row.getSeq[Float](2)
+        val next = withCe(md, ce)
+          .select(col("vec_id"), col("embedding"),
+            least(col("md"), expr("decimal_sqdist(embedding, ce)")).as("md"))
+          .persist()
+        // one-generation unpersist lag: `next` materializes (at the NEXT
+        // round's action) by reading this round's cached blocks
+        if (prev != null) { prev.unpersist(); () }
+        prev = md
+        md = next
       }
-      val cov = e.crossJoin(broadcast(
-          e.filter(col("vec_id").isin(sel: _*)).select(col("embedding").as("ce"))))
-        .withColumn("dist", expr("decimal_sqdist(embedding, ce)"))
-        .groupBy(col("vec_id")).agg(min(col("dist")).as("md"))
-        .agg(max(col("md")).as("md")).collect()(0).getDecimal(0)
+      val cov = md.agg(max(col("md")).as("md")).collect()(0).getDecimal(0)
+      if (prev != null) { prev.unpersist(); () }
+      md.unpersist()
       picks += org.apache.spark.sql.Row(k, null, cov)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("ord",
@@ -541,10 +571,28 @@ object LearnQueries {
 
   /** The unigram-LM lattice pipeline over an arbitrary word-frequency
     * frame (w, cnt) — parameterized so the hostile-corpus gate
-    * (HostileCorpusQueries) runs the SAME 12-round Viterbi DP over planted
+    * (HostileCorpusQueries) runs the SAME Viterbi DP over planted
     * degenerate words (UTF-8 4-byte pieces, all-same-char runs, score
     * ties) with its own piece-count floor. Words longer than 12 chars are
-    * the caller's to exclude (the DP unroll bound).
+    * excluded (the DP bound, matching the oracle's 12-round CTE unroll).
+    *
+    * The Viterbi DP runs as ONE per-word expression (r15 optimization,
+    * guide §1.2 "the distributed algorithm" + §2.4 "remove shuffles
+    * outright"): a word's lattice depends only on that word's own edges,
+    * so after grouping the scored edges by word the whole 12-step DP is a
+    * bounded fold (`aggregate` over positions 1..len(w), each step
+    * reducing ≤4 incoming edges) evaluated per row — no per-round
+    * distributed join/window/localCheckpoint. The previous spelling ran
+    * 12 EAGER rounds (join + window + localCheckpoint each), i.e. 12
+    * driver-sequential jobs whose fixed cost dominated at every scale —
+    * the hostile-corpus gate paid ~4.9 s for 7 words. Step algebra is
+    * IDENTICAL to the round spelling the oracle unrolls: per-step
+    * `CAST(prev.sc + lp AS DECIMAL(28,14))` accumulation, and per-node
+    * best by (sc DESC, path ASC) — the reduce keeps the incumbent unless
+    * the candidate is strictly better, which is exactly row_number = 1
+    * under that order. A node with no reachable predecessor contributes
+    * no candidate (the IS NOT NULL guard mirrors the old inner join on
+    * b.j = e.src).
     */
   private[queries] def unigramFromWf(wf0: DataFrame, minCount: Long)
       : (DataFrame, DataFrame) = {
@@ -569,38 +617,40 @@ object LearnQueries {
         .as("e"))
       .select(col("w"), col("e.src").as("src"), col("e.dst").as("dst"), col("e.piece").as("piece"))
       .join(plp, Seq("piece"))
-      // vocab-sized; without this every eager DP round re-runs the whole
-      // candidate/total/log-prob pipeline behind the lattice
-      .persist()
-    var best = wf.select(col("w"), lit(0).as("j"),
-      lit(java.math.BigDecimal.ZERO)
-        .cast(org.apache.spark.sql.types.DecimalType(28, 14)).as("sc"),
-      lit("").as("path"))
-    for (j <- 1 to maxLen) {
-      val cand = edges.filter(col("dst") === j).as("e")
-        .join(best.as("b"),
-          col("e.w") === col("b.w") && col("b.j") === col("e.src"))
-        .select(col("e.w").as("w"), lit(j).as("j"),
-          expr("CAST(b.sc + e.lp AS DECIMAL(28,14))").as("sc"),
-          concat(col("b.path"), lit("|"), col("e.piece")).as("path"))
-      val top = cand.withColumn("rn", row_number().over(
-          Window.partitionBy(col("w")).orderBy(col("sc").desc, col("path"))))
-        .filter(col("rn") === 1).drop("rn")
-      // each round references `best` twice (join + union): without
-      // truncation the logical plan doubles per round — 2^12 subtrees of
-      // analysis before a byte moves (the ConnectedComponents lesson)
-      best = graft.ops.Lineage.truncate(best.unionByName(top))
-    }
-    // materialize the two vocab-sized outputs while wf/edges are still
-    // cached, then release the cached inputs: nothing downstream re-reads
-    // the corpus, and a full-registry sweep no longer holds the lattice
+    // one row per word: that word's scored lattice edges
+    val wordEdges = edges
+      .filter(length(col("w")) <= maxLen) // the DP bound (was: rounds 1..12)
+      .groupBy(col("w"))
+      .agg(collect_list(struct(col("src"), col("dst"), col("piece"), col("lp"))).as("es"))
+    // the fold: acc(j+1) = best (sc DESC, path ASC) over incoming edges'
+    // struct(CAST(acc(src).sc + lp AS DECIMAL(28,14)), acc(src).path|piece)
+    val best = wordEdges.select(col("w"), expr(
+      """aggregate(
+        |  sequence(1, length(w)),
+        |  array(named_struct('sc', CAST(0 AS DECIMAL(28,14)), 'path', '')),
+        |  (acc, j) -> array_append(acc,
+        |    aggregate(
+        |      transform(
+        |        filter(es, e -> e.dst = j AND element_at(acc, e.src + 1) IS NOT NULL),
+        |        e -> named_struct(
+        |          'sc', CAST(element_at(acc, e.src + 1).sc + e.lp AS DECIMAL(28,14)),
+        |          'path', concat(element_at(acc, e.src + 1).path, '|', e.piece))),
+        |      CAST(NULL AS STRUCT<sc: DECIMAL(28,14), path: STRING>),
+        |      (m, c) -> CASE WHEN m IS NULL THEN c
+        |                     WHEN c.sc > m.sc THEN c
+        |                     WHEN c.sc = m.sc AND c.path < m.path THEN c
+        |                     ELSE m END)),
+        |  acc -> element_at(acc, length(w) + 1))""".stripMargin).as("b"))
+      .filter(col("b").isNotNull)
+      .select(col("w"), col("b.sc").as("sc"), col("b.path").as("path"))
+    // materialize the two vocab-sized outputs while wf is still cached,
+    // then release the cached input: nothing downstream re-reads the
+    // corpus, and a full-registry sweep no longer holds the lattice
     // pipeline's cache for the session lifetime (r10 verdict item).
     val segM = graft.ops.Lineage.truncate(wf.join(best, Seq("w"))
-      .filter(col("j") === length(col("w")))
       .select(col("w"), col("cnt"), expr("substring(path, 2)").as("seg"), col("sc")))
     val piecesM = graft.ops.Lineage.truncate(pieces)
     wf.unpersist()
-    edges.unpersist()
     (piecesM, segM)
   }
 
