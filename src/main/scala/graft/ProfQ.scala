@@ -1,0 +1,23 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ProfQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SessionConf.overlay(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.entry(spark).foreach(_ => ())
+    Tables.lineitem(spark, sfDir).count()
+    for (q <- args; i <- 1 to 6) {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, sfDir).foreach(_ => ())
+      println(f"$q run$i ${(System.nanoTime()-t0)/1e9}%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -40,7 +40,17 @@ object Tables {
     // cannot split. Disable outright with SPARK_GRAFT_FANOUT=0.
     val fanout = sys.env.getOrElse("SPARK_GRAFT_FANOUT", "1") != "0"
     if (fanout && leafFileCount(spark, path) < 4 && fileSize(spark, path) > (1L << 18))
-      df.repartition(spark.sparkContext.defaultParallelism)
+      // HASH fanout on the table's leading column (every sf table leads
+      // with a near-unique id) rather than round-robin (r15 optimization,
+      // guide §2.4/§2.5): round-robin repartition first pays a local
+      // binary sort of the whole input (sortBeforeRepartition, needed for
+      // retry determinism precisely because round-robin depends on row
+      // order) — pure overhead on a deterministic scan; hash partitioning
+      // is retry-safe by construction, skips the sort, and leaves the
+      // table CLUSTERED by its id, so a downstream join/aggregate keyed on
+      // that id reuses the exchange instead of shuffling again. Unique ids
+      // spread uniformly (no synthetic-key collision skew).
+      df.repartition(spark.sparkContext.defaultParallelism, col(df.columns.head))
     else df
   }
 

@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   */
 class TablesSpec extends SparkSpec {
 
-  private def hasRoundRobin(df: org.apache.spark.sql.DataFrame): Boolean =
+  // r15: the fan-out is a HASH repartition on the table's leading column
+  // (no round-robin pre-sort; downstream id-keyed operators reuse the
+  // clustering), so the guard is any explicit repartition operation —
+  // keyed (RepartitionByExpression) or keyless (Repartition).
+  private def hasFanout(df: org.apache.spark.sql.DataFrame): Boolean =
     df.queryExecution.optimizedPlan.collect {
-      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => r
     }.nonEmpty
 
   private def writeTable(dir: String, name: String, parts: Int): Unit = {
@@ -26,9 +30,9 @@ class TablesSpec extends SparkSpec {
     val dir = tmpDir("tables-fanout")
     writeTable(dir, "single", 1)
     writeTable(dir, "many", 8)
-    assert(hasRoundRobin(Tables.load(spark, dir, "single")),
+    assert(hasFanout(Tables.load(spark, dir, "single")),
       "big single-file table should repartition after the scan")
-    assert(!hasRoundRobin(Tables.load(spark, dir, "many")),
+    assert(!hasFanout(Tables.load(spark, dir, "many")),
       "a many-part table must NOT pay a full-table shuffle off the scan")
   }
 
@@ -37,7 +41,7 @@ class TablesSpec extends SparkSpec {
     spark.range(10).select(col("id")).coalesce(1)
       .write.parquet(s"$dir/dim.parquet")
     val df = Tables.load(spark, dir, "dim")
-    assert(!hasRoundRobin(df), "tiny table must not fan out")
+    assert(!hasFanout(df), "tiny table must not fan out")
     assert(df.rdd.getNumPartitions == 1)
   }
 
