@@ -67,8 +67,26 @@ object PrefixSum {
                       out: String, partitions: Int,
                       agg: Column => Column,
                       merge: (Column, Column) => Column): DataFrame = {
+    // Width is a function of DATA VOLUME, not a session constant (r15
+    // optimization, guide §2.2 "fewer, larger reduce partitions" + the
+    // ConnectedComponents graph-sized-parallelism discipline): every
+    // partition of the scan costs a range-sample slot, a window task, an
+    // offsets row and a per-task fixed cost — at aggregate-scale inputs
+    // (the common caller: customer/hourly rollups) the session width is
+    // pure overhead, while a genuinely large input still gets the full
+    // width. Sizing uses Catalyst's O(1) size estimate (the same signal
+    // AQE plans from) — no extra job; a wrong estimate can only cost
+    // speed, never correctness (any n >= 1 preserves the total order).
     val n = if (partitions > 0) partitions
-            else df.sparkSession.sessionState.conf.numShufflePartitions
+            else {
+              val maxP = df.sparkSession.sessionState.conf.numShufflePartitions
+              val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+              val byEst = (est / (32L << 20)) + 1 // ~32 MB per partition
+              val r = if (byEst >= BigInt(maxP)) maxP else math.max(1, byEst.toInt)
+              if (sys.env.contains("GRAFT_PS_DEBUG"))
+                System.err.println(s"[prefixsum] est=$est n=$r")
+              r
+            }
     // materialize ONCE (eager checkpoint via Lineage.truncate): BOTH
     // branches below (local scan, per-partition totals) read `ranged`, and
     // correctness requires them to see the SAME partition boundaries.
