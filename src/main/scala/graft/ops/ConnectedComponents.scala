@@ -105,6 +105,9 @@ object ConnectedComponents {
       // and monotonically nonincreasing — this is what turns O(diameter)
       // into O(log diameter). The old label rides along so convergence is
       // a filter on the checkpointed result, not another join per round.
+      // (r15: a double jump per round was measured on the deep semdedup
+      // cosine graphs — round count did NOT drop, per-round cost rose;
+      // reverted.)
       val next = Lineage.truncate(cand.as("c")
         .join(cand.select(col("node").as("l_node"), col("lbl").as("l_lbl")),
           col("c.lbl") === col("l_node"), "left")

@@ -1198,14 +1198,35 @@ object SimilarityQueries {
   private def semdedupReport(e: DataFrame, assigned: DataFrame): DataFrame = {
     val emb = e.withColumn("nrm", expr("SQRT(decimal_dot(embedding, embedding))"))
     val side = assigned.join(emb.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+    // Duplicate-pair predicate, FILTER-AND-REFINE (r15 optimization — the
+    // assignment recipe applied to the edge threshold): the edge set only
+    // needs the DECISION cosine >= 0.35, not the cosine value, so every
+    // pair is first classified by the ~ns codegen'd double kernel and the
+    // exact-decimal kernel runs ONLY inside the +/-1e-4 boundary band
+    // (plus degenerate-norm pairs, routed to the exact path outright).
+    // Soundness of the band: for na*nb >= 1e-6, |double - exact| <=
+    // (64*1e-14 + 64*2^-52*sum|x_i y_i|)/(na*nb) + ~10*2^-52 and
+    // sum|x_i y_i| <= na*nb (Cauchy-Schwarz), so the error is < 7e-8 —
+    // three orders under the band — hence a pair outside the band is
+    // classified identically by both kernels (the SqDist-bound
+    // discipline). NULL semantics match: a NULL double cosine (dimension
+    // mismatch) falls through to the exact branch, which yields NULL and
+    // drops the pair exactly as the single-kernel spelling did; a
+    // zero-norm pair is 0.0 double vs NULL/NaN exact — both drop. The
+    // oracle stays the single-pass decimal spelling and gates every run.
+    val exactKeep =
+      (expr("decimal_dot(ea, eb)") / (col("na") * col("nb"))) >= 0.35
     val edges = side.select(col("cid"), col("vec_id").as("va"),
         col("embedding").as("ea"), col("nrm").as("na"))
       .join(side.select(col("cid"), col("vec_id").as("vb"),
         col("embedding").as("eb"), col("nrm").as("nb")), Seq("cid"))
       .where(col("va") < col("vb"))
-      .select(col("cid"), col("va"), col("vb"),
-        (expr("decimal_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine"))
-      .filter(col("cosine") >= 0.35)
+      .withColumn("cd", expr("cosine_similarity(ea, eb)"))
+      .filter(
+        when(col("na") * col("nb") < 1e-6, exactKeep)
+          .when(col("cd") >= 0.35 + 1e-4, lit(true))
+          .when(col("cd") < 0.35 - 1e-4, lit(false))
+          .otherwise(exactKeep))
       .select(col("cid"), col("va"), col("vb"))
     val edgesM = graft.ops.Lineage.truncate(edges)
     // the pair join is the expensive stage and is referenced twice
