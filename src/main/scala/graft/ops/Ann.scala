@@ -748,14 +748,46 @@ object Ann {
         .select(col(qIdCol), col("q_emb"), col("cell")))
     // score only within probed cells — native codegen'd kernel
     val wTop = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))
-    val score =
-      if (exactArith) decimalCosineExpr("q_emb", embCol)
-      else expr(s"cosine_similarity(q_emb, $embCol)")
-    probes
+    val joined = probes
       .join(corpusS, probes("cell") === corpusS(cellCol))
       .filter(col(qIdCol) =!= col(idCol))
-      .withColumn("cosine", score)
-      .withColumn("rnk", row_number().over(wTop))
+    val ranked =
+      if (!exactArith)
+        joined
+          .withColumn("cosine", expr(s"cosine_similarity(q_emb, $embCol)"))
+          .withColumn("rnk", row_number().over(wTop))
+      else {
+        // exactArith FILTER-AND-REFINE (r15 optimization — the semdedup
+        // assignment recipe applied to the top-k boundary): the output only
+        // needs the exact decimal cosine for the k WINNERS, so every probed
+        // pair is first scored by the ~ns double kernel, and the 3-dot
+        // decimal kernel re-ranks only the pairs within 2e-4 of the k-th
+        // double score. Soundness: |double − decimal| < ~1e-7 per pair for
+        // non-degenerate norms (the semdedupReport band derivation), and if
+        // every pair's scores differ by ≤ δ then the true k-th exact value
+        // is within δ of the k-th double value — so cd ≥ vkd − 2δ contains
+        // every exact top-k row, including 6-dp rounding ties (δ=1e-4 ≫
+        // kernel error + half-ulp of the rounding). Degenerate pairs are
+        // kept outright: a zero-norm double cosine is exactly 0.0 (kept),
+        // NaN components compare greater than any number (kept), and a
+        // NULL double cosine is a dimension mismatch, NULL in both kernels
+        // (kept; ranks last either way). Fewer-than-k pairs leave the k-th
+        // score NULL and disable the band. The DuckDB oracles stay the
+        // single-pass decimal rankings and gate every run.
+        // both windows share one partitioning (ONE exchange, one sorted
+        // pass — no second evaluation of the probe join or the screen)
+        val wd = Window.partitionBy(col(qIdCol)).orderBy(col("__cd").desc, col(idCol))
+        val wQ = Window.partitionBy(col(qIdCol))
+        joined.withColumn("__cd", expr(s"cosine_similarity(q_emb, $embCol)"))
+          .withColumn("__rd", row_number().over(wd))
+          .withColumn("__vkd", max(when(col("__rd") === k, col("__cd"))).over(wQ))
+          .filter(col("__vkd").isNull || col("__cd").isNull ||
+            col("__cd") === 0.0 || col("__cd") >= col("__vkd") - lit(2e-4))
+          .withColumn("cosine", decimalCosineExpr("q_emb", embCol))
+          .withColumn("rnk", row_number().over(wTop))
+          .drop("__cd", "__rd", "__vkd")
+      }
+    ranked
       .filter(col("rnk") <= k)
       .select(col(qIdCol), col("rnk"), col(idCol).as("neighbor"), round(col("cosine"), 6).as("cosine"))
   }
