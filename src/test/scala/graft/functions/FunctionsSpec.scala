@@ -104,6 +104,48 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("edit_distance_within bag screen is output-invariant (randomized)") {
+    // r16: the kernel pre-screens with the character-bag lower bound
+    // (D = Σ|cnt_a - cnt_b| ≤ 2·distance, so D > 2k ⇒ -1 without the DP).
+    // Fuzz the kernel against the built-in on random ASCII pairs drawn so
+    // that both screen outcomes occur: near-duplicates (edit a few chars)
+    // and unrelated strings, across thresholds including the boundary.
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(20260818)
+    val alpha = "abcdefgh "
+    def randStr(n: Int) = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (0 until edits).foreach { _ =>
+        val op = rnd.nextInt(3)
+        val i = if (cur.isEmpty) 0 else rnd.nextInt(cur.length)
+        cur = op match {
+          case 0 if cur.nonEmpty => cur.updated(i, alpha(rnd.nextInt(alpha.length)))
+          case 1 => cur.take(i) + alpha(rnd.nextInt(alpha.length)) + cur.drop(i)
+          case _ if cur.nonEmpty => cur.take(i) + cur.drop(i + 1)
+          case _ => cur
+        }
+      }
+      cur
+    }
+    var screenedSeen = 0
+    var dpSeen = 0
+    for (_ <- 1 to 2000) {
+      val a = randStr(1 + rnd.nextInt(14))
+      val b = if (rnd.nextBoolean()) mutate(a, rnd.nextInt(7)) else randStr(1 + rnd.nextInt(14))
+      val k = rnd.nextInt(6)
+      val ua = UTF8String.fromString(a)
+      val ub = UTF8String.fromString(b)
+      val got = EditDistanceWithin.distance(ua, ub, k)
+      val want = ua.levenshteinDistance(ub, k)
+      assert(got == want, s"kernel diverged on ('$a','$b',$k): got $got want $want")
+      if (got == -1) screenedSeen += 1 else dpSeen += 1
+    }
+    // both paths must actually have been exercised
+    assert(screenedSeen > 100 && dpSeen > 100,
+      s"fuzz draw did not cover both screen outcomes ($screenedSeen / $dpSeen)")
+  }
+
   test("damerau_levenshtein: full-variant known values, bounds, non-ASCII") {
     GraftFunctions.register(spark)
     import spark.implicits._
