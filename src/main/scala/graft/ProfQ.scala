@@ -16,7 +16,18 @@ object ProfQ {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, sfDir).foreach(_ => ())
-      println(f"$q run$i ${(System.nanoTime()-t0)/1e9}%.3f")
+      val extra = if (!sys.env.contains("GRAFT_PROFQ_DEBUG")) "" else {
+        val rt = Runtime.getRuntime
+        f" heapMB=${(rt.totalMemory - rt.freeMemory) / 1048576}%d threads=${Thread.activeCount}%d"
+      }
+      println(f"$q run$i ${(System.nanoTime()-t0)/1e9}%.3f$extra")
+    }
+    if (sys.env.contains("GRAFT_PROFQ_DEBUG")) {
+      import scala.jdk.CollectionConverters._
+      Thread.getAllStackTraces.keySet.asScala.toSeq
+        .groupBy(_.getName.replaceAll("[0-9]+", "#")).view.mapValues(_.size)
+        .toSeq.sortBy(-_._2).take(12)
+        .foreach { case (n, c) => println(f"[profq] thread $c%4d  $n") }
     }
     if (sys.env.contains("GRAFT_ED_DEBUG")) {
       val (scr, dp) = graft.functions.EditDistanceWithin.screenStats

@@ -124,6 +124,71 @@ object StreamingQueries {
     * and return the final table — ONE copy of the sink/checkpoint plumbing
     * (width: see [[drainWidth]]; checkpoint placement: see [[ckptRoot]]).
     */
+  /** Per-batch checkpoint-file checksums (Spark 4.1's
+    * ChecksumCheckpointFileManager) are corruption DETECTION for durable
+    * checkpoints on real storage — on these THROWAWAY tmpfs checkpoints
+    * (see [[ckptRoot]]: created fresh per drain, deleted right after,
+    * resumable into nothing) they are pure per-batch fixed cost, and a
+    * large one: every state-store delta, offset-log and commit-log write
+    * dispatches a checksum computation to a side thread pool and AWAITS
+    * it — the r16 stack-sampler probe caught the state-store tasks of a
+    * 3-row micro-batch parked in `ChecksumCheckpointFileManager`'s
+    * awaitResult for most of their ~270 ms executor time. Disabled ONLY
+    * around the drains over the graft-owned throwaway checkpoint (saved
+    * + restored like the width conf); production callers own their real
+    * checkpointLocation and session conf. Semantics are untouched —
+    * checksums never change what a batch computes, only whether a
+    * corrupted checkpoint file is detected on read-back.
+    */
+  private val ckptChecksumKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+
+  /** Checkpoint-manager choice for the SAME throwaway checkpoints: the
+    * default FileContext-based manager routes every per-batch rename
+    * (state deltas, offset log, commit log) through Hadoop's
+    * DelegateToFileSystem, whose local-FS rename FORKS A SHELL (`readlink`
+    * via RawLocalFileSystem.getFileLinkStatus) per call — the r16 stack
+    * sampler caught hundreds of `Shell.runCommand < FileSystem.rename`
+    * frames inside 3-row micro-batches, tens of ms (plus a forked process)
+    * per rename. The FileSystem-based manager renames via
+    * `File.renameTo` — the rename(2) syscall, atomic on a local/tmpfs
+    * path, no fork. Scoped to the graft-owned throwaway checkpoints
+    * exactly like [[ckptChecksumKey]]; production checkpoints on HDFS/S3
+    * keep the default manager (there FileContext's atomicity reasoning is
+    * the point).
+    */
+  private val ckptManagerKey = "spark.sql.streaming.checkpointFileManagerClass"
+  private val fsCkptManager =
+    "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager"
+
+  /** Set the throwaway-drain session confs (drain width + tmpfs-checkpoint
+    * cost cuts), run `body`, restore every conf to its previous state. */
+  private def withDrainConfs[A](sess: SparkSession, width: Int)(body: => A): A = {
+    val keys = Seq("spark.sql.shuffle.partitions" -> width.toString,
+      ckptChecksumKey -> "false", ckptManagerKey -> fsCkptManager)
+    val prev = keys.map { case (k, _) => k -> sess.conf.getOption(k) }
+    keys.foreach { case (k, v) => sess.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => sess.conf.set(k, v)
+      case (k, None) => sess.conf.unset(k)
+    }
+  }
+
+  /** Unload the drained query's state-store providers once its throwaway
+    * checkpoint is gone. Loaded providers are a JVM-lifetime registry:
+    * every drain (fresh checkpoint dir = fresh provider ids) ADDS
+    * per-partition providers that the shared maintenance thread keeps
+    * visiting — over a 24-gate sweep (×2 bench samples) that is hundreds
+    * of dead providers whose in-memory version maps pin heap and whose
+    * maintenance churns against deleted directories. A finished drain's
+    * providers can never be read again (the checkpoint is deleted);
+    * dropping them is pure hygiene. Only called with no other streaming
+    * query active in the session (the registry gates run one at a time).
+    */
+  private def unloadDeadStateStores(): Unit =
+    try org.apache.spark.sql.graft.PlanBridge.unloadAllStateStores()
+    catch { case scala.util.control.NonFatal(_) => () }
+
   private def drainToMemory(df: DataFrame, name: String, outputMode: String,
                             width: Int = 8): DataFrame = {
     analyzedPlans(name) = df.queryExecution.analyzed
@@ -131,25 +196,24 @@ object StreamingQueries {
     val ckptDir = java.nio.file.Files.createTempDirectory(ckptRoot(sess0), s"${name}_ckpt")
     val ckpt = ckptDir.toString
     val sess = df.sparkSession
-    val prevWidth = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.shuffle.partitions", width.toString)
     try {
-      val q = df.writeStream
-        .outputMode(outputMode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
-        q.recentProgress.foreach { pr =>
-          System.err.println(s"[drain $name] batch ${pr.batchId} rows=${pr.numInputRows} " +
-            s"durationMs=${pr.durationMs}")
+      withDrainConfs(sess, width) {
+        val q = df.writeStream
+          .outputMode(outputMode)
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
+          q.recentProgress.foreach { pr =>
+            System.err.println(s"[drain $name] batch ${pr.batchId} rows=${pr.numInputRows} " +
+              s"durationMs=${pr.durationMs}")
+          }
         }
       }
     } finally {
-      sess.conf.set("spark.sql.shuffle.partitions", prevWidth)
       // tmpfs is RAM: drop the drained query's throwaway checkpoint now
       // (the memory-sink table is independent of it) so an 11-drain sweep
       // doesn't retire state deltas into memory for the process lifetime
@@ -159,6 +223,7 @@ object StreamingQueries {
           .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
         finally st.close()
       } catch { case scala.util.control.NonFatal(_) => () }
+      unloadDeadStateStores()
     }
     sess.table(name)
   }
@@ -1263,29 +1328,38 @@ object StreamingQueries {
       val out = build(srcs.map(src => s.readStream.schema(stagedSchema)
         .option("maxFilesPerTrigger", "1").parquet(src.toString)))
       analyzedPlans(s"graft_$tag") = out.queryExecution.analyzed
-      val prevWidth = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // throwaway tmpfs checkpoint: the same width/checksum/manager confs
+      // as drainToMemory — restart-state semantics, the thing under test,
+      // are independent of all three
       try {
-        val q = out.writeStream.outputMode("append").format("parquet")
-          .option("path", sinkDir.toString)
-          .option("checkpointLocation", ckptDir.toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        // recentProgress is a ring buffer capped by
-        // numRecentProgressUpdates (default 100): a run ever exceeding it
-        // would silently truncate run 1's batch list and make the
-        // run2.min > run1.max evidence pin pass or fail SPURIOUSLY (r13
-        // advice). The gates run a handful of batches; assert we are
-        // nowhere near the cap so the evidence is provably complete.
-        val prog = q.recentProgress
-        val cap = s.conf.get("spark.sql.streaming.numRecentProgressUpdates").toInt
-        require(prog.length < cap,
-          s"recovery evidence would be truncated: ${prog.length} progress updates " +
-            s">= retention cap $cap — read batch ids from the checkpoint offsets " +
-            "log instead of recentProgress for slices this long")
-        (q.runId.toString, prog.map(_.batchId).toSeq)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevWidth)
+        withDrainConfs(s, 8) {
+          val q = out.writeStream.outputMode("append").format("parquet")
+            .option("path", sinkDir.toString)
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          // recentProgress is a ring buffer capped by
+          // numRecentProgressUpdates (default 100): a run ever exceeding it
+          // would silently truncate run 1's batch list and make the
+          // run2.min > run1.max evidence pin pass or fail SPURIOUSLY (r13
+          // advice). The gates run a handful of batches; assert we are
+          // nowhere near the cap so the evidence is provably complete.
+          val prog = q.recentProgress
+          val cap = s.conf.get("spark.sql.streaming.numRecentProgressUpdates").toInt
+          require(prog.length < cap,
+            s"recovery evidence would be truncated: ${prog.length} progress updates " +
+              s">= retention cap $cap — read batch ids from the checkpoint offsets " +
+              "log instead of recentProgress for slices this long")
+          (q.runId.toString, prog.map(_.batchId).toSeq)
+        }
+      } finally {
+        // unload this run's providers before the next: a real restart is a
+        // fresh executor — run 2 must reload state from the CHECKPOINT
+        // FILES, which is exactly the property the gate pins (and the
+        // registry-wide provider-hygiene discipline of drainToMemory)
+        unloadDeadStateStores()
+      }
     }
     try {
       stagedAll.zipWithIndex.foreach { case ((_, rows), i) =>
