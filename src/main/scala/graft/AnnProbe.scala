@@ -20,6 +20,12 @@ object AnnProbe {
         k = 4, iters = 2, exactArith = true))
       val idx = graft.ops.Scratch.dir("ann_probe")
       t("writeIndex")(graft.ops.Ann.writeIndex(model, idx.toString))
+      val nFiles = {
+        val st = java.nio.file.Files.walk(idx.resolve("corpus"))
+        try st.filter(p => p.toString.endsWith(".parquet")).count()
+        finally st.close()
+      }
+      println(s"[annprobe] corpus data files: $nFiles")
       val stored = t("readIndex")(graft.ops.Ann.readIndex(spark, idx.toString))
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

@@ -21,6 +21,21 @@ object SessionConf {
     // Tables.ntzToLtz stays as the local belt for externally-built
     // sessions that skip this overlay.
     builder.config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // Shuffle-writer selection (r16, guide §2.2 "fewer, larger blocks"):
+    // the bypass-merge writer creates one FILE per reduce partition per
+    // map task — M×R file creations per shuffle — while the tungsten sort
+    // writer emits one spill file + index per map task after an in-memory
+    // partition-id radix sort. Spark's default threshold (200) uses bypass
+    // for every narrow shuffle; measured on this engine's registry the
+    // crossover is far lower: at R=32 an interleaved min-of-2 A/B over a
+    // 20-query subset ran 36.8 s (bypass) vs 31.5 s (tungsten) — a stack
+    // probe showed DiskBlockObjectWriter.open as the hottest non-idle
+    // executor frame — while at R=8 bypass stays at par (13.99 vs
+    // 14.77 s). Threshold 16 keeps bypass exactly for the tiny-R shuffles
+    // where it wins and is inert at production widths (R ≫ 200 already
+    // uses the tungsten writer under any threshold). Set BEFORE the env
+    // overlay so SPARK_GRAFT_CONF sweeps can still override it.
+    builder.config("spark.shuffle.sort.bypassMergeThreshold", "16")
     sys.env.get("SPARK_GRAFT_CONF").foreach {
       _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
         kv.split("=", 2) match {

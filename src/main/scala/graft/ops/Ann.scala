@@ -148,10 +148,49 @@ object Ann {
     * scans the whole corpus and IVF only saves kernel evaluations.
     */
   def writeIndex(model: IvfModel, path: String, cellCol: String = "cell"): Unit = {
-    model.assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    clusterForWrite(model.assigned, cellCol, nCells = model.centroids.count())
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy(cellCol).parquet(s"$path/corpus")
     model.centroids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/centroids")
+  }
+
+  /** Cluster an assigned corpus by cell before a `partitionBy(cellCol)`
+    * write (r16, guide §6 output file sizing + §2.2 fewer files): without
+    * it every one of the input's partitions writes its own file into
+    * every cell directory — width × k files per write (the r16 probe
+    * measured 32-partition inputs writing ~128 ~6 KB files per
+    * writeIndex/append, and every later probe paying ~128 opens), and at
+    * streaming-ingest cadence that IS the small-file problem compactIndex
+    * exists to clean up. One hash repartition keyed on (cell, slice)
+    * leaves each cell's rows in `slices` partitions: file count becomes
+    * ~k × slices, independent of the producer's width.
+    *
+    * `slices` is derived from the DATA (Catalyst size estimate /
+    * `targetFileBytes` per cell), not a constant: bench-scale cells
+    * collapse to one file each, while a 100 TB cell keeps enough
+    * splittable files that a probed-cell scan still parallelizes —
+    * exactly the compactIndex scaladoc's warning against single-file hot
+    * cells, applied at write time. The slice key is a deterministic hash
+    * of the payload columns (guide §2.5: retry-safe synthetic keys — no
+    * rand()), so a retried map task reproduces its partition assignment.
+    */
+  private def clusterForWrite(assigned: DataFrame, cellCol: String, nCells: Long,
+                              targetFileBytes: Long = 64L << 20): DataFrame = {
+    val maxP = assigned.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    val est = assigned.queryExecution.optimizedPlan.stats.sizeInBytes
+    val perCell = est / math.max(1L, nCells)
+    val slices = (perCell / targetFileBytes + 1).min(BigInt(maxP)).toInt
+    val width = math.max(1L, math.min(maxP, nCells * slices)).toInt
+    // an already-narrow producer (a staged single-file micro-batch) writes
+    // few files as-is — a clustering shuffle would add a stage for nothing
+    if (assigned.rdd.getNumPartitions <= width) assigned
+    else if (slices <= 1) assigned.repartition(width, col(cellCol))
+    else {
+      val payload = assigned.columns.filterNot(_ == cellCol).map(col).toSeq
+      assigned.repartition(width, col(cellCol),
+        pmod(xxhash64(payload: _*), lit(slices)))
+    }
   }
 
   /** Read back a persisted IVF index. `assigned`'s `cell` column is the
@@ -294,7 +333,8 @@ object Ann {
       case Some(d) => newRows.filter(Validate.embeddingVerdict(spark, embCol, d) === "ok")
       case None => newRows
     }
-    assign(rows, centroids, embCol, cellCol, exactArith)
+    clusterForWrite(assign(rows, centroids, embCol, cellCol, exactArith),
+        cellCol, nCells = centroids.count())
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy(cellCol).parquet(s"$root/corpus")
   }
@@ -345,7 +385,8 @@ object Ann {
       case Some(d) => batch.filter(Validate.embeddingVerdict(spark, embCol, d) === "ok")
       case None => batch
     }
-    assign(rows, centroids, embCol, cellCol, exactArith)
+    clusterForWrite(assign(rows, centroids, embCol, cellCol, exactArith),
+        cellCol, nCells = centroids.count())
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy(cellCol).parquet(staging.toString)
     // wipe a previous attempt's partial publish of THIS batch, then move
