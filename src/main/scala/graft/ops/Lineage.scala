@@ -30,6 +30,28 @@ object Lineage {
   /** Checkpoint directory for reliable mode (set to HDFS/S3 on a cluster). */
   val DirKey = "spark.graft.checkpointDir"
 
+  /** ACTUAL stored bytes of an eagerly-truncated frame (r16): after
+    * [[truncate]] in localCheckpoint mode the frame is a LogicalRDD over
+    * blocks registered with the BlockManager, so its true size is
+    * available for free from the storage registry — unlike Catalyst's
+    * `sizeInBytes`, which for a join-bearing plan multiplies through the
+    * join and can overestimate by many orders of magnitude (the r15
+    * PrefixSum width sizing's documented blind spot). Returns None when
+    * no storage info exists (reliable-checkpoint mode, or an
+    * un-truncated frame) — callers must treat that as "unknown", never
+    * as zero. Note the registered size is the DESERIALIZED in-memory
+    * size, an overestimate of raw bytes — safe for right-sizing
+    * parallelism (errs wider).
+    */
+  def actualBytes(df: DataFrame): Option[Long] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          .map(i => i.memSize + i.diskSize)
+      case _ => None
+    }
+
   /** Truncate `df`'s lineage eagerly, per the session's reliability flag. */
   def truncate(df: DataFrame): DataFrame = {
     if (sys.env.contains("GRAFT_TRUNC_DEBUG")) {

@@ -27,6 +27,22 @@ class PrefixSumSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("Lineage.actualBytes: Some(>0) for a truncated frame, None otherwise") {
+    // the r16 width-correction signal: a localCheckpoint'd frame reports
+    // its REAL stored size; an un-truncated plan must report unknown
+    // (None), never zero — the PrefixSum resize treats None as no-op
+    val df = Tables.customer(spark, sfDir).select(col("c_custkey"))
+    assert(Lineage.actualBytes(df).isEmpty)
+    val t = Lineage.truncate(df)
+    val b = Lineage.actualBytes(t)
+    assert(b.exists(_ > 0L), s"expected stored bytes for a truncated frame, got $b")
+    // join-bearing estimate vs actual: the estimate path PrefixSum guards
+    // against really does blow up (sanity-pin the mechanism, not a value)
+    val joined = df.crossJoin(broadcast(Tables.nation(spark, sfDir)))
+    val est = joined.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est > b.get, "join-bearing estimate unexpectedly below the actual base size")
+  }
+
   test("cumsum under the reliable-checkpoint flag matches and writes checkpoint files") {
     // the multi-consumer materialization inside scanAgg goes through
     // Lineage.truncate (r10 verdict item): with the flag set, the range-
