@@ -472,8 +472,6 @@ object AnalyticsQueries {
   def qPagerank(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val tkDf = Tables.documents(s, dir).select(split(col("text"), " ").as("tk"))
-    val nodes = tkDf.select(explode(col("tk")).as("token"))
-      .filter(col("token") =!= "").distinct().cache()
     val pairs = tkDf.filter(size(col("tk")) >= 2)
       .select(expr("explode(transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS w1, tk[i+1] AS w2)))").as("pr"))
       .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
@@ -482,8 +480,21 @@ object AnalyticsQueries {
     val e = edges.join(out, "w1")
       .select(col("w1"), col("w2"),
         (col("c").cast("double") / col("c1").cast("double")).as("p")).cache()
+    // The DANGLING SET IS STATIC (a node dangles iff it never appears as a
+    // bigram source), so resolve it ONCE into a boolean column instead of
+    // re-deriving it with a per-round anti-join (r16, guide §1.2 /
+    // §2.4 — the same "move invariant work out of the loop" discipline as
+    // the r15 CC seed fold): each of the 5 rounds now computes the
+    // dangling mass as a filter + aggregate over the already-checkpointed
+    // ranks frame — no join, no broadcast build. `out.w1` is unique (it
+    // is a groupBy key), so left-join + IS NOT NULL is row-for-row the
+    // old left_anti semantics, and the decimal dangling sum is unchanged.
+    val nodes = tkDf.select(explode(col("tk")).as("token"))
+      .filter(col("token") =!= "").distinct()
+      .join(out.select(col("w1")), col("token") === col("w1"), "left")
+      .select(col("token"), col("w1").isNotNull.as("__has_out")).cache()
     val nN = nodes.count().toDouble
-    var ranks = nodes.select(col("token"), (lit(1.0) / lit(nN)).as("rank"))
+    var ranks = nodes.select(col("token"), (lit(1.0) / lit(nN)).as("rank"), col("__has_out"))
     for (_ <- 1 to 5) {
       // ranks feeds BOTH the contribution join and the dangling aggregate,
       // and 5 chained iterations would otherwise nest 2^5 copies of the
@@ -495,13 +506,14 @@ object AnalyticsQueries {
         .select(col("w2"),
           (col("rank") * col("p")).cast("double").cast(DecimalType(28, 14)).as("ct"))
       val insum = contrib.groupBy(col("w2")).agg(sum(col("ct")).cast("double").as("in_sum"))
-      val dang = ranks.join(out, col("token") === col("w1"), "left_anti")
+      val dang = ranks.filter(!col("__has_out"))
         .agg(coalesce(sum(col("rank").cast(DecimalType(28, 14))).cast("double"), lit(0.0)).as("dang"))
       ranks = nodes.join(insum, col("token") === col("w2"), "left").drop("w2")
         .crossJoin(broadcast(dang))
         .select(col("token"),
           (lit(0.15) / lit(nN) + lit(0.85) *
-            (coalesce(col("in_sum"), lit(0.0)) + col("dang") / lit(nN))).as("rank"))
+            (coalesce(col("in_sum"), lit(0.0)) + col("dang") / lit(nN))).as("rank"),
+          col("__has_out"))
     }
     ranks.orderBy(col("rank").desc, col("token")).limit(10)
       .select(col("token"), r6(col("rank")).as("pagerank"))
