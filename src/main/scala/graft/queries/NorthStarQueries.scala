@@ -365,8 +365,16 @@ object NorthStarQueries {
     val ckpt = graft.ops.Scratch.dir("ann_stream_ckpt").toString
     val src = s.readStream.schema(embStagedSchema)
       .option("maxFilesPerTrigger", "1").parquet(stage.toString)
-    Ann.streamIngest(src, idx, ckpt, exactArith = true, screenDim = Some(64))
-      .awaitTermination()
+    // throwaway checkpoint for a 3-batch drain: the same
+    // checksum-off / FileSystem-manager / width confs as every other
+    // registry drain (StreamingQueries.withDrainConfs scaladoc) — the
+    // exactly-once contract under test lives in the ingest LEDGER, not in
+    // the checkpoint's checksum sidecars (AnnSpec's restart/replay pins
+    // run with default confs)
+    StreamingQueries.withDrainConfs(s, 8) {
+      Ann.streamIngest(src, idx, ckpt, exactArith = true, screenDim = Some(64))
+        .awaitTermination()
+    }
     val stored = Ann.readIndex(s, idx)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

@@ -162,7 +162,7 @@ object StreamingQueries {
 
   /** Set the throwaway-drain session confs (drain width + tmpfs-checkpoint
     * cost cuts), run `body`, restore every conf to its previous state. */
-  private def withDrainConfs[A](sess: SparkSession, width: Int)(body: => A): A = {
+  private[queries] def withDrainConfs[A](sess: SparkSession, width: Int)(body: => A): A = {
     val keys = Seq("spark.sql.shuffle.partitions" -> width.toString,
       ckptChecksumKey -> "false", ckptManagerKey -> fsCkptManager)
     val prev = keys.map { case (k, _) => k -> sess.conf.getOption(k) }
